@@ -1,13 +1,530 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.ingest.IncrementalLoader
+import graft.similarity.Similarity
+import graft.transform.KpiTransform
+
+/** Driver contract — one `queries` entry per operator in SURVEY.md §2 plus
+  * the LLM-data-pipeline extension operators; each SQL-expressible entry has
+  * a DuckDB oracle in `oracleSql`. Determinism: fixed anchors (never
+  * current_date), full-key ORDER BY tiebreakers, money/doubles rounded
+  * before compare (SURVEY.md §7.5).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001 (notebook cell 3 analogue); driver
+    * smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.topCampaignsBySpend(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------ helpers
+
+  /** documents ∪ deterministically-perturbed copies — gives the near-dup
+    * operators guaranteed true positives (a doc and its copy with one
+    * appended token are near-identical).
+    */
+  private def docsWithNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    d.union(d.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz"))))
+  }
+
+  // ------------------------------------------------------------------ queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference surface: analytics (A1-A3, P6, O1-O3) ----
+    "q01_kpi_topk_spend" -> ((s, dir) => Analytics.topCampaignsBySpend(s, dir)),
+
+    "q02_kpi_derive" -> ((s, dir) =>
+      Analytics.campaignDailyMetrics(s, dir)
+        .select(col("user_id"), col("dt"), col("impressions"), col("clicks"),
+          col("spend"), col("conversions"),
+          round(col("ctr"), 6).as("ctr"), round(col("cpm"), 6).as("cpm"),
+          round(col("cpc"), 6).as("cpc"), round(col("cpa"), 6).as("cpa"))
+        .orderBy(col("user_id"), col("dt"))),
+
+    "q08_daily_avg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("dt"))
+        .agg(round(Analytics.dsum(col("o_totalprice")) / count(lit(1)), 6).as("avg_price"), count(lit(1)).as("n"))
+        .orderBy(col("dt"))),
+
+    "q09_scorecard" -> ((s, dir) => Analytics.creativeScorecard(s, dir)),
+
+    // ---- joins (J1 anti, semi, equi, multi-way) ----
+    "q03_anti_join" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val anchor = orders.agg(date_sub(max(col("o_orderdate")), 180).as("lo"))
+      val recent = orders.join(broadcast(anchor), col("o_orderdate") >= col("lo"))
+        .select(col("o_custkey").as("c_custkey"))
+      IncrementalLoader.newRows(Tables.customer(s, dir), recent, Seq("c_custkey"))
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q04_semi_join" -> ((s, dir) => {
+      val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, dir).join(big, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    "q22_join_agg" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), year(col("o_orderdate")).as("yr"))
+        .agg(Analytics.dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"), col("yr"))),
+
+    "q23_join_three" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), Analytics.dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("r_name"), col("n_name"))),
+
+    // ---- generator cross product (J2) ----
+    "q05_cross_gen" -> ((s, _) => {
+      val c = s.range(1, 11).toDF("campaign_id")
+      val a = s.range(1, 6).toDF("adset_id")
+      val r = s.range(1, 4).toDF("creative_id")
+      c.crossJoin(a).crossJoin(r)
+        .withColumn("metric", pmod(col("campaign_id") * 31 + col("adset_id") * 7 + col("creative_id"), lit(97)))
+        .orderBy(col("campaign_id"), col("adset_id"), col("creative_id"))
+    }),
+
+    // ---- scans / filters / projections (P2, P4, P6, S-ops) ----
+    "q06_filter_pushdown" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1999-01-01")
+          && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    "q12_project_rename" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey").as("order_key"), col("o_orderdate").as("dt"),
+          col("o_orderpriority").as("priority"))
+        .orderBy(col("order_key"))),
+
+    // ---- aggregations (A1, A4) ----
+    "q07_pricing_summary" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(Analytics.dsum(col("l_quantity")).as("sum_qty"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q10_counts" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(count(lit(1)).as("n_lineitem"))
+        .crossJoin(Tables.orders(s, dir).agg(count(lit(1)).as("n_orders")))
+        .crossJoin(Tables.customer(s, dir).agg(count(lit(1)).as("n_customer")))),
+
+    // ---- sorts / top-k (O1-O3) ----
+    "q11_topk_orders" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    // ---- scalar functions (F1-F14) ----
+    "q13_date_format" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt_str"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mth"))
+        .orderBy(col("o_orderkey"))),
+
+    "q14_nullsafe_div" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(KpiTransform.safeDiv(col("l_discount"), col("l_tax")), 6).as("disc_tax_ratio"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // ---- set operations (§2.7) ----
+    "q15_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .union(ev.filter(col("event_type") === "view").select(col("user_id")))
+        .distinct()
+        .orderBy(col("user_id"))
+    }),
+
+    "q16_intersect" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "click").select(col("user_id"))
+        .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    "q17_except" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.filter(col("event_type") === "signup").select(col("user_id"), col("dt"))
+        .except(ev.filter(col("event_type") === "error").select(col("user_id"), col("dt")))
+        .orderBy(col("user_id"), col("dt"))
+    }),
+
+    // ---- window functions (§2.5 extension) ----
+    "q18_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("running_spend"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    "q19_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("dt")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderdate").as("dt"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("dt"), col("o_orderkey"), col("rnk"))
+        .orderBy(col("dt"), col("rnk"))
+    }),
+
+    "q20_window_movavg" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("dt"))
+        .agg(Analytics.dsum(col("o_totalprice")).as("rev"))
+      val w = Window.orderBy(col("dt")).rowsBetween(-6, Window.currentRow)
+      daily.select(col("dt"), round(sum(col("rev").cast("decimal(18,2)")).over(w).cast("double") / count(lit(1)).over(w), 6).as("movavg7"))
+        .orderBy(col("dt"))
+    }),
+
+    // ---- grouping sets extension ----
+    "q21_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(Analytics.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // ---- incremental-load semantics (J1/§2.9) ----
+    "q24_incremental_delta" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val existing = ev.filter(pmod(col("event_id"), lit(2)) === 0)
+      IncrementalLoader.newRows(ev, existing, Seq("event_id"))
+        .agg(count(lit(1)).as("n_new"), min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+    }),
+
+    // ---- LLM-pipeline: dedup ----
+    "q30_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir)).orderBy(col("content_key"))),
+
+    "q31_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+        docsWithNearDups(s, dir).filter(pmod(col("doc_id"), lit(1000000)) < 200),
+        threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q40_minhash_neardups" -> ((s, dir) =>
+      Dedup.minHashNearDups(docsWithNearDups(s, dir), threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "q41_simhash_neardups" -> ((s, dir) =>
+      Dedup.simHashNearDups(docsWithNearDups(s, dir), maxDist = 4)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- LLM-pipeline: text analysis ----
+    "q32_text_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          round(TextFunctions.avgTokenLen(col("text")), 6).as("avg_token_len"),
+          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
+          round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    "q33_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
+    "q34_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    // ---- LLM-pipeline: similarity search ----
+    "q35_ann_brute" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(queries, corpus, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "q36_embed_norms" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          round(Similarity.norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy(col("vec_id"))),
+
+    "q42_ann_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(queries, corpus, dim = 64, k = 5, bits = 16, bands = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- LLM-pipeline: multimodal plumbing ----
+    "q43_multimodal" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain")
+      graft.multimodal.Multimodal.extractFeatures(media).toDF().orderBy(col("id"))
+    })
+  )
+
+  // ---------------------------------------------------------------- oracles
+
+  /** DuckDB lambda-free token list shared by the text oracles. */
+  private val ToksCte =
+    "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_kpi_topk_spend" ->
+      """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
+        |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        |FROM events, anchor WHERE CAST(ts AS DATE) >= lo
+        |GROUP BY user_id ORDER BY total_spend DESC, user_id LIMIT 10""".stripMargin,
+
+    "q02_kpi_derive" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS dt, COUNT(*) AS impressions,
+        |         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS spend,
+        |         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS conversions
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, dt, impressions, clicks, spend, conversions,
+        |  ROUND(CASE WHEN impressions = 0 THEN 0 ELSE CAST(clicks AS DOUBLE) / impressions END, 6) AS ctr,
+        |  ROUND(CASE WHEN impressions = 0 THEN 0 ELSE CAST(spend AS DOUBLE) / impressions END * 1000, 6) AS cpm,
+        |  ROUND(CASE WHEN clicks = 0 THEN 0 ELSE CAST(spend AS DOUBLE) / clicks END, 6) AS cpc,
+        |  ROUND(CASE WHEN conversions = 0 THEN 0 ELSE CAST(spend AS DOUBLE) / conversions END, 6) AS cpa
+        |FROM daily ORDER BY user_id, dt""".stripMargin,
+
+    "q03_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND CAST(o_orderdate AS DATE) >=
+        |        (SELECT CAST(CAST(MAX(o_orderdate) AS DATE) - INTERVAL 180 DAY AS DATE) FROM orders))
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q05_cross_gen" ->
+      """SELECT c.campaign_id, a.adset_id, r.creative_id,
+        |  CAST((c.campaign_id * 31 + a.adset_id * 7 + r.creative_id) % 97 AS BIGINT) AS metric
+        |FROM generate_series(1, 10) c(campaign_id)
+        |CROSS JOIN generate_series(1, 5) a(adset_id)
+        |CROSS JOIN generate_series(1, 3) r(creative_id)
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q06_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1998-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1999-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q07_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue, COUNT(*) AS n
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q08_daily_avg" ->
+      """SELECT CAST(o_orderdate AS DATE) AS dt, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_scorecard" ->
+      """SELECT event_type, COUNT(*) AS impressions, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1 ORDER BY impressions DESC, event_type LIMIT 10""".stripMargin,
+
+    "q10_counts" ->
+      """SELECT (SELECT COUNT(*) FROM lineitem) AS n_lineitem,
+        |       (SELECT COUNT(*) FROM orders) AS n_orders,
+        |       (SELECT COUNT(*) FROM customer) AS n_customer""".stripMargin,
+
+    "q11_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q12_project_rename" ->
+      """SELECT o_orderkey AS order_key, CAST(o_orderdate AS DATE) AS dt, o_orderpriority AS priority
+        |FROM orders ORDER BY order_key""".stripMargin,
+
+    "q13_date_format" ->
+      """SELECT o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d') AS dt_str,
+        |  CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mth
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q14_nullsafe_div" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(CASE WHEN l_tax = 0 OR l_tax IS NULL THEN 0 ELSE l_discount / l_tax END, 6) AS disc_tax_ratio
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q15_union" ->
+      """SELECT DISTINCT user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  UNION ALL SELECT user_id FROM events WHERE event_type = 'view')
+        |ORDER BY user_id""".stripMargin,
+
+    "q16_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q17_except" ->
+      """SELECT user_id, CAST(ts AS DATE) AS dt FROM events WHERE event_type = 'signup'
+        |EXCEPT SELECT user_id, CAST(ts AS DATE) AS dt FROM events WHERE event_type = 'error'
+        |ORDER BY user_id, dt""".stripMargin,
+
+    "q18_window_running" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q19_window_rank" ->
+      """SELECT dt, o_orderkey, rnk FROM (
+        |  SELECT CAST(o_orderdate AS DATE) AS dt, o_orderkey,
+        |    ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate AS DATE)
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) WHERE rnk <= 3 ORDER BY dt, rnk""".stripMargin,
+
+    "q20_window_movavg" ->
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS dt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT dt, ROUND(CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / COUNT(*) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS movavg7
+        |FROM daily ORDER BY dt""".stripMargin,
+
+    "q21_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q22_join_agg" ->
+      """SELECT c_mktsegment, CAST(YEAR(o_orderdate) AS INT) AS yr,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q23_join_three" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q24_incremental_delta" ->
+      """SELECT COUNT(*) AS n_new, MIN(event_id) AS mn, MAX(event_id) AS mx
+        |FROM events WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 2 = 0)""".stripMargin,
+
+    "q30_dedup_exact" ->
+      """SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS content_key,
+        |  MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY content_key""".stripMargin,
+
+    "q31_ngram_jaccard" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents),
+        |sub AS (SELECT * FROM base WHERE doc_id % 1000000 < 200),
+        |toks AS (SELECT doc_id, $ToksCte AS t FROM (SELECT doc_id, LOWER(text) AS text FROM sub)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q32_text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksCte AS toks FROM documents),
+        |s AS (SELECT doc_id, text, toks, LEN(toks) AS n,
+        |  LEN(list_filter(list_transform(toks, x -> LOWER(x)),
+        |      x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
+        |  CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |       ELSE CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / LENGTH(text) END AS praw
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  ROUND(CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / n END, 6) AS avg_token_len,
+        |  ROUND(praw, 6) AS punct_ratio,
+        |  ROUND(CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n END, 6) AS stopword_ratio,
+        |  ROUND((LEAST(CAST(n AS DOUBLE) / 100.0, 1.0)
+        |       + LEAST(CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n END * 5.0, 1.0)
+        |       + GREATEST(1.0 - praw * 10.0, 0.0)) / 3.0, 6) AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q33_langid" ->
+      s"""WITH t AS (SELECT doc_id, list_transform($ToksCte, x -> LOWER(x)) AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  LEN(list_filter(toks, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS en,
+        |  LEN(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','von'))) AS de,
+        |  LEN(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es,
+        |  LEN(list_filter(toks, x -> x IN ('le','la','et','les','des','est','un','une','dans','que'))) AS fr
+        |  FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN GREATEST(en, de, es, fr) = 0 THEN 'und'
+        |       WHEN en = GREATEST(en, de, es, fr) THEN 'en'
+        |       WHEN de = GREATEST(en, de, es, fr) THEN 'de'
+        |       WHEN es = GREATEST(en, de, es, fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q34_fingerprint" ->
+      s"""SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform($ToksCte, x -> CAST(LENGTH(x) + 1 AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q35_ann_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id <= 2),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS score
+        |  FROM q, embeddings e WHERE e.vec_id <> q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q36_embed_norms" ->
+      """SELECT vec_id, label,
+        |  ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    // q40/q41 (MinHash/SimHash LSH), q42 (LSH ANN), q43 (multimodal) are not
+    // ANSI-SQL-expressible → rows-only checks.
+  )
 }

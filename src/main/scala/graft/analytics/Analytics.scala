@@ -1,0 +1,79 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.transform.KpiTransform
+
+/** The reference's analytics surface (notebook cells 3-5; `README.md:396-418`)
+  * re-expressed over the driver fixtures: `events` plays the ADS_DATA fact
+  * role (FIXTURES.md §3), with (user_id, dt) standing in for
+  * (campaign_id, dt).
+  *
+  * Determinism rules (SURVEY.md §7.5): the reference anchors lookbacks at
+  * `CURRENT_DATE` (nondeterministic F7) — we anchor at `max(dt)` of the data
+  * via a scalar-subquery-style join so runs are reproducible; every ORDER BY
+  * carries a key tiebreaker; every money aggregate sums as DECIMAL(18,2)
+  * (exact, summation-order-independent — double sums drift ~1e-4 at 600k
+  * rows, enough to cross a rounding boundary) and casts back to double.
+  */
+object Analytics {
+
+  /** Exact money sum: decimal accumulation, double result. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Daily ads-shaped rollup of events: one row per (user_id, dt) with
+    * impressions/clicks/spend/conversions semantics:
+    * impressions = events, clicks = 'click' events, spend = sum(value),
+    * conversions = 'purchase' events. This is the engine's staging grain.
+    */
+  def dailyAds(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"), col("dt"))
+      .agg(
+        count(lit(1)).as("impressions"),
+        count(when(col("event_type") === "click", 1)).as("clicks"),
+        dsum(col("value")).as("spend"),
+        count(when(col("event_type") === "purchase", 1)).as("conversions"))
+
+  /** Curated layer = dailyAds + the 4 KPI columns with ÷0→0 semantics
+    * (transform_staging.py:25-39).
+    */
+  def campaignDailyMetrics(spark: SparkSession, sfDir: String): DataFrame =
+    KpiTransform.withKpis(dailyAds(spark, sfDir))
+
+  /** Notebook cell 3: top-10 "campaigns" by spend in the trailing 14 days
+    * (anchored at max(dt), inclusive — 14 calendar days = anchor-13..anchor).
+    */
+  def topCampaignsBySpend(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val anchor = ev.agg(date_sub(max(col("dt")), 13).as("lo"))
+    ev.join(broadcast(anchor), col("dt") >= col("lo"))
+      .groupBy(col("user_id"))
+      .agg(dsum(col("value")).as("total_spend"))
+      .orderBy(col("total_spend").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** Notebook cell 4: daily mean CTR trend, ordered by day. */
+  def dailyCtrTrend(spark: SparkSession, sfDir: String): DataFrame =
+    campaignDailyMetrics(spark, sfDir)
+      .groupBy(col("dt"))
+      .agg(round(avg(col("ctr")), 6).as("avg_ctr"))
+      .orderBy(col("dt"))
+
+  /** Notebook cell 5: per-"creative" (event_type) scorecard with multiple
+    * aggregates, top-10 by volume.
+    */
+  def creativeScorecard(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("impressions"),
+        dsum(col("value")).as("total_value"),
+        round(dsum(col("value")) / count(lit(1)), 6).as("avg_value"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("impressions").desc, col("event_type"))
+      .limit(k)
+}

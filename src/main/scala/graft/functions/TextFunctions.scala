@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language ID, fingerprinting. All are pure
+  * codegen'd column expressions (no UDFs) built from `functions._` +
+  * higher-order array functions, so they fuse into whole-stage codegen and
+  * scale as map-only stages — no shuffle, no driver involvement.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens with empty strings removed (leading/trailing
+    * whitespace would otherwise produce "" tokens).
+    */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Mean token length in characters; 0 for empty text. */
+  def avgTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, lit(0.0))
+      .otherwise(
+        aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Punctuation chars / total chars (0 when text empty). Char class kept to
+    * an explicit ASCII set so Java-regex (Spark) and RE2 (DuckDB oracle)
+    * agree exactly.
+    */
+  val PunctClass = "[.,!?;:'\"()\\[\\]{}-]"
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0))
+      .otherwise((length(text) - length(regexp_replace(text, PunctClass, ""))).cast("double") / length(text))
+
+  /** Small fixed stopword lists per language for the n-gram-free heuristic
+    * language ID. Deliberately tiny + deterministic.
+    */
+  val StopEn = Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "von")
+  val StopEs = Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con")
+  val StopFr = Seq("le", "la", "et", "les", "des", "est", "un", "une", "dans", "que")
+
+  private def inSet(t: Column, set: Seq[String]): Column =
+    t.isin(set.map(_.asInstanceOf[Any]): _*)
+
+  def stopwordCount(text: Column, set: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => inSet(t, set)))
+
+  /** Stopword tokens (EN list) / tokens — a standard quality signal. */
+  def stopwordRatio(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0)).otherwise(stopwordCount(text, StopEn).cast("double") / n)
+  }
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts, 'und'
+    * when all scores are 0. Ties break in fixed order en > de > es > fr
+    * (strict `>` comparisons below).
+    */
+  def langId(text: Column): Column = {
+    val en = stopwordCount(text, StopEn)
+    val de = stopwordCount(text, StopDe)
+    val es = stopwordCount(text, StopEs)
+    val fr = stopwordCount(text, StopFr)
+    val best = greatest(en, de, es, fr)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(es === best, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Composite 0..1 quality score: rewards mid-length docs, some stopwords,
+    * low punctuation density. Pure arithmetic — mirrors exactly in the
+    * DuckDB oracle SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text).cast("double")
+    val lenScore  = least(n / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPen  = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
+    round((lenScore + stopScore + punctPen) / 3.0, 6)
+  }
+
+  /** Deterministic polynomial rolling-hash fingerprint over token lengths —
+    * SQL-expressible (mirrors as a DuckDB `list_reduce`) so it can be
+    * oracle-checked. h := (h*31 + len(tok)+1) mod 1e9+7, h0 = 0.
+    */
+  val FpMod = 1000000007L
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (h, t) => pmod(h * 31 + length(t) + 1, lit(FpMod)))
+
+  /** Strong 64-bit content fingerprint (xxhash64 of normalized text) — the
+    * production dedup key; not SQL-oracle-matched (engine-specific hash).
+    */
+  def contentHash64(text: Column): Column =
+    xxhash64(normalize(text))
+
+  /** Normalization for near-exact dedup: lowercase, collapse whitespace,
+    * trim.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** k-token shingles (n-grams) as an array of strings; empty array when the
+    * doc has fewer than k tokens.
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val ts = tokens(lower(text))
+    when(size(ts) < k, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(0), size(ts) - k), i =>
+          concat_ws(" ", slice(ts, i + 1, lit(k)))))
+  }
+
+  /** Distinct shingle hashes (xxhash64) — input units for MinHash/Jaccard. */
+  def shingleHashes(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+}

@@ -1,0 +1,67 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental, idempotent append — the reference pipeline's core move
+  * (`scripts/oracle_to_snowflake.py:76-110` and
+  * `scripts/insert_ads_data.py:23-50`): keep only source rows whose key is
+  * absent from the sink, then append.
+  *
+  * The reference does this as a driver-memory pandas merge with an indicator
+  * column; here it is a single `left_anti` equi-join (SURVEY.md §2.3 J1) that
+  * Catalyst plans as broadcast-hash anti join when the sink's key projection
+  * is small, sort-merge anti otherwise — and AQE can re-plan at runtime.
+  *
+  * Scale note (SURVEY.md §7.5): at 100 TB the sink key scan must not be a
+  * full scan. The sink is written **partitioned by `dt`**, so when the
+  * incoming batch covers a bounded date range we prune the key scan to just
+  * those partitions before the anti-join — the sink-side read is then
+  * O(batch date span), not O(sink).
+  */
+object IncrementalLoader {
+
+  val AdsKeys: Seq[String] = Seq("campaign_id", "adset_id", "creative_id", "dt")
+
+  /** Rows of `source` whose `keys` are absent from `existing`. Both sides'
+    * date keys must already be DateType (key-normalization precondition,
+    * oracle_to_snowflake.py:43,81).
+    */
+  def newRows(source: DataFrame, existing: DataFrame, keys: Seq[String] = AdsKeys): DataFrame =
+    source.join(existing.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Idempotent append of `batch` into the parquet sink at `sinkPath`,
+    * dt-partitioned. Re-running with the same batch appends 0 rows
+    * (invariant i, SURVEY.md §5.1).
+    */
+  def appendNew(spark: SparkSession, batch: DataFrame, sinkPath: String, keys: Seq[String] = AdsKeys): Long = {
+    val sinkExists = new org.apache.hadoop.fs.Path(sinkPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(sinkPath))
+
+    val delta =
+      if (!sinkExists) batch
+      else {
+        val sink = spark.read.parquet(sinkPath)
+        // Partition pruning: restrict the sink key scan to the batch's date
+        // span. min/max over the (small) batch is a cheap 2-value aggregate.
+        val pruned =
+          if (keys.contains("dt")) {
+            val Array(lo, hi) = batch.agg(min(col("dt")), max(col("dt"))).collect()(0) match {
+              case r => Array(r.get(0), r.get(1))
+            }
+            if (lo == null) sink.limit(0)
+            else sink.filter(col("dt").between(lit(lo), lit(hi)))
+          } else sink
+        newRows(batch, pruned, keys)
+      }
+
+    val cached = delta.cache()
+    try {
+      val n = cached.count()
+      if (n > 0) // skip-empty guard (oracle_to_snowflake.py:104)
+        cached.write.mode("append").partitionBy(keys.filter(_ == "dt"): _*).parquet(sinkPath)
+      n
+    } finally { cached.unpersist(); () }
+  }
+}

@@ -1,0 +1,114 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * - `bruteForceTopK`: exact cosine top-k — broadcast the (small) query set,
+  *   linear scan of the corpus, per-query top-k via window. At 100 TB this is
+  *   the right *exact* plan: the corpus is never shuffled, only scanned, and
+  *   the top-k reduction is per-partition then merged.
+  * - `lshTopK`: random-hyperplane LSH — corpus is bucketed by signature band
+  *   (a one-time map stage reusable across queries); a query probes only its
+  *   matching buckets, turning the scan into a fraction of the corpus.
+  *   Approximate; recall tunable via bands/bits.
+  *
+  * All math is done in double precision via codegen'd higher-order functions
+  * (`zip_with` + `aggregate`) — no UDF, no driver collect of the corpus.
+  */
+object Similarity {
+
+  /** Dot product of two array<numeric> columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (s, v) => s + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (s, v) => s + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Exact top-k nearest corpus vectors (cosine) for each query vector.
+    * Output: (query_id, neighbor_id, score) with rank ≤ k per query,
+    * excluding self-matches. `queries` must be small enough to broadcast —
+    * the corpus side is a single linear scan, no shuffle of the vectors
+    * (only the (query_id, id, score) triples reach the top-k exchange).
+    */
+  def bruteForceTopK(
+      queries: DataFrame, // (query_id, qvec)
+      corpus: DataFrame, // (id, vec)
+      k: Int = 5,
+      scoreDecimals: Int = 6): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qvec"), col("vec")), scoreDecimals).as("score"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
+  }
+
+  /** Random-hyperplane signature: `bits` sign bits packed into a Long.
+    * Hyperplanes are seeded-deterministic; dim must match the embedding
+    * width.
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes: Seq[Seq[Double]] = Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val bitExprs = planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dot(vec, planeCol) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitExprs.reduce(_.bitwiseOR(_))
+  }
+
+  /** Approximate top-k: candidates = corpus vectors sharing at least one of
+    * `bands` signature chunks with the query, then exact cosine re-rank of
+    * candidates only. Probed fraction ≈ bands / 2^(bits/bands) of the corpus
+    * for random data.
+    */
+  def lshTopK(
+      queries: DataFrame, // (query_id, qvec)
+      corpus: DataFrame, // (id, vec)
+      dim: Int,
+      k: Int = 5,
+      bits: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L,
+      scoreDecimals: Int = 6): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+
+    def banded(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
+      val sig = hyperplaneSignature(col(vecCol), dim, bits, seed)
+      val chunkVals = (0 until bands).map(c => shiftrightunsigned(sig, c * width).bitwiseAND(lit(mask)))
+      df.select(idCols.map(col) :+ col(vecCol) :+ posexplode(array(chunkVals: _*)): _*)
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "band_val")
+    }
+
+    val qb = banded(queries, "qvec", Seq("query_id"))
+    val cb = banded(corpus, "vec", Seq("id"))
+    val candidates = qb.join(cb, Seq("band", "band_val"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("qvec"), col("id"), col("vec"))
+      .dropDuplicates("query_id", "id") // dedup on keys only — never hash the vectors
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    candidates
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qvec"), col("vec")), scoreDecimals).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
+  }
+}

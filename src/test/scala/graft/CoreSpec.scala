@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.transform.KpiTransform
+import graft.ingest.IncrementalLoader
+import graft.gen.AdsDataGenerator
+
+class KpiTransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("safeDiv: ÷0 yields 0 (not NULL), NULL denominator yields 0") {
+    val df = Seq(
+      (10L, 5L), (10L, 0L), (0L, 0L)
+    ).toDF("n", "d")
+      .union(Seq((7L, 0L)).toDF("n", "d").withColumn("d", lit(null).cast("long")))
+    val out = df.select(KpiTransform.safeDiv(col("n"), col("d")).as("r")).as[Double].collect()
+    assert(out.toSeq == Seq(2.0, 0.0, 0.0, 0.0))
+  }
+
+  test("withKpis derives ctr/cpm/cpc/cpa with reference semantics") {
+    val row = Seq((1L, 1L, 1L, 1000L, 50L, 20.0, 5L))
+      .toDF("campaign_id", "adset_id", "creative_id", "impressions", "clicks", "spend", "conversions")
+    val r = KpiTransform.withKpis(row).select("ctr", "cpm", "cpc", "cpa").as[(Double, Double, Double, Double)].head()
+    assert(r == ((0.05, 20.0, 0.4, 4.0)))
+  }
+
+  test("withKpis: zero denominators → all-zero KPIs (transform_staging.py:35-38)") {
+    val row = Seq((1L, 1L, 1L, 0L, 0L, 20.0, 0L))
+      .toDF("campaign_id", "adset_id", "creative_id", "impressions", "clicks", "spend", "conversions")
+    val r = KpiTransform.withKpis(row).select("ctr", "cpm", "cpc", "cpa").as[(Double, Double, Double, Double)].head()
+    assert(r == ((0.0, 0.0, 0.0, 0.0)))
+  }
+}
+
+class IncrementalLoaderSpec extends SparkSpec {
+
+  test("appendNew is idempotent: second load of the same batch inserts 0 rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc").toString + "/sink"
+    val batch = AdsDataGenerator.generate(spark, AdsDataGenerator.Params(campaigns = 3, days = 5))
+    val n1 = IncrementalLoader.appendNew(spark, batch, dir)
+    val n2 = IncrementalLoader.appendNew(spark, batch, dir)
+    assert(n1 == 3 * 5 * 3 * 5)
+    assert(n2 == 0)
+    assert(spark.read.parquet(dir).count() == n1)
+  }
+
+  test("appendNew appends only the delta for a partially-overlapping batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc2").toString + "/sink"
+    val p = AdsDataGenerator.Params(campaigns = 2, days = 4)
+    val batch = AdsDataGenerator.generate(spark, p)
+    val firstHalf = batch.filter(col("dt") <= "2026-08-10")
+    IncrementalLoader.appendNew(spark, firstHalf, dir)
+    val n2 = IncrementalLoader.appendNew(spark, batch, dir)
+    assert(n2 == batch.count() - firstHalf.count())
+    assert(spark.read.parquet(dir).count() == batch.count())
+  }
+}
+
+class AdsDataGeneratorSpec extends SparkSpec {
+
+  test("generator invariants: bounds + constraint chain (generate_ads_data.py:22-25)") {
+    val df = AdsDataGenerator.generate(spark, AdsDataGenerator.Params(campaigns = 5, days = 10)).cache()
+    try {
+      assert(df.count() == 5 * 5 * 3 * 10)
+      val bad = df.filter(
+        col("impressions") < 500 || col("impressions") > 5000 ||
+          col("clicks") < 0 || col("clicks") > col("impressions") * 0.2 ||
+          col("spend") < 10.0 || col("spend") > 200.0 ||
+          col("conversions") < 0 || col("conversions") > col("clicks"))
+      assert(bad.count() == 0)
+      // 2dp money
+      assert(df.filter(round(col("spend"), 2) =!= col("spend")).count() == 0)
+    } finally df.unpersist()
+  }
+
+  test("generator is deterministic for a fixed seed") {
+    val p = AdsDataGenerator.Params(campaigns = 3, days = 3)
+    val a = AdsDataGenerator.generate(spark, p)
+    val b = AdsDataGenerator.generate(spark, p)
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("text")
+
+  test("tokenCount ignores empty tokens from leading/trailing/multiple whitespace") {
+    val n = one("  the quick   brown fox  ")
+      .select(TextFunctions.tokenCount(col("text"))).as[Int].head()
+    assert(n == 4)
+  }
+
+  test("langId picks the language with the most stopword hits; 'und' when none") {
+    val df = Seq(
+      ("the cat and the dog of the house", "en"),
+      ("der hund und die katze ist nicht da", "de"),
+      ("el perro y la casa es de juan", "es"),
+      ("xyzzy plugh foobar", "und")
+    ).toDF("text", "expected")
+    val wrong = df.filter(TextFunctions.langId(col("text")) =!= col("expected"))
+    assert(wrong.count() == 0)
+  }
+
+  test("fingerprint: deterministic, order-sensitive rolling hash") {
+    val fp = (t: String) => one(t).select(TextFunctions.fingerprint(col("text"))).as[Long].head()
+    assert(fp("ab cde f") == fp("ab cde f"))
+    assert(fp("ab cde f") != fp("f cde ab")) // order matters
+    assert(fp("") == 0L)
+  }
+
+  test("shingles produce n-k+1 k-grams") {
+    val sh = one("a b c d e").select(TextFunctions.shingles(col("text"), 3)).as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("qualityScore is in [0,1]") {
+    val docs = Tables.documents(spark, sfDir)
+    val bad = docs.select(TextFunctions.qualityScore(col("text")).as("q"))
+      .filter(col("q") < 0 || col("q") > 1)
+    assert(bad.count() == 0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("exactDedup groups normalized-identical docs under min-id representative") {
+    val d = docs(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, "HELLO WORLD "),
+      (4L, "something else"))
+    val out = Dedup.exactDedup(d).orderBy("rep_id").select("rep_id", "n_dups").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 3L), (4L, 1L)))
+    assert(Dedup.dropExactDups(d).count() == 2)
+  }
+
+  test("minHashNearDups finds perturbed near-identical pairs, not random pairs") {
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).limit(50)
+    val perturbed = base.select(col("doc_id") + 1000, concat(col("text"), lit(" zz")))
+    val pairs = Dedup.minHashNearDups(base.union(perturbed), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every doc should pair with its perturbed twin
+    val expected = (0L until 50L).map(i => (i, i + 1000)).toSet
+    val found = pairs.intersect(expected)
+    assert(found.size >= 45, s"only ${found.size}/50 twins found") // LSH is probabilistic; ≥90% recall
+  }
+
+  test("minhash est_jaccard approximates exact jaccard on a known pair") {
+    val d = docs(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i j k")) // high overlap
+    val est = Dedup.minHashNearDups(d, threshold = 0.1, bands = 32)
+      .select("est_jaccard").as[Double].collect()
+    assert(est.length == 1)
+    // exact shingle jaccard = 8/9 ≈ 0.889; 64 minhashes → est within ~0.25
+    assert(math.abs(est.head - 8.0 / 9.0) < 0.25, s"est=${est.head}")
+  }
+
+  test("simHash: identical docs → distance 0; perturbed docs → small distance") {
+    val d = docs((1L, "the quick brown fox jumps over the lazy dog and runs away fast"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs away fast"))
+    val sigs = Dedup.simHashSignatures(d).orderBy("id").select("sig").as[Long].collect()
+    assert(sigs(0) == sigs(1))
+
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text")).limit(30)
+    val perturbed = base.select(col("doc_id") + 1000, concat(col("text"), lit(" zz")))
+    val pairs = Dedup.simHashNearDups(base.union(perturbed), maxDist = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0L until 30L).map(i => (i, i + 1000)).toSet
+    assert(pairs.intersect(expected).size >= 24, s"found ${pairs.intersect(expected).size}/30")
+  }
+
+  test("ngramJaccardPairs computes exact jaccard") {
+    val d = docs(
+      (1L, "a b c d e"), // shingles: abc bcd cde
+      (2L, "a b c d x")) // shingles: abc bcd cdx  → common 2, union 4 → 0.5
+    val out = Dedup.ngramJaccardPairs(d, threshold = 0.1).select("jaccard").as[Double].collect()
+    assert(out.toSeq == Seq(0.5))
+  }
+}
