@@ -283,6 +283,80 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- string predicates (P8) ----
+    "q25_string_pred" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_type").startsWith("ECO") && col("p_brand").endsWith("#5")
+          && col("p_name").contains("a"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+        .orderBy(col("p_partkey"))),
+
+    // ---- conditional aggregation over a dim join (TPC-H Q14 shape) ----
+    "q26_promo_share" -> ((s, dir) => {
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,4)")))
+            .cast("double").as("promo_rev"),
+          sum(rev).cast("double").as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          round(col("promo_rev") / col("total_rev"), 6).as("promo_share"))
+    }),
+
+    // ---- JSON extraction (events.props) ----
+    "q27_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"), col("value"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), Analytics.dsum(col("value")).as("total_value"))
+        .orderBy(col("k"))),
+
+    // ---- date-series generation (F11: sequence + explode) ----
+    "q28_date_series" -> ((s, _) =>
+      s.range(1)
+        .select(explode(sequence(
+          to_date(lit("2026-01-01")), to_date(lit("2026-01-31")), expr("interval 1 day"))).as("d"))
+        .select(col("d"), month(col("d")).as("m"), dayofmonth(col("d")).as("dd"))
+        .orderBy(col("d"))),
+
+    // ---- multi-distinct aggregation ----
+    "q29_distinct_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("n_users"),
+          count_distinct(col("dt")).as("n_days"))
+        .orderBy(col("event_type"))),
+
+    // ---- SQL front door (S14: spark.sql string entry point) ----
+    "q37_sql_entry" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT l_returnflag,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              |  COUNT(*) AS n
+              |FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    }),
+
+    // ---- approximate sketches (HLL / quantiles) — engine-specific, rows-only ----
+    "q44_sketches" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- multimodal frame sampling (counts are oracle-checkable) ----
+    "q45_frame_sample" -> ((s, dir) => {
+      val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "video/fake")
+      val frames = graft.multimodal.Multimodal.sampleFrames(media, stride = 100)
+        .select(col("id"), size(col("frame_offsets")).as("n_frames"))
+      media.select(col("id"), octet_length(col("media")).as("n_bytes"))
+        .join(frames, "id")
+        .orderBy(col("id"))
+    }),
+
     // ---- LLM-pipeline: multimodal plumbing ----
     "q43_multimodal" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain")
@@ -439,6 +513,45 @@ object SparkEntry {
     "q24_incremental_delta" ->
       """SELECT COUNT(*) AS n_new, MIN(event_id) AS mn, MAX(event_id) AS mx
         |FROM events WHERE event_id NOT IN (SELECT event_id FROM events WHERE event_id % 2 = 0)""".stripMargin,
+
+    "q25_string_pred" ->
+      """SELECT p_partkey, p_name, p_brand, p_type FROM part
+        |WHERE p_type LIKE 'ECO%' AND p_brand LIKE '%#5' AND p_name LIKE '%a%'
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q26_promo_share" ->
+      """WITH j AS (
+        |  SELECT CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS rev, p_type
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |t AS (
+        |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
+        |         CAST(SUM(rev) AS DOUBLE) AS total_rev
+        |  FROM j)
+        |SELECT promo_rev, total_rev, ROUND(promo_rev / total_rev, 6) AS promo_share FROM t""".stripMargin,
+
+    "q27_json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+
+    "q28_date_series" ->
+      """SELECT CAST(d AS DATE) AS d, CAST(MONTH(d) AS INT) AS m, CAST(DAY(d) AS INT) AS dd
+        |FROM (SELECT UNNEST(generate_series(DATE '2026-01-01', DATE '2026-01-31', INTERVAL 1 DAY)) AS d)
+        |ORDER BY d""".stripMargin,
+
+    "q29_distinct_agg" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "q37_sql_entry" ->
+      """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q45_frame_sample" ->
+      """SELECT doc_id AS id, OCTET_LENGTH(ENCODE(text)) AS n_bytes,
+        |  CAST(LEN(generate_series(0, OCTET_LENGTH(ENCODE(text)) - 1, 100)) AS INT) AS n_frames
+        |FROM documents ORDER BY id""".stripMargin,
 
     "q30_dedup_exact" ->
       """SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g'))) AS content_key,
