@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** End-to-end demo of the reference pipeline on this engine
+  * (`README.md:14-28` of the reference: generate → staging → incremental
+  * load → curated KPIs → analytics), run against a temp workspace:
+  *
+  * 1. seeded generation (generate_ads_data.py) → versioned CSV drop
+  * 2. latest-file discovery + schema'd CSV scan (insert_ads_data.py:6-10)
+  * 3. idempotent incremental append into the dt-partitioned staging sink
+  *    (oracle_to_snowflake.py:76-110) — run twice, second pass appends 0
+  * 4. curated CTAS with KPI derivation + view (transform_staging.py)
+  * 5. the three analytics queries (notebook cells 3-5)
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ws = java.nio.file.Files.createTempDirectory("graft-demo").toString
+    println(s"[demo] workspace: $ws")
+
+    // 1. generate + versioned CSV drop (F15 naming)
+    val ads = gen.AdsDataGenerator.generate(spark, gen.AdsDataGenerator.Params(campaigns = 10, days = 14))
+    sources.Sources.writeCsv(ads, s"$ws/ads_data_2026-08-12A.csv")
+    println(s"[demo] generated ${ads.count()} rows → CSV")
+
+    // 2. latest-file discovery + schema'd scan
+    val latest = sources.Sources.latestFile(spark, ws, "ads_data_", ".csv")
+      .getOrElse(sys.error("no ads CSV found"))
+    val batch = sources.Sources.readCsv(spark, latest, ads.schema)
+    println(s"[demo] latest file: $latest (${batch.count()} rows)")
+
+    // 3. incremental append ×2 — second run must be a no-op
+    val sink = s"$ws/staging"
+    val n1 = ingest.IncrementalLoader.appendNew(spark, batch, sink)
+    val n2 = ingest.IncrementalLoader.appendNew(spark, batch, sink)
+    println(s"[demo] incremental append: first=$n1 second=$n2 (idempotent=${n2 == 0})")
+
+    // 4. curated CTAS + view
+    val staging = spark.read.parquet(sink)
+    catalog.CatalogOps.createDatabaseIfNotExists(spark, "production")
+    catalog.CatalogOps.ctas(graft.transform.KpiTransform.withKpis(staging), "production.campaign_daily_metrics")
+    catalog.CatalogOps.createOrReplaceView(spark, "production.campaign_daily_metrics_view",
+      "production.campaign_daily_metrics")
+    val curatedCount = catalog.CatalogOps.rowCount(spark, "production.campaign_daily_metrics_view")
+    println(s"[demo] curated rows=$curatedCount (matches staging=${curatedCount == staging.count()})")
+
+    // 5. analytics over the curated view (notebook cells 3-5 shapes)
+    val curated = spark.table("production.campaign_daily_metrics_view")
+    val top = curated.groupBy("campaign_id")
+      .agg(analytics.Analytics.dsum(col("spend")).as("total_spend"))
+      .orderBy(col("total_spend").desc, col("campaign_id")).limit(3)
+    println("[demo] top campaigns by spend:")
+    top.collect().foreach(r => println(s"[demo]   campaign=${r.get(0)} spend=${r.get(1)}"))
+    val zeroKpis = curated.filter(col("clicks") === 0 && col("cpc") =!= 0).count()
+    println(s"[demo] ÷0→0 KPI invariant holds=${zeroKpis == 0}")
+
+    spark.stop()
+  }
+}
