@@ -93,23 +93,32 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    // explode drops docs with <shingleK tokens (no shingles → no rows)
-    val sigs = minHashSignatures(docs, textCol, idCol, k, 3, seed)
+    // explode drops docs with <shingleK tokens (no shingles → no rows).
+    // Persisted because the plan references it 4× (two band sides + two
+    // signature joins); at production scale checkpoint sigs to a table
+    // instead of recomputing per query.
+    val sigs = minHashSignatures(docs, textCol, idCol, k, 3, seed).persist()
 
     val bandHashes = (0 until bands).map(b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)))
+    // Candidate generation carries ONLY (band, band_hash, id) — never the
+    // 64-long signatures — so the bucket join's shuffle/broadcast stays slim.
     val banded = sigs
-      .select(col("id"), col("sig"), posexplode(array(bandHashes: _*)))
+      .select(col("id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val l = banded.select(col("band"), col("band_hash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("band_hash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs = banded
+      .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "band_hash"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b") // pairs sharing several bands verify once
+
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m)).cast("double") / k)
           .as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= threshold)
   }
 
