@@ -28,10 +28,24 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (s, v) => s + v.cast("double") * v.cast("double")))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
+  /** Cosine similarity; 0 when either vector has zero norm. Higher-order
+    *-function formulation — interpreted (CodegenFallback); kept as the
+    * reference implementation and for contexts without the graft extensions.
+    * Hot paths use [[nativeCosine]].
+    */
   def cosine(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
+  }
+
+  /** Codegen'd native cosine (graft.expressions.CosineSimilarity): one fused
+    * Java loop per row, numerically identical to [[cosine]] (same
+    * left-to-right double accumulation). Registers the function on the
+    * session idempotently.
+    */
+  def nativeCosine(spark: org.apache.spark.sql.SparkSession, a: Column, b: Column): Column = {
+    graft.extensions.GraftExtensions.register(spark)
+    graft.extensions.GraftExtensions.cosine_sim(a, b)
   }
 
   /** Exact top-k nearest corpus vectors (cosine) for each query vector.
@@ -48,7 +62,7 @@ object Similarity {
     val scored = corpus
       .join(broadcast(queries), col("query_id") =!= col("id"))
       .select(col("query_id"), col("id"),
-        round(cosine(col("qvec"), col("vec")), scoreDecimals).as("score"))
+        round(nativeCosine(corpus.sparkSession, col("qvec"), col("vec")), scoreDecimals).as("score"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -106,7 +120,7 @@ object Similarity {
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
     candidates
       .select(col("query_id"), col("id"),
-        round(cosine(col("qvec"), col("vec")), scoreDecimals).as("score"))
+        round(nativeCosine(corpus.sparkSession, col("qvec"), col("vec")), scoreDecimals).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.extensions.GraftExtensions
+import graft.similarity.Similarity
+
+class ExpressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine_sim matches the HOF implementation bit-for-bit on fixtures") {
+    GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(100)
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("a"))
+      .crossJoin(e.select(col("vec_id").as("ib"), col("embedding").as("b")))
+      .filter(col("ia") < col("ib")).limit(500)
+    val diff = pairs.select(
+      Similarity.cosine(col("a"), col("b")).as("hof"),
+      GraftExtensions.cosine_sim(col("a"), col("b")).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diff.count() == 0)
+  }
+
+  test("cosine_sim resolves in SQL text after registration; zero-norm yields 0") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_sim(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS same,
+        |       cosine_sim(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS ortho,
+        |       cosine_sim(array(0.0D, 0.0D), array(1.0D, 0.0D)) AS zero,
+        |       cosine_sim(array(CAST(1.0 AS FLOAT), CAST(1.0 AS FLOAT)), array(1.0D, 0.0D)) AS mixed
+        |""".stripMargin).as[(Double, Double, Double, Double)].head()
+    assert(r._1 == 1.0 && r._2 == 0.0 && r._3 == 0.0)
+    assert(math.abs(r._4 - math.sqrt(2) / 2) < 1e-12)
+  }
+
+  test("cosine_sim stays inside whole-stage codegen (no CodegenFallback in plan)") {
+    GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(10)
+    val df = e.select(GraftExtensions.cosine_sim(col("embedding"), col("embedding")).as("s"))
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+}
