@@ -63,6 +63,21 @@ object Demo {
     val zeroKpis = curated.filter(col("clicks") === 0 && col("cpc") =!= 0).count()
     println(s"[demo] ÷0→0 KPI invariant holds=${zeroKpis == 0}")
 
+    // 6. extensions: skew diagnostics + salted agg (exactness), sessionization
+    val hist = ops.Skew.keyHistogram(curated, Seq("campaign_id"), topN = 1).collect()(0)
+    println(s"[demo] hottest campaign=${hist.get(0)} share=${hist.getAs[Double]("share")}")
+    val saltedTop = ops.Skew.saltedSum(curated, Seq("campaign_id"), "spend")
+      .orderBy(col("sum_spend").desc, col("campaign_id")).limit(1).collect()(0)
+    println(s"[demo] salted-sum top campaign=${saltedTop.get(0)} (matches=${saltedTop.get(0) == top.collect()(0).get(0)})")
+
+    import spark.implicits._
+    val fakeEvents = curated.limit(200).select(
+      col("campaign_id").as("user_id"),
+      col("dt").cast("timestamp").as("ts"),
+      col("spend").as("value")).as[streaming.StreamOps.Ev]
+    val sessions = streaming.StreamOps.sessionize(fakeEvents, gapMinutes = 2 * 24 * 60)
+    println(s"[demo] sessionize: ${sessions.count()} sessions from ${fakeEvents.count()} events")
+
     spark.stop()
   }
 }

@@ -357,6 +357,15 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    "q46_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.ivfTopK(queries, corpus, dim = 64, k = 5, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // ---- LLM-pipeline: multimodal plumbing ----
     "q43_multimodal" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain")

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot keys at scale (SURVEY.md §7 / the 100 TB design
+  * rules): AQE's skew-join handling covers sort-merge joins at runtime, but
+  * aggregation skew and broadcast-infeasible skewed joins still want explicit
+  * salting. Both transforms here are exact — they re-derive the unsalted
+  * result.
+  */
+object Skew {
+
+  /** Two-stage salted aggregation: stage 1 aggregates on (keys, salt) —
+    * spreading a hot key over `saltBuckets` reducers — stage 2 merges the
+    * partials on the true keys. Exact for algebraic aggregates (sum/count/
+    * min/max). The salt is `rand(seed)`-derived: per-row assignment is
+    * arbitrary (any spread works), determinism of the *result* comes from
+    * exactness of the merge.
+    */
+  def saltedSum(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      saltBuckets: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val salted = df.withColumn("__salt", floor(rand(seed) * saltBuckets))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum")).as(s"sum_$valueCol"), sum(col("__pcnt")).as("n"))
+  }
+
+  /** Salted equi-join for a skewed left side against a modest right side that
+    * exceeds the broadcast threshold: left rows get a random salt in
+    * [0, saltBuckets); the right side is replicated once per salt value; the
+    * join key becomes (key, salt). Each left row matches exactly the one
+    * replica carrying its salt → result rows identical to the plain join.
+    * Right-side volume multiplies by `saltBuckets` — size accordingly.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      saltBuckets: Int = 8,
+      joinType: String = "inner",
+      seed: Long = 42L): DataFrame = {
+    val saltedLeft = left.withColumn("__salt", floor(rand(seed) * saltBuckets).cast("int"))
+    val replicatedRight = right.withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Diagnostic: per-key row counts with their share of the total — find the
+    * keys that need salting before they find you.
+    */
+  def keyHistogram(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = df.count().toDouble
+    counts
+      .withColumn("share", round(col("n") / total, 6))
+      .orderBy(col("n").desc)
+      .limit(topN)
+  }
+}

@@ -70,6 +70,84 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Nearest-centroid id for a vector given driver-side centroids (tiny
+    * model state, nlist × dim doubles): array_max over (score, idx) structs —
+    * struct ordering is lexicographic, so the max is the best-scoring cell.
+    */
+  private def cellOf(spark: org.apache.spark.sql.SparkSession, vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(nativeCosine(spark, vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }: _*)
+    array_max(scored).getField("i")
+  }
+
+  /** Deterministic k-means-lite coarse quantizer: seeds = the nlist
+    * lowest-id corpus vectors, then `iters` Lloyd rounds (assignment on
+    * executors, centroid update collects nlist × dim doubles to the driver —
+    * legitimate model state, like any ML fit).
+    */
+  def trainCentroids(
+      corpus: DataFrame, // (id, vec)
+      dim: Int,
+      nlist: Int = 16,
+      iters: Int = 2): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    var centroids: Seq[Seq[Double]] = corpus
+      .orderBy(col("id")).limit(nlist)
+      .select(col("vec").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    (0 until iters).foreach { _ =>
+      val assigned = corpus.select(cellOf(spark, col("vec"), centroids).as("cell"),
+        posexplode(col("vec").cast("array<double>")))
+      val means = assigned.groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      val byCell = means.groupBy(_._1)
+      centroids = centroids.indices.map { c =>
+        byCell.get(c).fold(centroids(c))(ms => ms.sortBy(_._2).map(_._3).toSeq)
+      }
+    }
+    centroids
+  }
+
+  /** IVF approximate top-k: corpus vectors live in their nearest-centroid
+    * cell (one map-only assignment, reusable across queries); each query
+    * probes only its `nprobe` closest cells and exact-reranks those
+    * candidates. Scan fraction ≈ nprobe / nlist of the corpus — the standard
+    * inverted-file trade of recall for throughput.
+    */
+  def ivfTopK(
+      queries: DataFrame, // (query_id, qvec)
+      corpus: DataFrame, // (id, vec)
+      dim: Int,
+      k: Int = 5,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 2,
+      scoreDecimals: Int = 6): DataFrame = {
+    val spark = corpus.sparkSession
+    val centroids = trainCentroids(corpus, dim, nlist, iters)
+    val cells = corpus.withColumn("cell", cellOf(spark, col("vec"), centroids))
+
+    // per-query probed cells: top-nprobe centroid scores
+    val probeStructs = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(nativeCosine(spark, col("qvec"), array(c.map(lit): _*)).as("s"), lit(i).as("i"))
+    }: _*)
+    val probed = queries
+      .withColumn("cell", explode(transform(
+        slice(reverse(array_sort(probeStructs)), 1, nprobe), s => s.getField("i"))))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
+    probed.join(cells, Seq("cell"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id"),
+        round(nativeCosine(spark, col("qvec"), col("vec")), scoreDecimals).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
+  }
+
   /** Random-hyperplane signature: `bits` sign bits packed into a Long.
     * Hyperplanes are seeded-deterministic; dim must match the embedding
     * width.

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming transforms extending the reference's batch-incremental semantics
+  * (SURVEY.md §2.9 flags these as engine extensions — the reference has no
+  * streaming runtime, so these define, not port, the semantics):
+  *
+  * - `windowedMetrics`: event-time tumbling-window aggregation with a
+  *   watermark bounding state; the streaming analogue of the curated daily
+  *   rollup (dt grain → window grain).
+  * - `sessionize`: gap-based user sessions via flatMapGroupsWithState —
+  *   the canonical custom-state operator (emits a session when `gapMinutes`
+  *   of event-time silence elapse, via event-time timeout).
+  *
+  * Both run identically on batch DataFrames (Spark's unified API) — tests
+  * exercise the batch path and an AvailableNow streaming path.
+  */
+object StreamOps {
+
+  /** Tumbling event-time window rollup of the events stream:
+    * (window, event_type) → count + exact decimal value sum. With a
+    * watermark, state for closed windows is dropped — bounded memory at any
+    * stream length.
+    */
+  def windowedMetrics(
+      events: DataFrame, // needs ts: timestamp, event_type, value
+      windowLen: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val wm = if (events.isStreaming) events.withWatermark("ts", watermarkDelay) else events
+    wm.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("w_start"), col("w.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization: consecutive events of a user belong to one
+    * session while gaps stay under `gapMinutes`. Streaming: state times out
+    * on event-time (watermark-driven) and the closed session is emitted.
+    * Batch: sessions are computed directly per group (no timeouts in batch
+    * mode — all groups are complete).
+    */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    val isStreamingRun = events.isStreaming // capture primitive, not the Dataset
+
+    def toSession(uid: Long, s: SessionState): Session =
+      Session(uid, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.total)
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(toSession(uid, _))
+            state.remove()
+            out.iterator
+          } else {
+            // fold this batch's events (sorted by time) into sessions
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ListBuffer.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += toSession(uid, s)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                if (isStreamingRun) {
+                  state.update(s)
+                  state.setTimeoutTimestamp(s.last + gapMs)
+                  closed.iterator
+                } else {
+                  // batch: the group is complete — emit the open session too
+                  (closed :+ toSession(uid, s)).iterator
+                }
+              case None => closed.iterator
+            }
+          }
+      }
+  }
+}

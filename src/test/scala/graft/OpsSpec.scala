@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+import graft.similarity.Similarity
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedSum equals the plain aggregation exactly") {
+    val li = Tables.lineitem(spark, sfDir)
+    val salted = Skew.saltedSum(li, Seq("l_returnflag"), "l_quantity")
+      .orderBy("l_returnflag").as[(String, Double, Long)].collect()
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag").as[(String, Double, Long)].collect()
+    assert(salted.map(r => (r._1, math.round(r._2 * 100), r._3)).toSeq ==
+      plain.map(r => (r._1, math.round(r._2 * 100), r._3)).toSeq)
+  }
+
+  test("saltedJoin produces exactly the plain join's rows") {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir)
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(customer, Seq("o_custkey")).select("o_orderkey", "c_name")
+    val salted = Skew.saltedJoin(orders, customer, "o_custkey").select("o_orderkey", "c_name")
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
+  }
+
+  test("keyHistogram surfaces the heaviest keys with shares") {
+    val ev = Tables.events(spark, sfDir)
+    val h = Skew.keyHistogram(ev, Seq("event_type"), topN = 3).collect()
+    assert(h.length == 3)
+    assert(h(0).getAs[Long]("n") >= h(1).getAs[Long]("n"))
+    assert(h.forall(r => r.getAs[Double]("share") > 0 && r.getAs[Double]("share") <= 1))
+  }
+}
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfTopK recall vs brute force is reasonable, and full-probe equals brute") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val brute = Similarity.bruteForceTopK(q, c, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+    // probing every cell must reproduce the exact result
+    val full = Similarity.ivfTopK(q, c, dim = 64, k = 3, nlist = 8, nprobe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+
+    // partial probe: decent recall at 1/4 the scan
+    val part = Similarity.ivfTopK(q, c, dim = 64, k = 3, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(part).size.toDouble / brute.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+}

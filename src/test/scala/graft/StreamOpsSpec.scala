@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamOps
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("windowedMetrics: tumbling event-time windows on the batch path") {
+    val ev = Tables.events(spark, sfDir)
+    val out = StreamOps.windowedMetrics(ev, windowLen = "1 day")
+    val total = out.agg(sum("n")).as[Long].head()
+    assert(total == ev.count()) // every event lands in exactly one window
+    // window boundaries are day-aligned
+    val misaligned = out.filter(hour(col("w_start")) =!= 0 || minute(col("w_start")) =!= 0)
+    assert(misaligned.count() == 0)
+  }
+
+  test("windowedMetrics: streaming with watermark over MemoryStream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val q = StreamOps.windowedMetrics(df, windowLen = "1 hour", watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("win_out").outputMode("append").start()
+    mem.addData(
+      (ts("2026-01-01 10:05:00"), "click", 1.0),
+      (ts("2026-01-01 10:45:00"), "click", 2.0),
+      (ts("2026-01-01 11:10:00"), "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to close the 10:00 window
+    mem.addData((ts("2026-01-01 14:00:00"), "view", 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out").orderBy("w_start", "event_type").collect()
+    q.stop()
+    assert(rows.exists(r => r.getAs[java.sql.Timestamp]("w_start") == ts("2026-01-01 10:00:00")
+      && r.getAs[String]("event_type") == "click"
+      && r.getAs[Long]("n") == 2 && r.getAs[Double]("total_value") == 3.0))
+  }
+
+  test("sessionize: batch path splits on gaps and aggregates per session") {
+    val evs = Seq(
+      StreamOps.Ev(1L, ts("2026-01-01 10:00:00"), 1.0),
+      StreamOps.Ev(1L, ts("2026-01-01 10:10:00"), 2.0), // same session (10m gap)
+      StreamOps.Ev(1L, ts("2026-01-01 11:30:00"), 5.0), // new session (80m gap)
+      StreamOps.Ev(2L, ts("2026-01-01 09:00:00"), 7.0)
+    ).toDS()
+    val sessions = StreamOps.sessionize(evs, gapMinutes = 30)
+      .orderBy("user_id", "session_start").collect()
+    assert(sessions.length == 3)
+    assert(sessions(0).user_id == 1 && sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+    assert(sessions(0).session_end == ts("2026-01-01 10:10:00"))
+    assert(sessions(1).user_id == 1 && sessions(1).n_events == 1 && sessions(1).total_value == 5.0)
+    assert(sessions(2).user_id == 2 && sessions(2).n_events == 1)
+  }
+
+  test("sessionize: streaming path emits a session after event-time gap timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.Ev]
+    val withWm = mem.toDS().withWatermark("ts", "0 seconds").as[StreamOps.Ev]
+    val q = StreamOps.sessionize(withWm, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    mem.addData(StreamOps.Ev(1L, ts("2026-01-01 10:00:00"), 1.0),
+      StreamOps.Ev(1L, ts("2026-01-01 10:10:00"), 2.0))
+    q.processAllAvailable()
+    // an event far in the future advances the watermark past the session's timeout
+    mem.addData(StreamOps.Ev(2L, ts("2026-01-01 12:00:00"), 9.0))
+    q.processAllAvailable()
+    mem.addData(StreamOps.Ev(2L, ts("2026-01-01 12:01:00"), 1.0)) // extra batch to flush timeouts
+    q.processAllAvailable()
+    val sessions = spark.table("sess_out").as[StreamOps.Session].collect()
+    q.stop()
+    val u1 = sessions.filter(_.user_id == 1L)
+    assert(u1.length == 1, sessions.mkString(", "))
+    assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
+  }
+}
