@@ -357,6 +357,28 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- temporal joins (operators Spark lacks; composed, not custom plans) ----
+    "q47_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val left = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.TemporalJoins.asOf(left, purchases, Seq("user_id"), "ts", "ts", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("r_value").cast("double").as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q48_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_id"), col("ts"))
+      val intervals = s.range(1)
+        .select(explode(sequence(
+          to_timestamp(lit("2024-01-01")), to_timestamp(lit("2024-01-29")), expr("interval 7 days"))).as("w_start"))
+        .withColumn("w_end", col("w_start") + expr("interval 14 days"))
+      graft.ops.TemporalJoins.rangeJoin(ev, intervals, "ts", "w_start", "w_end")
+        .select(col("event_id"), col("w_start").cast("date").as("w_start"))
+        .orderBy(col("event_id"), col("w_start"))
+    }),
+
     "q46_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val queries = e.filter(col("vec_id") <= 2)
@@ -556,6 +578,18 @@ object SparkEntry {
     "q37_sql_entry" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q47_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, p.value AS last_purchase_value
+        |FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q48_range_join" ->
+      """WITH w AS (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-29', INTERVAL 7 DAY)) AS w_start)
+        |SELECT e.event_id, CAST(w.w_start AS DATE) AS w_start
+        |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 14 DAY
+        |ORDER BY e.event_id, w_start""".stripMargin,
 
     "q45_frame_sample" ->
       """SELECT doc_id AS id, OCTET_LENGTH(ENCODE(text)) AS n_bytes,
