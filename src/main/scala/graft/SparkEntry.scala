@@ -357,6 +357,25 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- embedding-cosine near-dup (LSH candidates + exact verify) ----
+    "q49_embed_neardup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      // deterministic near-identical twins: +0.01 on dimension 0
+      val pert = base.select((col("id") + 1000000).as("id"),
+        transform(col("vec"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("vec"))
+      Dedup.embeddingNearDups(base.union(pert), threshold = 0.99)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- BPE-ish regex tokenization ----
+    "q50_bpe_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+          element_at(TextFunctions.bpeTokens(col("text")), 1).as("t1"))
+        .orderBy(col("doc_id"))),
+
     // ---- temporal joins (operators Spark lacks; composed, not custom plans) ----
     "q47_asof_join" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -578,6 +597,27 @@ object SparkEntry {
     "q37_sql_entry" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q49_embed_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE vec_id < 100),
+        |pert AS (
+        |  SELECT id + 1000000 AS id,
+        |         list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS v
+        |  FROM base),
+        |allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM allv a JOIN allv b ON a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q50_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INT) AS n_bpe,
+        |  regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')[1] AS t1
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q47_asof_join" ->
       """WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')

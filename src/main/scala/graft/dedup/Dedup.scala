@@ -178,6 +178,44 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
   }
 
+  // ---------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
+    * Candidates come from random-hyperplane LSH band buckets (near-identical
+    * vectors share sign bits with high probability), verified with the
+    * native codegen'd cosine — never an all-pairs product. Recall rises with
+    * `bands` (more, smaller bands = more permissive candidate generation).
+    */
+  def embeddingNearDups(
+      embeddings: DataFrame, // (id, vec)
+      threshold: Double = 0.95,
+      dim: Int = 64,
+      bits: Int = 16,
+      bands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    require(bits % bands == 0, "bands must divide bits")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val spark = embeddings.sparkSession
+    val sig = graft.similarity.Similarity.hyperplaneSignature(col("vec"), dim, bits, seed)
+    val chunkVals = (0 until bands).map(c => shiftrightunsigned(sig, c * width).bitwiseAND(lit(mask)))
+    val banded = embeddings
+      .select(col("id"), posexplode(array(chunkVals: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_val")
+    val pairs = banded
+      .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "band_val"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .join(embeddings.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(embeddings.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(graft.similarity.Similarity.nativeCosine(spark, col("vec_a"), col("vec_b")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   // ------------------------------------------------------------ n-gram Jaccard
 
   /** Exact pairwise n-gram Jaccard (quadratic — verification tool / bounded

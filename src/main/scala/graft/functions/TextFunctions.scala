@@ -105,6 +105,17 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** BPE-ish subword-boundary tokenizer: a GPT-2-style regex splitting
+    * contractions, letter runs (with optional leading space), digit runs,
+    * and punctuation runs. No lookarounds, so Java regex (Spark) and RE2
+    * (DuckDB oracle) agree. Returns the token array.
+    */
+  val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+  def bpeTokens(text: Column): Column =
+    call_function("regexp_extract_all", text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** k-token shingles (n-grams) as an array of strings; empty array when the
     * doc has fewer than k tokens.
     */

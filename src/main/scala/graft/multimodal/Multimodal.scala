@@ -70,6 +70,25 @@ object Multimodal {
     }
   }
 
+  /** Deterministic "resize" stub: byte-domain downsample keeping every
+    * `factor`-th byte — stands in for an image resize the way decodeStub
+    * stands in for a decoder (no codecs in-container). The Spark-side
+    * contract (binary in → smaller binary out, map-only, partition-batched)
+    * is the real artifact.
+    */
+  def resizeStub(media: DataFrame, factor: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val out = Array.ofDim[Byte]((r.media.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = r.media(i * factor); i += 1 }
+        MediaRow(r.id, out, r.media_type)
+      }
+    }.toDF()
+  }
+
   /** Deterministic frame-sampling stub for "video": pick every `stride`-th
     * byte offset as a fake frame index list — exercises the
     * array-of-offsets schema a real frame sampler produces.
