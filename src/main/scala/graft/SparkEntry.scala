@@ -92,6 +92,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"), Analytics.dsum(col("c_acctbal")).as("total_bal"))
         .orderBy(col("r_name"), col("n_name"))),
 
+    // ---- TPC-H-shaped multi-way join analytics ----
+    "q51_ship_priority" -> ((s, dir) => {
+      // Q3 shape: revenue of undelivered orders for one segment, top-10
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1996-03-15"))
+        .join(Tables.orders(s, dir).filter(col("o_orderdate") < lit("1996-03-15")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q52_region_volume" -> ((s, dir) =>
+      // Q5 shape: revenue by nation for customers in one region
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))),
+
     // ---- generator cross product (J2) ----
     "q05_cross_gen" -> ((s, _) => {
       val c = s.range(1, 11).toDF("campaign_id")
@@ -597,6 +626,29 @@ object SparkEntry {
     "q37_sql_entry" ->
       """SELECT l_returnflag, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q51_ship_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND CAST(l_shipdate AS DATE) > DATE '1996-03-15'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-03-15'
+        |GROUP BY 1, 2, 3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q52_region_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q49_embed_neardup" ->
       """WITH base AS (
