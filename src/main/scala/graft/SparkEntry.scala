@@ -287,6 +287,11 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    "q53_langid_ngram" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextFunctions.langIdNgram(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))),
+
     // ---- LLM-pipeline: similarity search ----
     "q35_ann_brute" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -746,6 +751,24 @@ object SparkEntry {
         |       WHEN es = GREATEST(en, de, es, fr) THEN 'es'
         |       ELSE 'fr' END AS lang_pred
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q53_langid_ngram" -> {
+      // generated from TextFunctions.NgramProfiles so Spark and oracle can't drift
+      def score(lang: String): String =
+        TextFunctions.NgramProfiles(lang)
+          .map(g => s"(LENGTH(t) - LENGTH(REGEXP_REPLACE(t, '$g', '', 'g'))) / ${g.length}")
+          .mkString(" + ")
+      s"""WITH c AS (SELECT doc_id, ${score("en")} AS en, ${score("de")} AS de,
+        |  ${score("es")} AS es, ${score("fr")} AS fr
+        |  FROM (SELECT doc_id, LOWER(text) AS t FROM documents))
+        |SELECT doc_id,
+        |  CASE WHEN GREATEST(en, de, es, fr) = 0 THEN 'und'
+        |       WHEN en = GREATEST(en, de, es, fr) THEN 'en'
+        |       WHEN de = GREATEST(en, de, es, fr) THEN 'de'
+        |       WHEN es = GREATEST(en, de, es, fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "q34_fingerprint" ->
       s"""SELECT doc_id,

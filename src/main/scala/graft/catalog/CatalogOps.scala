@@ -42,4 +42,17 @@ object CatalogOps {
   /** A4: COUNT(*) sanity check after a load (transform_staging.py:49-51). */
   def rowCount(spark: SparkSession, table: String): Long =
     spark.table(table).count()
+
+  /** Bucketed CTAS: co-locates rows by `keys` into `buckets` files per
+    * partition so later equi-joins/aggregations on those keys need NO
+    * shuffle — the 100 TB answer to a repeated big-big join (SURVEY.md §7:
+    * "bucketing for co-located joins"). Both sides must be bucketed the same
+    * way; see CatalogSpec for the shuffle-free plan assertion.
+    */
+  def saveBucketed(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
 }

@@ -73,6 +73,36 @@ object TextFunctions {
       .otherwise(lit("fr"))
   }
 
+  /** Character-bigram profiles per language for the n-gram language-ID
+    * variant: a handful of high-frequency bigrams each, fixed and tiny.
+    */
+  val NgramProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "he", "in", "er", "an", "re", "on", "at", "en", "nd"),
+    "de" -> Seq("er", "en", "ch", "de", "ei", "ie", "in", "te", "nd", "sch"),
+    "es" -> Seq("de", "la", "os", "el", "en", "es", "ue", "ar", "ció", "que"),
+    "fr" -> Seq("es", "le", "de", "en", "on", "nt", "ou", "ai", "eur", "que"))
+
+  /** n-gram heuristic language ID: score = count of profile n-gram
+    * occurrences per language (codegen'd: length-difference after removing
+    * the n-gram), argmax with fixed tie order en > de > es > fr, 'und' when
+    * every score is 0. Complements the stopword-based [[langId]].
+    */
+  def langIdNgram(text: Column): Column = {
+    val t = lower(text)
+    def score(ngrams: Seq[String]): Column =
+      ngrams.map { g =>
+        ((length(t) - length(regexp_replace(t, java.util.regex.Pattern.quote(g), ""))) / g.length)
+      }.reduce(_ + _)
+    val en = score(NgramProfiles("en")); val de = score(NgramProfiles("de"))
+    val es = score(NgramProfiles("es")); val fr = score(NgramProfiles("fr"))
+    val best = greatest(en, de, es, fr)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(es === best, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
   /** Composite 0..1 quality score: rewards mid-length docs, some stopwords,
     * low punctuation density. Pure arithmetic — mirrors exactly in the
     * DuckDB oracle SQL.
