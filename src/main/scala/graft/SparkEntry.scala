@@ -233,6 +233,24 @@ object SparkEntry {
         .orderBy(col("dt"))
     }),
 
+    // ---- pivot / unpivot ----
+    "q54_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id"))),
+
+    "q55_unpivot" -> ((s, dir) =>
+      Analytics.dailyAds(s, dir)
+        .select(col("user_id"), col("dt"), col("impressions"),
+          col("clicks"), col("conversions"))
+        .unpivot(Array(col("user_id"), col("dt")),
+          Array(col("impressions"), col("clicks"), col("conversions")),
+          "metric", "v")
+        .orderBy(col("user_id"), col("dt"), col("metric"))),
+
     // ---- grouping sets extension ----
     "q21_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -576,6 +594,27 @@ object SparkEntry {
         |SELECT dt, ROUND(CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |  / COUNT(*) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS movavg7
         |FROM daily ORDER BY dt""".stripMargin,
+
+    "q54_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q55_unpivot" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS dt, COUNT(*) AS impressions,
+        |         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+        |         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS conversions
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, dt, metric, v FROM (
+        |  SELECT user_id, dt, 'impressions' AS metric, impressions AS v FROM daily
+        |  UNION ALL SELECT user_id, dt, 'clicks', clicks FROM daily
+        |  UNION ALL SELECT user_id, dt, 'conversions', conversions FROM daily)
+        |ORDER BY user_id, dt, metric""".stripMargin,
 
     "q21_rollup" ->
       """SELECT l_returnflag, l_linestatus, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
