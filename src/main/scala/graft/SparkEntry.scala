@@ -228,6 +228,13 @@ object SparkEntry {
       val daily = Tables.orders(s, dir)
         .groupBy(col("o_orderdate").as("dt"))
         .agg(Analytics.dsum(col("o_totalprice")).as("rev"))
+      // Global (partition-less) window over the DAILY grain — a deliberate
+      // bounded-domain choice: the input to the window is one row per
+      // calendar day, so its size grows with the time span (~365 rows/year),
+      // NOT with data volume; at 100 TB the heavy lifting is the groupBy
+      // above (fully distributed) and the single-task window sees only the
+      // tiny daily aggregate. For an unbounded partition key, formulate as
+      // partitionBy(year) with a 6-row boundary carry instead.
       val w = Window.orderBy(col("dt")).rowsBetween(-6, Window.currentRow)
       daily.select(col("dt"), round(sum(col("rev").cast("decimal(18,2)")).over(w).cast("double") / count(lit(1)).over(w), 6).as("movavg7"))
         .orderBy(col("dt"))
@@ -574,9 +581,13 @@ object SparkEntry {
         |EXCEPT SELECT user_id, CAST(ts AS DATE) AS dt FROM events WHERE event_type = 'error'
         |ORDER BY user_id, dt""".stripMargin,
 
+    // CAST(ts AS TIMESTAMP) truncates the fixture's nanos to micros so both
+    // engines order at Spark's native precision — without it two same-user
+    // events differing only in sub-micro nanos would tie on the Spark side
+    // (event_id breaks the tie) but order by nanos in DuckDB.
     "q18_window_running" ->
       """SELECT user_id, event_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM events ORDER BY user_id, event_id""".stripMargin,
 
@@ -715,16 +726,19 @@ object SparkEntry {
         |  regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')[1] AS t1
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // micros-truncated ts on both asof sides: the inclusive <= boundary must
+    // be evaluated at the engine's (micros) precision, not the fixture's nanos
     "q47_asof_join" ->
-      """WITH p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      """WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events WHERE event_type = 'purchase')
         |SELECT l.event_id, l.user_id, p.value AS last_purchase_value
-        |FROM events l ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
+        |FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) l
+        |ASOF LEFT JOIN p ON l.user_id = p.user_id AND l.ts >= p.ts
         |ORDER BY l.event_id""".stripMargin,
 
     "q48_range_join" ->
       """WITH w AS (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-29', INTERVAL 7 DAY)) AS w_start)
         |SELECT e.event_id, CAST(w.w_start AS DATE) AS w_start
-        |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_start + INTERVAL 14 DAY
+        |FROM events e JOIN w ON CAST(e.ts AS TIMESTAMP) >= w.w_start AND CAST(e.ts AS TIMESTAMP) < w.w_start + INTERVAL 14 DAY
         |ORDER BY e.event_id, w_start""".stripMargin,
 
     "q45_frame_sample" ->

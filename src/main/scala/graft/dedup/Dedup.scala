@@ -208,12 +208,16 @@ object Dedup {
       .filter(col("id") < col("id_b"))
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // Threshold on the RAW cosine (round only for display) so the cut is
+    // identical to an oracle that filters the unrounded value — rounding
+    // first would keep scores in [threshold-5e-7, threshold).
     pairs
       .join(embeddings.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
       .join(embeddings.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(graft.similarity.Similarity.nativeCosine(spark, col("vec_a"), col("vec_b")), 6).as("cos"))
-      .filter(col("cos") >= threshold)
+        graft.similarity.Similarity.nativeCosine(spark, col("vec_a"), col("vec_b")).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
   }
 
   // ------------------------------------------------------------ n-gram Jaccard
@@ -237,12 +241,15 @@ object Dedup {
     val common = l.join(r, Seq("s")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_common"))
     val sizes = sh.select(col("id"), size(col("sh")).as("n"))
+    // Filter on the RAW jaccard, round only in the output projection — the
+    // oracle thresholds the unrounded value, and both sides must cut
+    // identically at the [threshold-5e-7, threshold) boundary.
     common
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common"))).as("j_raw"))
+      .filter(col("j_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j_raw"), 6).as("jaccard"))
   }
 }

@@ -26,13 +26,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
+  /** Arity-checked builder shared by BOTH registration paths (extension
+    * injection and runtime register) — `cosine_sim(a)` must die with a clear
+    * require message, not an IndexOutOfBoundsException.
+    */
+  private val cosineSimBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "cosine_sim expects exactly 2 array arguments")
+    CosineSimilarity(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))
+  }
+
   private[extensions] val cosineSimDescriptor =
     (new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 2, "cosine_sim expects exactly 2 array arguments")
-        CosineSimilarity(asDoubleArray(exprs.head), asDoubleArray(exprs(1)))
-      })
+      cosineSimBuilder)
 
   /** Unconditional cast to array<double> — children may be unresolved when
     * the builder runs (so no dataType inspection here); a same-type Cast is
@@ -43,9 +49,7 @@ object GraftExtensions {
   /** Idempotent runtime registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(asDoubleArray(exprs.head), asDoubleArray(exprs(1))),
-      "built-in")
+      "cosine_sim", cosineSimBuilder, "built-in")
     ()
   }
 

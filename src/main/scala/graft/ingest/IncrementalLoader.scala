@@ -30,6 +30,17 @@ object IncrementalLoader {
   def newRows(source: DataFrame, existing: DataFrame, keys: Seq[String] = AdsKeys): DataFrame =
     source.join(existing.select(keys.map(col): _*), keys, "left_anti")
 
+  /** Null-safe variant for sinks whose keys may contain NULLs: uses `<=>` so
+    * a NULL source key matches a NULL sink key (plain `=` never matches NULL,
+    * which would re-append such rows on every run and break idempotence).
+    */
+  def newRowsNullSafe(source: DataFrame, existing: DataFrame, keys: Seq[String] = AdsKeys): DataFrame = {
+    val src = source.alias("src")
+    val ex = existing.select(keys.map(col): _*).alias("ex")
+    val cond = keys.map(k => col(s"src.$k") <=> col(s"ex.$k")).reduce(_ && _)
+    src.join(ex, cond, "left_anti")
+  }
+
   /** Idempotent append of `batch` into the parquet sink at `sinkPath`,
     * dt-partitioned. Re-running with the same batch appends 0 rows
     * (invariant i, SURVEY.md §5.1).
@@ -45,15 +56,18 @@ object IncrementalLoader {
         val sink = spark.read.parquet(sinkPath)
         // Partition pruning: restrict the sink key scan to the batch's date
         // span. min/max over the (small) batch is a cheap 2-value aggregate.
+        // NULL-dt rows are never pruned away (the between() predicate would
+        // silently drop them from the sink side and treat every null-dt batch
+        // row as new); an all-null-dt batch skips pruning entirely.
         val pruned =
           if (keys.contains("dt")) {
-            val Array(lo, hi) = batch.agg(min(col("dt")), max(col("dt"))).collect()(0) match {
-              case r => Array(r.get(0), r.get(1))
-            }
-            if (lo == null) sink.limit(0)
-            else sink.filter(col("dt").between(lit(lo), lit(hi)))
+            val r = batch.agg(min(col("dt")), max(col("dt"))).collect()(0)
+            val (lo, hi) = (r.get(0), r.get(1))
+            if (lo == null) sink // min==null => batch has no non-null dt; scan unpruned
+            else sink.filter(col("dt").between(lit(lo), lit(hi)) || col("dt").isNull)
           } else sink
-        newRows(batch, pruned, keys)
+        // Null-safe anti-join: idempotence must hold for null-key rows too.
+        newRowsNullSafe(batch, pruned, keys)
       }
 
     val cached = delta.cache()

@@ -47,6 +47,13 @@ object Skew {
       saltBuckets: Int = 8,
       joinType: String = "inner",
       seed: Long = 42L): DataFrame = {
+    // Right/full outer would emit each unmatched right row once PER REPLICA
+    // (saltBuckets null-extended rows) — not the plain-join result, so reject.
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti")
+        .contains(normalized),
+      s"saltedJoin supports inner/left_outer/left_semi/left_anti joins, not '$joinType' " +
+        "(right/full outer would duplicate unmatched right rows once per salt replica)")
     val saltedLeft = left.withColumn("__salt", floor(rand(seed) * saltBuckets).cast("int"))
     val replicatedRight = right.withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
     saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType).drop("__salt")
@@ -54,12 +61,20 @@ object Skew {
 
   /** Diagnostic: per-key row counts with their share of the total — find the
     * keys that need salting before they find you.
+    *
+    * Single input scan: the per-key counts are persisted (they are the
+    * aggregated, small side) and the grand total is re-derived from them, so
+    * `df` is never read twice. Caller may `.unpersist()` blocking via the
+    * returned plan's lineage once done; for a bounded diagnostic the cached
+    * aggregate is tiny.
     */
   def keyHistogram(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
-    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-    val total = df.count().toDouble
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n")).persist()
+    val total = counts.agg(sum(col("n")).cast("double").as("__total"))
     counts
-      .withColumn("share", round(col("n") / total, 6))
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("n") / col("__total"), 6))
+      .drop("__total")
       .orderBy(col("n").desc)
       .limit(topN)
   }

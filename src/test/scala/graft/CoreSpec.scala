@@ -44,6 +44,28 @@ class IncrementalLoaderSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == n1)
   }
 
+  test("appendNew is idempotent for rows with NULL dt keys") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-inc-null").toString + "/sink"
+    val batch = Seq(
+      (1L, 1L, 1L, Some("2026-08-01")),
+      (2L, 1L, 1L, None) // null dt — must not re-append on the second run
+    ).toDF("campaign_id", "adset_id", "creative_id", "dt")
+      .withColumn("dt", col("dt").cast("date"))
+    val n1 = IncrementalLoader.appendNew(spark, batch, dir)
+    val n2 = IncrementalLoader.appendNew(spark, batch, dir)
+    assert(n1 == 2)
+    assert(n2 == 0, "null-dt rows re-appended — anti-join is not null-safe")
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // all-null-dt batch: second run must still be a no-op (not treat all as new)
+    val nullBatch = Seq((3L, 1L, 1L)).toDF("campaign_id", "adset_id", "creative_id")
+      .withColumn("dt", lit(null).cast("date"))
+    val m1 = IncrementalLoader.appendNew(spark, nullBatch, dir)
+    val m2 = IncrementalLoader.appendNew(spark, nullBatch, dir)
+    assert(m1 == 1 && m2 == 0)
+  }
+
   test("appendNew appends only the delta for a partially-overlapping batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-inc2").toString + "/sink"
     val p = AdsDataGenerator.Params(campaigns = 2, days = 4)

@@ -32,6 +32,14 @@ class ExpressionSpec extends SparkSpec {
     assert(math.abs(r._4 - math.sqrt(2) / 2) < 1e-12)
   }
 
+  test("cosine_sim with wrong arity fails with a clear error on the register() path") {
+    GraftExtensions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0D))").collect()
+    }
+    assert(err.getMessage.contains("2 array arguments"), err.getMessage)
+  }
+
   test("cosine_sim stays inside whole-stage codegen (no CodegenFallback in plan)") {
     GraftExtensions.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(10)

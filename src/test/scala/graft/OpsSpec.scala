@@ -28,6 +28,17 @@ class SkewSpec extends SparkSpec {
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
   }
 
+  test("saltedJoin rejects right/full outer join types") {
+    val orders = Tables.orders(spark, sfDir)
+    val customer = Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey")
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(orders, customer, "o_custkey", joinType = "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(orders, customer, "o_custkey", joinType = "full")
+    }
+  }
+
   test("keyHistogram surfaces the heaviest keys with shares") {
     val ev = Tables.events(spark, sfDir)
     val h = Skew.keyHistogram(ev, Seq("event_type"), topN = 3).collect()
