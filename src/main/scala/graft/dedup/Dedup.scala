@@ -197,7 +197,7 @@ object Dedup {
     val width = bits / bands
     val mask = (1L << width) - 1
     val spark = embeddings.sparkSession
-    val sig = graft.similarity.Similarity.hyperplaneSignature(col("vec"), dim, bits, seed)
+    val sig = graft.similarity.Similarity.hyperplaneSignature(spark, col("vec"), dim, bits, seed)
     val chunkVals = (0 until bands).map(c => shiftrightunsigned(sig, c * width).bitwiseAND(lit(mask)))
     val banded = embeddings
       .select(col("id"), posexplode(array(chunkVals: _*)))

@@ -2,11 +2,11 @@ package graft.extensions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, HyperplaneSignature}
 
 /** Session wiring for the engine's native expressions.
   *
@@ -21,6 +21,7 @@ import graft.expressions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
+    ext.injectFunction(GraftExtensions.hyperplaneSigDescriptor)
   }
 }
 
@@ -40,6 +41,27 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       cosineSimBuilder)
 
+  /** `hyperplane_sig(vec, dim, bits, seed)`: dim/bits/seed parameterize the
+    * deterministic hyperplane generation (model state baked into the
+    * expression, not per-row data), so they must be integer literals.
+    */
+  private val hyperplaneSigBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 4, "hyperplane_sig expects (vec, dim, bits, seed)")
+    def intLit(e: Expression, name: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_sig: $name must be an integer literal, got $other")
+    }
+    HyperplaneSignature(asDoubleArray(exprs.head),
+      intLit(exprs(1), "dim").toInt, intLit(exprs(2), "bits").toInt, intLit(exprs(3), "seed"))
+  }
+
+  private[extensions] val hyperplaneSigDescriptor =
+    (new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
+      hyperplaneSigBuilder)
+
   /** Unconditional cast to array<double> — children may be unresolved when
     * the builder runs (so no dataType inspection here); a same-type Cast is
     * removed by the optimizer's SimplifyCasts.
@@ -50,6 +72,8 @@ object GraftExtensions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineSimBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sig", hyperplaneSigBuilder, "built-in")
     ()
   }
 
@@ -57,4 +81,10 @@ object GraftExtensions {
     * resolution goes through the function registry).
     */
   def cosine_sim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** DataFrame-API handle for the packed LSH signature (see above for the
+    * literal-argument contract).
+    */
+  def hyperplane_sig(vec: Column, dim: Column, bits: Column, seed: Column): Column =
+    call_function("hyperplane_sig", vec, dim, bits, seed)
 }

@@ -148,11 +148,25 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
   }
 
-  /** Random-hyperplane signature: `bits` sign bits packed into a Long.
-    * Hyperplanes are seeded-deterministic; dim must match the embedding
-    * width.
+  /** Random-hyperplane signature: `bits` sign bits packed into a Long,
+    * computed by the native fused-codegen expression
+    * (graft.expressions.HyperplaneSignature) — one pass over the vector per
+    * plane inside generated Java. Hyperplanes are seeded-deterministic; dim
+    * must match the embedding width.
     */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column = {
+  def hyperplaneSignature(
+      spark: org.apache.spark.sql.SparkSession,
+      vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column = {
+    graft.extensions.GraftExtensions.register(spark)
+    graft.extensions.GraftExtensions.hyperplane_sig(vec, lit(dim), lit(bits), lit(seed))
+  }
+
+  /** Higher-order-function formulation of [[hyperplaneSignature]] — one
+    * interpreted `aggregate(zip_with(...))` dot per bit. Kept ONLY as the
+    * reference implementation for the bit-identity spec; round-1 bench showed
+    * it dominating LSH query cost (~50× the native expression).
+    */
+  def hofHyperplaneSignature(vec: Column, dim: Int, bits: Int = 16, seed: Long = 42L): Column = {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Double]] = Seq.fill(bits)(Seq.fill(dim)(rnd.nextGaussian()))
     val bitExprs = planes.zipWithIndex.map { case (p, i) =>
@@ -181,7 +195,7 @@ object Similarity {
     val mask = (1L << width) - 1
 
     def banded(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
-      val sig = hyperplaneSignature(col(vecCol), dim, bits, seed)
+      val sig = hyperplaneSignature(df.sparkSession, col(vecCol), dim, bits, seed)
       val chunkVals = (0 until bands).map(c => shiftrightunsigned(sig, c * width).bitwiseAND(lit(mask)))
       df.select(idCols.map(col) :+ col(vecCol) :+ posexplode(array(chunkVals: _*)): _*)
         .withColumnRenamed("pos", "band")

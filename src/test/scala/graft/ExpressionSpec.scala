@@ -40,6 +40,40 @@ class ExpressionSpec extends SparkSpec {
     assert(err.getMessage.contains("2 array arguments"), err.getMessage)
   }
 
+  test("native hyperplane_sig matches the HOF signature bit-for-bit on fixtures") {
+    GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val diff = e.select(
+      Similarity.hofHyperplaneSignature(col("v"), 64, 16, 42L).as("hof"),
+      GraftExtensions.hyperplane_sig(col("v"), lit(64), lit(16), lit(42L)).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diff.count() == 0)
+  }
+
+  test("hyperplane_sig resolves in SQL text; bad arity and non-literal args fail clearly") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT hyperplane_sig(array(1.0D, 0.0D, 0.0D, 0.0D), 4, 8, 42) AS s")
+      .as[Long].head()
+    assert(r >= 0L && r < 256L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT hyperplane_sig(array(1.0D))").collect()
+    }
+    assert(err.getMessage.contains("(vec, dim, bits, seed)"), err.getMessage)
+  }
+
+  test("hyperplane_sig stays inside whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(10)
+    val df = e.select(GraftExtensions.hyperplane_sig(
+      col("embedding"), lit(64), lit(16), lit(42L)).as("s"))
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
   test("cosine_sim stays inside whole-stage codegen (no CodegenFallback in plan)") {
     GraftExtensions.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(10)
