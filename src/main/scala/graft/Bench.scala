@@ -28,7 +28,12 @@ object Bench {
       .foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
     Tables.events(spark, sfDir).limit(1).count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for local profiling
+    // (e.g. SPARK_GRAFT_QUERIES=q40_minhash_neardups,q42_ann_lsh).
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }

@@ -314,7 +314,7 @@ object SparkEntry {
 
     "q53_langid_ngram" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.langIdNgram(col("text")).as("lang_pred"))
+        .select(col("doc_id"), TextFunctions.langIdNgram(s, col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
     // ---- LLM-pipeline: similarity search ----

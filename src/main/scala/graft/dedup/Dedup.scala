@@ -67,7 +67,7 @@ object Dedup {
       k: Int = 64, shingleK: Int = 3, seed: Long = 42L): DataFrame = {
     val perms = permParams(k, seed)
     val hashes = docs
-      .select(col(idCol).as("id"), explode(shingleHashes(col(textCol), shingleK)).as("h"))
+      .select(col(idCol).as("id"), explode(shingleHashes(docs.sparkSession, col(textCol), shingleK)).as("h"))
       .select(col("id"), pmod(col("h"), lit(MinHashP)).as("hm"))
     val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("hm") * a + b, lit(MinHashP))).as(s"m$i")
@@ -233,7 +233,7 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.1): DataFrame = {
     val sh = docs
-      .select(col(idCol).as("id"), array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      .select(col(idCol).as("id"), array_distinct(shingles(docs.sparkSession, col(textCol), shingleK)).as("sh"))
       .filter(size(col("sh")) > 0)
     val expl = sh.select(col("id"), explode(col("sh")).as("s"))
     val l = expl.select(col("s"), col("id").as("id_a"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.expressions.{CosineSimilarity, HyperplaneSignature}
+import graft.expressions.{CosineSimilarity, HyperplaneSignature, LangIdNgram, ShingleHashes, ShingleStrings}
 
 /** Session wiring for the engine's native expressions.
   *
@@ -22,6 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.hyperplaneSigDescriptor)
+    ext.injectFunction(GraftExtensions.langIdNgramDescriptor)
+    ext.injectFunction(GraftExtensions.shingleStringsDescriptor)
+    ext.injectFunction(GraftExtensions.shingleHashesDescriptor)
   }
 }
 
@@ -62,6 +65,48 @@ object GraftExtensions {
       new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
       hyperplaneSigBuilder)
 
+  /** `lang_id_ngram(text)`: the profile map (the model state) is the
+    * engine's fixed [[graft.functions.TextFunctions.NgramProfiles]] in
+    * tie-break order en > de > es > fr.
+    */
+  private val langIdNgramBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1, "lang_id_ngram expects exactly 1 string argument")
+    LangIdNgram(exprs.head, graft.functions.TextFunctions.NgramProfileOrder)
+  }
+
+  private[extensions] val langIdNgramDescriptor =
+    (new FunctionIdentifier("lang_id_ngram"),
+      new ExpressionInfo(classOf[LangIdNgram].getName, "lang_id_ngram"),
+      langIdNgramBuilder)
+
+  /** `shingle_strings(text, k)` / `shingle_hashes(text, k)`: k is the
+    * shingle width — structural, so it must be an integer literal.
+    */
+  private def shingleK(exprs: Seq[Expression], name: String): Int = {
+    require(exprs.length == 2, s"$name expects (text, k)")
+    exprs(1) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name: k must be an integer literal, got $other")
+    }
+  }
+
+  private val shingleStringsBuilder: Seq[Expression] => Expression = exprs =>
+    ShingleStrings(exprs.head, shingleK(exprs, "shingle_strings"))
+
+  private val shingleHashesBuilder: Seq[Expression] => Expression = exprs =>
+    ShingleHashes(exprs.head, shingleK(exprs, "shingle_hashes"))
+
+  private[extensions] val shingleStringsDescriptor =
+    (new FunctionIdentifier("shingle_strings"),
+      new ExpressionInfo(classOf[ShingleStrings].getName, "shingle_strings"),
+      shingleStringsBuilder)
+
+  private[extensions] val shingleHashesDescriptor =
+    (new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      shingleHashesBuilder)
+
   /** Unconditional cast to array<double> — children may be unresolved when
     * the builder runs (so no dataType inspection here); a same-type Cast is
     * removed by the optimizer's SimplifyCasts.
@@ -74,6 +119,12 @@ object GraftExtensions {
       "cosine_sim", cosineSimBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_sig", hyperplaneSigBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_id_ngram", langIdNgramBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_strings", shingleStringsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", shingleHashesBuilder, "built-in")
     ()
   }
 
@@ -87,4 +138,13 @@ object GraftExtensions {
     */
   def hyperplane_sig(vec: Column, dim: Column, bits: Column, seed: Column): Column =
     call_function("hyperplane_sig", vec, dim, bits, seed)
+
+  /** DataFrame-API handle for the native n-gram language ID. */
+  def lang_id_ngram(text: Column): Column = call_function("lang_id_ngram", text)
+
+  /** DataFrame-API handles for native shingling (k must be a literal). */
+  def shingle_strings(text: Column, k: Column): Column =
+    call_function("shingle_strings", text, k)
+  def shingle_hashes(text: Column, k: Column): Column =
+    call_function("shingle_hashes", text, k)
 }

@@ -82,12 +82,29 @@ object TextFunctions {
     "es" -> Seq("de", "la", "os", "el", "en", "es", "ue", "ar", "ció", "que"),
     "fr" -> Seq("es", "le", "de", "en", "on", "nt", "ou", "ai", "eur", "que"))
 
-  /** n-gram heuristic language ID: score = count of profile n-gram
-    * occurrences per language (codegen'd: length-difference after removing
-    * the n-gram), argmax with fixed tie order en > de > es > fr, 'und' when
-    * every score is 0. Complements the stopword-based [[langId]].
+  /** Profiles in argmax tie-break order (en > de > es > fr) — the order the
+    * native expression bakes in.
     */
-  def langIdNgram(text: Column): Column = {
+  val NgramProfileOrder: Seq[(String, Seq[String])] =
+    Seq("en", "de", "es", "fr").map(l => l -> NgramProfiles(l))
+
+  /** n-gram heuristic language ID: per-language non-overlapping profile-gram
+    * occurrence counts, argmax with fixed tie order en > de > es > fr, 'und'
+    * when every score is 0. Backed by the native single-pass
+    * graft.expressions.LangIdNgram (the regex formulation below does ~37
+    * full-string rewrites per row — round-1's second-slowest query).
+    * Complements the stopword-based [[langId]].
+    */
+  def langIdNgram(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    graft.extensions.GraftExtensions.register(spark)
+    graft.extensions.GraftExtensions.lang_id_ngram(text)
+  }
+
+  /** Column-expression (regexp_replace occurrence-count) formulation of
+    * [[langIdNgram]] — kept as the reference implementation for the
+    * equivalence spec and as the template the DuckDB oracle mirrors.
+    */
+  def langIdNgramRegex(text: Column): Column = {
     val t = lower(text)
     def score(ngrams: Seq[String]): Column =
       ngrams.map { g =>
@@ -147,9 +164,19 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
   /** k-token shingles (n-grams) as an array of strings; empty array when the
-    * doc has fewer than k tokens.
+    * doc has fewer than k tokens. Backed by the native single-pass
+    * graft.expressions.ShingleStrings (the HOF chain below allocates every
+    * shingle interpreted — it dominated round-1 dedup cost).
     */
-  def shingles(text: Column, k: Int = 3): Column = {
+  def shingles(spark: org.apache.spark.sql.SparkSession, text: Column, k: Int = 3): Column = {
+    graft.extensions.GraftExtensions.register(spark)
+    graft.extensions.GraftExtensions.shingle_strings(text, lit(k))
+  }
+
+  /** HOF formulation of [[shingles]] — reference implementation for the
+    * equivalence spec and the template the DuckDB shingle SQL mirrors.
+    */
+  def shinglesHof(text: Column, k: Int = 3): Column = {
     val ts = tokens(lower(text))
     when(size(ts) < k, array().cast("array<string>"))
       .otherwise(
@@ -157,7 +184,17 @@ object TextFunctions {
           concat_ws(" ", slice(ts, i + 1, lit(k)))))
   }
 
-  /** Distinct shingle hashes (xxhash64) — input units for MinHash/Jaccard. */
-  def shingleHashes(text: Column, k: Int = 3): Column =
-    array_distinct(transform(shingles(text, k), s => xxhash64(s)))
+  /** Distinct shingle hashes (xxhash64, first-occurrence order) — input units
+    * for MinHash/Jaccard. Native fused expression.
+    */
+  def shingleHashes(spark: org.apache.spark.sql.SparkSession, text: Column, k: Int = 3): Column = {
+    graft.extensions.GraftExtensions.register(spark)
+    graft.extensions.GraftExtensions.shingle_hashes(text, lit(k))
+  }
+
+  /** HOF formulation of [[shingleHashes]] — reference for the equivalence
+    * spec.
+    */
+  def shingleHashesHof(text: Column, k: Int = 3): Column =
+    array_distinct(transform(shinglesHof(text, k), s => xxhash64(s)))
 }

@@ -37,7 +37,7 @@ class CatalogSpec extends SparkSpec {
       ("ich scheine nicht schlecht schreiben", "de"),
       ("", "und")
     ).toDF("text", "expected")
-    val wrong = df.filter(TextFunctions.langIdNgram(col("text")) =!= col("expected")).collect()
+    val wrong = df.filter(TextFunctions.langIdNgram(spark, col("text")) =!= col("expected")).collect()
     assert(wrong.isEmpty, wrong.mkString(", "))
   }
 }

@@ -34,7 +34,7 @@ class TextFunctionsSpec extends SparkSpec {
   }
 
   test("shingles produce n-k+1 k-grams") {
-    val sh = one("a b c d e").select(TextFunctions.shingles(col("text"), 3)).as[Seq[String]].head()
+    val sh = one("a b c d e").select(TextFunctions.shingles(spark, col("text"), 3)).as[Seq[String]].head()
     assert(sh == Seq("a b c", "b c d", "c d e"))
   }
 

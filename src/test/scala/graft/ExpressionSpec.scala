@@ -74,6 +74,46 @@ class ExpressionSpec extends SparkSpec {
     assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
   }
 
+  test("native lang_id_ngram matches the regex formulation on every fixture document") {
+    GraftExtensions.register(spark)
+    val d = Tables.documents(spark, sfDir)
+    val diff = d.select(
+      graft.functions.TextFunctions.langIdNgramRegex(col("text")).as("rx"),
+      GraftExtensions.lang_id_ngram(col("text")).as("native"))
+      .filter(col("rx") =!= col("native"))
+    assert(diff.count() == 0)
+  }
+
+  test("lang_id_ngram resolves in SQL, handles null/empty, stays in codegen") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT lang_id_ngram('the weather and the end') AS en, " +
+        "lang_id_ngram('') AS und, lang_id_ngram(CAST(NULL AS STRING)) AS nul")
+      .collect().head
+    assert(r.getString(0) == "en" && r.getString(1) == "und" && r.isNullAt(2))
+    val df = Tables.documents(spark, sfDir).limit(10)
+      .select(GraftExtensions.lang_id_ngram(col("text")).as("l"))
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("native shingle_strings/shingle_hashes match the HOF chain on every fixture document") {
+    GraftExtensions.register(spark)
+    import graft.functions.TextFunctions
+    val d = Tables.documents(spark, sfDir)
+      // exercise whitespace-run and short-doc edges on top of the fixtures
+      .select(col("text")).union(Seq("", "a", "a  b\t c\nd", " x y z ").toDF("text"))
+    val diff = d.select(
+      TextFunctions.shinglesHof(col("text"), 3).as("hof_s"),
+      GraftExtensions.shingle_strings(col("text"), lit(3)).as("nat_s"),
+      TextFunctions.shingleHashesHof(col("text"), 3).as("hof_h"),
+      GraftExtensions.shingle_hashes(col("text"), lit(3)).as("nat_h"))
+      .filter(col("hof_s") =!= col("nat_s") || col("hof_h") =!= col("nat_h"))
+    assert(diff.count() == 0)
+  }
+
   test("cosine_sim stays inside whole-stage codegen (no CodegenFallback in plan)") {
     GraftExtensions.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(10)
