@@ -36,6 +36,28 @@ object SparkEntry {
     d.union(d.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz"))))
   }
 
+  /** ANN fixture with ground truth: corpus = embeddings plus 5 planted
+    * near-duplicate twins per query (dimension 0 perturbed by j/128 — exact
+    * in binary, so Spark and DuckDB construct bit-identical vectors). The
+    * twins' cosines (~0.996..0.99999) dominate any random neighbor (~0.5 at
+    * this corpus size), so the exact top-5 IS the twin set and an
+    * approximate index must recover it — which makes the approximate
+    * operators exhaustively oracle-checkable, the q49 pattern.
+    */
+  private def annQueriesAndTwinCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val e = Tables.embeddings(s, dir)
+    val queries = e.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qvec"))
+    val twins = queries
+      .select(col("query_id"), col("qvec"), explode(array((1 to 5).map(lit): _*)).as("j"))
+      .select((lit(2000000) + col("query_id") * 10 + col("j")).as("id"),
+        transform(col("qvec"), (x, i) =>
+          when(i === 0, x + col("j") * lit(0.0078125)).otherwise(x)).as("vec"))
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      .union(twins)
+    (queries, corpus)
+  }
+
   // ------------------------------------------------------------------ queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -284,11 +306,11 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
 
     "q40_minhash_neardups" -> ((s, dir) =>
-      Dedup.minHashNearDups(docsWithNearDups(s, dir), threshold = 0.5)
+      Dedup.minHashVerifiedNearDups(docsWithNearDups(s, dir), threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))),
 
     "q41_simhash_neardups" -> ((s, dir) =>
-      Dedup.simHashNearDups(docsWithNearDups(s, dir), maxDist = 4)
+      Dedup.simHashCosineNearDups(docsWithNearDups(s, dir), minTokens = 50, cosThreshold = 0.95)
         .orderBy(col("id_a"), col("id_b"))),
 
     // ---- LLM-pipeline: text analysis ----
@@ -334,10 +356,7 @@ object SparkEntry {
         .orderBy(col("vec_id"))),
 
     "q42_ann_lsh" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val queries = e.filter(col("vec_id") <= 2)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (queries, corpus) = annQueriesAndTwinCorpus(s, dir)
       Similarity.lshTopK(queries, corpus, dim = 64, k = 5, bits = 16, bands = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -396,14 +415,25 @@ object SparkEntry {
               |FROM lineitem_v GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
     }),
 
-    // ---- approximate sketches (HLL / quantiles) — engine-specific, rows-only ----
+    // ---- approximate sketches (HLL / quantiles), self-verified against
+    // exact aggregates: the exact columns hash-match the oracle and the
+    // booleans pin each sketch within its tolerance of the exact value ----
     "q44_sketches" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+          count_distinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_partkey")).as("hll_parts"),
+          expr("percentile(l_extendedprice, 0.5D)").as("p50_exact"),
+          expr("percentile(l_extendedprice, 0.99D)").as("p99_exact"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx"))
+        .select(col("l_returnflag"), col("n_parts"),
+          (abs(col("hll_parts") - col("n_parts")).cast("double") / col("n_parts") <= 0.1).as("hll_ok"),
+          round(col("p50_exact"), 6).as("p50"),
+          (abs(col("p50_approx") - col("p50_exact")) / col("p50_exact") <= 0.05).as("p50_ok"),
+          round(col("p99_exact"), 6).as("p99"),
+          (abs(col("p99_approx") - col("p99_exact")) / col("p99_exact") <= 0.05).as("p99_ok"))
         .orderBy(col("l_returnflag"))),
 
     // ---- multimodal frame sampling (counts are oracle-checkable) ----
@@ -458,10 +488,7 @@ object SparkEntry {
     }),
 
     "q46_ann_ivf" -> ((s, dir) => {
-      val e = Tables.embeddings(s, dir)
-      val queries = e.filter(col("vec_id") <= 2)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-      val corpus = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val (queries, corpus) = annQueriesAndTwinCorpus(s, dir)
       Similarity.ivfTopK(queries, corpus, dim = 64, k = 5, nlist = 16, nprobe = 4)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -478,6 +505,32 @@ object SparkEntry {
   /** DuckDB lambda-free token list shared by the text oracles. */
   private val ToksCte =
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  /** Shared exhaustive top-5 oracle over the twin-planted ANN corpus —
+    * mirrors [[annQueriesAndTwinCorpus]] (j/128 perturbation on dimension 0;
+    * DuckDB lambdas index 1-based, so dimension 0 is i = 1).
+    */
+  private val AnnTwinOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      |  FROM embeddings WHERE vec_id <= 2),
+      |tw AS (
+      |  SELECT 2000000 + query_id * 10 + j AS id,
+      |    list_transform(qv, (x, i) -> CASE WHEN i = 1 THEN x + j * 0.0078125 ELSE x END) AS v
+      |  FROM q, (SELECT UNNEST([1, 2, 3, 4, 5]) AS j)),
+      |corpus AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |  UNION ALL SELECT id, v FROM tw),
+      |scored AS (
+      |  SELECT q.query_id, c.id AS neighbor_id,
+      |    ROUND(list_cosine_similarity(q.qv, c.v), 6) AS score
+      |  FROM q, corpus c WHERE c.id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_kpi_topk_spend" ->
@@ -847,8 +900,91 @@ object SparkEntry {
     "q36_embed_norms" ->
       """SELECT vec_id, label,
         |  ROUND(SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
-        |FROM embeddings ORDER BY vec_id""".stripMargin
-    // q40/q41 (MinHash/SimHash LSH), q42 (LSH ANN), q43 (multimodal) are not
-    // ANSI-SQL-expressible → rows-only checks.
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // q40: the Spark side finds pairs via banded MinHash-LSH + exact-Jaccard
+    // verification; the oracle recomputes the EXHAUSTIVE all-pairs truth —
+    // equality proves the LSH candidate generation has full recall on every
+    // true pair (jaccard >= 0.5) at this scale.
+    "q40_minhash_neardups" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents),
+        |toks AS (SELECT doc_id, $ToksCte AS t FROM (SELECT doc_id, LOWER(text) AS text FROM base)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q41: Spark finds pairs via multi-probe pigeonhole SimHash + exact
+    // token-frequency-cosine verification; the oracle is the exhaustive
+    // token-cosine truth over the same >=50-token doc set.
+    "q41_simhash_neardups" ->
+      s"""WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents),
+        |toks AS (SELECT doc_id, $ToksCte AS t FROM (SELECT doc_id, LOWER(text) AS text FROM base)),
+        |lng AS (SELECT doc_id, t FROM toks WHERE LEN(t) >= 50),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS c
+        |       FROM (SELECT doc_id, UNNEST(t) AS tok FROM lng) GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, SQRT(CAST(SUM(c*c) AS DOUBLE)) AS nrm FROM tf GROUP BY 1),
+        |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.c*b.c) AS DOUBLE) AS dot
+        |         FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos
+        |FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+        |WHERE dot / (na.nrm * nb.nrm) >= 0.95
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q42/q46: exact top-5 over the twin-planted corpus (see
+    // annQueriesAndTwinCorpus) — the approximate index must recover the
+    // planted near-duplicates exactly.
+    "q42_ann_lsh" -> AnnTwinOracle,
+    "q46_ann_ivf" -> AnnTwinOracle,
+
+    // q43: decodeStub's rolling checksum (h*31 + byte, wrapping 64-bit)
+    // reproduced over the UTF-8 bytes with HUGEINT modular arithmetic
+    // (fixtures are pure ASCII, so per-char ord == byte).
+    "q43_multimodal" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    list_transform(range(1, length(text) + 1), i -> ord(text[i])::HUGEINT) AS bytes
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n_bytes,
+        |    list_reduce(list_prepend(0::HUGEINT, bytes),
+        |      (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT) AS h
+        |  FROM b),
+        |s AS (
+        |  SELECT doc_id, n_bytes,
+        |    CASE WHEN h >= 9223372036854775808::HUGEINT
+        |         THEN (h - 18446744073709551616::HUGEINT)::BIGINT
+        |         ELSE h::BIGINT END AS checksum
+        |  FROM f)
+        |SELECT doc_id AS id, 'text/plain' AS media_type, n_bytes,
+        |  CAST(64 + abs(checksum) % 1024 AS INT) AS width,
+        |  CAST(64 + abs(checksum // 1024) % 1024 AS INT) AS height,
+        |  checksum
+        |FROM s ORDER BY id""".stripMargin,
+
+    // q44: exact count-distinct and exact percentiles hash-match; the
+    // booleans assert each sketch landed within tolerance of exact.
+    "q44_sketches" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS hll_ok,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50, TRUE AS p50_ok,
+        |  ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99, TRUE AS p99_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

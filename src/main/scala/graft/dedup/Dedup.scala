@@ -122,6 +122,54 @@ object Dedup {
       .filter(col("est_jaccard") >= threshold)
   }
 
+  /** MinHash-LSH candidate pairs verified with EXACT shingle Jaccard: the
+    * production near-dup pipeline shape (and the oracle-checkable one —
+    * unlike [[minHashNearDups]]'s signature-estimated score, the exact
+    * Jaccard of the candidate pairs is reproducible in plain SQL).
+    * Candidate generation is the same output-linear banded LSH; the
+    * quadratic-looking verification only ever touches candidate pairs, so
+    * cost is O(candidates), not O(n²). Returns (id_a, id_b, jaccard) with
+    * jaccard ≥ threshold over distinct shingle sets.
+    */
+  def minHashVerifiedNearDups(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      shingleK: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sigs = minHashSignatures(docs, textCol, idCol, k, shingleK, seed)
+
+    val bandHashes = (0 until bands).map(b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)))
+    val banded = sigs
+      .select(col("id"), posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+    val pairs = banded
+      .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "band_hash"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // Exact verification on candidates only: distinct shingle sets joined in,
+    // |A∩B| / |A∪B|; threshold the RAW value, round only for display.
+    val sh = docs.select(col(idCol).as("id"),
+      array_distinct(shingles(docs.sparkSession, col(textCol), shingleK)).as("sh"))
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
+          .as("j_raw"))
+      .filter(col("j_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("j_raw"), 6).as("jaccard"))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** (id, sig) 64-bit SimHash signatures: bit b of the signature is 1 iff
@@ -176,6 +224,95 @@ object Dedup {
       .select(col("id_a"), col("id_b"), bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDist)
+  }
+
+  /** Multi-probe pigeonhole SimHash near-dups verified with EXACT
+    * token-frequency cosine — the metric SimHash actually approximates
+    * (bit-agreement probability is 1 - θ/π for angle θ between token-count
+    * vectors), so the verified output is reproducible in plain SQL.
+    *
+    * Candidates: the 64-bit signature splits into 4 chunks of 16 bits; each
+    * doc emits every chunk value plus all 16 single-bit-flip probes of it
+    * (68 rows/doc). Two docs whose signatures differ by ≤ 11 bits have some
+    * chunk differing by ≤ 2 bits (pigeonhole), and radius-1 probing on BOTH
+    * sides bridges chunk-distance ≤ 2 — so recall is guaranteed for hamming
+    * ≤ 11 while a random pair collides with probability only
+    * ~4·(1+16+120)/2^16 ≈ 0.8% (vs ~57% for naive 13-chunk pigeonhole at the
+    * same radius). Docs below `minTokens` are excluded: SimHash over a
+    * handful of tokens doesn't concentrate (measured: hamming up to 17 for
+    * near-identical short docs vs ≤ 9 for ≥50-token docs).
+    *
+    * Verification computes exact cosine over (token, count) vectors for
+    * candidate pairs only — O(candidates · tokens), never O(n²).
+    */
+  def simHashCosineNearDups(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minTokens: Int = 50,
+      cosThreshold: Double = 0.95): DataFrame = {
+    val d = docs.filter(tokenCount(col(textCol)) >= minTokens)
+    // Persisted: sigs feeds both probe sides, tf feeds both verify sides plus
+    // the norms — uncached, the doc scan + token explode re-runs per
+    // reference (measured ~2.5x the whole query). At production scale,
+    // checkpoint signatures/term vectors to tables instead.
+    val sigs = simHashSignatures(d, textCol, idCol).persist()
+
+    val chunks = 4
+    val width = 16
+    val mask = (1L << width) - 1
+    val probeExprs = for { c <- 0 until chunks; b <- -1 until width } yield {
+      val v = shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))
+      val pv = if (b < 0) v else v.bitwiseXOR(lit(1L << b))
+      struct(lit(c).as("chunk"), pv.as("pval"))
+    }
+    // Probe rows carry the full signature so the join output can be cut to
+    // hamming <= 11 (the probing coverage bound) by a codegen'd bit_count
+    // BEFORE the dedup shuffle and the verify join — docs here are
+    // correlated (shared vocabulary), so medium-similarity pairs collide on
+    // probes constantly and would otherwise flood verification.
+    val probed = sigs
+      .select(col("id"), col("sig"), explode(array(probeExprs: _*)).as("p"))
+      .select(col("id"), col("sig"), col("p.chunk").as("chunk"), col("p.pval").as("pval"))
+    // The probe side is (id, sig, chunk, pval) — ~68 slim rows per doc — so
+    // broadcasting one side turns this into a map-side hash join: colliding
+    // pair rows (heavily duplicated for near-identical signatures) are
+    // generated and ham-filtered inside one codegen stage instead of being
+    // shuffled to a sort-merge join (measured 25x faster at sf0.1). Beyond
+    // broadcast size (~billions of docs), drop the hint and let the
+    // partitioned hash join do the same thing per (chunk, pval) bucket.
+    val pairs = probed
+      .join(broadcast(probed.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("chunk"), col("pval"))), Seq("chunk", "pval"))
+      .filter(col("id") < col("id_b") &&
+        // pigeonhole coverage bound: ham >= 3*chunks would allow every chunk
+        // to differ by >= 3 bits, beyond radius-1-both-sides probing
+        bit_count(col("sig").bitwiseXOR(col("sig_b"))) <= 3 * chunks - 1)
+      .select(col("id").as("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // Exact token-frequency cosine for candidates only. One sorted
+    // (term, count) vector per doc, broadcast to both sides of the candidate
+    // pairs; the dot product is a native merge (sparse_dot) per pair — no
+    // pairs×terms shuffle. Integer dot + sqrt-of-integer norms mirror the
+    // oracle SQL's join-based formulation bit-for-bit.
+    val spark = docs.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+    val docvec = d
+      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sort_array(collect_list(struct(col("tok"), col("c")))).as("vec"),
+        sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+      .persist()
+    pairs
+      .join(broadcast(docvec.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))), "id_a")
+      .join(broadcast(docvec.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (graft.extensions.GraftExtensions.sparse_dot(col("va"), col("vb")).cast("double") /
+          (col("na") * col("nb"))).as("cos_raw"))
+      .filter(col("cos_raw") >= cosThreshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
   }
 
   // ---------------------------------------------------- embedding near-dup

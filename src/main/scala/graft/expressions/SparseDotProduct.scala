@@ -1,0 +1,74 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructType}
+
+/** `sparse_dot(a, b)`: dot product of two sparse integer term vectors, each
+  * an `array<struct<term string, count bigint>>` SORTED ascending by term —
+  * a single two-pointer merge per row, returning `sum(count_a * count_b)`
+  * over shared terms as a BIGINT.
+  *
+  * This replaces the relational formulation (explode both docs' terms, join
+  * on term, re-aggregate per pair) for VERIFICATION of candidate pairs:
+  * per-pair term vectors are small, so shipping two pre-sorted arrays
+  * through a broadcast join and merging them inline is O(|a|+|b|) per pair
+  * with no shuffle — the relational path shuffles candidate_pairs × terms
+  * rows (measured: the dominant cost of SimHash verification at sf0.1).
+  * Integer math means the result is bit-identical to the join-based SQL the
+  * oracle uses.
+  */
+case class SparseDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isTermVector(dt: DataType): Boolean = dt match {
+    case ArrayType(s: StructType, _) =>
+      s.fields.length == 2 && s.fields(0).dataType == StringType &&
+        s.fields(1).dataType == LongType
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isTermVector(left.dataType) && isTermVector(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sparse_dot expects two array<struct<string,bigint>>, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sparse_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SparseDotProduct.merge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = SparseDotProduct.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $helper.merge($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SparseDotProduct {
+  /** Two-pointer merge over term-sorted entry arrays. */
+  def merge(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val sa = a.getStruct(i, 2)
+      val sb = b.getStruct(j, 2)
+      val cmp = sa.getUTF8String(0).compareTo(sb.getUTF8String(0))
+      if (cmp == 0) { acc += sa.getLong(1) * sb.getLong(1); i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.expressions.{CosineSimilarity, HyperplaneSignature, LangIdNgram, ShingleHashes, ShingleStrings}
+import graft.expressions.{CosineSimilarity, HyperplaneSignature, LangIdNgram, ShingleHashes, ShingleStrings, SparseDotProduct}
 
 /** Session wiring for the engine's native expressions.
   *
@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.langIdNgramDescriptor)
     ext.injectFunction(GraftExtensions.shingleStringsDescriptor)
     ext.injectFunction(GraftExtensions.shingleHashesDescriptor)
+    ext.injectFunction(GraftExtensions.sparseDotDescriptor)
   }
 }
 
@@ -107,6 +108,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       shingleHashesBuilder)
 
+  private val sparseDotBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "sparse_dot expects exactly 2 term-vector arguments")
+    SparseDotProduct(exprs.head, exprs(1))
+  }
+
+  private[extensions] val sparseDotDescriptor =
+    (new FunctionIdentifier("sparse_dot"),
+      new ExpressionInfo(classOf[SparseDotProduct].getName, "sparse_dot"),
+      sparseDotBuilder)
+
   /** Unconditional cast to array<double> — children may be unresolved when
     * the builder runs (so no dataType inspection here); a same-type Cast is
     * removed by the optimizer's SimplifyCasts.
@@ -125,6 +136,8 @@ object GraftExtensions {
       "shingle_strings", shingleStringsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", shingleHashesBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sparse_dot", sparseDotBuilder, "built-in")
     ()
   }
 
@@ -147,4 +160,7 @@ object GraftExtensions {
     call_function("shingle_strings", text, k)
   def shingle_hashes(text: Column, k: Column): Column =
     call_function("shingle_hashes", text, k)
+
+  /** DataFrame-API handle for the sorted-term-vector dot product. */
+  def sparse_dot(a: Column, b: Column): Column = call_function("sparse_dot", a, b)
 }

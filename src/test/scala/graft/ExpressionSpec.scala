@@ -114,6 +114,31 @@ class ExpressionSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("sparse_dot equals the relational explode-join dot product on fixture docs") {
+    GraftExtensions.register(spark)
+    import graft.functions.TextFunctions
+    val d = Tables.documents(spark, sfDir).limit(60)
+    val tf = d.select(col("doc_id").as("id"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+    val joinDots = tf.select(col("tok"), col("id").as("id_a"), col("c").as("ca"))
+      .join(tf.select(col("tok"), col("id").as("id_b"), col("c").as("cb")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("ca") * col("cb")).as("dot_join"))
+    val vecs = tf.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("tok"), col("c")))).as("vec"))
+    val diff = joinDots
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .filter(GraftExtensions.sparse_dot(col("va"), col("vb")) =!= col("dot_join"))
+    assert(diff.count() == 0)
+    // disjoint vectors dot to zero
+    val z = spark.sql(
+      """SELECT sparse_dot(array(struct('a', 2L), struct('b', 3L)),
+        |                  array(struct('c', 4L))) AS z""".stripMargin)
+      .collect().head.getLong(0)
+    assert(z == 0L)
+  }
+
   test("cosine_sim stays inside whole-stage codegen (no CodegenFallback in plan)") {
     GraftExtensions.register(spark)
     val e = Tables.embeddings(spark, sfDir).limit(10)
