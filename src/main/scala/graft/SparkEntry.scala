@@ -143,6 +143,75 @@ object SparkEntry {
           .cast("double").as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))),
 
+    "q56_min_cost_supplier" -> ((s, dir) => {
+      // Q2 shape: correlated-subquery min — for each PROMO small part, the
+      // supplier(s) achieving the minimum observed price, decorated with
+      // supplier/nation dims. The "correlated subquery" decorrelates into a
+      // groupBy-min + equality self-join, the plan Catalyst produces for the
+      // SQL form too.
+      val parts = Tables.part(s, dir)
+        .filter(col("p_type") === "PROMO" && col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"))
+      val supply = Tables.lineitem(s, dir)
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("l_suppkey"), col("l_extendedprice"))
+      val minPrice = supply.groupBy(col("p_partkey").as("mp_partkey"))
+        .agg(min(col("l_extendedprice")).as("min_price"))
+      supply
+        .join(broadcast(minPrice),
+          col("p_partkey") === col("mp_partkey") && col("l_extendedprice") === col("min_price"))
+        .select(col("p_partkey"), col("p_brand"), col("l_suppkey"), col("min_price"))
+        .distinct()
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("s_name"), col("p_partkey"), col("p_brand"), col("min_price"))
+        .orderBy(col("min_price"), col("p_partkey"), col("s_name"))
+        .limit(20)
+    }),
+
+    "q57_nation_trade" -> ((s, dir) => {
+      // Q7 shape: two-nation trade volume by ship year, both directions
+      val n1 = Tables.nation(s, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir).select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    "q58_market_share" -> ((s, dir) => {
+      // Q8 shape: NATION_3 suppliers' share of STANDARD-part revenue sold to
+      // EUROPE customers, by order year
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "STANDARD")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir).select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("nation_vol"),
+          sum(vol).cast("double").as("total_vol"))
+        .select(col("o_year"),
+          round(col("nation_vol") / col("total_vol"), 6).as("mkt_share"),
+          col("total_vol"))
+        .orderBy(col("o_year"))
+    }),
+
     // ---- generator cross product (J2) ----
     "q05_cross_gen" -> ((s, _) => {
       val c = s.range(1, 11).toDF("campaign_id")
@@ -757,6 +826,52 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q56_min_cost_supplier" ->
+      """WITH parts AS (SELECT p_partkey, p_brand FROM part WHERE p_type = 'PROMO' AND p_size <= 10),
+        |supply AS (
+        |  SELECT p.p_partkey, p.p_brand, l_suppkey, l_extendedprice
+        |  FROM lineitem JOIN parts p ON l_partkey = p.p_partkey),
+        |minp AS (SELECT p_partkey, MIN(l_extendedprice) AS min_price FROM supply GROUP BY 1),
+        |win AS (
+        |  SELECT DISTINCT s.p_partkey, s.p_brand, s.l_suppkey, m.min_price
+        |  FROM supply s JOIN minp m ON s.p_partkey = m.p_partkey AND s.l_extendedprice = m.min_price)
+        |SELECT n_name, s_name, p_partkey, p_brand, min_price
+        |FROM win JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY min_price, p_partkey, s_name LIMIT 20""".stripMargin,
+
+    "q57_nation_trade" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  YEAR(CAST(l_shipdate AS DATE)) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q58_market_share" ->
+      """SELECT YEAR(CAST(o_orderdate AS DATE)) AS o_year,
+        |  ROUND(
+        |    CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+        |                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_vol
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q49_embed_neardup" ->
       """WITH base AS (
