@@ -72,15 +72,29 @@ object Similarity {
 
   // ------------------------------------------------------------------- IVF
 
-  /** Nearest-centroid id for a vector given driver-side centroids (tiny
-    * model state, nlist × dim doubles): array_max over (score, idx) structs —
-    * struct ordering is lexicographic, so the max is the best-scoring cell.
+  /** Centroid model state as a tiny DataFrame (cid, cvec) for broadcast
+    * joins. Scoring vectors against centroids as a broadcast cross join +
+    * column-column native cosine keeps the plan free of nlist×dim literal
+    * arrays — the literal formulation made every training job re-analyze and
+    * janino-compile a huge expression tree (measured as most of IVF's
+    * wall-clock; the scan itself is cheap).
     */
-  private def cellOf(spark: org.apache.spark.sql.SparkSession, vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(nativeCosine(spark, vec, array(c.map(lit): _*)).as("s"), lit(i).as("i"))
-    }: _*)
-    array_max(scored).getField("i")
+  private def centroidFrame(spark: org.apache.spark.sql.SparkSession, centroids: Seq[Seq[Double]]): DataFrame = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "cvec")
+  }
+
+  /** (id, cell) nearest-centroid assignment: max (score, cid) struct per id —
+    * struct ordering is lexicographic, so ties deterministically pick the
+    * larger cid (same tie-break as the literal array_max formulation).
+    */
+  private def assignCells(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+    val spark = corpus.sparkSession
+    corpus.crossJoin(broadcast(centroidFrame(spark, centroids)))
+      .select(col("id"),
+        struct(nativeCosine(spark, col("vec"), col("cvec")).as("s"), col("cid").as("i")).as("sc"))
+      .groupBy(col("id"))
+      .agg(max(col("sc")).getField("i").as("cell"))
   }
 
   /** Deterministic k-means-lite coarse quantizer: seeds = the nlist
@@ -94,13 +108,16 @@ object Similarity {
       nlist: Int = 16,
       iters: Int = 2): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
+    // Each Lloyd round re-scans the corpus (seed job + iters assignment
+    // jobs); cache it across the fit like any iterative ML training.
+    corpus.persist()
     var centroids: Seq[Seq[Double]] = corpus
       .orderBy(col("id")).limit(nlist)
       .select(col("vec").cast("array<double>"))
       .collect().map(_.getSeq[Double](0).toSeq).toSeq
     (0 until iters).foreach { _ =>
-      val assigned = corpus.select(cellOf(spark, col("vec"), centroids).as("cell"),
-        posexplode(col("vec").cast("array<double>")))
+      val assigned = corpus.join(assignCells(corpus, centroids), "id")
+        .select(col("cell"), posexplode(col("vec").cast("array<double>")))
       val means = assigned.groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       val byCell = means.groupBy(_._1)
@@ -128,15 +145,20 @@ object Similarity {
       scoreDecimals: Int = 6): DataFrame = {
     val spark = corpus.sparkSession
     val centroids = trainCentroids(corpus, dim, nlist, iters)
-    val cells = corpus.withColumn("cell", cellOf(spark, col("vec"), centroids))
+    val cells = corpus.join(assignCells(corpus, centroids), "id")
 
-    // per-query probed cells: top-nprobe centroid scores
-    val probeStructs = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct(nativeCosine(spark, col("qvec"), array(c.map(lit): _*)).as("s"), lit(i).as("i"))
-    }: _*)
+    // per-query probed cells: top-nprobe centroid scores, ranked by
+    // (score, cid) descending — identical ordering to nearest-cell
+    // assignment's tie-break
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(struct(col("ps"), col("cid")).desc)
     val probed = queries
-      .withColumn("cell", explode(transform(
-        slice(reverse(array_sort(probeStructs)), 1, nprobe), s => s.getField("i"))))
+      .crossJoin(broadcast(centroidFrame(spark, centroids)))
+      .select(col("query_id"), col("qvec"), col("cid"),
+        nativeCosine(spark, col("qvec"), col("cvec")).as("ps"))
+      .withColumn("prank", row_number().over(pw))
+      .filter(col("prank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cid").as("cell"))
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("id"))
     probed.join(cells, Seq("cell"))
