@@ -568,6 +568,25 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // ---- dedup clusters: near-dup pairs -> connected components ----
+    "q59_dedup_clusters" -> ((s, dir) => {
+      val edges = Dedup.minHashVerifiedNearDups(docsWithNearDups(s, dir), threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.ops.Graph.connectedComponents(edges)
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- TF-IDF top terms per document ----
+    "q60_tfidf_topterms" -> ((s, dir) =>
+      graft.text.TextPipelines.tfIdfTopTerms(Tables.documents(s, dir), k = 3)
+        .orderBy(col("doc_id"), col("rank"))),
+
+    // ---- repetition / boilerplate score ----
+    "q61_repetition" -> ((s, dir) =>
+      graft.text.TextPipelines.repetitionScores(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))),
+
     // ---- LLM-pipeline: multimodal plumbing ----
     "q43_multimodal" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain")
@@ -580,6 +599,24 @@ object SparkEntry {
   /** DuckDB lambda-free token list shared by the text oracles. */
   private val ToksCte =
     "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  /** Shared CTE chain computing distinct 3-token shingles and common-shingle
+    * pair counts over the twin-augmented doc set (the q40/q59 truth base).
+    */
+  private lazy val ShingleCommonCtes: String =
+    s"""base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents),
+      |toks AS (SELECT doc_id, $ToksCte AS t FROM (SELECT doc_id, LOWER(text) AS text FROM base)),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 2, 0)),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      |  FROM toks),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+      |common AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
 
   /** Shared exhaustive top-5 oracle over the twin-planted ANN corpus —
     * mirrors [[annQueriesAndTwinCorpus]] (j/128 perturbation on dimension 0;
@@ -1028,19 +1065,7 @@ object SparkEntry {
     // equality proves the LSH candidate generation has full recall on every
     // true pair (jaccard >= 0.5) at this scale.
     "q40_minhash_neardups" ->
-      s"""WITH base AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 1000000, text || ' zz' FROM documents),
-        |toks AS (SELECT doc_id, $ToksCte AS t FROM (SELECT doc_id, LOWER(text) AS text FROM base)),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 2, 0)),
-        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-        |  FROM toks),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-        |common AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      s"""WITH $ShingleCommonCtes
         |SELECT id_a, id_b,
         |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
         |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
@@ -1071,6 +1096,51 @@ object SparkEntry {
     // planted near-duplicates exactly.
     "q42_ann_lsh" -> AnnTwinOracle,
     "q46_ann_ivf" -> AnnTwinOracle,
+
+    // q59: exact connected components over the exact near-dup edge set —
+    // the recursive CTE computes the transitive closure's min label, which
+    // must equal Spark's label-propagation fixpoint.
+    "q59_dedup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCommonCtes,
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lab FROM nodes
+        |  UNION
+        |  SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
+        |SELECT id AS doc_id, MIN(lab) AS rep_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q60_tfidf_topterms" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksCte AS t FROM (SELECT doc_id, LOWER(text) AS text FROM documents)),
+        |tf AS (SELECT doc_id, tok AS term, COUNT(*) AS tf
+        |       FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks) GROUP BY 1, 2),
+        |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, term, tf * LN((n.n + 1.0) / (dfr.df + 1.0)) AS score
+        |           FROM tf JOIN dfr USING (term) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, term, score,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, ROUND(score, 6) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q61_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksCte AS t FROM (SELECT doc_id, LOWER(text) AS text FROM documents)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT s) AS n_unique
+        |        FROM sh GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_unique,
+        |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_shingles, 6) AS rep_score
+        |FROM agg WHERE n_shingles > 0 ORDER BY doc_id""".stripMargin,
 
     // q43: decodeStub's rolling checksum (h*31 + byte, wrapping 64-bit)
     // reproduced over the UTF-8 bytes with HUGEINT modular arithmetic

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for dedup pipelines.
+  *
+  * Near-duplicate PAIRS aren't directly actionable at 100 TB — keeping "one
+  * of each pair" double-drops docs that appear in several pairs. The
+  * actionable output is the connected component: every doc mapped to a
+  * canonical representative (the component's minimum id), after which "keep
+  * the representative" is a single filter.
+  */
+object Graph {
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts as its own label; each round takes the min of its own and its
+    * neighbors' labels; convergence (no label changed) is checked per round
+    * and the result is exact and deterministic — label values don't depend
+    * on iteration order, only on the final fixpoint.
+    *
+    * Rounds needed = graph diameter (dedup components are shallow stars —
+    * a handful of rounds). Each round is one join + one groupBy on the edge
+    * list: fully distributed, no driver-side graph. At extreme diameters use
+    * alternating small-star/large-star contraction (halves the rounds); for
+    * very long chains, checkpoint `labels` every few rounds to cut lineage.
+    *
+    * @param edges undirected edge list (id_a, id_b)
+    * @return (id, rep) — rep = min node id in the component; isolated nodes
+    *         absent from `edges` are absent here (their rep is themselves)
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    val sym = edges
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
+      .persist()
+
+    // Each round references the previous round's frame twice, so a plain
+    // persist() still lets the LOGICAL PLAN double per round (exponential
+    // analysis cost — measured as a hang past ~10 rounds). localCheckpoint
+    // truncates the plan to the materialized RDD; on a cluster with
+    // unreliable executors use reliable checkpoint() instead.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lab"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("lab")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("lab")).as("nlab"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("lab").as("old")), "id")
+        .filter(col("lab") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("lab").as("rep"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Relational text-corpus operators (DataFrame-in, DataFrame-out) on top of
+  * the per-row primitives in [[graft.functions.TextFunctions]].
+  */
+object TextPipelines {
+
+  /** Top-k terms per document by smoothed TF-IDF
+    * (`tf · ln((N+1)/(df+1))`): term frequencies and document frequencies
+    * are two hash aggregations; the per-doc top-k is a window over the
+    * scored terms. Ties break lexicographically by term, so ranks are
+    * deterministic. At corpus scale every stage is a shuffle on (doc|term)
+    * keys with map-side partial aggregation — no driver state except the
+    * single corpus-count scalar (the same legitimate model state as any IDF
+    * fit).
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0))).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 6).as("score"))
+  }
+
+  /** Per-doc repetition score: 1 − distinct/total k-token shingles — the
+    * standard boilerplate/repetition quality signal. Map-only over the
+    * native shingle expressions; docs with no shingles (< k tokens) are
+    * excluded.
+    */
+  def repetitionScores(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3): DataFrame = {
+    val sh = TextFunctions.shingles(docs.sparkSession, col(textCol), shingleK)
+    docs
+      .select(col(idCol).as("doc_id"), size(sh).as("n_shingles"),
+        size(array_distinct(sh)).as("n_unique"))
+      .filter(col("n_shingles") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        round(lit(1.0) - col("n_unique").cast("double") / col("n_shingles"), 6).as("rep_score"))
+  }
+}
