@@ -587,6 +587,36 @@ object SparkEntry {
       graft.text.TextPipelines.repetitionScores(Tables.documents(s, dir))
         .orderBy(col("doc_id"))),
 
+    // ---- batch sessionization: gap > 30 min starts a new session (the
+    // batch twin of streaming/StreamOps.sessionize) ----
+    "q62_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(runW))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // ---- ordered funnel: first view -> first click -> first purchase ----
+    "q63_funnel" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("v"),
+          min(when(col("event_type") === "click", col("ts"))).as("c"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+        .agg(
+          count(col("v")).as("n_view"),
+          count(when(col("c") > col("v"), lit(1))).as("n_view_then_click"),
+          count(when(col("c") > col("v") && col("p") > col("c"), lit(1))).as("n_full_funnel"))),
+
     // ---- LLM-pipeline: multimodal plumbing ----
     "q43_multimodal" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain")
@@ -1141,6 +1171,32 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_unique,
         |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_shingles, 6) AS rep_score
         |FROM agg WHERE n_shingles > 0 ORDER BY doc_id""".stripMargin,
+
+    "q62_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |         OR date_diff('second', LAG(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |  CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS start_ts, MAX(ts) AS end_ts
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q63_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'view') AS v,
+        |    MIN(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'click') AS c,
+        |    MIN(CAST(ts AS TIMESTAMP)) FILTER (WHERE event_type = 'purchase') AS p
+        |  FROM events GROUP BY 1)
+        |SELECT COUNT(v) AS n_view,
+        |  COUNT(*) FILTER (WHERE c > v) AS n_view_then_click,
+        |  COUNT(*) FILTER (WHERE c > v AND p > c) AS n_full_funnel
+        |FROM f""".stripMargin,
 
     // q43: decodeStub's rolling checksum (h*31 + byte, wrapping 64-bit)
     // reproduced over the UTF-8 bytes with HUGEINT modular arithmetic
