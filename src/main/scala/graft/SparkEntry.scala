@@ -617,6 +617,17 @@ object SparkEntry {
           count(when(col("c") > col("v"), lit(1))).as("n_view_then_click"),
           count(when(col("c") > col("v") && col("p") > col("c"), lit(1))).as("n_full_funnel"))),
 
+    // ---- sequence packing (concat-then-chop) for pretraining batches ----
+    "q64_pack_sequences" -> ((s, dir) =>
+      graft.text.TextPipelines.packSequences(Tables.documents(s, dir), capacity = 2048)
+        .orderBy(col("doc_id"))),
+
+    // ---- deterministic stratified systematic sample ----
+    "q65_stratified_sample" -> ((s, dir) =>
+      graft.text.TextPipelines.stratifiedSample(
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang")), "source", k = 10)
+        .orderBy(col("doc_id"))),
+
     // ---- LLM-pipeline: multimodal plumbing ----
     "q43_multimodal" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain")
@@ -1171,6 +1182,22 @@ object SparkEntry {
         |SELECT doc_id, n_shingles, n_unique,
         |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_shingles, 6) AS rep_score
         |FROM agg WHERE n_shingles > 0 ORDER BY doc_id""".stripMargin,
+
+    "q64_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(LEN($ToksCte) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS tok_before
+        |  FROM t)
+        |SELECT doc_id, n_tokens, tok_before // 2048 AS bin_id, tok_before % 2048 AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q65_stratified_sample" ->
+      """SELECT doc_id, source, lang FROM (
+        |  SELECT doc_id, source, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk % 10 = 1 ORDER BY doc_id""".stripMargin,
 
     "q62_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

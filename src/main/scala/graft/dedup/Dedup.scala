@@ -142,7 +142,8 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    val sigs = minHashSignatures(docs, textCol, idCol, k, shingleK, seed)
+    // persisted: both sides of the band self-join reference this projection
+    val sigs = minHashSignatures(docs, textCol, idCol, k, shingleK, seed).persist()
 
     val bandHashes = (0 until bands).map(b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)))
     val banded = sigs

@@ -39,6 +39,50 @@ object TextPipelines {
       .select(col("doc_id"), col("rank"), col("term"), round(col("score"), 6).as("score"))
   }
 
+  /** Sequence packing for pretraining batches, concat-then-chop strategy:
+    * documents are laid out in id order as one logical token stream and cut
+    * into fixed-capacity bins — bin = prefix-sum of preceding token counts
+    * div capacity. One window cumsum, no sequential state; deterministic.
+    * (Greedy whole-doc packing is a sequential state machine — this is the
+    * strategy that actually scales, and what packed-pretraining pipelines
+    * use.) Output: (doc_id, n_tokens, bin_id, bin_offset).
+    *
+    * The global id-ordered window is a deliberate bounded choice here; at
+    * 100 TB, run it per shard/partition key (bin ids then namespace by
+    * shard), which is how packed datasets are laid out anyway.
+    */
+  def packSequences(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      capacity: Int = 2048): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("tok_before") / capacity).cast("long").as("bin_id"),
+        pmod(col("tok_before"), lit(capacity)).as("bin_offset"))
+  }
+
+  /** Deterministic stratified systematic sample: every k-th doc per stratum
+    * in id order (rank % k == 1). Unlike seeded `sample()`, the selection is
+    * reproducible across engines, so it is differentially testable — and at
+    * scale it is one window per stratum, no driver state.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      stratumCol: String,
+      idCol: String = "doc_id",
+      k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
+    docs
+      .withColumn("rnk", row_number().over(w))
+      .filter(pmod(col("rnk"), lit(k)) === 1)
+      .drop("rnk")
+  }
+
   /** Per-doc repetition score: 1 − distinct/total k-token shingles — the
     * standard boilerplate/repetition quality signal. Map-only over the
     * native shingle expressions; docs with no shingles (< k tokens) are
