@@ -30,7 +30,14 @@ object Bench {
 
     // Optional comma-separated query filter for local profiling
     // (e.g. SPARK_GRAFT_QUERIES=q40_minhash_neardups,q42_ann_lsh).
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    // Unknown names fail fast — a typo must not silently bench nothing.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_QUERIES: ${unknown.mkString(", ")}")
+      require(names.nonEmpty, "SPARK_GRAFT_QUERIES is set but names no queries")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -39,6 +46,9 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name%-24s ${sec}%8.2f s")
+      // isolate queries: drop operator-internal persists so no query is
+      // timed against another query's warm cache (and memory stays bounded)
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -48,45 +48,42 @@ case class HyperplaneSignature(child: Expression, dim: Int, bits: Int, seed: Lon
     Array.fill(bits)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val vec = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSignature.signature(input.asInstanceOf[ArrayData], planes, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    val helper = HyperplaneSignature.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $helper.signature($v, $planesRef, $dim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSignature {
+  /** Shared by interpreted eval and generated code. Matches the HOF
+    * reference formulation exactly, including its degenerate cases: a
+    * wrong-length vector or any null element nulls every `zip_with`
+    * `aggregate` dot there, clearing every bit — so here too those rows get
+    * signature 0 rather than a silently-truncated partial dot.
+    */
+  def signature(vec: ArrayData, planes: Array[Array[Double]], dim: Int): Long = {
+    val n = vec.numElements()
+    if (n != dim) return 0L
+    var j = 0
+    while (j < n) { if (vec.isNullAt(j)) return 0L; j += 1 }
     var sig = 0L
     var b = 0
-    while (b < bits) {
+    while (b < planes.length) {
       val p = planes(b)
-      val n = math.min(vec.numElements(), p.length)
       var d = 0.0
-      var j = 0
+      j = 0
       while (j < n) { d += vec.getDouble(j) * p(j); j += 1 }
       if (d >= 0.0) sig |= (1L << b)
       b += 1
     }
     sig
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
-    nullSafeCodeGen(ctx, ev, v => {
-      val sig = ctx.freshName("sig")
-      val b = ctx.freshName("b")
-      val p = ctx.freshName("p")
-      val n = ctx.freshName("n")
-      val d = ctx.freshName("d")
-      val j = ctx.freshName("j")
-      s"""
-         |long $sig = 0L;
-         |for (int $b = 0; $b < $bits; $b++) {
-         |  double[] $p = $planesRef[$b];
-         |  int $n = java.lang.Math.min($v.numElements(), $p.length);
-         |  double $d = 0.0;
-         |  for (int $j = 0; $j < $n; $j++) { $d += $v.getDouble($j) * $p[$j]; }
-         |  if ($d >= 0.0) $sig |= (1L << $b);
-         |}
-         |${ev.value} = $sig;
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
 }

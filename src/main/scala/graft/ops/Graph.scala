@@ -60,6 +60,12 @@ object Graph {
       it += 1
     }
     sym.unpersist()
+    // Never return unconverged labels silently: a component with diameter >
+    // maxIters would be split into several clusters and downstream dedup
+    // would quietly keep duplicates.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters (graph diameter exceeds it)")
     labels.select(col("id"), col("lab").as("rep"))
   }
 }

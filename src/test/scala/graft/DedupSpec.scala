@@ -71,6 +71,51 @@ class DedupSpec extends SparkSpec {
     assert(found.size >= 45, s"only ${found.size}/50 twins found") // LSH is probabilistic; ≥90% recall
   }
 
+  test("gate canary: MinHash candidates have FULL recall on fixture true pairs (q40/q59 invariant)") {
+    // Banded MinHash (16x4) has <100% candidate probability for pairs with
+    // jaccard in roughly [0.5, 0.8); q40/q59's exhaustive-oracle equality
+    // holds because, with the fixed seed and current fixtures, every true
+    // pair IS a candidate. If fixture data or the seed ever shifts that,
+    // fail HERE with a clear message, not as a confusing driver hash
+    // mismatch.
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val d = base.union(base.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz"))))
+    val exact = Dedup.ngramJaccardPairs(d, threshold = 0.5).select("id_a", "id_b")
+    val found = Dedup.minHashVerifiedNearDups(d, threshold = 0.5).select("id_a", "id_b")
+    val missed = exact.exceptAll(found).count()
+    assert(missed == 0,
+      s"$missed true pairs (jaccard >= 0.5) missed by MinHash-LSH candidates — " +
+        "q40/q59 oracles will hash-mismatch; widen bands or adjust the threshold")
+  }
+
+  test("gate canary: SimHash hamming of true pairs stays under the probe bound (q41 invariant)") {
+    // Multi-probe pigeonhole covers hamming <= 11; measured fixture max is
+    // 7-8. Assert margin >= 2 so data drift surfaces here first.
+    import graft.functions.TextFunctions
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val d = base.union(base.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz"))))
+      .filter(TextFunctions.tokenCount(col("text")) >= 50)
+    val tf = d.select(col("doc_id").as("id"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+    val norms = tf.groupBy("id").agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+    val cos = tf.select(col("tok"), col("id").as("id_a"), col("c").as("ca"))
+      .join(tf.select(col("tok"), col("id").as("id_b"), col("c").as("cb")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(sum(col("ca") * col("cb")).as("dot"))
+      .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), "id_b")
+      .filter(col("dot").cast("double") / (col("na") * col("nb")) >= 0.95)
+    val sigs = Dedup.simHashSignatures(d)
+    val maxHam = cos
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+      .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("ham"))
+      .agg(max(col("ham"))).collect()(0).getInt(0)
+    assert(maxHam <= 9,
+      s"true-pair SimHash hamming reached $maxHam (probe bound 11, want margin >= 2) — " +
+        "q41's oracle equality is at risk; widen chunks/probes or raise minTokens")
+  }
+
   test("minhash est_jaccard approximates exact jaccard on a known pair") {
     val d = docs(
       (1L, "a b c d e f g h i j"),
