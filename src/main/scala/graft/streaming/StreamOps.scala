@@ -36,6 +36,27 @@ object StreamOps {
         col("event_type"), col("n"), col("total_value"))
   }
 
+  /** Streaming exact dedup on a normalized-content digest: the first
+    * arrival of each content key passes, duplicates are suppressed, and —
+    * via `dropDuplicatesWithinWatermark` — dedup state for keys older than
+    * the watermark delay is evicted, so state stays bounded at any stream
+    * length (classic `dropDuplicates` on a stream retains every key
+    * forever). The streaming analogue of [[graft.dedup.Dedup.exactDedup]]:
+    * the same digest keying, so a batch backfill and the streaming path
+    * agree on what counts as a duplicate.
+    */
+  def dedupStream(
+      docs: DataFrame, // needs ts: timestamp + textCol
+      tsCol: String = "ts",
+      textCol: String = "text",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val keyed = docs.withColumn("content_key",
+      md5(graft.functions.TextFunctions.normalize(col(textCol))))
+    if (keyed.isStreaming)
+      keyed.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark("content_key")
+    else keyed.dropDuplicates("content_key")
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -40,6 +40,31 @@ class StreamOpsSpec extends SparkSpec {
       && r.getAs[Long]("n") == 2 && r.getAs[Double]("total_value") == 3.0))
   }
 
+  test("dedupStream: suppresses duplicate content within the watermark; batch path = exact dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val q = StreamOps.dedupStream(df, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    mem.addData(
+      (ts("2026-01-01 10:00:00"), "Hello  World"),
+      (ts("2026-01-01 10:05:00"), "hello world"), // same normalized content
+      (ts("2026-01-01 10:10:00"), "something else"))
+    q.processAllAvailable()
+    mem.addData((ts("2026-01-01 10:20:00"), "HELLO WORLD ")) // still duplicate
+    q.processAllAvailable()
+    val n = spark.table("dedup_out").count()
+    q.stop()
+    assert(n == 2, s"expected 2 unique contents, got $n")
+
+    // batch path: same digest keying as Dedup.exactDedup
+    val batch = Seq(
+      (ts("2026-01-01 10:00:00"), "Hello  World"),
+      (ts("2026-01-01 10:05:00"), "hello world"),
+      (ts("2026-01-01 10:10:00"), "something else")).toDF("ts", "text")
+    assert(StreamOps.dedupStream(batch).count() == 2)
+  }
+
   test("sessionize: batch path splits on gaps and aggregates per session") {
     val evs = Seq(
       StreamOps.Ev(1L, ts("2026-01-01 10:00:00"), 1.0),
