@@ -78,6 +78,21 @@ object Demo {
     val sessions = streaming.StreamOps.sessionize(fakeEvents, gapMinutes = 2 * 24 * 60)
     println(s"[demo] sessionize: ${sessions.count()} sessions from ${fakeEvents.count()} events")
 
+    // 7. training-data pipeline: near-dup pairs -> clusters -> dedup'd,
+    //    packed corpus
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"), col("text"))
+    val withDups = docs.union(docs.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz")).as("text")))
+    val pairs = dedup.Dedup.minHashVerifiedNearDups(withDups, threshold = 0.5).select("id_a", "id_b")
+    val clusters = ops.Graph.connectedComponents(pairs)
+    val keep = withDups.join(clusters.filter(col("id") =!= col("rep"))
+      .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+    println(s"[demo] dedup: ${withDups.count()} docs -> ${keep.count()} after cluster dedup " +
+      s"(${clusters.count()} docs in ${clusters.select("rep").distinct().count()} near-dup clusters)")
+    val packed = text.TextPipelines.packSequences(keep, capacity = 2048)
+    val binStats = packed.groupBy("bin_id").agg(count(lit(1)).as("docs"))
+    println(s"[demo] packed into ${binStats.count()} bins of 2048 tokens " +
+      s"(avg ${packed.count() / math.max(binStats.count(), 1)} docs/bin)")
+
     spark.stop()
   }
 }
