@@ -252,11 +252,13 @@ object Dedup {
       idCol: String = "doc_id",
       minTokens: Int = 50,
       cosThreshold: Double = 0.95): DataFrame = {
-    val d = docs.filter(tokenCount(col(textCol)) >= minTokens)
-    // Persisted: sigs feeds both probe sides, tf feeds both verify sides plus
-    // the norms — uncached, the doc scan + token explode re-runs per
-    // reference (measured ~2.5x the whole query). At production scale,
-    // checkpoint signatures/term vectors to tables instead.
+    // Persisted projections: the filtered docs feed both the signature and
+    // term-vector builds, sigs feed both probe sides, and the doc vectors
+    // feed both verify sides — uncached, the doc scan + interpreted token
+    // filter re-runs per reference (measured ~2.5x the whole query). At
+    // production scale, checkpoint signatures/term vectors to tables
+    // instead.
+    val d = docs.filter(tokenCount(col(textCol)) >= minTokens).persist()
     val sigs = simHashSignatures(d, textCol, idCol).persist()
 
     val chunks = 4
