@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.extensions.GraftExtensions
+import graft.functions.TextFunctions
+import graft.similarity.Similarity
+
+/** Seeded fuzz: the native expressions must match their column-expression
+  * reference formulations on arbitrary text — multi-byte UTF-8, surrogate
+  * pairs, every Java-regex `\s` whitespace char, empty/blank strings —
+  * not just the (ASCII, single-spaced) fixture corpus.
+  */
+class NativeFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val alphabet: Vector[String] =
+    Vector("a", "b", "z", "Q", "0", "9", ".", ",", "'",
+      "é", "ü", "ñ", "ح", "中", "文", "и", "𝄞", "🙂", // 2-4 byte UTF-8 incl. surrogate pairs
+      " ", " ", " ", "\t", "\n", "\r", "\f", "", "  ")
+
+  private def fuzzStrings(n: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(80)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    } :+ "" :+ " " :+ "\t\n" :+ "ció que sch the"
+  }
+
+  test("fuzz: shingle_strings/shingle_hashes match the HOF chain on arbitrary unicode text") {
+    GraftExtensions.register(spark)
+    val df = fuzzStrings(400, seed = 7L).toDF("text")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val diff = df.select(
+        TextFunctions.shinglesHof(col("text"), k).as("hof_s"),
+        GraftExtensions.shingle_strings(col("text"), lit(k)).as("nat_s"),
+        TextFunctions.shingleHashesHof(col("text"), k).as("hof_h"),
+        GraftExtensions.shingle_hashes(col("text"), lit(k)).as("nat_h"))
+        .filter(col("hof_s") =!= col("nat_s") || col("hof_h") =!= col("nat_h"))
+      assert(diff.count() == 0, s"k=$k: ${diff.collect().take(3).mkString("; ")}")
+    }
+  }
+
+  test("fuzz: lang_id_ngram matches the regex formulation on arbitrary unicode text") {
+    GraftExtensions.register(spark)
+    val df = fuzzStrings(400, seed = 11L).toDF("text")
+    val diff = df.select(col("text"),
+      TextFunctions.langIdNgramRegex(col("text")).as("rx"),
+      GraftExtensions.lang_id_ngram(col("text")).as("nat"))
+      .filter(col("rx") =!= col("nat"))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("fuzz: hyperplane_sig matches the HOF on random vectors; degenerate inputs give 0") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(13L)
+    val vecs = (0 until 200).map(_ => Seq.fill(16)(rnd.nextGaussian() * 10))
+    val df = vecs.toDF("v")
+    val diff = df.select(
+      Similarity.hofHyperplaneSignature(col("v"), 16, 12, 99L).as("hof"),
+      GraftExtensions.hyperplane_sig(col("v"), lit(16), lit(12), lit(99L)).as("nat"))
+      .filter(col("hof") =!= col("nat"))
+    assert(diff.count() == 0)
+    // wrong length and null elements → 0, matching the HOF's null-propagated bits
+    val deg = spark.sql(
+      """SELECT hyperplane_sig(array(1.0D, 2.0D), 16, 12, 99) AS short,
+        |       hyperplane_sig(CAST(array(1.0, NULL, 3.0) AS ARRAY<DOUBLE>), 3, 12, 99) AS withnull
+        |""".stripMargin).collect().head
+    assert(deg.getLong(0) == 0L && deg.getLong(1) == 0L)
+  }
+
+  test("fuzz: sparse_dot matches a scala-side merge on random term vectors") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(17L)
+    val terms = Vector("a", "b", "ció", "中文", "zz", "q1", "x", "yy")
+    val cases = (0 until 200).map { _ =>
+      def vec() = rnd.shuffle(terms).take(rnd.nextInt(terms.size + 1))
+        .map(t => (t, rnd.nextInt(20).toLong + 1)).sortBy(_._1).toSeq
+      (vec(), vec())
+    }
+    val expected = cases.map { case (a, b) =>
+      val bm = b.toMap
+      a.map { case (t, c) => c * bm.getOrElse(t, 0L) }.sum
+    }
+    val df = cases.toDF("a", "b")
+    val got = df.select(GraftExtensions.sparse_dot(col("a"), col("b"))).as[Long].collect()
+    assert(got.toSeq == expected, "sparse_dot mismatch vs scala merge")
+  }
+}
