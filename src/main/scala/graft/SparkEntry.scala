@@ -68,14 +68,13 @@ object SparkEntry {
       Analytics.campaignDailyMetrics(s, dir)
         .select(col("user_id"), col("dt"), col("impressions"), col("clicks"),
           col("spend"), col("conversions"),
-          round(col("ctr"), 6).as("ctr"), round(col("cpm"), 6).as("cpm"),
-          round(col("cpc"), 6).as("cpc"), round(col("cpa"), 6).as("cpa"))
+          col("ctr"), col("cpm"), col("cpc"), col("cpa"))
         .orderBy(col("user_id"), col("dt"))),
 
     "q08_daily_avg" -> ((s, dir) =>
       Tables.orders(s, dir)
         .groupBy(col("o_orderdate").as("dt"))
-        .agg(round(Analytics.dsum(col("o_totalprice")) / count(lit(1)), 6).as("avg_price"), count(lit(1)).as("n"))
+        .agg((Analytics.dsum(col("o_totalprice")) / count(lit(1))).as("avg_price"), count(lit(1)).as("n"))
         .orderBy(col("dt"))),
 
     "q09_scorecard" -> ((s, dir) => Analytics.creativeScorecard(s, dir)),
@@ -207,7 +206,7 @@ object SparkEntry {
           sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(18,4)"))).cast("double").as("nation_vol"),
           sum(vol).cast("double").as("total_vol"))
         .select(col("o_year"),
-          round(col("nation_vol") / col("total_vol"), 6).as("mkt_share"),
+          (col("nation_vol") / col("total_vol")).as("mkt_share"),
           col("total_vol"))
         .orderBy(col("o_year"))
     }),
@@ -270,7 +269,7 @@ object SparkEntry {
     "q14_nullsafe_div" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
-          round(KpiTransform.safeDiv(col("l_discount"), col("l_tax")), 6).as("disc_tax_ratio"))
+          KpiTransform.safeDiv(col("l_discount"), col("l_tax")).as("disc_tax_ratio"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // ---- set operations (§2.7) ----
@@ -327,7 +326,7 @@ object SparkEntry {
       // tiny daily aggregate. For an unbounded partition key, formulate as
       // partitionBy(year) with a 6-row boundary carry instead.
       val w = Window.orderBy(col("dt")).rowsBetween(-6, Window.currentRow)
-      daily.select(col("dt"), round(sum(col("rev").cast("decimal(18,2)")).over(w).cast("double") / count(lit(1)).over(w), 6).as("movavg7"))
+      daily.select(col("dt"), (sum(col("rev").cast("decimal(18,2)")).over(w).cast("double") / count(lit(1)).over(w)).as("movavg7"))
         .orderBy(col("dt"))
     }),
 
@@ -387,9 +386,9 @@ object SparkEntry {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          round(TextFunctions.avgTokenLen(col("text")), 6).as("avg_token_len"),
-          round(TextFunctions.punctRatio(col("text")), 6).as("punct_ratio"),
-          round(TextFunctions.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+          TextFunctions.avgTokenLen(col("text")).as("avg_token_len"),
+          TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
           TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
@@ -448,7 +447,7 @@ object SparkEntry {
             .cast("double").as("promo_rev"),
           sum(rev).cast("double").as("total_rev"))
         .select(col("promo_rev"), col("total_rev"),
-          round(col("promo_rev") / col("total_rev"), 6).as("promo_share"))
+          (col("promo_rev") / col("total_rev")).as("promo_share"))
     }),
 
     // ---- JSON extraction (events.props) ----
@@ -700,10 +699,10 @@ object SparkEntry {
         |         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS conversions
         |  FROM events GROUP BY 1, 2)
         |SELECT user_id, dt, impressions, clicks, spend, conversions,
-        |  ROUND(CASE WHEN impressions = 0 THEN 0 ELSE CAST(clicks AS DOUBLE) / impressions END, 6) AS ctr,
-        |  ROUND(CASE WHEN impressions = 0 THEN 0 ELSE CAST(spend AS DOUBLE) / impressions END * 1000, 6) AS cpm,
-        |  ROUND(CASE WHEN clicks = 0 THEN 0 ELSE CAST(spend AS DOUBLE) / clicks END, 6) AS cpc,
-        |  ROUND(CASE WHEN conversions = 0 THEN 0 ELSE CAST(spend AS DOUBLE) / conversions END, 6) AS cpa
+        |  CASE WHEN impressions = 0 THEN 0 ELSE CAST(clicks AS DOUBLE) / impressions END AS ctr,
+        |  CASE WHEN impressions = 0 THEN 0 ELSE CAST(spend AS DOUBLE) / impressions END * 1000 AS cpm,
+        |  CASE WHEN clicks = 0 THEN 0 ELSE CAST(spend AS DOUBLE) / clicks END AS cpc,
+        |  CASE WHEN conversions = 0 THEN 0 ELSE CAST(spend AS DOUBLE) / conversions END AS cpa
         |FROM daily ORDER BY user_id, dt""".stripMargin,
 
     "q03_anti_join" ->
@@ -740,12 +739,12 @@ object SparkEntry {
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q08_daily_avg" ->
-      """SELECT CAST(o_orderdate AS DATE) AS dt, ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price, COUNT(*) AS n
+      """SELECT CAST(o_orderdate AS DATE) AS dt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price, COUNT(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q09_scorecard" ->
       """SELECT event_type, COUNT(*) AS impressions, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1 ORDER BY impressions DESC, event_type LIMIT 10""".stripMargin,
 
     "q10_counts" ->
@@ -768,7 +767,7 @@ object SparkEntry {
 
     "q14_nullsafe_div" ->
       """SELECT l_orderkey, l_linenumber,
-        |  ROUND(CASE WHEN l_tax = 0 OR l_tax IS NULL THEN 0 ELSE l_discount / l_tax END, 6) AS disc_tax_ratio
+        |  CASE WHEN l_tax = 0 OR l_tax IS NULL THEN 0 ELSE l_discount / l_tax END AS disc_tax_ratio
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q15_union" ->
@@ -808,8 +807,8 @@ object SparkEntry {
       """WITH daily AS (
         |  SELECT CAST(o_orderdate AS DATE) AS dt, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1)
-        |SELECT dt, ROUND(CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |  / COUNT(*) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS movavg7
+        |SELECT dt, CAST(SUM(CAST(rev AS DECIMAL(18,2))) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |  / COUNT(*) OVER (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS movavg7
         |FROM daily ORDER BY dt""".stripMargin,
 
     "q54_pivot" ->
@@ -867,7 +866,7 @@ object SparkEntry {
         |  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_rev,
         |         CAST(SUM(rev) AS DOUBLE) AS total_rev
         |  FROM j)
-        |SELECT promo_rev, total_rev, ROUND(promo_rev / total_rev, 6) AS promo_share FROM t""".stripMargin,
+        |SELECT promo_rev, total_rev, promo_rev / total_rev AS promo_share FROM t""".stripMargin,
 
     "q27_json_extract" ->
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, COUNT(*) AS n,
@@ -940,11 +939,10 @@ object SparkEntry {
 
     "q58_market_share" ->
       """SELECT YEAR(CAST(o_orderdate AS DATE)) AS o_year,
-        |  ROUND(
-        |    CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
-        |                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
-        |                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+        |           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        |           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_vol
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -1019,7 +1017,7 @@ object SparkEntry {
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT id_a, id_b,
-        |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+        |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
         |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
@@ -1033,9 +1031,9 @@ object SparkEntry {
         |       ELSE CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / LENGTH(text) END AS praw
         |  FROM t)
         |SELECT doc_id, CAST(n AS INT) AS n_tokens,
-        |  ROUND(CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / n END, 6) AS avg_token_len,
-        |  ROUND(praw, 6) AS punct_ratio,
-        |  ROUND(CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n END, 6) AS stopword_ratio,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, x -> LENGTH(x))) AS DOUBLE) / n END AS avg_token_len,
+        |  praw AS punct_ratio,
+        |  CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n END AS stopword_ratio,
         |  ROUND((LEAST(CAST(n AS DOUBLE) / 100.0, 1.0)
         |       + LEAST(CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n END * 5.0, 1.0)
         |       + GREATEST(1.0 - praw * 10.0, 0.0)) / 3.0, 6) AS quality
@@ -1108,7 +1106,7 @@ object SparkEntry {
     "q40_minhash_neardups" ->
       s"""WITH $ShingleCommonCtes
         |SELECT id_a, id_b,
-        |  ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6) AS jaccard
+        |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
         |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
@@ -1127,7 +1125,7 @@ object SparkEntry {
         |norms AS (SELECT doc_id, SQRT(CAST(SUM(c*c) AS DOUBLE)) AS nrm FROM tf GROUP BY 1),
         |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.c*b.c) AS DOUBLE) AS dot
         |         FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos
+        |SELECT id_a, id_b, dot / (na.nrm * nb.nrm) AS cos
         |FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
         |WHERE dot / (na.nrm * nb.nrm) >= 0.95
         |ORDER BY id_a, id_b""".stripMargin,
@@ -1180,7 +1178,7 @@ object SparkEntry {
         |agg AS (SELECT doc_id, COUNT(*) AS n_shingles, COUNT(DISTINCT s) AS n_unique
         |        FROM sh GROUP BY 1)
         |SELECT doc_id, n_shingles, n_unique,
-        |  ROUND(1.0 - CAST(n_unique AS DOUBLE) / n_shingles, 6) AS rep_score
+        |  1.0 - CAST(n_unique AS DOUBLE) / n_shingles AS rep_score
         |FROM agg WHERE n_shingles > 0 ORDER BY doc_id""".stripMargin,
 
     "q64_pack_sequences" ->

@@ -72,7 +72,7 @@ object Analytics {
       .agg(
         count(lit(1)).as("impressions"),
         dsum(col("value")).as("total_value"),
-        round(dsum(col("value")) / count(lit(1)), 6).as("avg_value"),
+        (dsum(col("value")) / count(lit(1))).as("avg_value"),
         count_distinct(col("user_id")).as("n_users"))
       .orderBy(col("impressions").desc, col("event_type"))
       .limit(k)

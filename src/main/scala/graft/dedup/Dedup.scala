@@ -168,7 +168,7 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
           .as("j_raw"))
       .filter(col("j_raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j_raw"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("j_raw").as("jaccard"))
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -315,7 +315,7 @@ object Dedup {
         (graft.extensions.GraftExtensions.sparse_dot(col("va"), col("vb")).cast("double") /
           (col("na") * col("nb"))).as("cos_raw"))
       .filter(col("cos_raw") >= cosThreshold)
-      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), col("cos_raw").as("cos"))
   }
 
   // ---------------------------------------------------- embedding near-dup
@@ -390,6 +390,6 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common"))).as("j_raw"))
       .filter(col("j_raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("j_raw"), 6).as("jaccard"))
+      .select(col("id_a"), col("id_b"), col("j_raw").as("jaccard"))
   }
 }

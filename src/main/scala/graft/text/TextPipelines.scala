@@ -99,6 +99,6 @@ object TextPipelines {
         size(array_distinct(sh)).as("n_unique"))
       .filter(col("n_shingles") > 0)
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
-        round(lit(1.0) - col("n_unique").cast("double") / col("n_shingles"), 6).as("rep_score"))
+        (lit(1.0) - col("n_unique").cast("double") / col("n_shingles")).as("rep_score"))
   }
 }
