@@ -62,7 +62,8 @@ object TextPipelines {
       .select(col(idCol).as("doc_id"), TextFunctions.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("n_tokens"),
-        (col("tok_before") / capacity).cast("long").as("bin_id"),
+        // integer division (not double divide + cast) — exact at any corpus size
+        expr(s"tok_before div $capacity").as("bin_id"),
         pmod(col("tok_before"), lit(capacity)).as("bin_offset"))
   }
 
