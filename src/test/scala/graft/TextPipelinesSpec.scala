@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextPipelines
+
+class TextPipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: prefix-sum binning invariants on fixtures") {
+    val docs = Tables.documents(spark, sfDir)
+    val packed = TextPipelines.packSequences(docs, capacity = 100).cache()
+    // offsets stay inside the bin
+    assert(packed.filter(col("bin_offset") < 0 || col("bin_offset") >= 100).count() == 0)
+    // bin ids are contiguous from 0
+    val bins = packed.select("bin_id").distinct().as[Long].collect().sorted
+    assert(bins.head == 0L && bins.sameElements(bins.head to bins.last))
+    // reconstruction: bin_id * capacity + bin_offset == running prefix sum
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expect = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("before", coalesce(sum(col("n")).over(w), lit(0L)))
+    val bad = packed.join(expect, "doc_id")
+      .filter(col("bin_id") * 100 + col("bin_offset") =!= col("before"))
+    assert(bad.count() == 0)
+  }
+
+  test("stratifiedSample: every k-th per stratum, deterministic") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = TextPipelines.stratifiedSample(docs, "source", k = 10)
+    val s2 = TextPipelines.stratifiedSample(docs, "source", k = 10)
+    assert(s1.exceptAll(s2).count() == 0 && s2.exceptAll(s1).count() == 0)
+    // per-stratum sample size = ceil(stratum size / 10)
+    val sizes = docs.groupBy("source").count()
+      .join(s1.groupBy("source").agg(count(lit(1)).as("sampled")), "source")
+    val wrong = sizes.filter(col("sampled") =!= ceil(col("count") / 10.0).cast("long"))
+    assert(wrong.count() == 0)
+    // lowest doc_id of each stratum is always selected (rank 1)
+    val firsts = docs.groupBy("source").agg(min("doc_id").as("doc_id"))
+    assert(firsts.join(s1, Seq("source", "doc_id"), "left_anti").count() == 0)
+  }
+
+  test("tfIdfTopTerms: k rows per doc with >= k distinct terms, rank order matches score order") {
+    val top = TextPipelines.tfIdfTopTerms(Tables.documents(spark, sfDir), k = 3).cache()
+    val counts = top.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(counts.filter(col("n") > 3).count() == 0)
+    // within a doc, scores are non-increasing with rank
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("rank"))
+    val bad = top.withColumn("prev", lag(col("score"), 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.count() == 0)
+  }
+}
