@@ -80,7 +80,10 @@ object Demo {
 
     // 7. training-data pipeline: near-dup pairs -> clusters -> dedup'd,
     //    packed corpus
-    val docs = Tables.documents(spark, "/root/testdata/sf0.001").select(col("doc_id"), col("text"))
+    // fixture dir is overridable so the demo runs on any machine with the
+    // parquet layout, not just the driver container
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val withDups = docs.union(docs.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz")).as("text")))
     val pairs = dedup.Dedup.minHashVerifiedNearDups(withDups, threshold = 0.5).select("id_a", "id_b")
     val clusters = ops.Graph.connectedComponents(pairs)

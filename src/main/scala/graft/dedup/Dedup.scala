@@ -95,8 +95,8 @@ object Dedup {
     val rows = k / bands
     // explode drops docs with <shingleK tokens (no shingles → no rows).
     // Persisted because the plan references it 4× (two band sides + two
-    // signature joins); at production scale checkpoint sigs to a table
-    // instead of recomputing per query.
+    // signature joins); released via Caching.materialize below — at
+    // production scale checkpoint sigs to a table instead.
     val sigs = minHashSignatures(docs, textCol, idCol, k, 3, seed).persist()
 
     val bandHashes = (0 until bands).map(b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)))
@@ -113,13 +113,14 @@ object Dedup {
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // pairs sharing several bands verify once
 
-    pairs
+    val estimated = pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m)).cast("double") / k)
           .as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+    graft.util.Caching.materialize(estimated, sigs)
   }
 
   /** MinHash-LSH candidate pairs verified with EXACT shingle Jaccard: the
@@ -142,8 +143,32 @@ object Dedup {
       shingleK: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val rows = k / bands
-    // persisted: both sides of the band self-join reference this projection
-    val sigs = minHashSignatures(docs, textCol, idCol, k, shingleK, seed).persist()
+    // ONE native shingling pass over the corpus: the distinct shingle-HASH
+    // array per doc feeds BOTH the MinHash signatures (explode + codegen'd
+    // multi-min aggregate) and the exact-Jaccard verification. Jaccard over
+    // the distinct hash sets equals Jaccard over the shingle strings
+    // (xxhash64 collisions are negligible, and the exhaustive string-side
+    // oracle would expose one) — and long-array intersection is far cheaper
+    // than string-array intersection. Round 2 re-shingled the corpus for
+    // verification; that second pass was most of q40's cost.
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        shingleHashes(docs.sparkSession, col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+
+    val perms = permParams(k, seed)
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(pmod(col("h"), lit(MinHashP)) * a + b, lit(MinHashP))).as(s"m$i")
+    }
+    // same explode + multi-min shape (and identical signature values) as
+    // minHashSignatures, reading the cached hash arrays
+    val sigs = hashed
+      .select(col("id"), explode(col("sh")).as("h"))
+      .groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+      .persist()
 
     val bandHashes = (0 until bands).map(b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)))
     val banded = sigs
@@ -156,19 +181,20 @@ object Dedup {
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Exact verification on candidates only: distinct shingle sets joined in,
-    // |A∩B| / |A∪B|; threshold the RAW value, round only for display.
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(docs.sparkSession, col(textCol), shingleK)).as("sh"))
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    // Exact verification on candidates only, over the cached hash arrays;
+    // the intersection is projected ONCE (a separate Project node — round 2
+    // computed it twice inside one projection). Threshold the RAW value,
+    // round only for display.
+    val sets = hashed.select(col("id"), col("sh"), size(col("sh")).as("n"))
+    val verified = pairs
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - size(array_intersect(col("sh_a"), col("sh_b")))))
-          .as("j_raw"))
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common"))).as("j_raw"))
       .filter(col("j_raw") >= threshold)
       .select(col("id_a"), col("id_b"), col("j_raw").as("jaccard"))
+    graft.util.Caching.materialize(verified, hashed, sigs)
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -245,47 +271,88 @@ object Dedup {
     *
     * Verification computes exact cosine over (token, count) vectors for
     * candidate pairs only — O(candidates · tokens), never O(n²).
+    *
+    * `broadcastDocLimit` bounds the broadcast-hinted joins IN CODE: the
+    * probe table is ~68 slim rows/doc (~2.5 KB) and the term vectors ~one
+    * ~10 KB row/doc, so past ~10⁵ eligible docs the hints would exceed any
+    * sane broadcast budget — beyond the limit the exact same joins run as
+    * partitioned hash joins on (chunk, pval) / id with no other change
+    * (exercised by DedupSpec's no-hint path).
     */
   def simHashCosineNearDups(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       minTokens: Int = 50,
-      cosThreshold: Double = 0.95): DataFrame = {
-    // Persisted projections: the filtered docs feed both the signature and
-    // term-vector builds, sigs feed both probe sides, and the doc vectors
-    // feed both verify sides — uncached, the doc scan + interpreted token
-    // filter re-runs per reference (measured ~2.5x the whole query). At
-    // production scale, checkpoint signatures/term vectors to tables
-    // instead.
-    val d = docs.filter(tokenCount(col(textCol)) >= minTokens).persist()
-    val sigs = simHashSignatures(d, textCol, idCol).persist()
+      cosThreshold: Double = 0.95,
+      broadcastDocLimit: Long = 100000L): DataFrame = {
+    val spark = docs.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+
+    // ONE tokenization pass (native ws_tokens, codegen'd) and ONE per-doc
+    // aggregation over the corpus: the sorted (term, count) vector is built
+    // once and yields the minTokens filter (sum of counts), the 64-bit
+    // signature (native simhash64 over the vector — identical values to
+    // per-occurrence ±1 votes) AND the verification vectors + norms. Round
+    // 2 tokenized the corpus three times through the interpreted HOF
+    // tokenizer and aggregated twice more (votes, term vectors) — together
+    // the single largest cost in the whole bench. At production scale,
+    // checkpoint this frame to a table instead.
+    //
+    // Docs below `minTokens` are excluded: SimHash over a handful of tokens
+    // doesn't concentrate (measured: hamming up to 17 for near-identical
+    // short docs vs <= 9 for >=50-token docs).
+    val docvec = docs
+      .select(col(idCol).as("id"),
+        explode(graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(
+        sort_array(collect_list(struct(col("tok"), col("c")))).as("vec"),
+        sum(col("c")).as("nt"),
+        sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+      .filter(col("nt") >= minTokens)
+      .select(col("id"), col("vec"), col("nrm"),
+        graft.extensions.GraftExtensions.simhash64(col("vec")).as("sig"))
+      .persist()
+    // one cheap job over the cached frame decides the broadcast hints below
+    val nEligible = docvec.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nEligible <= broadcastDocLimit) broadcast(df) else df
+    val sigs = docvec.select(col("id"), col("sig"))
 
     val chunks = 4
     val width = 16
     val mask = (1L << width) - 1
-    val probeExprs = for { c <- 0 until chunks; b <- -1 until width } yield {
-      val v = shiftrightunsigned(col("sig"), c * width).bitwiseAND(lit(mask))
-      val pv = if (b < 0) v else v.bitwiseXOR(lit(1L << b))
-      struct(lit(c).as("chunk"), pv.as("pval"))
-    }
-    // Probe rows carry the full signature so the join output can be cut to
+    // Probe rows: for each of the 4 chunks, the chunk value itself (probe
+    // index 0) plus all 16 single-bit flips — 68 rows/doc, generated from a
+    // flat probe-index sequence with per-row bit arithmetic rather than a
+    // 68-literal struct array (whose generated code took janino longer to
+    // compile than the whole stage took to run).
+    //
+    // Rows carry the full signature so the join output can be cut to
     // hamming <= 11 (the probing coverage bound) by a codegen'd bit_count
     // BEFORE the dedup shuffle and the verify join — docs here are
     // correlated (shared vocabulary), so medium-similarity pairs collide on
     // probes constantly and would otherwise flood verification.
+    val pw = width + 1
     val probed = sigs
-      .select(col("id"), col("sig"), explode(array(probeExprs: _*)).as("p"))
-      .select(col("id"), col("sig"), col("p.chunk").as("chunk"), col("p.pval").as("pval"))
-    // The probe side is (id, sig, chunk, pval) — ~68 slim rows per doc — so
-    // broadcasting one side turns this into a map-side hash join: colliding
-    // pair rows (heavily duplicated for near-identical signatures) are
-    // generated and ham-filtered inside one codegen stage instead of being
-    // shuffled to a sort-merge join (measured 25x faster at sf0.1). Beyond
-    // broadcast size (~billions of docs), drop the hint and let the
-    // partitioned hash join do the same thing per (chunk, pval) bucket.
+      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(chunks * pw - 1))).as("pi"))
+      .select(col("id"), col("sig"),
+        expr(s"CAST(pi DIV $pw AS INT)").as("chunk"),
+        expr(s"pi % $pw").as("pr"))
+      .select(col("id"), col("sig"), col("chunk"),
+        expr(s"CASE WHEN pr = 0 THEN shiftrightunsigned(sig, chunk * $width) & ${mask}L " +
+          s"ELSE (shiftrightunsigned(sig, chunk * $width) & ${mask}L) ^ shiftleft(1L, CAST(pr - 1 AS INT)) END")
+          .as("pval"))
+    // Broadcasting one probe side turns this into a map-side hash join:
+    // colliding pair rows (heavily duplicated for near-identical
+    // signatures) are generated and ham-filtered inside one codegen stage
+    // instead of being shuffled to a sort-merge join (measured 25x faster
+    // at sf0.1). Guarded by maybeBroadcast — past broadcastDocLimit the
+    // partitioned hash join does the same thing per (chunk, pval) bucket.
     val pairs = probed
-      .join(broadcast(probed.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      .join(maybeBroadcast(probed.select(col("id").as("id_b"), col("sig").as("sig_b"),
         col("chunk"), col("pval"))), Seq("chunk", "pval"))
       .filter(col("id") < col("id_b") &&
         // pigeonhole coverage bound: ham >= 3*chunks would allow every chunk
@@ -294,28 +361,20 @@ object Dedup {
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Exact token-frequency cosine for candidates only. One sorted
-    // (term, count) vector per doc, broadcast to both sides of the candidate
-    // pairs; the dot product is a native merge (sparse_dot) per pair — no
-    // pairs×terms shuffle. Integer dot + sqrt-of-integer norms mirror the
-    // oracle SQL's join-based formulation bit-for-bit.
-    val spark = docs.sparkSession
-    graft.extensions.GraftExtensions.register(spark)
-    val docvec = d
-      .select(col(idCol).as("id"), explode(tokens(lower(col(textCol)))).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("id").agg(
-        sort_array(collect_list(struct(col("tok"), col("c")))).as("vec"),
-        sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
-      .persist()
-    pairs
-      .join(broadcast(docvec.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))), "id_a")
-      .join(broadcast(docvec.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))), "id_b")
+    // Exact token-frequency cosine for candidates only, over the SAME
+    // cached vectors the signatures came from; the dot product is a native
+    // merge (sparse_dot) per pair — no pairs×terms shuffle. Integer dot +
+    // sqrt-of-integer norms mirror the oracle SQL's join-based formulation
+    // bit-for-bit.
+    val out = pairs
+      .join(maybeBroadcast(docvec.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na"))), "id_a")
+      .join(maybeBroadcast(docvec.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb"))), "id_b")
       .select(col("id_a"), col("id_b"),
         (graft.extensions.GraftExtensions.sparse_dot(col("va"), col("vb")).cast("double") /
           (col("na") * col("nb"))).as("cos_raw"))
       .filter(col("cos_raw") >= cosThreshold)
       .select(col("id_a"), col("id_b"), col("cos_raw").as("cos"))
+    graft.util.Caching.materialize(out, docvec)
   }
 
   // ---------------------------------------------------- embedding near-dup

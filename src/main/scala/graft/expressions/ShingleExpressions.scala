@@ -91,6 +91,37 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Tokens as an array — exactly `filter(split(text, "\\s+"), _ =!= "")`
+    * (no case folding; callers lower() first when they need it).
+    */
+  def wsTokens(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val (starts, ends, n) = tokenSpans(bytes)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = UTF8String.fromBytes(bytes, starts(i), ends(i) - starts(i))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Token count without materializing the array — `size(tokens(text))`. */
+  def tokenCount(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var i = 0
+    var count = 0
+    while (i < n) {
+      while (i < n && isSpace(bytes(i))) i += 1
+      if (i < n) {
+        count += 1
+        while (i < n && !isSpace(bytes(i))) i += 1
+      }
+    }
+    count
+  }
+
   def shingleHashes(lowered: UTF8String, k: Int, seed: Long): ArrayData = {
     val bytes = lowered.getBytes
     val (starts, ends, nTok) = tokenSpans(bytes)

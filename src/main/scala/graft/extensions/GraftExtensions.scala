@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.expressions.{CosineSimilarity, HyperplaneSignature, LangIdNgram, ShingleHashes, ShingleStrings, SparseDotProduct}
+import graft.expressions.{CosineSimilarity, HyperplaneSignature, LangIdNgram, ShingleHashes, ShingleStrings, SimHash64, SparseDotProduct, TokenCount, WsTokens}
 
 /** Session wiring for the engine's native expressions.
   *
@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.shingleStringsDescriptor)
     ext.injectFunction(GraftExtensions.shingleHashesDescriptor)
     ext.injectFunction(GraftExtensions.sparseDotDescriptor)
+    ext.injectFunction(GraftExtensions.wsTokensDescriptor)
+    ext.injectFunction(GraftExtensions.tokenCountDescriptor)
+    ext.injectFunction(GraftExtensions.simHash64Descriptor)
   }
 }
 
@@ -118,6 +121,36 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SparseDotProduct].getName, "sparse_dot"),
       sparseDotBuilder)
 
+  private val wsTokensBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1, "ws_tokens expects exactly 1 string argument")
+    WsTokens(exprs.head)
+  }
+
+  private val tokenCountBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1, "token_count expects exactly 1 string argument")
+    TokenCount(exprs.head)
+  }
+
+  private[extensions] val wsTokensDescriptor =
+    (new FunctionIdentifier("ws_tokens"),
+      new ExpressionInfo(classOf[WsTokens].getName, "ws_tokens"),
+      wsTokensBuilder)
+
+  private[extensions] val tokenCountDescriptor =
+    (new FunctionIdentifier("token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "token_count"),
+      tokenCountBuilder)
+
+  private val simHash64Builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1, "simhash64 expects exactly 1 term-vector argument")
+    SimHash64(exprs.head)
+  }
+
+  private[extensions] val simHash64Descriptor =
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      simHash64Builder)
+
   /** Unconditional cast to array<double> — children may be unresolved when
     * the builder runs (so no dataType inspection here); a same-type Cast is
     * removed by the optimizer's SimplifyCasts.
@@ -138,6 +171,12 @@ object GraftExtensions {
       "shingle_hashes", shingleHashesBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sparse_dot", sparseDotBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ws_tokens", wsTokensBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_count", tokenCountBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", simHash64Builder, "built-in")
     ()
   }
 
@@ -163,4 +202,11 @@ object GraftExtensions {
 
   /** DataFrame-API handle for the sorted-term-vector dot product. */
   def sparse_dot(a: Column, b: Column): Column = call_function("sparse_dot", a, b)
+
+  /** DataFrame-API handles for native whitespace tokenization. */
+  def ws_tokens(text: Column): Column = call_function("ws_tokens", text)
+  def token_count(text: Column): Column = call_function("token_count", text)
+
+  /** DataFrame-API handle for the term-vector SimHash signature. */
+  def simhash64(vec: Column): Column = call_function("simhash64", vec)
 }

@@ -19,6 +19,24 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Native codegen'd formulation of [[tokens]] (one fused byte scan per row
+    * vs the interpreted ArrayFilter-over-regex-split above, which is
+    * CodegenFallback). Byte-identical output — pinned by NativeFuzzSpec.
+    * Use in hot paths that explode tokens over a corpus.
+    */
+  def tokensNative(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    graft.extensions.GraftExtensions.register(spark)
+    graft.extensions.GraftExtensions.ws_tokens(text)
+  }
+
+  /** Native codegen'd formulation of [[tokenCount]] — counts without
+    * materializing the token array.
+    */
+  def tokenCountNative(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    graft.extensions.GraftExtensions.register(spark)
+    graft.extensions.GraftExtensions.token_count(text)
+  }
+
   /** Mean token length in characters; 0 for empty text. */
   def avgTokenLen(text: Column): Column = {
     val ts = tokens(text)

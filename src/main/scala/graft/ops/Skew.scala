@@ -64,18 +64,19 @@ object Skew {
     *
     * Single input scan: the per-key counts are persisted (they are the
     * aggregated, small side) and the grand total is re-derived from them, so
-    * `df` is never read twice. Caller may `.unpersist()` blocking via the
-    * returned plan's lineage once done; for a bounded diagnostic the cached
-    * aggregate is tiny.
+    * `df` is never read twice; the top-N result is materialized eagerly and
+    * the cache released before returning — no pinned blocks outlive the
+    * call.
     */
   def keyHistogram(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n")).persist()
     val total = counts.agg(sum(col("n")).cast("double").as("__total"))
-    counts
+    val out = counts
       .crossJoin(broadcast(total))
       .withColumn("share", round(col("n") / col("__total"), 6))
       .drop("__total")
       .orderBy(col("n").desc)
       .limit(topN)
+    graft.util.Caching.materialize(out, counts)
   }
 }

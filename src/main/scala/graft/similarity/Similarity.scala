@@ -109,8 +109,11 @@ object Similarity {
       iters: Int = 2): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
     // Each Lloyd round re-scans the corpus (seed job + iters assignment
-    // jobs); cache it across the fit like any iterative ML training.
-    corpus.persist()
+    // jobs); cache it across the fit like any iterative ML training — but
+    // only if the caller hasn't already, so the release below never clobbers
+    // a caller-owned cache.
+    val weCached = corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (weCached) corpus.persist()
     var centroids: Seq[Seq[Double]] = corpus
       .orderBy(col("id")).limit(nlist)
       .select(col("vec").cast("array<double>"))
@@ -125,6 +128,9 @@ object Similarity {
         byCell.get(c).fold(centroids(c))(ms => ms.sortBy(_._2).map(_._3).toSeq)
       }
     }
+    // the fit is over (all jobs above collected); don't leak the training
+    // cache into the caller's session
+    if (weCached) corpus.unpersist(blocking = false)
     centroids
   }
 

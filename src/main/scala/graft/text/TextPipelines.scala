@@ -67,6 +67,43 @@ object TextPipelines {
         pmod(col("tok_before"), lit(capacity)).as("bin_offset"))
   }
 
+  /** Shard-id namespace stride for [[packSequencesSharded]] bin ids: shard s
+    * owns bin ids [s·stride, (s+1)·stride) — disjoint as long as no shard
+    * packs more than stride bins (10⁹ bins × 2048 tokens = 2×10¹² tokens per
+    * shard before collision; raise the stride before that).
+    */
+  val ShardBinStride = 1000000000L
+
+  /** The scale path of [[packSequences]]: documents are sharded by
+    * `doc_id mod shards`, each shard packs independently under a PARTITIONED
+    * window (vs the global single-task sort above — fine for bounded inputs,
+    * a scale-killer at 100 TB), and bin ids are namespaced per shard so they
+    * stay globally unique. This is how packed pretraining datasets are laid
+    * out anyway: one packed stream per output shard.
+    *
+    * Output: (doc_id, shard, n_tokens, bin_id, bin_offset); bin_id =
+    * shard · [[ShardBinStride]] + (tokens-before-within-shard div capacity).
+    */
+  def packSequencesSharded(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      capacity: Int = 2048,
+      shards: Int = 8): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    docs
+      .select(col(idCol).as("doc_id"),
+        pmod(col(idCol), lit(shards)).cast("long").as("shard"),
+        TextFunctions.tokenCountNative(docs.sparkSession, col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("tok_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("shard") * ShardBinStride + expr(s"tok_before div $capacity")).as("bin_id"),
+        pmod(col("tok_before"), lit(capacity)).as("bin_offset"))
+  }
+
   /** Deterministic stratified systematic sample: every k-th doc per stratum
     * in id order (rank % k == 1). Unlike seeded `sample()`, the selection is
     * reproducible across engines, so it is differentially testable — and at
@@ -77,10 +114,13 @@ object TextPipelines {
       stratumCol: String,
       idCol: String = "doc_id",
       k: Int = 10): DataFrame = {
+    require(k >= 1, s"sampling interval k must be >= 1, got $k")
     val w = Window.partitionBy(col(stratumCol)).orderBy(col(idCol))
     docs
       .withColumn("rnk", row_number().over(w))
-      .filter(pmod(col("rnk"), lit(k)) === 1)
+      // (rnk-1) % k == 0 selects ranks 1, k+1, 2k+1, ... — and unlike
+      // `rnk % k == 1`, k=1 correctly selects EVERY row (rnk % 1 is never 1)
+      .filter(pmod(col("rnk") - 1, lit(k)) === 0)
       .drop("rnk")
   }
 

@@ -1,0 +1,27 @@
+package graft.util
+
+import org.apache.spark.sql.DataFrame
+
+/** Cache-lifecycle discipline for operators that persist shared intermediate
+  * frames (signatures, term vectors, training corpora). A library call must
+  * not leak pinned blocks into the caller's long-lived session: at 100 TB an
+  * unreleased cache is an eviction storm for every query that follows.
+  */
+object Caching {
+
+  /** Eagerly materialize the (small, output-linear) `result`, then release
+    * every intermediate cache.
+    *
+    * `localCheckpoint` truncates the lineage to the materialized RDD, so the
+    * released intermediates can never be silently recomputed by a downstream
+    * action — unpersisting a lazily-returned plan instead would just move
+    * the recompute to the caller's first action. The checkpointed blocks
+    * themselves are reclaimed by the ContextCleaner once the returned frame
+    * is unreferenced. On a real cluster (where executor loss would kill
+    * local checkpoint blocks), swap in reliable `checkpoint()` or a table
+    * write — same contract.
+    */
+  def materialize(result: DataFrame, cached: DataFrame*): DataFrame =
+    try result.localCheckpoint(eager = true)
+    finally cached.foreach(_.unpersist(blocking = false))
+}

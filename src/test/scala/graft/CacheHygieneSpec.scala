@@ -1,0 +1,27 @@
+package graft
+
+/** Library calls must not leak pinned blocks into the caller's session: at
+  * 100 TB an unreleased cache is an eviction storm for every query that
+  * follows. Operators that persist shared intermediates (signatures, term
+  * vectors, training corpora) eagerly materialize their small result and
+  * release every cache before returning (graft.util.Caching.materialize) —
+  * so after ANY registry query executes, the SQL cache manager must be
+  * empty without the harness's clearCache masking anything.
+  */
+class CacheHygieneSpec extends SparkSpec {
+
+  test("no InMemoryRelation outlives its registry query") {
+    // other specs in the shared session legitimately .cache() fixtures;
+    // start from a clean slate so only THIS spec's queries are measured
+    spark.catalog.clearCache()
+    val leaked = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+      if (spark.sharedState.cacheManager.isEmpty) None
+      else {
+        spark.catalog.clearCache() // isolate: report every offender, not just the first
+        Some(name)
+      }
+    }
+    assert(leaked.isEmpty, s"queries leaking cached blocks: ${leaked.mkString(", ")}")
+  }
+}

@@ -116,6 +116,18 @@ class DedupSpec extends SparkSpec {
         "q41's oracle equality is at risk; widen chunks/probes or raise minTokens")
   }
 
+  test("simHashCosineNearDups: no-broadcast path (limit 0) returns the identical pair set") {
+    // the broadcast hints are a size-guarded optimization, not a semantic
+    // choice — past broadcastDocLimit the partitioned hash joins must
+    // produce exactly the same verified pairs
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val d = base.union(base.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz"))))
+    val hinted = Dedup.simHashCosineNearDups(d)
+    val unhinted = Dedup.simHashCosineNearDups(d, broadcastDocLimit = 0L)
+    assert(hinted.count() > 0, "fixture should contain verified near-dup pairs")
+    assert(hinted.exceptAll(unhinted).count() == 0 && unhinted.exceptAll(hinted).count() == 0)
+  }
+
   test("minhash est_jaccard approximates exact jaccard on a known pair") {
     val d = docs(
       (1L, "a b c d e f g h i j"),

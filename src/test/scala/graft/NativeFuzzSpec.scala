@@ -68,6 +68,42 @@ class NativeFuzzSpec extends SparkSpec {
     assert(deg.getLong(0) == 0L && deg.getLong(1) == 0L)
   }
 
+  test("fuzz: ws_tokens/token_count match the HOF chain on arbitrary unicode text") {
+    GraftExtensions.register(spark)
+    val df = fuzzStrings(400, seed = 19L).toDF("text")
+    val diff = df.select(col("text"),
+      TextFunctions.tokens(col("text")).as("hof_t"),
+      GraftExtensions.ws_tokens(col("text")).as("nat_t"),
+      TextFunctions.tokenCount(col("text")).as("hof_n"),
+      GraftExtensions.token_count(col("text")).as("nat_n"))
+      .filter(col("hof_t") =!= col("nat_t") || col("hof_n") =!= col("nat_n"))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
+  test("fuzz: simhash64 over term vectors equals the 64-sum relational formulation") {
+    GraftExtensions.register(spark)
+    val texts = fuzzStrings(120, seed = 23L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("id", "text")
+    val tf = df
+      .select(col("id"), explode(TextFunctions.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("c"))
+    // reference: the relational vote sums over xxhash64(tok), weighted by c
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(xxhash64(col("tok")), b).bitwiseAND(lit(1L)) === 1, col("c"))
+        .otherwise(-col("c"))).as(s"v$b"))
+    val packed = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val rel = tf.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("rel_sig"))
+    val nat = tf.groupBy("id")
+      .agg(sort_array(collect_list(struct(col("tok"), col("c")))).as("vec"))
+      .select(col("id"), GraftExtensions.simhash64(col("vec")).as("nat_sig"))
+    val diff = rel.join(nat, "id").filter(col("rel_sig") =!= col("nat_sig"))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
   test("fuzz: sparse_dot matches a scala-side merge on random term vectors") {
     GraftExtensions.register(spark)
     val rnd = new scala.util.Random(17L)

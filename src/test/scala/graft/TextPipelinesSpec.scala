@@ -25,6 +25,42 @@ class TextPipelinesSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("packSequencesSharded: per-shard binning invariants, disjoint namespaced bin ids") {
+    val docs = Tables.documents(spark, sfDir)
+    val shards = 4
+    val cap = 100
+    val packed = TextPipelines.packSequencesSharded(docs, capacity = cap, shards = shards).cache()
+    // every doc lands in its id-derived shard, offsets stay inside the bin
+    assert(packed.filter(col("shard") =!= pmod(col("doc_id"), lit(shards))).count() == 0)
+    assert(packed.filter(col("bin_offset") < 0 || col("bin_offset") >= cap).count() == 0)
+    // bin ids live in their shard's namespace stripe — disjoint across shards
+    assert(packed.filter(
+      expr(s"bin_id DIV ${TextPipelines.ShardBinStride}") =!= col("shard")).count() == 0)
+    // per-shard reconstruction: local bin * capacity + offset == tokens
+    // before this doc WITHIN the shard
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val expect = docs.select(col("doc_id"),
+      pmod(col("doc_id"), lit(shards)).cast("long").as("shard"),
+      graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .withColumn("before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("doc_id"), col("before"))
+    val bad = packed.join(expect, "doc_id")
+      .filter(pmod(col("bin_id"), lit(TextPipelines.ShardBinStride)) * cap + col("bin_offset") =!= col("before"))
+    assert(bad.count() == 0)
+    // same docs, same token totals as the global variant (only the layout differs)
+    val global = TextPipelines.packSequences(docs, capacity = cap)
+    assert(packed.count() == global.count())
+    packed.unpersist()
+  }
+
+  test("stratifiedSample: k=1 selects every row (regression: rnk % 1 is never 1)") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source")
+    val all = TextPipelines.stratifiedSample(docs, "source", k = 1)
+    assert(all.count() == docs.count())
+    assertThrows[IllegalArgumentException](TextPipelines.stratifiedSample(docs, "source", k = 0))
+  }
+
   test("stratifiedSample: every k-th per stratum, deterministic") {
     val docs = Tables.documents(spark, sfDir)
     val s1 = TextPipelines.stratifiedSample(docs, "source", k = 10)
