@@ -240,6 +240,18 @@ object SparkEntry {
           col("sum_qty"), col("n"))
         .orderBy(col("rf"), col("ls"))),
 
+    // ---- explicit GROUPING SETS: only the two single-dimension rollups —
+    // the grouping-family member CUBE/ROLLUP can't express (still one
+    // Expand pass, two of four level tuples) ----
+    "q69_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      s.sql("""SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+              |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+              |FROM lineitem_v
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              |ORDER BY 1, 2""".stripMargin)
+    }),
+
     // ---- correlated scalar aggregate subquery (TPC-H Q17 shape): parts of
     // one brand whose order quantity is below 0.2x that part's average.
     // Catalyst decorrelates the subquery into an aggregate + join — no
@@ -1255,6 +1267,13 @@ object SparkEntry {
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2""".stripMargin,
+
+    "q69_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY 1, 2""".stripMargin,
 
     // q67: identical SQL text modulo view names — both engines must
     // decorrelate (or correlate) to the same values; the 0.2x-average

@@ -57,6 +57,31 @@ object StreamOps {
     else keyed.dropDuplicates("content_key")
   }
 
+  /** Stream-stream time-interval join: attribute each click to the view(s)
+    * of the same user within `withinMinutes` BEFORE the click — the
+    * canonical two-stream correlation (ad attribution, request/response
+    * pairing). Both sides carry event-time watermarks, and the join
+    * condition bounds how far apart matching rows can be, so Spark can
+    * evict buffered state on BOTH sides (a stream-stream join without a
+    * time bound retains every row forever). Runs identically on batch
+    * frames, where no watermark is needed.
+    */
+  def clickAttribution(
+      views: DataFrame, // needs user_id, event_id, ts
+      clicks: DataFrame, // same shape
+      withinMinutes: Int = 30,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val v = (if (views.isStreaming) views.withWatermark("ts", watermarkDelay) else views)
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val c = (if (clicks.isStreaming) clicks.withWatermark("ts", watermarkDelay) else clicks)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    c.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr(s"INTERVAL $withinMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("click_ts"), col("view_id"), col("view_ts"))
+  }
+
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(start: Long, last: Long, n: Int, total: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,

@@ -27,7 +27,8 @@ object TextPipelines {
       k: Int = 3): DataFrame = {
     val n = docs.count()
     val tf = docs
-      .select(col(idCol).as("doc_id"), explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.tokensNative(docs.sparkSession, lower(col(textCol)))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))

@@ -148,4 +148,20 @@ class ExpressionSpec extends SparkSpec {
     }
     assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
   }
+
+  test("ws_tokens/token_count/simhash64 resolve in SQL and stay inside whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT ws_tokens('  a  b\tc ') AS t, token_count('  a  b\tc ') AS n,
+        |       simhash64(array(struct('a', 2L), struct('b', 1L))) AS s""".stripMargin).collect().head
+    assert(r.getSeq[String](0) == Seq("a", "b", "c") && r.getInt(1) == 3)
+    val docs = Tables.documents(spark, sfDir).limit(10)
+    val df = docs.select(
+      GraftExtensions.ws_tokens(col("text")).as("t"),
+      GraftExtensions.token_count(col("text")).as("n"))
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
+  }
 }

@@ -101,4 +101,35 @@ class StreamOpsSpec extends SparkSpec {
     assert(u1.length == 1, sessions.mkString(", "))
     assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
   }
+
+  test("clickAttribution: batch path joins clicks to in-window views of the same user only") {
+    val views = Seq((1L, 10L, ts("2026-01-01 10:00:00")), // in window for click 20
+      (1L, 11L, ts("2026-01-01 08:00:00")), // too old
+      (2L, 12L, ts("2026-01-01 10:05:00"))) // other user
+      .toDF("user_id", "event_id", "ts")
+    val clicks = Seq((1L, 20L, ts("2026-01-01 10:10:00")),
+      (3L, 21L, ts("2026-01-01 10:10:00"))) // no view at all
+      .toDF("user_id", "event_id", "ts")
+    val out = StreamOps.clickAttribution(views, clicks, withinMinutes = 30)
+      .select("user_id", "click_id", "view_id").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L &&
+      out.head.getLong(1) == 20L && out.head.getLong(2) == 10L)
+  }
+
+  test("clickAttribution: stream-stream interval join over two MemoryStreams") {
+    implicit val sqlCtx = spark.sqlContext
+    val vMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val v = vMem.toDF().toDF("user_id", "event_id", "ts")
+    val c = cMem.toDF().toDF("user_id", "event_id", "ts")
+    val q = StreamOps.clickAttribution(v, c, withinMinutes = 30, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    vMem.addData((1L, 10L, ts("2026-01-01 10:00:00")), (2L, 11L, ts("2026-01-01 09:00:00")))
+    cMem.addData((1L, 20L, ts("2026-01-01 10:10:00")), // matches view 10
+      (2L, 21L, ts("2026-01-01 10:10:00"))) // user 2's view is 70 min old — no match
+    q.processAllAvailable()
+    val rows = spark.table("attr_out").select("click_id", "view_id").collect()
+    q.stop()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((20L, 10L)), rows.mkString(", "))
+  }
 }
