@@ -652,6 +652,18 @@ object SparkEntry {
 
     // ---- batch sessionization: gap > 30 min starts a new session (the
     // batch twin of streaming/StreamOps.sessionize) ----
+    // ---- click attribution: the BATCH twin of the stream-stream interval
+    // join (streaming/StreamOps.clickAttribution runs this same code with
+    // watermarks) — oracle-checks the join semantics the streaming specs
+    // exercise with MemoryStreams ----
+    "q70_click_attribution" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val shape = (t: String) => ev.filter(col("event_type") === t)
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.streaming.StreamOps.clickAttribution(shape("view"), shape("click"), withinMinutes = 30)
+        .orderBy(col("user_id"), col("click_id"), col("view_id"))
+    }),
+
     "q62_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val runW = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1314,6 +1326,18 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rnk
         |  FROM documents)
         |WHERE rnk % 10 = 1 ORDER BY doc_id""".stripMargin,
+
+    // q70: the stream-stream interval join's batch twin — plain SQL join
+    // with the same time-window predicate.
+    "q70_click_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+        |       v.event_id AS view_id, v.ts AS view_ts
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |  ON v.user_id = c.user_id
+        | AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+        |ORDER BY c.user_id, click_id, view_id""".stripMargin,
 
     "q62_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
