@@ -545,25 +545,29 @@ object SparkEntry {
     // ---- approximate sketches (HLL / quantiles), self-verified against
     // exact aggregates: the exact columns hash-match the oracle and the
     // booleans pin each sketch within its tolerance of the exact value.
-    // The exact count-distinct / percentile columns are the verification
-    // HARNESS, not the production path — they buffer per-group values and
-    // exist only to pin the sketches; at 100 TB you ship the approximate
-    // columns alone (constant-memory mergeable state) ----
+    // Exact percentiles come from ops/Quantiles (sort-based, no per-group
+    // buffering — scales); exact count-distinct is a two-level hash agg.
+    // At 100 TB you'd still ship the approximate columns for single-pass
+    // mergeable state; the exact columns remain computable when needed ----
     "q44_sketches" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      // Two aggregation passes joined on the (3-row) group key: mixing
+      // Separate aggregation passes joined on the (3-row) group key: mixing
       // count_distinct with the percentile object-aggregates in one agg
       // makes Catalyst Expand every input row through the object hash
-      // aggregate (measured ~2.5x slower than two clean passes).
+      // aggregate (measured ~2.5x slower than clean passes).
       val distincts = li.groupBy(col("l_returnflag")).agg(
         count_distinct(col("l_partkey")).as("n_parts"),
         approx_count_distinct(col("l_partkey")).as("hll_parts"))
-      val pctls = li.groupBy(col("l_returnflag")).agg(
-        expr("percentile(l_extendedprice, 0.5D)").as("p50_exact"),
-        expr("percentile(l_extendedprice, 0.99D)").as("p99_exact"),
+      // exact side via the sort-based distributed quantile (identical
+      // interpolation to percentile(), no per-group value buffering) —
+      // the scale path, not just a harness
+      val pctls = graft.ops.Quantiles.exactQuantiles(
+        li, "l_extendedprice", Seq("l_returnflag"),
+        Seq(0.5, 0.99), Seq("p50_exact", "p99_exact"))
+      val approxs = li.groupBy(col("l_returnflag")).agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
         percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_approx"))
-      distincts.join(pctls, "l_returnflag")
+      distincts.join(pctls, "l_returnflag").join(approxs, "l_returnflag")
         .select(col("l_returnflag"), col("n_parts"),
           (abs(col("hll_parts") - col("n_parts")).cast("double") / col("n_parts") <= 0.1).as("hll_ok"),
           round(col("p50_exact"), 6).as("p50"),
@@ -709,6 +713,24 @@ object SparkEntry {
       graft.text.TextPipelines.stratifiedSample(
         Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang")), "source", k = 10)
         .orderBy(col("doc_id"))),
+
+    // ---- REAL image codec roundtrip: synthesize solid-gray PNGs whose
+    // decoded dimensions/luma are pure arithmetic of doc_id, encode with
+    // the JDK's PNG writer, decode with Multimodal.decodeImages (ImageIO) —
+    // the oracle predicts every decoded value in plain SQL, so the actual
+    // codec path (not a stub) sits under the hash gate ----
+    "q71_image_roundtrip" -> ((s, dir) => {
+      val spec = Tables.documents(s, dir).select(
+        col("doc_id").as("id"),
+        (lit(16) + pmod(col("doc_id"), lit(32))).as("width"),
+        (lit(8) + pmod(col("doc_id"), lit(16))).as("height"),
+        pmod(col("doc_id"), lit(256)).as("gray"))
+      val media = graft.multimodal.Multimodal.synthesizeImages(spec)
+      graft.multimodal.Multimodal.decodeImages(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("n_pixels"), round(col("mean_luma"), 4).as("mean_luma"), col("format_ok"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- LLM-pipeline: multimodal plumbing ----
     "q43_multimodal" -> ((s, dir) => {
@@ -1390,6 +1412,18 @@ object SparkEntry {
         |  CAST(64 + abs(checksum // 1024) % 1024 AS INT) AS height,
         |  checksum
         |FROM s ORDER BY id""".stripMargin,
+
+    // q71: the decoded properties of the synthesized PNGs are pure
+    // arithmetic of doc_id — equality proves the REAL encode/decode
+    // roundtrip (JDK ImageIO), not a checksum stub.
+    "q71_image_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 32 AS INT) AS width,
+        |  CAST(8 + doc_id % 16 AS INT) AS height,
+        |  CAST((16 + doc_id % 32) * (8 + doc_id % 16) AS BIGINT) AS n_pixels,
+        |  ROUND(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_luma,
+        |  TRUE AS format_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q44: exact count-distinct and exact percentiles hash-match; the
     // booleans assert each sketch landed within tolerance of exact.

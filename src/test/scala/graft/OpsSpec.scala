@@ -70,3 +70,26 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall=$recall")
   }
 }
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactQuantiles equals percentile() bit-for-bit on fixtures, incl. degenerate groups") {
+    val li = Tables.lineitem(spark, sfDir)
+    val probs = Seq(0.0, 0.25, 0.5, 0.99, 1.0)
+    val names = probs.map(p => s"q${(p * 100).toInt}")
+    val mine = graft.ops.Quantiles.exactQuantiles(
+      li, "l_extendedprice", Seq("l_returnflag"), probs, names)
+    val refAggs = probs.zip(names).map { case (p, nm) =>
+      expr(s"percentile(l_extendedprice, ${p}D)").as(nm)
+    }
+    val ref = li.groupBy(col("l_returnflag")).agg(refAggs.head, refAggs.tail: _*)
+    assert(mine.exceptAll(ref).count() == 0 && ref.exceptAll(mine).count() == 0,
+      mine.orderBy("l_returnflag").collect().mkString(" | "))
+    // single-row group: the quantile IS the value at every prob
+    val one = Seq(("a", 7.5)).toDF("g", "v")
+    val r = graft.ops.Quantiles.exactQuantiles(one, "v", Seq("g"), Seq(0.0, 0.5, 1.0),
+      Seq("a", "b", "c")).collect().head
+    assert(r.getDouble(1) == 7.5 && r.getDouble(2) == 7.5 && r.getDouble(3) == 7.5)
+  }
+}
