@@ -302,13 +302,19 @@ object Dedup {
     // Docs below `minTokens` are excluded: SimHash over a handful of tokens
     // doesn't concentrate (measured: hamming up to 17 for near-identical
     // short docs vs <= 9 for >=50-token docs).
+    // Term vectors carry xxhash64 term keys, not the token strings: ~2.5×
+    // smaller on the wire (these vectors are broadcast to both verify
+    // sides), long-compare merges in sparse_dot, and simhash64 reads the
+    // hash directly. Distinct tokens ↔ distinct hashes, so the dot product
+    // — and therefore the verified cosine — is unchanged (collisions are
+    // negligible and the exhaustive oracle would expose one).
     val docvec = docs
       .select(col(idCol).as("id"),
         explode(graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol)))).as("tok"))
       .groupBy(col("id"), col("tok"))
       .agg(count(lit(1)).as("c"))
       .groupBy("id").agg(
-        sort_array(collect_list(struct(col("tok"), col("c")))).as("vec"),
+        sort_array(collect_list(struct(xxhash64(col("tok")).as("th"), col("c")))).as("vec"),
         sum(col("c")).as("nt"),
         sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
       .filter(col("nt") >= minTokens)

@@ -22,27 +22,36 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
-  private def isTermVector(dt: DataType): Boolean = dt match {
-    case ArrayType(s: StructType, _) =>
-      s.fields.length == 2 && s.fields(0).dataType == StringType &&
-        s.fields(1).dataType == LongType
-    case _ => false
+  private def termType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(s: StructType, _)
+        if s.fields.length == 2 && s.fields(1).dataType == LongType &&
+          (s.fields(0).dataType == StringType || s.fields(0).dataType == LongType) =>
+      Some(s.fields(0).dataType)
+    case _ => None
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isTermVector(child.dataType)) TypeCheckResult.TypeCheckSuccess
+    if (termType(child.dataType).isDefined) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"simhash64 expects array<struct<string,bigint>>, got ${child.dataType.sql}")
+      s"simhash64 expects array<struct<string|bigint,bigint>>, got ${child.dataType.sql}")
+
+  /** String terms are xxhash64'd internally; bigint terms are taken as the
+    * term hash directly (same value as `xxhash64(term)` — the keying used
+    * by the hashed term vectors the dedup pipeline builds).
+    */
+  private lazy val hashedKeys: Boolean = termType(child.dataType).contains(LongType)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
   override def nullSafeEval(input: Any): Any =
-    SimHash64.sig(input.asInstanceOf[ArrayData])
+    if (hashedKeys) SimHash64.sigHashed(input.asInstanceOf[ArrayData])
+    else SimHash64.sig(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = SimHash64.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $helper.sig($v);")
+    val fn = if (hashedKeys) "sigHashed" else "sig"
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $helper.$fn($v);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -52,22 +61,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 object SimHash64 {
   private val Seed = 42L // Spark's xxhash64 default seed
 
-  def sig(vec: ArrayData): Long = {
-    val n = vec.numElements()
-    val votes = new Array[Long](64)
-    var i = 0
-    while (i < n) {
-      val s = vec.getStruct(i, 2)
-      val t = s.getUTF8String(0)
-      val c = s.getLong(1)
-      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += c else votes(b) -= c
-        b += 1
-      }
-      i += 1
+  private def vote(votes: Array[Long], h: Long, c: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) votes(b) += c else votes(b) -= c
+      b += 1
     }
+  }
+
+  private def pack(votes: Array[Long]): Long = {
     var out = 0L
     var b = 0
     while (b < 64) {
@@ -75,5 +77,30 @@ object SimHash64 {
       b += 1
     }
     out
+  }
+
+  def sig(vec: ArrayData): Long = {
+    val n = vec.numElements()
+    val votes = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = vec.getStruct(i, 2)
+      val t = s.getUTF8String(0)
+      vote(votes, XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, Seed), s.getLong(1))
+      i += 1
+    }
+    pack(votes)
+  }
+
+  def sigHashed(vec: ArrayData): Long = {
+    val n = vec.numElements()
+    val votes = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val s = vec.getStruct(i, 2)
+      vote(votes, s.getLong(0), s.getLong(1))
+      i += 1
+    }
+    pack(votes)
   }
 }

@@ -7,9 +7,12 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructType}
 
 /** `sparse_dot(a, b)`: dot product of two sparse integer term vectors, each
-  * an `array<struct<term string, count bigint>>` SORTED ascending by term —
-  * a single two-pointer merge per row, returning `sum(count_a * count_b)`
-  * over shared terms as a BIGINT.
+  * an `array<struct<term, count bigint>>` SORTED ascending by term — a
+  * single two-pointer merge per row, returning `sum(count_a * count_b)`
+  * over shared terms as a BIGINT. Terms are either strings or 64-bit term
+  * hashes (`bigint`) — hashed keys make the vectors ~2.5× smaller on the
+  * wire (the verify joins broadcast them) and the merge compares longs
+  * instead of UTF-8 byte strings; both sides must use the same keying.
   *
   * This replaces the relational formulation (explode both docs' terms, join
   * on term, re-aggregate per pair) for VERIFICATION of candidate pairs:
@@ -23,29 +26,35 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, St
 case class SparseDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  private def isTermVector(dt: DataType): Boolean = dt match {
-    case ArrayType(s: StructType, _) =>
-      s.fields.length == 2 && s.fields(0).dataType == StringType &&
-        s.fields(1).dataType == LongType
-    case _ => false
+  private def termType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(s: StructType, _)
+        if s.fields.length == 2 && s.fields(1).dataType == LongType &&
+          (s.fields(0).dataType == StringType || s.fields(0).dataType == LongType) =>
+      Some(s.fields(0).dataType)
+    case _ => None
   }
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (isTermVector(left.dataType) && isTermVector(right.dataType))
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"sparse_dot expects two array<struct<string,bigint>>, got " +
-        s"${left.dataType.sql} and ${right.dataType.sql}")
+    (termType(left.dataType), termType(right.dataType)) match {
+      case (Some(a), Some(b)) if a == b => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sparse_dot expects two array<struct<string|bigint,bigint>> with matching key types, got " +
+          s"${left.dataType.sql} and ${right.dataType.sql}")
+    }
+
+  private lazy val hashedKeys: Boolean = termType(left.dataType).contains(LongType)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "sparse_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    SparseDotProduct.merge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (hashedKeys) SparseDotProduct.mergeLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else SparseDotProduct.merge(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = SparseDotProduct.getClass.getName.stripSuffix("$") + "$.MODULE$"
-    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $helper.merge($a, $b);")
+    val fn = if (hashedKeys) "mergeLong" else "merge"
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $helper.$fn($a, $b);")
   }
 
   override protected def withNewChildrenInternal(
@@ -54,7 +63,7 @@ case class SparseDotProduct(left: Expression, right: Expression)
 }
 
 object SparseDotProduct {
-  /** Two-pointer merge over term-sorted entry arrays. */
+  /** Two-pointer merge over term-sorted entry arrays (string keys). */
   def merge(a: ArrayData, b: ArrayData): Long = {
     val na = a.numElements()
     val nb = b.numElements()
@@ -67,6 +76,25 @@ object SparseDotProduct {
       val cmp = sa.getUTF8String(0).compareTo(sb.getUTF8String(0))
       if (cmp == 0) { acc += sa.getLong(1) * sb.getLong(1); i += 1; j += 1 }
       else if (cmp < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  /** Same merge over 64-bit term-hash keys. */
+  def mergeLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val sa = a.getStruct(i, 2)
+      val sb = b.getStruct(j, 2)
+      val ka = sa.getLong(0)
+      val kb = sb.getLong(0)
+      if (ka == kb) { acc += sa.getLong(1) * sb.getLong(1); i += 1; j += 1 }
+      else if (ka < kb) i += 1
       else j += 1
     }
     acc

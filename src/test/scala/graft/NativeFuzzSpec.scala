@@ -102,6 +102,12 @@ class NativeFuzzSpec extends SparkSpec {
       .select(col("id"), GraftExtensions.simhash64(col("vec")).as("nat_sig"))
     val diff = rel.join(nat, "id").filter(col("rel_sig") =!= col("nat_sig"))
     assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+    // the hashed-key path (bigint term keys = xxhash64(tok)) must agree too
+    val natH = tf.groupBy("id")
+      .agg(sort_array(collect_list(struct(xxhash64(col("tok")).as("th"), col("c")))).as("vec"))
+      .select(col("id"), GraftExtensions.simhash64(col("vec")).as("h_sig"))
+    val diffH = rel.join(natH, "id").filter(col("rel_sig") =!= col("h_sig"))
+    assert(diffH.count() == 0, diffH.collect().take(3).mkString("; "))
   }
 
   test("fuzz: sparse_dot matches a scala-side merge on random term vectors") {
@@ -120,5 +126,13 @@ class NativeFuzzSpec extends SparkSpec {
     val df = cases.toDF("a", "b")
     val got = df.select(GraftExtensions.sparse_dot(col("a"), col("b"))).as[Long].collect()
     assert(got.toSeq == expected, "sparse_dot mismatch vs scala merge")
+    // hashed-key variant: re-key each vector by xxhash64(term), re-sort by
+    // the hash — dot products must be identical (distinct terms <-> distinct
+    // hashes)
+    val hashed = df.select(
+      sort_array(transform(col("a"), e => struct(xxhash64(e("_1")).as("th"), e("_2").as("c")))).as("ah"),
+      sort_array(transform(col("b"), e => struct(xxhash64(e("_1")).as("th"), e("_2").as("c")))).as("bh"))
+    val gotH = hashed.select(GraftExtensions.sparse_dot(col("ah"), col("bh"))).as[Long].collect()
+    assert(gotH.toSeq == expected, "sparse_dot(long keys) mismatch vs scala merge")
   }
 }
