@@ -252,6 +252,24 @@ object SparkEntry {
               |ORDER BY 1, 2""".stripMargin)
     }),
 
+    // ---- correlated EXISTS / NOT EXISTS predicate subqueries (TPC-H
+    // Q4-style): orders that contain a deeply-discounted item but no
+    // tax-free item. Catalyst plans these as semi/anti joins — no per-row
+    // subquery execution ----
+    "q72_exists_subquery" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_v")
+      Tables.orders(s, dir).createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderpriority, COUNT(*) AS n_orders
+              |FROM orders_v o
+              |WHERE EXISTS (
+              |    SELECT 1 FROM lineitem_v l
+              |    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+              |  AND NOT EXISTS (
+              |    SELECT 1 FROM lineitem_v l
+              |    WHERE l.l_orderkey = o.o_orderkey AND l.l_tax = 0)
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    }),
+
     // ---- correlated scalar aggregate subquery (TPC-H Q17 shape): parts of
     // one brand whose order quantity is below 0.2x that part's average.
     // Catalyst decorrelates the subquery into an aggregate + join — no
@@ -1308,6 +1326,17 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY 1, 2""".stripMargin,
+
+    "q72_exists_subquery" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.08)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_tax = 0)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // q67: identical SQL text modulo view names — both engines must
     // decorrelate (or correlate) to the same values; the 0.2x-average
