@@ -458,6 +458,33 @@ object SparkEntry {
       Dedup.simHashCosineNearDups(docsWithNearDups(s, dir), minTokens = 50, cosThreshold = 0.95)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- PII scrub: plant deterministic emails/URLs, count and redact
+    // them (map-only codegen'd regex; patterns are lookaround-free so Java
+    // regex and the oracle's RE2 agree byte-for-byte) ----
+    "q73_pii_redact" -> ((s, dir) => {
+      val planted = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@example.com now"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(lit(" see https://example.org/doc/"), col("doc_id"), lit(" today"))).otherwise(lit("")))
+          .as("text"))
+      planted.select(col("doc_id"),
+        TextFunctions.emailCount(col("text")).as("n_emails"),
+        TextFunctions.urlCount(col("text")).as("n_urls"),
+        md5(TextFunctions.redactPii(col("text"))).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- benchmark decontamination: corpus docs sharing >= 5 distinct
+    // shingles with the benchmark set (every 50th doc) are flagged ----
+    "q74_decontamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+      Dedup.contaminationFlags(docs, bench, minShared = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LLM-pipeline: text analysis ----
     "q32_text_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1326,6 +1353,35 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY 1, 2""".stripMargin,
+
+    // q73: DuckDB regexp_replace needs the 'g' flag for replace-all (Java's
+    // replaces all by default); counts via LEN(regexp_extract_all).
+    "q73_pii_redact" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' see https://example.org/doc/' || doc_id || ' today' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(LEN(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(LEN(regexp_extract_all(text, 'https?://[^ \t\n]+')) AS INT) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    'https?://[^ \t\n]+', '<URL>', 'g')) AS redacted_md5
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q74_decontamination" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksCte AS t FROM (SELECT doc_id, LOWER(text) AS text FROM documents)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        |shared AS (SELECT doc_id, COUNT(*) AS n_shared FROM sh JOIN bench USING (s) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(shared.n_shared, 0) AS n_shared,
+        |  COALESCE(shared.n_shared, 0) >= 5 AS contaminated
+        |FROM documents d LEFT JOIN shared ON shared.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q72_exists_subquery" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders

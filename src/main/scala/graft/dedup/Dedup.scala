@@ -425,6 +425,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
   }
 
+  // ------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: flag corpus docs sharing at least
+    * `minShared` distinct k-token shingles with the benchmark set —
+    * standard LLM training-data hygiene (strip eval-set contamination
+    * before pretraining). The join carries (shingle_hash, id) rows only —
+    * never documents — and the benchmark side is the small one: its
+    * distinct shingle set builds once and the overlap count is a hash join
+    * + groupBy, output-linear in the corpus.
+    *
+    * @return every corpus doc: (doc_id, n_shared, contaminated)
+    */
+  def contaminationFlags(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      minShared: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    val corpusSh = corpus.select(col(idCol).as("doc_id"),
+      explode(shingleHashes(spark, col(textCol), shingleK)).as("h"))
+    val benchSh = benchmark
+      .select(explode(shingleHashes(spark, col(textCol), shingleK)).as("h"))
+      .distinct()
+    val shared = corpusSh.join(benchSh, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared")) // corpus shingles are per-doc distinct
+    corpus.select(col(idCol).as("doc_id"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+
   // ------------------------------------------------------------ n-gram Jaccard
 
   /** Exact pairwise n-gram Jaccard (quadratic — verification tool / bounded

@@ -170,6 +170,22 @@ object TextFunctions {
   def normalize(text: Column): Column =
     trim(regexp_replace(lower(text), "\\s+", " "))
 
+  /** PII / boilerplate scrubbing patterns, shared by Spark and the DuckDB
+    * oracle: no lookarounds or backreferences, so Java regex and RE2 agree
+    * byte-for-byte.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^ \\t\\n]+"
+
+  def emailCount(text: Column): Column = regexp_count(text, lit(EmailPattern))
+  def urlCount(text: Column): Column = regexp_count(text, lit(UrlPattern))
+
+  /** Redact emails then URLs with fixed sentinels — the standard
+    * training-data scrub; map-only, codegen'd regex.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailPattern, "<EMAIL>"), UrlPattern, "<URL>")
+
   /** BPE-ish subword-boundary tokenizer: a GPT-2-style regex splitting
     * contractions, letter runs (with optional leading space), digit runs,
     * and punctuation runs. No lookarounds, so Java regex (Spark) and RE2

@@ -128,6 +128,33 @@ class DedupSpec extends SparkSpec {
     assert(hinted.exceptAll(unhinted).count() == 0 && unhinted.exceptAll(hinted).count() == 0)
   }
 
+  test("contaminationFlags: benchmark members and their copies flagged, disjoint docs not") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // == bench doc
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"), // near-copy: shares 5 shingles
+      (3L, "one two three four five six seven eight")) // disjoint
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val flags = Dedup.contaminationFlags(corpus, bench, minShared = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(flags(1L)._2 && flags(1L)._1 == 6L) // 8 tokens -> 6 shingles, all shared
+    assert(flags(2L)._2 && flags(2L)._1 == 5L) // one token differs -> 5 shared
+    assert(!flags(3L)._2 && flags(3L)._1 == 0L)
+  }
+
+  test("redactPii replaces emails and urls; counts match") {
+    import spark.implicits._
+    val df = Seq("write a@b.io or see https://x.y/z now", "clean text").toDF("text")
+    val out = df.select(
+      TextFunctions.emailCount(col("text")).as("e"),
+      TextFunctions.urlCount(col("text")).as("u"),
+      TextFunctions.redactPii(col("text")).as("r")).collect()
+    assert(out(0).getInt(0) == 1 && out(0).getInt(1) == 1)
+    assert(out(0).getString(2) == "write <EMAIL> or see <URL> now")
+    assert(out(1).getInt(0) == 0 && out(1).getInt(1) == 0 && out(1).getString(2) == "clean text")
+  }
+
   test("minhash est_jaccard approximates exact jaccard on a known pair") {
     val d = docs(
       (1L, "a b c d e f g h i j"),
