@@ -53,7 +53,11 @@ object Tables {
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // keep the RAW nanos column: `ts`/`dt` are computed, so predicates on
+      // them can never reach the parquet scan — time-range queries filter
+      // ts_nanos (a pure rename of the stored column) and get PushedFilters
+      .withColumn("ts_nanos", col("ts"))
+      .withColumn("ts", timestamp_micros(expr("ts_nanos div 1000")))
       .withColumn("dt", col("ts").cast("date"))
   }
 

@@ -48,8 +48,19 @@ object Analytics {
     */
   def topCampaignsBySpend(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
     val ev = Tables.events(spark, sfDir)
-    val anchor = ev.agg(date_sub(max(col("dt")), 13).as("lo"))
-    ev.join(broadcast(anchor), col("dt") >= col("lo"))
+    // Resolve the anchor to a LITERAL first (one tiny max() job): a
+    // data-derived join bound — and any predicate on the computed `dt` —
+    // can never reach the parquet scan. Translating the cutoff to the raw
+    // nanos column gives the main scan a PushedFilters row-group bound:
+    // O(matching data), not O(table), at 100 TB. Collected as a string to
+    // stay timezone-proof (java.sql.Date materializes in JVM-default tz).
+    val loStr = ev.agg(date_sub(max(col("dt")), 13).cast("string")).collect()(0).getString(0)
+    if (loStr == null) return ev.filter(lit(false))
+      .groupBy(col("user_id")).agg(dsum(col("value")).as("total_spend"))
+    // dt >= lo  <=>  ts_micros >= midnight(lo)  <=>  nanos >= midnight*1000
+    // (floor-division by 1000 preserves the bound exactly)
+    val loNanos = java.time.LocalDate.parse(loStr).toEpochDay * 86400L * 1000000000L
+    ev.filter(col("ts_nanos") >= loNanos)
       .groupBy(col("user_id"))
       .agg(dsum(col("value")).as("total_spend"))
       .orderBy(col("total_spend").desc, col("user_id"))
