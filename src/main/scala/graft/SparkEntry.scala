@@ -458,6 +458,18 @@ object SparkEntry {
       Dedup.simHashCosineNearDups(docsWithNearDups(s, dir), minTokens = 50, cosThreshold = 0.95)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- custom Catalyst operator: per-key top-k via bounded heaps
+    // (plans/TopKPerKey + TopKPerKeyStrategy) — partial heaps, hash
+    // exchange carrying <= k rows per (partition, key), final heaps; no
+    // window sort, nothing fully sorted. Oracle = the ROW_NUMBER window
+    // formulation it replaces ----
+    "q75_topk_per_key" -> ((s, dir) =>
+      graft.ops.TopK.topKPerKey(Tables.orders(s, dir),
+        keys = Seq("o_orderpriority"),
+        order = Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))),
+
     // ---- PII scrub: plant deterministic emails/URLs, count and redact
     // them (map-only codegen'd regex; patterns are lookaround-free so Java
     // regex and the oracle's RE2 agree byte-for-byte) ----
@@ -1353,6 +1365,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY 1, 2""".stripMargin,
+
+    "q75_topk_per_key" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
 
     // q73: DuckDB regexp_replace needs the 'g' flag for replace-all (Java's
     // replaces all by default); counts via LEN(regexp_extract_all).

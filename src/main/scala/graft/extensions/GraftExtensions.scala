@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wsTokensDescriptor)
     ext.injectFunction(GraftExtensions.tokenCountDescriptor)
     ext.injectFunction(GraftExtensions.simHash64Descriptor)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
 
@@ -177,6 +178,11 @@ object GraftExtensions {
       "token_count", tokenCountBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", simHash64Builder, "built-in")
+    // planner strategy for the custom TopKPerKey operator (idempotent)
+    if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    }
     ()
   }
 
