@@ -458,6 +458,19 @@ object SparkEntry {
       Dedup.simHashCosineNearDups(docsWithNearDups(s, dir), minTokens = 50, cosThreshold = 0.95)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- bloom pre-filtered semi join: bloom_filter_agg scalar subquery
+    // prunes the fact scan before the exact semi join removes false
+    // positives — result is row-identical to the plain semi join ----
+    "q76_bloom_semijoin" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val picked = Tables.supplier(s, dir).filter(col("s_acctbal") > 5000)
+      graft.ops.BloomJoin.bloomSemiJoin(li, picked, "l_suppkey", "s_suppkey",
+        expectedKeys = 10000L, fpp = 0.01)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Analytics.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- custom Catalyst operator: per-key top-k via bounded heaps
     // (plans/TopKPerKey + TopKPerKeyStrategy) — partial heaps, hash
     // exchange carrying <= k rows per (partition, key), final heaps; no
@@ -1365,6 +1378,15 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY 1, 2""".stripMargin,
+
+    // q76: the bloom is invisible in the result — the oracle is the plain
+    // semi join.
+    "q76_bloom_semijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal > 5000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q75_topk_per_key" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (

@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.wsTokensDescriptor)
     ext.injectFunction(GraftExtensions.tokenCountDescriptor)
     ext.injectFunction(GraftExtensions.simHash64Descriptor)
+    ext.injectFunction(GraftExtensions.bloomAggDescriptor)
+    ext.injectFunction(GraftExtensions.mightContainDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
@@ -147,6 +149,37 @@ object GraftExtensions {
     SimHash64(exprs.head)
   }
 
+  /** Spark ships BloomFilterAggregate/BloomFilterMightContain but only
+    * wires them into its internal runtime-filter injection — they are not
+    * in the SQL function registry. Exposing them lets the engine build
+    * explicit bloom pre-filtered joins (ops/BloomJoin) with stock,
+    * codegen'd expressions instead of reimplementing a bloom filter.
+    */
+  private val bloomAggBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 3, "bloom_filter_agg expects (key, expectedItems, numBits)")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      exprs.head, exprs(1), exprs(2)).toAggregateExpression()
+  }
+
+  private val mightContainBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "might_contain expects (bloom, key)")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))
+  }
+
+  private[extensions] val bloomAggDescriptor =
+    (new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      bloomAggBuilder)
+
+  private[extensions] val mightContainDescriptor =
+    (new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      mightContainBuilder)
+
   private[extensions] val simHash64Descriptor =
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
@@ -178,6 +211,10 @@ object GraftExtensions {
       "token_count", tokenCountBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", simHash64Builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg", bloomAggBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain", mightContainBuilder, "built-in")
     // planner strategy for the custom TopKPerKey operator (idempotent)
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.BloomJoin
+
+/** The bloom pre-filter is a pure optimization: the semi-join result must
+  * equal the plain semi-join exactly, at any fpp.
+  */
+class BloomJoinSpec extends SparkSpec {
+
+  test("bloomSemiJoin equals the plain left-semi join exactly") {
+    val li = Tables.lineitem(spark, sfDir)
+    val picked = Tables.supplier(spark, sfDir).filter(col("s_acctbal") > 5000)
+    val bloomed = BloomJoin.bloomSemiJoin(li, picked, "l_suppkey", "s_suppkey",
+      expectedKeys = 1000L, fpp = 0.05)
+    // using-column semi join moves the key first — realign for exceptAll's
+    // positional compare
+    val plain = li.join(picked.select(col("s_suppkey").as("l_suppkey")).distinct(),
+      Seq("l_suppkey"), "left_semi")
+      .select(bloomed.columns.map(col): _*)
+    assert(bloomed.count() == plain.count())
+    assert(bloomed.exceptAll(plain).count() == 0 && plain.exceptAll(bloomed).count() == 0)
+    assert(plain.count() > 0, "fixture subset should be non-empty")
+  }
+
+  test("bloomSemiJoin with an empty key side returns no rows") {
+    val li = Tables.lineitem(spark, sfDir)
+    val none = Tables.supplier(spark, sfDir).filter(lit(false))
+    assert(BloomJoin.bloomSemiJoin(li, none, "l_suppkey", "s_suppkey").count() == 0)
+  }
+}
