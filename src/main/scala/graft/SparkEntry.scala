@@ -647,6 +647,30 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- count-min-sketch heavy hitters, q44-style self-verification:
+    // the exact top-10 key counts hash-match the oracle; the booleans pin
+    // the CMS estimate inside its guarantee (exact <= est <= exact + eps*N,
+    // eps = 0.001, fixed seed => deterministic). The sketch is the scalable
+    // single-pass artifact; estimating 10 keys from the collected sketch is
+    // driver-side verification harness, like q44's exact columns ----
+    "q77_cms_heavy_hitters" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val skBytes = li.agg(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
+        .collect()(0).getAs[Array[Byte]]("sk")
+      val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val total = li.count()
+      val top = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("l_suppkey")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      import s.implicits._
+      top.map { case (k, n) =>
+        val est = sketch.estimateCount(k)
+        (k, n, est >= n && est <= n + (0.001 * total).toLong + 1)
+      }.toSeq.toDF("l_suppkey", "n_exact", "cms_ok")
+        .orderBy(col("n_exact").desc, col("l_suppkey"))
+    }),
+
     // ---- multimodal frame sampling (counts are oracle-checkable) ----
     "q45_frame_sample" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "video/fake")
@@ -1552,6 +1576,13 @@ object SparkEntry {
         |  ROUND(CAST(doc_id % 256 AS DOUBLE), 4) AS mean_luma,
         |  TRUE AS format_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q77: exact heavy-hitter counts hash-match; booleans assert the CMS
+    // estimates landed inside the sketch's guarantee.
+    "q77_cms_heavy_hitters" ->
+      """SELECT l_suppkey, COUNT(*) AS n_exact, TRUE AS cms_ok
+        |FROM lineitem GROUP BY 1
+        |ORDER BY n_exact DESC, l_suppkey LIMIT 10""".stripMargin,
 
     // q44: exact count-distinct and exact percentiles hash-match; the
     // booleans assert each sketch landed within tolerance of exact.
