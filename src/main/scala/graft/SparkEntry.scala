@@ -655,11 +655,13 @@ object SparkEntry {
     // driver-side verification harness, like q44's exact columns ----
     "q77_cms_heavy_hitters" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val skBytes = li.agg(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"))
-        .collect()(0).getAs[Array[Byte]]("sk")
+      // one combined pass: sketch + total row count (a separate count()
+      // would be a second full scan)
+      val skRow = li.agg(expr("count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)").as("sk"),
+        count(lit(1)).as("n")).collect()(0)
       val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        new java.io.ByteArrayInputStream(skBytes))
-      val total = li.count()
+        new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+      val total = skRow.getAs[Long]("n")
       val top = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("l_suppkey")).limit(10)
         .collect().map(r => (r.getLong(0), r.getLong(1)))

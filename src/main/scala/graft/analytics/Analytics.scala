@@ -52,14 +52,17 @@ object Analytics {
     // data-derived join bound — and any predicate on the computed `dt` —
     // can never reach the parquet scan. Translating the cutoff to the raw
     // nanos column gives the main scan a PushedFilters row-group bound:
-    // O(matching data), not O(table), at 100 TB. Collected as a string to
-    // stay timezone-proof (java.sql.Date materializes in JVM-default tz).
+    // O(matching data), not O(table), at 100 TB. Collected as a string
+    // (java.sql.Date would materialize in the JVM-default tz).
     val loStr = ev.agg(date_sub(max(col("dt")), 13).cast("string")).collect()(0).getString(0)
     if (loStr == null) return ev.filter(lit(false))
       .groupBy(col("user_id")).agg(dsum(col("value")).as("total_spend"))
-    // dt >= lo  <=>  ts_micros >= midnight(lo)  <=>  nanos >= midnight*1000
-    // (floor-division by 1000 preserves the bound exactly)
-    val loNanos = java.time.LocalDate.parse(loStr).toEpochDay * 86400L * 1000000000L
+    // dt >= lo  <=>  instant >= midnight(lo) IN THE SESSION TIMEZONE (dt is
+    // ts.cast(date), which is tz-dependent)  <=>  nanos >= midnight-epoch ms
+    // * 1e6 (floor-division by 1000 preserves the bound exactly)
+    val sessionTz = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
+    val loNanos = java.time.LocalDate.parse(loStr)
+      .atStartOfDay(sessionTz).toInstant.toEpochMilli * 1000000L
     ev.filter(col("ts_nanos") >= loNanos)
       .groupBy(col("user_id"))
       .agg(dsum(col("value")).as("total_spend"))

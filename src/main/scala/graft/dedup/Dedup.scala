@@ -64,13 +64,21 @@ object Dedup {
     */
   def minHashSignatures(
       docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      k: Int = 64, shingleK: Int = 3, seed: Long = 42L): DataFrame = {
+      k: Int = 64, shingleK: Int = 3, seed: Long = 42L): DataFrame =
+    signaturesFromHashes(
+      docs.select(col(idCol).as("id"),
+        explode(shingleHashes(docs.sparkSession, col(textCol), shingleK)).as("h")),
+      k, seed)
+
+  /** (id, sig) from an exploded (id, h) shingle-hash frame — the single
+    * definition of the signature formula, shared by every MinHash path so
+    * a hash-scheme change can never silently diverge between candidate
+    * generation and verification.
+    */
+  private def signaturesFromHashes(hashes: DataFrame, k: Int, seed: Long): DataFrame = {
     val perms = permParams(k, seed)
-    val hashes = docs
-      .select(col(idCol).as("id"), explode(shingleHashes(docs.sparkSession, col(textCol), shingleK)).as("h"))
-      .select(col("id"), pmod(col("h"), lit(MinHashP)).as("hm"))
     val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(col("hm") * a + b, lit(MinHashP))).as(s"m$i")
+      min(pmod(pmod(col("h"), lit(MinHashP)) * a + b, lit(MinHashP))).as(s"m$i")
     }
     hashes
       .groupBy(col("id"))
@@ -157,17 +165,10 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .persist()
 
-    val perms = permParams(k, seed)
-    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(pmod(col("h"), lit(MinHashP)) * a + b, lit(MinHashP))).as(s"m$i")
-    }
     // same explode + multi-min shape (and identical signature values) as
     // minHashSignatures, reading the cached hash arrays
-    val sigs = hashed
-      .select(col("id"), explode(col("sh")).as("h"))
-      .groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+    val sigs = signaturesFromHashes(
+      hashed.select(col("id"), explode(col("sh")).as("h")), k, seed)
       .persist()
 
     val bandHashes = (0 until bands).map(b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)))

@@ -191,8 +191,12 @@ object Multimodal {
             g.drawImage(img, 0, 0, targetWidth, h, null)
             g.dispose()
             val bos = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(dst, format, bos)
-            MediaRow(r.id, bos.toByteArray, s"image/$format")
+            // write() returns false (no exception) when no writer exists
+            // for `format` — pass the row through rather than emitting a
+            // silent zero-byte blob
+            if (javax.imageio.ImageIO.write(dst, format, bos))
+              MediaRow(r.id, bos.toByteArray, s"image/$format")
+            else r
           }
         } catch { case scala.util.control.NonFatal(_) => r }
       }

@@ -36,19 +36,23 @@ object BloomJoin {
     graft.extensions.GraftExtensions.register(spark)
     val numBits = math.max(64L,
       (-expectedKeys * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
-    // might_contain requires its bloom input to be a constant or a SCALAR
-    // SUBQUERY (the form Spark's own InjectRuntimeFilter emits) — the
-    // subquery runs once, its binary result ships with the filter to the
-    // fact scan stage; the IN-subquery is the exact semi join that removes
-    // bloom false positives.
-    fact.createOrReplaceTempView("__graft_bloom_fact")
-    keys.createOrReplaceTempView("__graft_bloom_keys")
-    spark.sql(
-      s"""SELECT f.* FROM __graft_bloom_fact f
-         |WHERE might_contain(
-         |    (SELECT bloom_filter_agg(cast($keysKey AS BIGINT), ${expectedKeys}L, ${numBits}L)
-         |     FROM __graft_bloom_keys),
-         |    cast(f.$factKey AS BIGINT))
-         |  AND f.$factKey IN (SELECT $keysKey FROM __graft_bloom_keys)""".stripMargin)
+    // The bloom is built over xxhash64(key), not a BIGINT cast: works for
+    // ANY key type (a string key cast to bigint is NULL — a silent
+    // drop-everything), and hash collisions only add false positives the
+    // exact join removes anyway.
+    //
+    // might_contain requires its bloom input to be a constant or scalar
+    // subquery; the one-row aggregate is collected to a binary literal —
+    // bounded driver model state (numBits/8 bytes), like any broadcast
+    // variable, never per-row data.
+    val bloomBytes = keys
+      .agg(call_function("bloom_filter_agg",
+        xxhash64(col(keysKey)), lit(expectedKeys), lit(numBits)).as("bf"))
+      .collect()(0).getAs[Array[Byte]]("bf")
+    if (bloomBytes == null) return fact.filter(lit(false)) // empty key side
+    val pruned = fact.filter(
+      call_function("might_contain", lit(bloomBytes), xxhash64(col(factKey))))
+    // exact join on the pruned remainder removes bloom/hash false positives
+    pruned.join(keys.select(col(keysKey).as(factKey)).distinct(), Seq(factKey), "left_semi")
   }
 }

@@ -37,9 +37,13 @@ object Quantiles {
     val keys = by.map(col)
     val sortW = Window.partitionBy(keys: _*).orderBy(col("__v"))
     val cntW = Window.partitionBy(keys: _*)
-    // rank h of prob p in THIS row's group; every row knows its group size
+    // rank h of prob p in THIS row's group; every row knows its group size.
+    // NULL values are excluded BEFORE ranking — percentile() ignores them,
+    // and an unfiltered NULL would both inflate the group size and sort
+    // first under the ascending window.
     val ranked = df
       .select((keys :+ col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(sortW))
       .withColumn("__n", count(lit(1)).over(cntW))
     def h(p: Double) = (col("__n") - 1) * p

@@ -28,4 +28,14 @@ class BloomJoinSpec extends SparkSpec {
     val none = Tables.supplier(spark, sfDir).filter(lit(false))
     assert(BloomJoin.bloomSemiJoin(li, none, "l_suppkey", "s_suppkey").count() == 0)
   }
+
+  test("bloomSemiJoin works on STRING keys (bloom over xxhash64, not a bigint cast)") {
+    import spark.implicits._
+    val fact = Seq(("S001", 1), ("S002", 2), ("S003", 3), ("S001", 4)).toDF("code", "v")
+    val keys = Seq("S001", "S003").toDF("k")
+    val out = BloomJoin.bloomSemiJoin(fact, keys, "code", "k", expectedKeys = 10L)
+    assert(out.count() == 3)
+    assert(out.select("code").distinct().orderBy("code").collect().map(_.getString(0)).toSeq
+      == Seq("S001", "S003"))
+  }
 }
