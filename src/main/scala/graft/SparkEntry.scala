@@ -458,6 +458,16 @@ object SparkEntry {
       Dedup.simHashCosineNearDups(docsWithNearDups(s, dir), minTokens = 50, cosThreshold = 0.95)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- z-order (Morton) values for two-column layout clustering: the
+    // interleave is a pure function, so the native expression is fully
+    // oracle-checkable; ops/Layout.clusterByZ uses it to range-partition +
+    // sort so parquet min/max stats prune on either column ----
+    "q78_zorder" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zValue(s, col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // ---- bloom pre-filtered semi join: bloom_filter_agg scalar subquery
     // prunes the fact scan before the exact semi join removes false
     // positives — result is row-identical to the plain semi join ----
@@ -1404,6 +1414,13 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY 1, 2""".stripMargin,
+
+    "q78_zorder" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(range(31), i ->
+        |    (((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i + 1))))
+        |    AS BIGINT) AS z
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     // q76: the bloom is invisible in the result — the oracle is the plain
     // semi join.

@@ -31,6 +31,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simHash64Descriptor)
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.mightContainDescriptor)
+    ext.injectFunction(GraftExtensions.zorder2Descriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
@@ -185,6 +186,16 @@ object GraftExtensions {
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       simHash64Builder)
 
+  private val zorder2Builder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 2, "zorder2 expects exactly 2 bigint keys")
+    graft.expressions.ZOrder2(exprs.head, exprs(1))
+  }
+
+  private[extensions] val zorder2Descriptor =
+    (new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[graft.expressions.ZOrder2].getName, "zorder2"),
+      zorder2Builder)
+
   /** Unconditional cast to array<double> — children may be unresolved when
     * the builder runs (so no dataType inspection here); a same-type Cast is
     * removed by the optimizer's SimplifyCasts.
@@ -215,6 +226,8 @@ object GraftExtensions {
       "bloom_filter_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "might_contain", mightContainBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder2", zorder2Builder, "built-in")
     // planner strategy for the custom TopKPerKey operator (idempotent)
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =

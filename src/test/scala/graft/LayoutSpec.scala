@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.extensions.GraftExtensions
+import graft.ops.Layout
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorder2 matches the HOF bit-interleave reference on fuzzed keys") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(31L)
+    val keys = (0 until 300).map(_ =>
+      (math.abs(rnd.nextLong()) % (1L << 31), math.abs(rnd.nextLong()) % (1L << 31))) :+
+      (0L, 0L) :+ ((1L << 31) - 1, (1L << 31) - 1)
+    val df = keys.toDF("x", "y")
+    // reference: the per-bit interleave computed in plain Scala
+    val diff = df.select(col("x"), col("y"),
+      Layout.zValue(spark, col("x"), col("y")).as("nat"))
+      .collect()
+      .filter { r =>
+        val x = r.getLong(0); val y = r.getLong(1)
+        val expect = (0 until 31).map(i =>
+          (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+        r.getLong(2) != expect
+      }
+    assert(diff.isEmpty, diff.take(3).mkString("; "))
+  }
+
+  test("zorder2 is injective on the masked domain (distinct pairs <-> distinct z)") {
+    GraftExtensions.register(spark)
+    val li = Tables.lineitem(spark, sfDir)
+    val pairs = li.select(col("l_partkey"), col("l_suppkey")).distinct().count()
+    val zs = li.select(Layout.zValue(spark, col("l_partkey"), col("l_suppkey"))).distinct().count()
+    assert(pairs == zs)
+  }
+
+  test("clusterByZ preserves the row multiset and localizes both dimensions per partition") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val clustered = Layout.clusterByZ(li, "l_partkey", "l_suppkey", numPartitions = 8)
+    assert(clustered.exceptAll(li).count() == 0 && li.exceptAll(clustered).count() == 0)
+    // per-partition bounding boxes must cover far less than the full domain:
+    // that shrinkage is exactly what lets parquet min/max prune either column
+    val stats = clustered
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid").agg(
+        (max(col("l_partkey")) - min(col("l_partkey")) + 1).as("dx"),
+        (max(col("l_suppkey")) - min(col("l_suppkey")) + 1).as("dy"))
+      .withColumn("area", col("dx") * col("dy"))
+    val global = li.agg(
+      (max(col("l_partkey")) - min(col("l_partkey")) + 1) *
+        (max(col("l_suppkey")) - min(col("l_suppkey")) + 1)).as[Long].head()
+    val meanArea = stats.agg(avg(col("area"))).as[Double].head()
+    assert(meanArea < global / 2.0,
+      s"mean partition bounding box $meanArea vs global domain $global — no locality gained")
+  }
+}

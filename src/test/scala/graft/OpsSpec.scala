@@ -91,5 +91,11 @@ class QuantilesSpec extends SparkSpec {
     val r = graft.ops.Quantiles.exactQuantiles(one, "v", Seq("g"), Seq(0.0, 0.5, 1.0),
       Seq("a", "b", "c")).collect().head
     assert(r.getDouble(1) == 7.5 && r.getDouble(2) == 7.5 && r.getDouble(3) == 7.5)
+    // NULL values are ignored, exactly like percentile()
+    val withNulls = Seq(("a", Some(10.0)), ("a", None), ("a", Some(20.0)))
+      .toDF("g", "v")
+    val rn = graft.ops.Quantiles.exactQuantiles(withNulls, "v", Seq("g"),
+      Seq(0.0, 0.5, 1.0), Seq("lo", "mid", "hi")).collect().head
+    assert(rn.getDouble(1) == 10.0 && rn.getDouble(2) == 15.0 && rn.getDouble(3) == 20.0)
   }
 }
