@@ -814,6 +814,20 @@ object SparkEntry {
         Tables.documents(s, dir), capacity = 2048, shards = 8)
         .orderBy(col("doc_id"))),
 
+    // ---- deterministic weighted source mixing (pretraining mixture) ----
+    "q79_source_mixing" -> ((s, dir) =>
+      graft.text.TextPipelines.weightedMix(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        weights = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .orderBy(col("doc_id"))),
+
+    // ---- C4-style quality gate over the composed text signals ----
+    "q80_quality_gate" -> ((s, dir) =>
+      graft.text.TextPipelines.qualityGate(
+        Tables.documents(s, dir), minQuality = 0.5, minTokens = 20,
+        maxTokens = 100000, langs = Seq("en", "de"))
+        .orderBy(col("doc_id"))),
+
     // ---- deterministic stratified systematic sample ----
     "q65_stratified_sample" -> ((s, dir) =>
       graft.text.TextPipelines.stratifiedSample(
@@ -1512,6 +1526,48 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, tok_before // 2048 AS bin_id, tok_before % 2048 AS bin_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // q79: keep probability is pure modular arithmetic of doc_id, so both
+    // engines select the identical sample.
+    "q79_source_mixing" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                  WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 END IS NOT NULL
+        |  AND (doc_id * 2654435761) % 1000000007 <
+        |      (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |                   WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 END) * 1000000007
+        |ORDER BY doc_id""".stripMargin,
+
+    // q80: the gate's signals reuse q32/q33's oracle formulas verbatim;
+    // the quality threshold applies to the 6dp-rounded score on both sides
+    // (qualityScore rounds internally).
+    "q80_quality_gate" ->
+      s"""WITH t AS (SELECT doc_id, text, $ToksCte AS toks FROM documents),
+        |s AS (SELECT doc_id, toks, LEN(toks) AS n,
+        |  list_transform(toks, x -> LOWER(x)) AS lt,
+        |  CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |       ELSE CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / LENGTH(text) END AS praw
+        |  FROM t),
+        |c AS (SELECT doc_id, n, praw,
+        |  LEN(list_filter(lt, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS en,
+        |  LEN(list_filter(lt, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','auf','von'))) AS de,
+        |  LEN(list_filter(lt, x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS es,
+        |  LEN(list_filter(lt, x -> x IN ('le','la','et','les','des','est','un','une','dans','que'))) AS fr
+        |  FROM s),
+        |g AS (SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  ROUND((LEAST(CAST(n AS DOUBLE) / 100.0, 1.0)
+        |       + LEAST(CASE WHEN n = 0 THEN 0.0 ELSE CAST(en AS DOUBLE) / n END * 5.0, 1.0)
+        |       + GREATEST(1.0 - praw * 10.0, 0.0)) / 3.0, 6) AS quality,
+        |  CASE WHEN GREATEST(en, de, es, fr) = 0 THEN 'und'
+        |       WHEN en = GREATEST(en, de, es, fr) THEN 'en'
+        |       WHEN de = GREATEST(en, de, es, fr) THEN 'de'
+        |       WHEN es = GREATEST(en, de, es, fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_pred
+        |  FROM c)
+        |SELECT doc_id, n_tokens, quality, lang_pred FROM g
+        |WHERE quality >= 0.5 AND n_tokens BETWEEN 20 AND 100000
+        |  AND lang_pred IN ('en', 'de')
+        |ORDER BY doc_id""".stripMargin,
 
     "q65_stratified_sample" ->
       """SELECT doc_id, source, lang FROM (

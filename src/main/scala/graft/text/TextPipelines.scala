@@ -125,6 +125,59 @@ object TextPipelines {
       .drop("rnk")
   }
 
+  /** Deterministic weighted source mixing — the pretraining data-mixture
+    * knob: each source keeps a fraction proportional to its weight,
+    * selected by pure modular arithmetic on the doc id (`(id·A) mod M <
+    * rate·M`, A coprime to M), so the sample is reproducible across
+    * engines and runs — no seeded RNG, no driver state beyond the weight
+    * map. Sources absent from `weights` are dropped.
+    *
+    * @param weights   source → keep fraction in [0, 1]
+    * @return input rows of the kept docs
+    */
+  val MixA = 2654435761L // Knuth's multiplicative-hash constant
+  val MixM = 1000000007L
+  def weightedMix(
+      docs: DataFrame,
+      weights: Map[String, Double],
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1.0),
+      s"weights must be fractions in [0,1]: $weights")
+    val rate = weights.foldLeft(lit(null).cast("double")) { case (acc, (s, w)) =>
+      when(col(sourceCol) === s, lit(w)).otherwise(acc)
+    }
+    docs
+      .withColumn("__rate", rate)
+      .filter(col("__rate").isNotNull &&
+        pmod(col(idCol) * MixA, lit(MixM)).cast("double") < col("__rate") * MixM)
+      .drop("__rate")
+  }
+
+  /** C4-style quality gate: keep docs that clear a composite-quality
+    * threshold, a token-count band, and a language allowlist — map-only,
+    * every signal from [[TextFunctions]]. Returns the kept rows plus the
+    * gating signals (for audit/debug columns downstream pipelines keep).
+    */
+  def qualityGate(
+      docs: DataFrame,
+      minQuality: Double = 0.5,
+      minTokens: Int = 20,
+      maxTokens: Int = 100000,
+      langs: Seq[String] = Seq("en"),
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokenCountNative(spark, col(textCol)).as("n_tokens"),
+        TextFunctions.qualityScore(col(textCol)).as("quality"),
+        TextFunctions.langId(col(textCol)).as("lang_pred"))
+      .filter(col("quality") >= minQuality &&
+        col("n_tokens").between(minTokens, maxTokens) &&
+        col("lang_pred").isin(langs.map(_.asInstanceOf[Any]): _*))
+  }
+
   /** Per-doc repetition score: 1 − distinct/total k-token shingles — the
     * standard boilerplate/repetition quality signal. Map-only over the
     * native shingle expressions; docs with no shingles (< k tokens) are

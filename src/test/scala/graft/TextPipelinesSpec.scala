@@ -76,6 +76,34 @@ class TextPipelinesSpec extends SparkSpec {
     assert(firsts.join(s1, Seq("source", "doc_id"), "left_anti").count() == 0)
   }
 
+  test("weightedMix: weight-1 keeps all, weight-0 keeps none, unknown sources dropped, deterministic") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val bySource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mixed = TextPipelines.weightedMix(docs,
+      Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5))
+    val kept = mixed.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.get("src0").contains(bySource("src0"))) // full weight: everything
+    assert(!kept.contains("src1")) // zero weight
+    assert(!kept.contains("src3")) // absent from the weight map
+    // fractional weight lands near its rate (modular selection, not exact)
+    val frac = kept.getOrElse("src2", 0L).toDouble / bySource("src2")
+    assert(frac > 0.2 && frac < 0.8, s"src2 kept fraction $frac")
+    // reproducible: no RNG anywhere
+    val again = TextPipelines.weightedMix(docs, Map("src0" -> 1.0, "src1" -> 0.0, "src2" -> 0.5))
+    assert(mixed.exceptAll(again).count() == 0 && again.exceptAll(mixed).count() == 0)
+  }
+
+  test("qualityGate: every kept row clears all three gates") {
+    val kept = TextPipelines.qualityGate(Tables.documents(spark, sfDir),
+      minQuality = 0.5, minTokens = 20, maxTokens = 100000, langs = Seq("en", "de")).cache()
+    assert(kept.count() > 0)
+    assert(kept.filter(col("quality") < 0.5 || col("n_tokens") < 20 ||
+      !col("lang_pred").isin("en", "de")).count() == 0)
+    kept.unpersist()
+  }
+
   test("tfIdfTopTerms: k rows per doc with >= k distinct terms, rank order matches score order") {
     val top = TextPipelines.tfIdfTopTerms(Tables.documents(spark, sfDir), k = 3).cache()
     val counts = top.groupBy("doc_id").agg(count(lit(1)).as("n"))
