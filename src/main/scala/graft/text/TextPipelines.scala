@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -167,12 +167,38 @@ object TextPipelines {
       langs: Seq[String] = Seq("en"),
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val spark = docs.sparkSession
+    graft.extensions.GraftExtensions.register(docs.sparkSession)
+    import TextFunctions._
+    def hits(toks: Column, set: Seq[String]): Column =
+      size(filter(toks, t => t.isin(set.map(_.asInstanceOf[Any]): _*)))
+    // ONE native tokenization feeds every signal (the per-signal
+    // TextFunctions formulations each re-run the interpreted
+    // regex-split — measured as most of this gate's cost); the formulas
+    // below are value-identical to qualityScore/langId/tokenCount
+    // (lowercasing never changes token boundaries — whitespace is
+    // case-invariant — and the set matching is on lowercased tokens either
+    // way).
     docs
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokenCountNative(spark, col(textCol)).as("n_tokens"),
-        TextFunctions.qualityScore(col(textCol)).as("quality"),
-        TextFunctions.langId(col(textCol)).as("lang_pred"))
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("__toks"))
+      .select(col("doc_id"), col("__text"), col("__toks"),
+        size(col("__toks")).as("n_tokens"),
+        hits(col("__toks"), StopEn).as("__en"), hits(col("__toks"), StopDe).as("__de"),
+        hits(col("__toks"), StopEs).as("__es"), hits(col("__toks"), StopFr).as("__fr"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
+            least(when(col("n_tokens") === 0, lit(0.0))
+              .otherwise(col("__en").cast("double") / col("n_tokens")) * 5.0, lit(1.0)) +
+            greatest(lit(1.0) - punctRatio(col("__text")) * 10.0, lit(0.0))) / 3.0, 6)
+          .as("quality"), {
+          val best = greatest(col("__en"), col("__de"), col("__es"), col("__fr"))
+          when(best === 0, lit("und"))
+            .when(col("__en") === best, lit("en"))
+            .when(col("__de") === best, lit("de"))
+            .when(col("__es") === best, lit("es"))
+            .otherwise(lit("fr")).as("lang_pred")
+        })
       .filter(col("quality") >= minQuality &&
         col("n_tokens").between(minTokens, maxTokens) &&
         col("lang_pred").isin(langs.map(_.asInstanceOf[Any]): _*))

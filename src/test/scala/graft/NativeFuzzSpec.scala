@@ -75,8 +75,12 @@ class NativeFuzzSpec extends SparkSpec {
       TextFunctions.tokens(col("text")).as("hof_t"),
       GraftExtensions.ws_tokens(col("text")).as("nat_t"),
       TextFunctions.tokenCount(col("text")).as("hof_n"),
-      GraftExtensions.token_count(col("text")).as("nat_n"))
-      .filter(col("hof_t") =!= col("nat_t") || col("hof_n") =!= col("nat_n"))
+      GraftExtensions.token_count(col("text")).as("nat_n"),
+      // qualityGate relies on this: case folding never moves a token
+      // boundary, so counting lowercased tokens equals counting originals
+      size(GraftExtensions.ws_tokens(lower(col("text")))).as("lower_n"))
+      .filter(col("hof_t") =!= col("nat_t") || col("hof_n") =!= col("nat_n") ||
+        col("hof_n") =!= col("lower_n"))
     assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
   }
 
