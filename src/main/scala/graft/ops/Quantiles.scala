@@ -4,23 +4,33 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Exact quantiles at scale.
+/** Exact type-7 quantiles without per-group value buffering (Spark's
+  * `percentile()` holds every group value in executor memory — fine as a
+  * verification harness, a scale-killer on a 100 TB column). Both variants
+  * sort relationally and keep only the two bracketing rows per
+  * (group, prob) into the final aggregate — peak state per group is
+  * O(probs):
   *
-  * Spark's `percentile()` (like any collect-based exact quantile) buffers
-  * every value of a group in executor memory — fine as a verification
-  * harness, a scale-killer on a 100 TB column. This operator computes the
-  * same type-7 (linear-interpolation) quantiles relationally: one sort per
-  * group (window `row_number`), then ONLY the two bracketing rows per
-  * (group, prob) survive into the final aggregate. Peak state per group is
-  * O(probs), not O(rows).
+  * - [[exactQuantiles]]: per-group window sort. Two stages; parallelism =
+  *   group count.
+  * - [[exactQuantilesSpread]]: range-partitioned sort + rank
+  *   reconstruction. More stages, but parallelism independent of group
+  *   count — the shape for a handful of huge groups.
+  *
+  * Both are pinned bit-identical to `percentile()` by QuantilesSpec.
   */
 object Quantiles {
 
-  /** One row per group with a column per requested quantile.
+  /** One row per group with a column per requested quantile, computed with
+    * a per-group window sort — two stages, minimal overhead; parallelism =
+    * group count, so use this when groups are at least as numerous as
+    * cores (or each group's rows comfortably fit one task). For FEW huge
+    * groups use [[exactQuantilesSpread]].
     *
-    * Interpolation matches Spark's `percentile()`:
+    * Interpolation matches Spark's `percentile()` exactly:
     * `v_lo · (ceil(h) − h) + v_hi · (h − floor(h))` at rank `h = (n−1)·p`,
-    * collapsing to the exact element when `h` is integral.
+    * collapsing to the exact element when `h` is integral. NULL values are
+    * ignored, like `percentile()`.
     *
     * @param probs    quantile probabilities in [0, 1]
     * @param outNames output column name per prob (same length)
@@ -31,21 +41,77 @@ object Quantiles {
       by: Seq[String],
       probs: Seq[Double],
       outNames: Seq[String]): DataFrame = {
-    require(probs.nonEmpty && probs.length == outNames.length,
-      "probs and outNames must be non-empty and the same length")
-    require(probs.forall(p => p >= 0.0 && p <= 1.0), s"probs must be in [0,1]: $probs")
+    checkArgs(probs, outNames)
     val keys = by.map(col)
     val sortW = Window.partitionBy(keys: _*).orderBy(col("__v"))
     val cntW = Window.partitionBy(keys: _*)
-    // rank h of prob p in THIS row's group; every row knows its group size.
-    // NULL values are excluded BEFORE ranking — percentile() ignores them,
-    // and an unfiltered NULL would both inflate the group size and sort
-    // first under the ascending window.
     val ranked = df
       .select((keys :+ col(valueCol).cast("double").as("__v")): _*)
       .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(sortW))
       .withColumn("__n", count(lit(1)).over(cntW))
+    finishFromRanks(ranked, keys, probs, outNames)
+  }
+
+  /** The low-cardinality-group scale path: same result as
+    * [[exactQuantiles]], but the sort is RANGE-partitioned over
+    * (group, value) — parallelism set by `spark.sql.shuffle.partitions`,
+    * not group count — and global per-group ranks are reconstructed from
+    * per-(partition, group) counts (a tiny broadcast side frame). More
+    * stages (range sampling, offset join), so it only wins when single
+    * groups are too big for one task's sort.
+    */
+  def exactQuantilesSpread(
+      df: DataFrame,
+      valueCol: String,
+      by: Seq[String],
+      probs: Seq[Double],
+      outNames: Seq[String]): DataFrame = {
+    checkArgs(probs, outNames)
+    val keys = by.map(col)
+
+    // range-partition the (group, value) space: each group's sorted run
+    // spans MANY partitions, each partition holds a contiguous slice
+    val parted = df
+      .select((keys :+ col(valueCol).cast("double").as("__v")): _*)
+      .filter(col("__v").isNotNull)
+      .repartitionByRange((keys :+ col("__v")): _*)
+      .sortWithinPartitions((keys :+ col("__v")): _*)
+      .withColumn("__pid", spark_partition_id())
+
+    // per-(partition, group) counts → per-group size and the number of
+    // group rows in partitions BEFORE each pid; both tiny (P × groups rows)
+    val counts = parted.groupBy((col("__pid") +: keys): _*).agg(count(lit(1)).as("__c"))
+    val offW = Window.partitionBy(keys: _*).orderBy(col("__pid"))
+    val offsets = counts
+      .withColumn("__off", sum(col("__c")).over(offW) - col("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(keys: _*)))
+      .drop("__c")
+
+    // global rank within the group = rows before this partition + local
+    // rank; the local window partitions on (__pid, group) so its
+    // parallelism is partitions × groups, never just groups
+    val localW = Window.partitionBy((col("__pid") +: keys): _*).orderBy(col("__v"))
+    val ranked = parted
+      .join(broadcast(offsets), ("__pid" +: by).toSeq)
+      .withColumn("__rn", col("__off") + row_number().over(localW))
+    finishFromRanks(ranked, keys, probs, outNames)
+  }
+
+  private def checkArgs(probs: Seq[Double], outNames: Seq[String]): Unit = {
+    require(probs.nonEmpty && probs.length == outNames.length,
+      "probs and outNames must be non-empty and the same length")
+    require(probs.forall(p => p >= 0.0 && p <= 1.0), s"probs must be in [0,1]: $probs")
+  }
+
+  /** Shared tail: bracket-row filter + final aggregate + interpolation over
+    * a frame carrying (__v, __rn global 1-based rank, __n group size).
+    */
+  private def finishFromRanks(
+      ranked: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column],
+      probs: Seq[Double],
+      outNames: Seq[String]): DataFrame = {
     def h(p: Double) = (col("__n") - 1) * p
     // keep only rows that bracket some requested quantile — the aggregate
     // below never sees the rest
@@ -56,10 +122,10 @@ object Quantiles {
       Seq(
         min(when(col("__rn") - 1 === floor(h(p)), col("__v"))).as(s"__lo_$nm"),
         min(when(col("__rn") - 1 === ceil(h(p)), col("__v"))).as(s"__hi_$nm"))
-    } :+ min(col("__n")).as("__n")
+    } :+ min(col("__n")).as("__n2")
     val agged = ranked.filter(bracketing).groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     val outCols = probs.zip(outNames).map { case (p, nm) =>
-      val hh = (col("__n") - 1) * p
+      val hh = (col("__n2") - 1) * p
       when(floor(hh) === ceil(hh), col(s"__lo_$nm"))
         .otherwise(col(s"__lo_$nm") * (ceil(hh) - hh) + col(s"__hi_$nm") * (hh - floor(hh)))
         .as(nm)

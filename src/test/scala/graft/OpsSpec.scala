@@ -78,14 +78,17 @@ class QuantilesSpec extends SparkSpec {
     val li = Tables.lineitem(spark, sfDir)
     val probs = Seq(0.0, 0.25, 0.5, 0.99, 1.0)
     val names = probs.map(p => s"q${(p * 100).toInt}")
-    val mine = graft.ops.Quantiles.exactQuantiles(
-      li, "l_extendedprice", Seq("l_returnflag"), probs, names)
     val refAggs = probs.zip(names).map { case (p, nm) =>
       expr(s"percentile(l_extendedprice, ${p}D)").as(nm)
     }
     val ref = li.groupBy(col("l_returnflag")).agg(refAggs.head, refAggs.tail: _*)
-    assert(mine.exceptAll(ref).count() == 0 && ref.exceptAll(mine).count() == 0,
-      mine.orderBy("l_returnflag").collect().mkString(" | "))
+    for (variant <- Seq(
+        graft.ops.Quantiles.exactQuantiles _,
+        graft.ops.Quantiles.exactQuantilesSpread _)) {
+      val mine = variant(li, "l_extendedprice", Seq("l_returnflag"), probs, names)
+      assert(mine.exceptAll(ref).count() == 0 && ref.exceptAll(mine).count() == 0,
+        mine.orderBy("l_returnflag").collect().mkString(" | "))
+    }
     // single-row group: the quantile IS the value at every prob
     val one = Seq(("a", 7.5)).toDF("g", "v")
     val r = graft.ops.Quantiles.exactQuantiles(one, "v", Seq("g"), Seq(0.0, 0.5, 1.0),
