@@ -78,22 +78,38 @@ object Demo {
     val sessions = streaming.StreamOps.sessionize(fakeEvents, gapMinutes = 2 * 24 * 60)
     println(s"[demo] sessionize: ${sessions.count()} sessions from ${fakeEvents.count()} events")
 
-    // 7. training-data pipeline: near-dup pairs -> clusters -> dedup'd,
-    //    packed corpus
+    // 7. the full training-data pipeline: quality gate -> source mixing ->
+    //    decontamination -> near-dup clusters -> dedup'd, packed corpus
     // fixture dir is overridable so the demo runs on any machine with the
     // parquet layout, not just the driver container
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-    val withDups = docs.union(docs.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz")).as("text")))
+    val raw = Tables.documents(spark, sfDir)
+    val gated = text.TextPipelines.qualityGate(raw,
+      minQuality = 0.3, minTokens = 10, maxTokens = 100000,
+      langs = Seq("en", "de", "es", "fr", "und"))
+    println(s"[demo] quality gate: ${raw.count()} docs -> ${gated.count()} kept")
+    val mixWeights = raw.select("source").distinct().collect()
+      .map(_.getString(0)).sorted.zipWithIndex
+      .map { case (src, i) => src -> (if (i % 2 == 0) 1.0 else 0.5) }.toMap
+    val mixed = text.TextPipelines
+      .weightedMix(raw.join(gated.select("doc_id"), "doc_id"), mixWeights)
+      .select(col("doc_id"), col("text"))
+    println(s"[demo] source mixing: -> ${mixed.count()} docs after weighted sampling")
+    val bench = raw.filter(pmod(col("doc_id"), lit(100)) === 0)
+    val clean = mixed.join(
+      dedup.Dedup.contaminationFlags(mixed, bench).filter(col("contaminated"))
+        .select("doc_id"), Seq("doc_id"), "left_anti")
+    println(s"[demo] decontamination: -> ${clean.count()} docs clear of the benchmark set")
+    val withDups = clean.union(clean.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz")).as("text")))
     val pairs = dedup.Dedup.minHashVerifiedNearDups(withDups, threshold = 0.5).select("id_a", "id_b")
     val clusters = ops.Graph.connectedComponents(pairs)
     val keep = withDups.join(clusters.filter(col("id") =!= col("rep"))
       .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
     println(s"[demo] dedup: ${withDups.count()} docs -> ${keep.count()} after cluster dedup " +
       s"(${clusters.count()} docs in ${clusters.select("rep").distinct().count()} near-dup clusters)")
-    val packed = text.TextPipelines.packSequences(keep, capacity = 2048)
+    val packed = text.TextPipelines.packSequencesSharded(keep, capacity = 2048, shards = 4)
     val binStats = packed.groupBy("bin_id").agg(count(lit(1)).as("docs"))
-    println(s"[demo] packed into ${binStats.count()} bins of 2048 tokens " +
+    println(s"[demo] packed into ${binStats.count()} shard-namespaced bins of 2048 tokens " +
       s"(avg ${packed.count() / math.max(binStats.count(), 1)} docs/bin)")
 
     spark.stop()
