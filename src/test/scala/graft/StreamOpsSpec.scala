@@ -102,6 +102,34 @@ class StreamOpsSpec extends SparkSpec {
     assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
   }
 
+  test("qualityGate and weightedMix run unchanged on a stream (map-only corpus ops)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    val gated = graft.text.TextPipelines.qualityGate(docs,
+      minQuality = 0.0, minTokens = 3, maxTokens = 1000,
+      langs = Seq("en", "de", "es", "fr", "und"))
+    val q1 = gated.writeStream.format("memory").queryName("gate_stream")
+      .outputMode("append").start()
+    mem.addData((1L, "the cat and the dog sat in the house", "s0"),
+      (2L, "hi", "s0")) // below minTokens — gated out
+    q1.processAllAvailable()
+    q1.stop()
+    val kept = spark.table("gate_stream").select("doc_id").collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L))
+
+    val mem2 = MemoryStream[(Long, String, String)]
+    val docs2 = mem2.toDF().toDF("doc_id", "text", "source")
+    val mixed = graft.text.TextPipelines.weightedMix(docs2, Map("keepall" -> 1.0))
+    val q2 = mixed.writeStream.format("memory").queryName("mix_stream")
+      .outputMode("append").start()
+    mem2.addData((1L, "a", "keepall"), (2L, "b", "dropme"))
+    q2.processAllAvailable()
+    q2.stop()
+    val mixKept = spark.table("mix_stream").select("doc_id").collect().map(_.getLong(0))
+    assert(mixKept.toSeq == Seq(1L))
+  }
+
   test("clickAttribution: batch path joins clicks to in-window views of the same user only") {
     val views = Seq((1L, 10L, ts("2026-01-01 10:00:00")), // in window for click 20
       (1L, 11L, ts("2026-01-01 08:00:00")), // too old
