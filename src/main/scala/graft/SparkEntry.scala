@@ -51,6 +51,23 @@ object SparkEntry {
     nearDupPairsMemo.getOrElseUpdate((s, dir),
       Dedup.minHashVerifiedNearDups(docsWithNearDups(s, dir), threshold = 0.5))
 
+  /** Release every memoized frame. The memos are localCheckpoint-backed, so
+    * `catalog.clearCache()` cannot see them (checkpoint blocks are RDD
+    * persists, not cache-manager entries); this hook makes the release
+    * explicit and assertable. It unpersists ALL persistent RDDs of the
+    * sessions that hold a memo — the memo frames plus any stray
+    * checkpoint blocks an iterative operator left behind (e.g. label-
+    * propagation rounds) — so call it after `clearCache()`, as Bench/Verify
+    * do, when no query is concurrently relying on a pinned block.
+    */
+  def clearMemos(): Unit = {
+    val sessions = nearDupPairsMemo.keySet.map(_._1).toSet
+    nearDupPairsMemo.clear()
+    sessions.foreach { s =>
+      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   /** ANN fixture with ground truth: corpus = embeddings plus 5 planted
     * near-duplicate twins per query (dimension 0 perturbed by j/128 — exact
     * in binary, so Spark and DuckDB construct bit-identical vectors). The
@@ -521,19 +538,25 @@ object SparkEntry {
     }),
 
     // ---- LLM-pipeline: text analysis ----
+    // every token signal derives from ONE native single-pass lang_stats
+    // struct (the HOF formulations are interpreted CodegenFallback lambdas
+    // and re-walk the token array per signal)
     "q32_text_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          TextFunctions.langStats(s, col("text")).as("__st"))
         .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).as("n_tokens"),
-          TextFunctions.avgTokenLen(col("text")).as("avg_token_len"),
+          col("__st.n_tokens").as("n_tokens"),
+          TextFunctions.statsAvgTokenLen(col("__st")).as("avg_token_len"),
           TextFunctions.punctRatio(col("text")).as("punct_ratio"),
-          TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
-          TextFunctions.qualityScore(col("text")).as("quality"))
+          TextFunctions.statsStopwordRatio(col("__st")).as("stopword_ratio"),
+          TextFunctions.statsQualityScore(col("__st"), col("text")).as("quality"))
         .orderBy(col("doc_id"))),
 
     "q33_langid" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"),
+          TextFunctions.statsLangId(TextFunctions.langStats(s, col("text"))).as("lang_pred"))
         .orderBy(col("doc_id"))),
 
     "q34_fingerprint" -> ((s, dir) =>
@@ -1528,12 +1551,14 @@ object SparkEntry {
         |FROM c ORDER BY doc_id""".stripMargin,
 
     // q79: keep probability is pure modular arithmetic of doc_id, so both
-    // engines select the identical sample.
+    // engines select the identical sample. Same reduced form as weightedMix
+    // ((id mod M)·(A mod M) mod M ≡ (id·A) mod M) so neither side can
+    // overflow a 64-bit product for large ids.
     "q79_source_mixing" ->
       """SELECT doc_id, source FROM documents
         |WHERE CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
         |                  WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 END IS NOT NULL
-        |  AND (doc_id * 2654435761) % 1000000007 <
+        |  AND ((doc_id % 1000000007) * 654435747) % 1000000007 <
         |      (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
         |                   WHEN 'src2' THEN 0.25 WHEN 'src3' THEN 0.1 END) * 1000000007
         |ORDER BY doc_id""".stripMargin,

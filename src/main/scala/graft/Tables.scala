@@ -57,7 +57,13 @@ object Tables {
       // them can never reach the parquet scan — time-range queries filter
       // ts_nanos (a pure rename of the stored column) and get PushedFilters
       .withColumn("ts_nanos", col("ts"))
-      .withColumn("ts", timestamp_micros(expr("ts_nanos div 1000")))
+      // FLOOR division, not `div` (which truncates toward zero): for
+      // pre-1970 instants a toward-zero truncation rounds nanos UP to the
+      // next microsecond, so `ts >= micros(lo) <=> ts_nanos >= lo·1000`
+      // would break within 1µs of a bound. (x − pmod(x,1000)) div 1000 is
+      // exact floor for any sign and stays in integer arithmetic (double
+      // division would lose precision above 2^53).
+      .withColumn("ts", timestamp_micros(expr("(ts_nanos - pmod(ts_nanos, 1000)) div 1000")))
       .withColumn("dt", col("ts").cast("date"))
   }
 

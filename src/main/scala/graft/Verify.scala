@@ -26,6 +26,8 @@ object Verify {
       // session doesn't accumulate pinned blocks
       spark.catalog.clearCache()
     }
+    // release the checkpoint-backed memo frames clearCache can't see
+    SparkEntry.clearMemos()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

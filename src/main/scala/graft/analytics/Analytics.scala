@@ -59,7 +59,9 @@ object Analytics {
       .groupBy(col("user_id")).agg(dsum(col("value")).as("total_spend"))
     // dt >= lo  <=>  instant >= midnight(lo) IN THE SESSION TIMEZONE (dt is
     // ts.cast(date), which is tz-dependent)  <=>  nanos >= midnight-epoch ms
-    // * 1e6 (floor-division by 1000 preserves the bound exactly)
+    // * 1e6 — exact for ANY epoch sign because Tables.events derives ts
+    // with true floor division (a toward-zero `div` would round pre-1970
+    // nanos up and misclassify rows within 1µs of the midnight boundary)
     val sessionTz = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
     val loNanos = java.time.LocalDate.parse(loStr)
       .atStartOfDay(sessionTz).toInstant.toEpochMilli * 1000000L

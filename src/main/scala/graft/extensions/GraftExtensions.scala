@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSimDescriptor)
     ext.injectFunction(GraftExtensions.hyperplaneSigDescriptor)
     ext.injectFunction(GraftExtensions.langIdNgramDescriptor)
+    ext.injectFunction(GraftExtensions.langStatsDescriptor)
     ext.injectFunction(GraftExtensions.shingleStringsDescriptor)
     ext.injectFunction(GraftExtensions.shingleHashesDescriptor)
     ext.injectFunction(GraftExtensions.sparseDotDescriptor)
@@ -86,6 +87,20 @@ object GraftExtensions {
     (new FunctionIdentifier("lang_id_ngram"),
       new ExpressionInfo(classOf[LangIdNgram].getName, "lang_id_ngram"),
       langIdNgramBuilder)
+
+  /** `lang_stats(text)`: the stopword lists (the model state) are the
+    * engine's fixed [[graft.functions.TextFunctions.StopLangOrder]] in
+    * tie-break order en > de > es > fr.
+    */
+  private val langStatsBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length == 1, "lang_stats expects exactly 1 string argument")
+    graft.expressions.LangStats(exprs.head, graft.functions.TextFunctions.StopLangOrder)
+  }
+
+  private[extensions] val langStatsDescriptor =
+    (new FunctionIdentifier("lang_stats"),
+      new ExpressionInfo(classOf[graft.expressions.LangStats].getName, "lang_stats"),
+      langStatsBuilder)
 
   /** `shingle_strings(text, k)` / `shingle_hashes(text, k)`: k is the
     * shingle width — structural, so it must be an integer literal.
@@ -211,6 +226,8 @@ object GraftExtensions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lang_id_ngram", langIdNgramBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lang_stats", langStatsBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_strings", shingleStringsBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", shingleHashesBuilder, "built-in")
@@ -249,6 +266,9 @@ object GraftExtensions {
 
   /** DataFrame-API handle for the native n-gram language ID. */
   def lang_id_ngram(text: Column): Column = call_function("lang_id_ngram", text)
+
+  /** DataFrame-API handle for the single-pass token/stopword statistics. */
+  def lang_stats(text: Column): Column = call_function("lang_stats", text)
 
   /** DataFrame-API handles for native shingling (k must be a literal). */
   def shingle_strings(text: Column, k: Column): Column =

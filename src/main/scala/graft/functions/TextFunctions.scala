@@ -62,6 +62,24 @@ object TextFunctions {
   val StopEs = Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con")
   val StopFr = Seq("le", "la", "et", "les", "des", "est", "un", "une", "dans", "que")
 
+  /** Stopword lists in argmax tie-break order (en > de > es > fr) — the
+    * model the native `lang_stats` expression bakes in.
+    */
+  val StopLangOrder: Seq[(String, Seq[String])] =
+    Seq("en" -> StopEn, "de" -> StopDe, "es" -> StopEs, "fr" -> StopFr)
+
+  /** Single-pass native token/stopword statistics:
+    * struct<n_tokens:int, tok_chars:bigint, en:int, de:int, es:int, fr:int>
+    * — one fused byte scan replacing the five interpreted HOFs the quality
+    * signals otherwise need (per-language `size(filter(tokens, isin))` plus
+    * the `aggregate` token-length sum). Field formulas are pinned to the HOF
+    * formulations by NativeFuzzSpec.
+    */
+  def langStats(spark: org.apache.spark.sql.SparkSession, text: Column): Column = {
+    graft.extensions.GraftExtensions.register(spark)
+    graft.extensions.GraftExtensions.lang_stats(text)
+  }
+
   private def inSet(t: Column, set: Seq[String]): Column =
     t.isin(set.map(_.asInstanceOf[Any]): _*)
 
@@ -146,6 +164,44 @@ object TextFunctions {
     val n = tokenCount(text).cast("double")
     val lenScore  = least(n / 100.0, lit(1.0))
     val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPen  = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
+    round((lenScore + stopScore + punctPen) / 3.0, 6)
+  }
+
+  // Derivations from one shared [[langStats]] struct — value-identical to
+  // the HOF formulations above (same operand types and operation order, so
+  // double arithmetic matches bit-for-bit), but every signal reads the same
+  // single-pass struct instead of re-walking the token array interpreted.
+
+  /** `stopwordRatio` from a [[langStats]] struct. */
+  def statsStopwordRatio(stats: Column): Column =
+    when(stats.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(stats.getField("en").cast("double") / stats.getField("n_tokens"))
+
+  /** `avgTokenLen` from a [[langStats]] struct. */
+  def statsAvgTokenLen(stats: Column): Column =
+    when(stats.getField("n_tokens") === 0, lit(0.0))
+      .otherwise(stats.getField("tok_chars").cast("double") / stats.getField("n_tokens"))
+
+  /** `langId` from a [[langStats]] struct (same strict-`>` tie order). */
+  def statsLangId(stats: Column): Column = {
+    val (en, de, es, fr) = (stats.getField("en"), stats.getField("de"),
+      stats.getField("es"), stats.getField("fr"))
+    val best = greatest(en, de, es, fr)
+    when(best === 0, lit("und"))
+      .when(en === best, lit("en"))
+      .when(de === best, lit("de"))
+      .when(es === best, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** `qualityScore` from a [[langStats]] struct (punctuation still reads the
+    * text — it is a character-class signal, not a token signal).
+    */
+  def statsQualityScore(stats: Column, text: Column): Column = {
+    val n = stats.getField("n_tokens").cast("double")
+    val lenScore  = least(n / 100.0, lit(1.0))
+    val stopScore = least(statsStopwordRatio(stats) * 5.0, lit(1.0))
     val punctPen  = greatest(lit(1.0) - punctRatio(text) * 10.0, lit(0.0))
     round((lenScore + stopScore + punctPen) / 3.0, 6)
   }

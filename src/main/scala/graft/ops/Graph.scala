@@ -40,9 +40,21 @@ object Graph {
     // analysis cost — measured as a hang past ~10 rounds). localCheckpoint
     // truncates the plan to the materialized RDD; on a cluster with
     // unreliable executors use reliable checkpoint() instead.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lab"))
-      .localCheckpoint()
+    //
+    // The RDD a Dataset.localCheckpoint pins is internal to the Dataset, so
+    // to release a superseded round's blocks (memory stays O(1) in rounds,
+    // not O(diameter)) each checkpoint diffs the context's persistent-RDD
+    // registry around its creation and unpersists those ids once the next
+    // round no longer reads them.
+    val sc = edges.sparkSession.sparkContext
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    var (labels, labelIds) = checkpointTracked(
+      sym.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("lab")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -50,13 +62,17 @@ object Graph {
         .join(labels.select(col("id").as("dst"), col("lab")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("lab")).as("nlab"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .localCheckpoint()
+      val (next, nextIds) = checkpointTracked(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab")))
       changed = next
         .join(labels.select(col("id"), col("lab").as("old")), "id")
         .filter(col("lab") =!= col("old")).count()
+      // `next` is materialized and `changed` computed — the previous round's
+      // checkpoint blocks have no remaining reader
+      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       labels = next
+      labelIds = nextIds
       it += 1
     }
     sym.unpersist()

@@ -50,7 +50,7 @@ object Quantiles {
       .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(sortW))
       .withColumn("__n", count(lit(1)).over(cntW))
-    finishFromRanks(ranked, keys, probs, outNames)
+    restoreAllNullGroups(df, by, finishFromRanks(ranked, keys, probs, outNames))
   }
 
   /** The low-cardinality-group scale path: same result as
@@ -71,13 +71,19 @@ object Quantiles {
     val keys = by.map(col)
 
     // range-partition the (group, value) space: each group's sorted run
-    // spans MANY partitions, each partition holds a contiguous slice
+    // spans MANY partitions, each partition holds a contiguous slice.
+    // PERSISTED because two subtrees (the counts/offsets aggregate and the
+    // ranked join) consume it and the range shuffle is nondeterministic
+    // (boundary sampling + spark_partition_id): both sides must see ONE
+    // evaluation by construction, not by hoping the optimizer's
+    // exchange-reuse rule deduplicates the scan. Released below.
     val parted = df
       .select((keys :+ col(valueCol).cast("double").as("__v")): _*)
       .filter(col("__v").isNotNull)
       .repartitionByRange((keys :+ col("__v")): _*)
       .sortWithinPartitions((keys :+ col("__v")): _*)
       .withColumn("__pid", spark_partition_id())
+      .persist()
 
     // per-(partition, group) counts → per-group size and the number of
     // group rows in partitions BEFORE each pid; both tiny (P × groups rows)
@@ -95,8 +101,24 @@ object Quantiles {
     val ranked = parted
       .join(broadcast(offsets), ("__pid" +: by).toSeq)
       .withColumn("__rn", col("__off") + row_number().over(localW))
-    finishFromRanks(ranked, keys, probs, outNames)
+    // materialize the (one-row-per-group) result eagerly so the pinned
+    // `parted` blocks can be released before returning — this variant is
+    // therefore eager, like the dedup operators that share intermediates
+    val out = restoreAllNullGroups(df, by, finishFromRanks(ranked, keys, probs, outNames))
+    graft.util.Caching.materialize(out, parted)
   }
+
+  /** `percentile()` returns a row with NULL quantiles for a group whose
+    * values are ALL NULL; the rank pipelines above filter NULLs before
+    * grouping and would drop such groups entirely. Restore them with a left
+    * join from the distinct group keys — a tiny map-side-combined aggregate
+    * — so the bit-identical-to-`percentile()` contract holds on every input.
+    * (With no grouping keys the global aggregate already yields its one
+    * NULL row on empty input, so there is nothing to restore.)
+    */
+  private def restoreAllNullGroups(df: DataFrame, by: Seq[String], out: DataFrame): DataFrame =
+    if (by.isEmpty) out
+    else df.select(by.map(col): _*).distinct().join(out, by, "left")
 
   private def checkArgs(probs: Seq[Double], outNames: Seq[String]): Unit = {
     require(probs.nonEmpty && probs.length == outNames.length,

@@ -149,8 +149,13 @@ object TextPipelines {
     }
     docs
       .withColumn("__rate", rate)
+      // reduce mod M BEFORE multiplying: id·A overflows Long for ids above
+      // ~3.5e9 (ANSI-mode throw, or silent divergence with ANSI off);
+      // (id mod M)·(A mod M) mod M is mathematically identical and stays
+      // below 2^60 for any Long id
       .filter(col("__rate").isNotNull &&
-        pmod(col(idCol) * MixA, lit(MixM)).cast("double") < col("__rate") * MixM)
+        pmod(pmod(col(idCol), lit(MixM)) * lit(MixA % MixM), lit(MixM)).cast("double")
+          < col("__rate") * MixM)
       .drop("__rate")
   }
 
@@ -167,38 +172,18 @@ object TextPipelines {
       langs: Seq[String] = Seq("en"),
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    graft.extensions.GraftExtensions.register(docs.sparkSession)
-    import TextFunctions._
-    def hits(toks: Column, set: Seq[String]): Column =
-      size(filter(toks, t => t.isin(set.map(_.asInstanceOf[Any]): _*)))
-    // ONE native tokenization feeds every signal (the per-signal
-    // TextFunctions formulations each re-run the interpreted
-    // regex-split — measured as most of this gate's cost); the formulas
-    // below are value-identical to qualityScore/langId/tokenCount
-    // (lowercasing never changes token boundaries — whitespace is
-    // case-invariant — and the set matching is on lowercased tokens either
-    // way).
+    // ONE native single-pass lang_stats struct feeds every signal — token
+    // count, per-language stopword hits, and (via the struct-derivation
+    // helpers) the composite quality score and language argmax. No
+    // interpreted higher-order functions anywhere in the gate: the whole
+    // thing is a map-only whole-stage-codegen projection + filter.
     docs
       .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
-        graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("__toks"))
-      .select(col("doc_id"), col("__text"), col("__toks"),
-        size(col("__toks")).as("n_tokens"),
-        hits(col("__toks"), StopEn).as("__en"), hits(col("__toks"), StopDe).as("__de"),
-        hits(col("__toks"), StopEs).as("__es"), hits(col("__toks"), StopFr).as("__fr"))
-      .select(col("doc_id"), col("n_tokens"),
-        round((
-          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) +
-            least(when(col("n_tokens") === 0, lit(0.0))
-              .otherwise(col("__en").cast("double") / col("n_tokens")) * 5.0, lit(1.0)) +
-            greatest(lit(1.0) - punctRatio(col("__text")) * 10.0, lit(0.0))) / 3.0, 6)
-          .as("quality"), {
-          val best = greatest(col("__en"), col("__de"), col("__es"), col("__fr"))
-          when(best === 0, lit("und"))
-            .when(col("__en") === best, lit("en"))
-            .when(col("__de") === best, lit("de"))
-            .when(col("__es") === best, lit("es"))
-            .otherwise(lit("fr")).as("lang_pred")
-        })
+        TextFunctions.langStats(docs.sparkSession, col(textCol)).as("__st"))
+      .select(col("doc_id"),
+        col("__st.n_tokens").as("n_tokens"),
+        TextFunctions.statsQualityScore(col("__st"), col("__text")).as("quality"),
+        TextFunctions.statsLangId(col("__st")).as("lang_pred"))
       .filter(col("quality") >= minQuality &&
         col("n_tokens").between(minTokens, maxTokens) &&
         col("lang_pred").isin(langs.map(_.asInstanceOf[Any]): _*))

@@ -24,4 +24,20 @@ class CacheHygieneSpec extends SparkSpec {
     }
     assert(leaked.isEmpty, s"queries leaking cached blocks: ${leaked.mkString(", ")}")
   }
+
+  test("clearMemos releases the checkpoint-backed memo frames") {
+    // the shared near-dup pairs memo is localCheckpoint-backed, i.e. a
+    // persistent RDD that cacheManager.isEmpty (above) cannot see; prove the
+    // explicit release hook drops it
+    spark.catalog.clearCache()
+    SparkEntry.clearMemos()
+    SparkEntry.queries("q59_dedup_clusters")(spark, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "expected the memoized pairs frame to be checkpoint-persisted before release")
+    SparkEntry.clearMemos()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "clearMemos must leave no persistent RDDs behind")
+  }
 }

@@ -164,4 +164,25 @@ class ExpressionSpec extends SparkSpec {
     }
     assert(wsc.nonEmpty, df.queryExecution.executedPlan.toString)
   }
+
+  test("lang_stats resolves in SQL; quality-gate plan has ZERO CodegenFallback expressions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT lang_stats('  the la   und zz ') AS st").collect().head.getStruct(0)
+    assert(r.getInt(0) == 4, s"n_tokens: $r")            // the, la, und, zz
+    assert(r.getLong(1) == 3 + 2 + 3 + 2, s"tok_chars: $r")
+    assert(r.getInt(2) == 1 && r.getInt(3) == 1 &&        // en: the; de: und
+      r.getInt(4) == 1 && r.getInt(5) == 1, s"hits: $r")  // es: la; fr: la
+    // the whole gate must be codegen'd end to end — not merely "some
+    // WholeStageCodegen exists" but NO expression in the plan that would
+    // evaluate interpreted (the round-1 50× lesson was interpreted lambdas
+    // hiding inside otherwise-native map stages)
+    val gate = graft.text.TextPipelines.qualityGate(Tables.documents(spark, sfDir))
+    val fallbacks = gate.queryExecution.executedPlan.collect {
+      case p => p.expressions.flatMap(_.collect {
+        case f: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback => f
+      })
+    }.flatten
+    assert(fallbacks.isEmpty,
+      s"interpreted expressions in quality-gate plan: ${fallbacks.map(_.getClass.getSimpleName).distinct}")
+  }
 }

@@ -84,6 +84,33 @@ class NativeFuzzSpec extends SparkSpec {
     assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
   }
 
+  test("fuzz: lang_stats matches the HOF signal formulations on arbitrary unicode text") {
+    GraftExtensions.register(spark)
+    val df = fuzzStrings(400, seed = 29L).toDF("text")
+      .select(col("text"), GraftExtensions.lang_stats(col("text")).as("st"))
+    def hofHits(set: Seq[String]) =
+      size(filter(TextFunctions.tokens(lower(col("text"))), t =>
+        t.isin(set.map(_.asInstanceOf[Any]): _*)))
+    val diff = df.select(col("text"), col("st"),
+      TextFunctions.tokenCount(col("text")).as("hof_n"),
+      TextFunctions.avgTokenLen(col("text")).as("hof_avg"),
+      TextFunctions.statsAvgTokenLen(col("st")).as("nat_avg"),
+      TextFunctions.stopwordRatio(col("text")).as("hof_ratio"),
+      TextFunctions.statsStopwordRatio(col("st")).as("nat_ratio"),
+      TextFunctions.langId(col("text")).as("hof_lang"),
+      TextFunctions.statsLangId(col("st")).as("nat_lang"),
+      TextFunctions.qualityScore(col("text")).as("hof_q"),
+      TextFunctions.statsQualityScore(col("st"), col("text")).as("nat_q"),
+      hofHits(TextFunctions.StopEn).as("hof_en"), hofHits(TextFunctions.StopDe).as("hof_de"),
+      hofHits(TextFunctions.StopEs).as("hof_es"), hofHits(TextFunctions.StopFr).as("hof_fr"))
+      .filter(col("st.n_tokens") =!= col("hof_n") ||
+        col("nat_avg") =!= col("hof_avg") || col("nat_ratio") =!= col("hof_ratio") ||
+        col("nat_lang") =!= col("hof_lang") || col("nat_q") =!= col("hof_q") ||
+        col("st.en") =!= col("hof_en") || col("st.de") =!= col("hof_de") ||
+        col("st.es") =!= col("hof_es") || col("st.fr") =!= col("hof_fr"))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("; "))
+  }
+
   test("fuzz: simhash64 over term vectors equals the 64-sum relational formulation") {
     GraftExtensions.register(spark)
     val texts = fuzzStrings(120, seed = 23L).zipWithIndex

@@ -100,5 +100,17 @@ class QuantilesSpec extends SparkSpec {
     val rn = graft.ops.Quantiles.exactQuantiles(withNulls, "v", Seq("g"),
       Seq(0.0, 0.5, 1.0), Seq("lo", "mid", "hi")).collect().head
     assert(rn.getDouble(1) == 10.0 && rn.getDouble(2) == 15.0 && rn.getDouble(3) == 20.0)
+    // a group whose values are ALL NULL yields a row with NULL quantiles
+    // (percentile() parity), not a dropped group
+    val allNull = Seq(("a", Some(1.0)), ("b", None), ("b", None)).toDF("g", "v")
+    for (variant <- Seq(
+        graft.ops.Quantiles.exactQuantiles _,
+        graft.ops.Quantiles.exactQuantilesSpread _)) {
+      val rows = variant(allNull, "v", Seq("g"), Seq(0.5), Seq("med"))
+        .orderBy("g").collect()
+      assert(rows.length == 2, rows.mkString(" | "))
+      assert(rows(0).getDouble(1) == 1.0)
+      assert(rows(1).isNullAt(1), s"all-NULL group must yield NULL med: ${rows(1)}")
+    }
   }
 }
