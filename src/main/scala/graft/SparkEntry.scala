@@ -875,10 +875,54 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- REAL audio codec roundtrip (the q71 pattern for sound): WAVs
+    // synthesized with header fields that are pure arithmetic of doc_id,
+    // written by the JDK's WAV encoder, decoded by Multimodal.decodeAudio
+    // (javax.sound) — the oracle predicts every decoded field in SQL ----
+    "q82_audio_roundtrip" -> ((s, dir) => {
+      val spec = Tables.documents(s, dir).select(
+        col("doc_id").as("id"),
+        (lit(8000) + pmod(col("doc_id"), lit(8)) * 1000).as("sample_rate"),
+        (lit(1) + pmod(col("doc_id"), lit(2))).as("channels"),
+        (lit(100) + pmod(col("doc_id"), lit(400))).as("n_frames"))
+      val media = graft.multimodal.Multimodal.synthesizeAudio(spec)
+      graft.multimodal.Multimodal.decodeAudio(media).toDF()
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("n_frames"), round(col("duration_sec"), 6).as("duration_sec"),
+          col("format_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LLM-pipeline: multimodal plumbing ----
     "q43_multimodal" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain")
       graft.multimodal.Multimodal.extractFeatures(media).toDF().orderBy(col("id"))
+    }),
+
+    // ---- keyed upsert (MERGE): update-else-insert on o_orderkey — every
+    // 100th order's status flipped in place, every 500th re-keyed as a new
+    // insert; the anti-join side of the merge is the broadcastable batch ----
+    "q81_merge_upsert" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val updates = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .withColumn("o_orderstatus", lit("X"))
+      val inserts = o.filter(pmod(col("o_orderkey"), lit(500)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus"))
+      IncrementalLoader.upsert(o, updates.unionByName(inserts), Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- null-safe anti join under the oracle gate: NULL keys must match
+    // NULL keys (plain equality would re-append them forever) ----
+    "q83_antijoin_nullsafe" -> ((s, dir) => {
+      import s.implicits._
+      val src = Tables.orders(s, dir)
+        .select(col("o_orderkey"), expr("nullif(o_orderkey % 10, 5)").as("bucket"))
+      val ex = Seq[Option[Long]](None, Some(2L), Some(4L), Some(6L), Some(8L)).toDF("bucket")
+      IncrementalLoader.newRowsNullSafe(src, ex, Seq("bucket"))
+        .orderBy(col("o_orderkey"))
     })
   )
 
@@ -1692,6 +1736,42 @@ object SparkEntry {
         |  TRUE AS hll_ok,
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50, TRUE AS p50_ok,
         |  ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99, TRUE AS p99_ok
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q82: every decoded WAV header field is arithmetic of doc_id; duration
+    // = frames / rate in double on both sides, rounded 6dp.
+    "q82_audio_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS channels,
+        |  CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+        |  ROUND(CAST(100 + doc_id % 400 AS DOUBLE) / (8000 + (doc_id % 8) * 1000), 6) AS duration_sec,
+        |  TRUE AS format_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q81: MERGE semantics spelled out relationally — updated rows replace,
+    // re-keyed rows insert, everything else survives.
+    "q81_merge_upsert" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus FROM base WHERE o_orderkey % 500 = 0)
+        |SELECT * FROM (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey))
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q83: IS NOT DISTINCT FROM is SQL's null-safe <=> — the NULL bucket
+    // rows must be treated as matched (removed), not re-surfaced.
+    "q83_antijoin_nullsafe" ->
+      """SELECT o.o_orderkey, NULLIF(o.o_orderkey % 10, 5) AS bucket
+        |FROM orders o
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM (VALUES (2), (4), (6), (8), (NULL)) e(b)
+        |  WHERE e.b IS NOT DISTINCT FROM NULLIF(o.o_orderkey % 10, 5))
+        |ORDER BY o.o_orderkey""".stripMargin
   )
 }

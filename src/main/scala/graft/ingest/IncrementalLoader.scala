@@ -41,6 +41,62 @@ object IncrementalLoader {
     src.join(ex, cond, "left_anti")
   }
 
+  /** Keyed upsert (MERGE): update-else-insert of `updates` into `target` on
+    * `keys` — the modern lakehouse form of the reference's TRUNCATE+reload
+    * (README.md:377-385), which rewrites the whole table to change any row.
+    * A row of `updates` replaces the target row with the same key; keys
+    * absent from the target are inserted. Relational form:
+    * `updates ∪ (target ⟕̸ updates)` — one null-safe anti join, so Catalyst
+    * broadcasts the (typically small) update batch and the target is
+    * scanned once, never shuffled on its own size.
+    *
+    * Precondition: `updates` has at most one row per key (standard MERGE
+    * ambiguity rule — enforce upstream; with several, all survive).
+    */
+  def upsert(target: DataFrame, updates: DataFrame, keys: Seq[String] = AdsKeys): DataFrame = {
+    val kept = newRowsNullSafe(target, updates.select(keys.map(col): _*), keys)
+    updates.select(target.columns.map(col).toIndexedSeq: _*).unionByName(kept)
+  }
+
+  /** [[upsert]] against a dt-partitioned parquet sink, rewriting ONLY the
+    * partitions the batch touches (dynamic partition overwrite) — at 100 TB
+    * a MERGE that rewrites the whole sink is the TRUNCATE+reload it was
+    * supposed to replace. Because `dt` is part of the key, a matched target
+    * row always lives in the same partition as its update, so untouched
+    * partitions cannot contain stale versions.
+    *
+    * Batches with NULL dt are rejected: a null partition key would land in
+    * the `__HIVE_DEFAULT_PARTITION__` bucket and dynamic overwrite of it is
+    * ambiguous across engines — null-dt flows belong in [[appendNew]].
+    */
+  def mergeIntoSink(
+      spark: SparkSession,
+      batch: DataFrame,
+      sinkPath: String,
+      keys: Seq[String] = AdsKeys): Unit = {
+    require(keys.contains("dt"), "mergeIntoSink requires dt in the merge key (partition column)")
+    require(batch.filter(col("dt").isNull).isEmpty, "mergeIntoSink: batch has NULL dt rows")
+    val sinkExists = new org.apache.hadoop.fs.Path(sinkPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(sinkPath))
+    val out =
+      if (!sinkExists) batch
+      else {
+        val sink = spark.read.parquet(sinkPath)
+        // the rewrite reads only the touched partitions: semi join the sink
+        // on the batch's distinct dt values (a broadcastable date list)
+        val touched = sink.join(broadcast(batch.select("dt").distinct()), Seq("dt"), "left_semi")
+        upsert(touched, batch, keys)
+      }
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try out.write.mode("overwrite").partitionBy("dt").parquet(sinkPath)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** Idempotent append of `batch` into the parquet sink at `sinkPath`,
     * dt-partitioned. Re-running with the same batch appends 0 rows
     * (invariant i, SURVEY.md §5.1).

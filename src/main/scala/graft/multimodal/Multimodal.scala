@@ -203,6 +203,35 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Synthesize real PCM-16 silence WAVs from an (id, sample_rate, channels,
+    * n_frames) spec — the audio analogue of [[synthesizeImages]]: the JDK's
+    * WAV writer produces real RIFF bytes whose decoded header fields are
+    * pure arithmetic of the spec, so the REAL codec roundtrip (encode → WAV
+    * bytes → [[decodeAudio]]) is oracle-checkable in plain SQL.
+    */
+  def synthesizeAudio(spec: DataFrame): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec
+      .select(col("id").cast("long"), col("sample_rate").cast("int"),
+        col("channels").cast("int"), col("n_frames").cast("int"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions { rows =>
+        rows.map { case (id, rate, ch, frames) =>
+          val fmt = new javax.sound.sampled.AudioFormat(
+            rate.toFloat, 16, ch, true, false) // PCM signed 16-bit little-endian
+          val pcm = new Array[Byte](frames * fmt.getFrameSize) // silence
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(
+            ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          ais.close()
+          MediaRow(id, bos.toByteArray, "audio/wav")
+        }
+      }.toDF()
+  }
+
   /** Real audio header decode (JDK javax.sound.sampled — WAV/AIFF): sample
     * rate, channels, frame count, duration. Header-only — the PCM payload
     * is not pulled through memory.

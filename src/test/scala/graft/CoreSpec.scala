@@ -66,6 +66,50 @@ class IncrementalLoaderSpec extends SparkSpec {
     assert(m1 == 1 && m2 == 0)
   }
 
+  test("upsert replaces matched keys, inserts new ones, keeps the rest") {
+    import spark.implicits._
+    val target = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (9L, "Z")).toDF("k", "v")
+    val got = IncrementalLoader.upsert(target, updates, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "B"), (3L, "c"), (9L, "Z")))
+    // NULL keys upsert in place too (null-safe match), never duplicate
+    val tN = Seq((Option.empty[Long], "n"), (Some(1L), "a")).toDF("k", "v")
+    val uN = Seq((Option.empty[Long], "N")).toDF("k", "v")
+    val gotN = IncrementalLoader.upsert(tN, uN, Seq("k"))
+      .orderBy(col("k").asc_nulls_first).as[(Option[Long], String)].collect().toSeq
+    assert(gotN == Seq((None, "N"), (Some(1L), "a")))
+  }
+
+  test("mergeIntoSink is idempotent and rewrites only touched partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/sink"
+    val base = AdsDataGenerator.generate(spark, AdsDataGenerator.Params(campaigns = 2, days = 4))
+    IncrementalLoader.mergeIntoSink(spark, base, dir)
+    val total = base.count()
+    assert(spark.read.parquet(dir).count() == total)
+
+    // batch: one day's rows with spend zeroed + one brand-new key that day
+    val day = base.select(max(col("dt"))).collect()(0).getDate(0).toString
+    val touched = base.filter(col("dt") === day).withColumn("spend", lit(0.0))
+    val fresh = touched.limit(1).withColumn("campaign_id", lit(999L))
+    val batch = touched.unionByName(fresh)
+    // untouched partitions keep files: record one untouched day's rows
+    val otherDayRows = spark.read.parquet(dir).filter(col("dt") =!= day).count()
+
+    IncrementalLoader.mergeIntoSink(spark, batch, dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() == total + 1)
+    assert(after.filter(col("dt") === day && col("spend") =!= 0.0).count() == 0,
+      "matched rows not updated in place")
+    assert(after.filter(col("dt") =!= day).count() == otherDayRows)
+
+    // run the same merge again: nothing changes (idempotence)
+    IncrementalLoader.mergeIntoSink(spark, batch, dir)
+    val again = spark.read.parquet(dir)
+    assert(again.count() == total + 1)
+    assert(again.filter(col("dt") === day && col("spend") =!= 0.0).count() == 0)
+  }
+
   test("appendNew appends only the delta for a partially-overlapping batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-inc2").toString + "/sink"
     val p = AdsDataGenerator.Params(campaigns = 2, days = 4)
