@@ -564,6 +564,31 @@ object SparkEntry {
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
         .orderBy(col("doc_id"))),
 
+    // ---- token Shannon entropy (vocabulary-diversity quality signal):
+    // ln n − (Σ c·ln c)/n over per-doc token frequencies — two hash
+    // aggregations, map-side combined; docs with no tokens have no entropy ----
+    "q38_token_entropy" -> ((s, dir) => {
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(TextFunctions.tokensNative(s, lower(col("text")))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      tf.groupBy("doc_id")
+        .agg(sum(col("c")).as("n"), sum(col("c") * log(col("c"))).as("clogc"))
+        .select(col("doc_id"), col("n"),
+          round(log(col("n")) - col("clogc") / col("n"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- latest record per key (SCD-style dedup): k=1 through the custom
+    // TopKPerKey operator — partial bounded heaps make the exchange carry
+    // one row per (partition, user), never the event history ----
+    "q39_latest_per_key" -> ((s, dir) =>
+      graft.ops.TopK.topKPerKey(Tables.events(s, dir),
+        keys = Seq("user_id"),
+        order = Seq(("ts_nanos", false), ("event_id", true)), k = 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))),
+
     "q53_langid_ngram" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextFunctions.langIdNgram(s, col("text")).as("lang_pred"))
@@ -1737,6 +1762,26 @@ object SparkEntry {
         |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50, TRUE AS p50_ok,
         |  ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99, TRUE AS p99_ok
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q38: same two-stage frequency aggregation; HUGEINT sums cast down,
+    // entropy rounded 6dp on both sides (double-sum order differences sit
+    // ~1e-10, far inside the rounding).
+    "q38_token_entropy" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |f AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |  ROUND(LN(CAST(SUM(c) AS DOUBLE)) - SUM(c * LN(c)) / SUM(c), 6) AS entropy
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q39: ROW_NUMBER()=1 over (ts DESC, event_id) is the oracle for the
+    // bounded-heap top-1; DuckDB orders the nanos timestamp directly.
+    "q39_latest_per_key" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // q82: every decoded WAV header field is arithmetic of doc_id; duration
     // = frames / rate in double on both sides, rounded 6dp.

@@ -33,24 +33,56 @@ import org.apache.spark.unsafe.types.UTF8String
 object LangStatsOps {
 
   /** token → bitmask of languages whose stopword list contains it (bit i =
-    * langs(i)); built once per expression instance and shared by codegen.
+    * langs(i)). INTERNED per language spec: predicate pushdown inlines a
+    * projected lang_stats alias into many expression instances, and the
+    * per-row memo below distinguishes models by reference — equal specs must
+    * share ONE map or every cross-instance call misses.
     */
-  def buildMasks(langs: Seq[(String, Seq[String])]): java.util.HashMap[UTF8String, Integer] = {
-    val m = new java.util.HashMap[UTF8String, Integer]()
-    langs.zipWithIndex.foreach { case ((_, words), i) =>
-      words.foreach { w =>
-        val k = UTF8String.fromString(w)
-        val prev = m.get(k)
-        m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+  private val masksCache = new java.util.concurrent.ConcurrentHashMap[
+    Seq[(String, Seq[String])], java.util.HashMap[UTF8String, Integer]]()
+
+  def buildMasks(langs: Seq[(String, Seq[String])]): java.util.HashMap[UTF8String, Integer] =
+    masksCache.computeIfAbsent(langs, { spec =>
+      val m = new java.util.HashMap[UTF8String, Integer]()
+      spec.zipWithIndex.foreach { case ((_, words), i) =>
+        words.foreach { w =>
+          val k = UTF8String.fromString(w)
+          val prev = m.get(k)
+          m.put(k, Integer.valueOf((if (prev == null) 0 else prev.intValue()) | (1 << i)))
+        }
       }
-    }
-    m
-  }
+      m
+    })
 
   private def isSpace(b: Byte): Boolean =
     b == 0x20 || (b >= 0x09 && b <= 0x0d) // java regex \s
 
+  /** One-entry per-thread memo keyed by INPUT REFERENCE. Predicate pushdown
+    * inlines a projected lang_stats alias into every conjunct of a filter
+    * below the projection (~19 copies for the quality gate), and FilterExec
+    * does no cross-predicate subexpression elimination — so without this,
+    * the gate re-scans each row's text once per conjunct. Within one row all
+    * inlined calls receive the IDENTICAL UTF8String object (codegen binds
+    * the column value to one local), so reference equality is exact: a new
+    * row allocates a new wrapper and can only MISS (the strong ref keeps the
+    * cached key alive, so a stale address can never alias). Turns N
+    * evaluations per row into one scan + N−1 pointer compares.
+    */
+  private val lastEval =
+    new ThreadLocal[(UTF8String, java.util.HashMap[UTF8String, Integer], InternalRow)]
+
   def langStats(
+      s: UTF8String,
+      masks: java.util.HashMap[UTF8String, Integer],
+      nLangs: Int): InternalRow = {
+    val cached = lastEval.get()
+    if (cached != null && (cached._1 eq s) && (cached._2 eq masks)) return cached._3
+    val row = computeLangStats(s, masks, nLangs)
+    lastEval.set((s, masks, row))
+    row
+  }
+
+  private def computeLangStats(
       s: UTF8String,
       masks: java.util.HashMap[UTF8String, Integer],
       nLangs: Int): InternalRow = {
