@@ -939,6 +939,40 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- exactly-k deterministic sample per source (count-based quota,
+    // hash-ranked through the bounded-heap TopKPerKey operator) ----
+    "q84_group_sample_topk" -> ((s, dir) =>
+      graft.text.TextPipelines.hashSamplePerGroup(
+        Tables.documents(s, dir).select(col("doc_id"), col("source")), "source", k = 5)
+        .select(col("source"), col("doc_id"), col("hkey"))
+        .orderBy(col("source"), col("hkey"), col("doc_id"))),
+
+    // ---- SCD2 history apply: changed open versions close at the effective
+    // date, new versions open, no-op batch rows leave history untouched ----
+    "q85_scd2_apply" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val target = cust.select(col("c_custkey").as("k"), col("c_mktsegment").as("v"),
+        to_date(lit("2020-01-01")).as("valid_from"), lit(null).cast("date").as("valid_to"))
+      // every 3rd key changes segment; every 5th (non-3rd) re-sends its
+      // current value — MUST be a no-op
+      val batch = cust.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey").as("k"), lit("NEW").as("v"))
+        .unionByName(
+          cust.filter(pmod(col("c_custkey"), lit(3)) =!= 0 && pmod(col("c_custkey"), lit(5)) === 0)
+            .select(col("c_custkey").as("k"), col("c_mktsegment").as("v")))
+      graft.ingest.Scd2.applyScd2(target, batch, Seq("k"), Seq("v"), lit("2024-06-01"))
+        // open rows compare as the conventional SCD2 high date: a NULL date
+        // column stringifies differently in the two compare paths (pandas
+        // object 'None' vs datetime 'NaT'), and 9999-12-31 is what most
+        // warehouses physically store for the open version anyway
+        .withColumn("valid_to", coalesce(col("valid_to"), to_date(lit("9999-12-31"))))
+        .orderBy(col("k"), col("valid_from"))
+    }),
+
+    // ---- fixed-width numeric histogram (profiling primitive) ----
+    "q86_histogram" -> ((s, dir) =>
+      Analytics.histogram(Tables.lineitem(s, dir), "l_extendedprice", 5000.0)),
+
     // ---- null-safe anti join under the oracle gate: NULL keys must match
     // NULL keys (plain equality would re-append them forever) ----
     "q83_antijoin_nullsafe" -> ((s, dir) => {
@@ -1808,6 +1842,43 @@ object SparkEntry {
         |  SELECT b.* FROM base b
         |  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = b.o_orderkey))
         |ORDER BY o_orderkey""".stripMargin,
+
+    // q84: same multiplicative-hash rank (reduced-mod, overflow-free) and
+    // ROW_NUMBER quota on both sides.
+    "q84_group_sample_topk" ->
+      """WITH h AS (SELECT source, doc_id,
+        |  ((doc_id % 1000000007) * 654435747) % 1000000007 AS hkey FROM documents)
+        |SELECT source, doc_id, hkey FROM (
+        |  SELECT source, doc_id, hkey,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rn FROM h)
+        |WHERE rn <= 5 ORDER BY source, hkey, doc_id""".stripMargin,
+
+    // q85: the SCD2 state machine spelled out — changed keys contribute a
+    // closed old row + an open new row; unchanged and no-op keys keep their
+    // open row.
+    "q85_scd2_apply" ->
+      """WITH t AS (SELECT c_custkey AS k, c_mktsegment AS v,
+        |  DATE '2020-01-01' AS valid_from, CAST(NULL AS DATE) AS valid_to FROM customer),
+        |b AS (SELECT c_custkey AS k, 'NEW' AS v FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 3 <> 0 AND c_custkey % 5 = 0),
+        |chg AS (SELECT t.k, t.v AS old_v, b.v AS new_v, t.valid_from
+        |        FROM t JOIN b ON t.k = b.k AND t.v IS DISTINCT FROM b.v)
+        |SELECT k, v, valid_from, COALESCE(valid_to, DATE '9999-12-31') AS valid_to FROM (
+        |  SELECT k, v, valid_from, valid_to FROM t WHERE k NOT IN (SELECT k FROM chg)
+        |  UNION ALL
+        |  SELECT k, old_v, valid_from, DATE '2024-06-01' FROM chg
+        |  UNION ALL
+        |  SELECT k, new_v, DATE '2024-06-01', CAST(NULL AS DATE) FROM chg)
+        |ORDER BY k, valid_from""".stripMargin,
+
+    // q86: FLOOR-of-double binning is bit-identical across engines; totals
+    // sum through DECIMAL(18,2).
+    "q86_histogram" ->
+      """SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bin, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q83: IS NOT DISTINCT FROM is SQL's null-safe <=> — the NULL bucket
     // rows must be treated as matched (removed), not re-surfaced.

@@ -23,6 +23,18 @@ object Analytics {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** Fixed-width numeric histogram: one map-side-combined aggregation, bins
+    * keyed by `floor(value / width)` — the profiling primitive for choosing
+    * partition bounds / spotting skew before a 100 TB run. Money totals sum
+    * through decimal (dsum) so the histogram is engine-exact.
+    */
+  def histogram(df: DataFrame, valueCol: String, width: Double): DataFrame = {
+    require(width > 0, s"bin width must be positive, got $width")
+    df.groupBy(floor(col(valueCol) / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), dsum(col(valueCol)).as("total"))
+      .orderBy(col("bin"))
+  }
+
   /** Daily ads-shaped rollup of events: one row per (user_id, dt) with
     * impressions/clicks/spend/conversions semantics:
     * impressions = events, clicks = 'click' events, spend = sum(value),

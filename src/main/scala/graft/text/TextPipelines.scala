@@ -125,6 +125,25 @@ object TextPipelines {
       .drop("rnk")
   }
 
+  /** Exactly-k deterministic pseudo-uniform sample per group: rows rank by
+    * a multiplicative hash of the id (the [[weightedMix]] key — engine- and
+    * run-reproducible, no RNG) and the top k per group survive, through the
+    * bounded-heap TopKPerKey operator so the shuffle carries ≤ k rows per
+    * (partition, group) — never the group's population. Complements
+    * [[stratifiedSample]] (rate-based) with count-based quotas: "k docs per
+    * source", the training-data subsampling shape.
+    */
+  def hashSamplePerGroup(
+      docs: DataFrame,
+      groupCol: String,
+      k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"sample size k must be >= 1, got $k")
+    val ranked = docs.withColumn("hkey",
+      pmod(pmod(col(idCol), lit(MixM)) * lit(MixA % MixM), lit(MixM)))
+    graft.ops.TopK.topKPerKey(ranked, Seq(groupCol), Seq(("hkey", true), (idCol, true)), k)
+  }
+
   /** Deterministic weighted source mixing — the pretraining data-mixture
     * knob: each source keeps a fraction proportional to its weight,
     * selected by pure modular arithmetic on the doc id (`(id·A) mod M <
