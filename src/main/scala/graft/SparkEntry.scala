@@ -973,6 +973,21 @@ object SparkEntry {
     "q86_histogram" -> ((s, dir) =>
       Analytics.histogram(Tables.lineitem(s, dir), "l_extendedprice", 5000.0)),
 
+    // ---- the optimizer rule under the oracle gate: this is PLAIN window
+    // syntax (row_number <= 3, rank dropped) — RowNumberTopKRewrite plans
+    // it as the bounded-heap TopKPerKey operator (asserted in TopKSpec);
+    // rows must equal the window semantics exactly ----
+    "q87_window_topk_rewrite" -> ((s, dir) => {
+      graft.extensions.GraftExtensions.register(s)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     // ---- null-safe anti join under the oracle gate: NULL keys must match
     // NULL keys (plain equality would re-append them forever) ----
     "q83_antijoin_nullsafe" -> ((s, dir) => {
@@ -1879,6 +1894,17 @@ object SparkEntry {
       """SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bin, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q87: the ROW_NUMBER formulation IS the oracle — the rewrite must be
+    // row-invisible.
+    "q87_window_topk_rewrite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin,
 
     // q83: IS NOT DISTINCT FROM is SQL's null-safe <=> — the NULL bucket
     // rows must be treated as matched (removed), not re-surfaced.

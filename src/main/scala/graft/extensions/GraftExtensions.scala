@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.mightContainDescriptor)
     ext.injectFunction(GraftExtensions.zorder2Descriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
   }
 }
 
@@ -245,10 +246,15 @@ object GraftExtensions {
       "might_contain", mightContainBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder2", zorder2Builder, "built-in")
-    // planner strategy for the custom TopKPerKey operator (idempotent)
+    // planner strategy + optimizer rule for the custom TopKPerKey operator
+    // (idempotent)
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.TopKPerKeyStrategy
+    }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RowNumberTopKRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RowNumberTopKRewrite
     }
     ()
   }
