@@ -973,6 +973,41 @@ object SparkEntry {
     "q86_histogram" -> ((s, dir) =>
       Analytics.histogram(Tables.lineitem(s, dir), "l_extendedprice", 5000.0)),
 
+    // ---- TPC-H Q10 shape: revenue lost to returns per customer, top 20 ----
+    "q88_returned_items" -> ((s, dir) => {
+      val returned = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-07-01"))
+        .join(returned, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- TPC-H Q6 shape: pure-scan forecast revenue — every predicate
+    // reaches the parquet row-group stats (PushedFilters), the 100 TB
+    // "touch only matching data" archetype ----
+    "q89_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount")).cast("decimal(18,4)"))
+          .cast("double").as("revenue"))),
+
+    // ---- TPC-H Q16 shape: distinct supplier count per part group ----
+    "q90_parts_suppliers" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_size").between(10, 40))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))),
+
     // ---- the optimizer rule under the oracle gate: this is PLAIN window
     // syntax (row_number <= 3, rank dropped) — RowNumberTopKRewrite plans
     // it as the bounded-heap TopKPerKey operator (asserted in TopKSpec);
@@ -1894,6 +1929,32 @@ object SparkEntry {
       """SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bin, COUNT(*) AS n,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q88_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q89_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q90_parts_suppliers" ->
+      """SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 10 AND 40
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
 
     // q87: the ROW_NUMBER formulation IS the oracle — the rewrite must be
     // row-invisible.

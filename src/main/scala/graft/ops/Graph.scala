@@ -62,16 +62,18 @@ object Graph {
         .join(labels.select(col("id").as("dst"), col("lab")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("lab")).as("nlab"))
+      // carry the previous label INTO the checkpointed frame so convergence
+      // is a filter over the materialized rows — not a second join+count job
+      // against the previous round
       val (next, nextIds) = checkpointTracked(
         labels.join(nbrMin, Seq("id"), "left")
-          .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab")))
-      changed = next
-        .join(labels.select(col("id"), col("lab").as("old")), "id")
-        .filter(col("lab") =!= col("old")).count()
+          .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
+            col("lab").as("__old")))
+      changed = next.filter(col("lab") =!= col("__old")).count()
       // `next` is materialized and `changed` computed — the previous round's
       // checkpoint blocks have no remaining reader
       labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      labels = next
+      labels = next.select(col("id"), col("lab"))
       labelIds = nextIds
       it += 1
     }
