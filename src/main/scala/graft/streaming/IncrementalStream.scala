@@ -47,4 +47,29 @@ object IncrementalStream {
       }
       .start()
   }
+
+  /** Continuous keyed upsert — the streaming MERGE shape: each micro-batch
+    * runs [[graft.ingest.IncrementalLoader.mergeIntoSink]] (update-else-
+    * insert, rewriting only the dt partitions the batch touches). Because
+    * the merge itself is idempotent, a batch re-delivered after a restart
+    * is a no-op — exactly-once sink state from at-least-once delivery.
+    *
+    * `source` is any streaming DataFrame carrying the key columns (must
+    * include `dt`); dedup within a batch must be done upstream (standard
+    * MERGE ambiguity rule).
+    */
+  def runUpsert(
+      source: DataFrame,
+      sinkPath: String,
+      checkpoint: String,
+      keys: Seq[String],
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    source.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ingest.IncrementalLoader.mergeIntoSink(batch.sparkSession, batch, sinkPath, keys)
+      }
+      .start()
 }

@@ -102,6 +102,36 @@ class StreamOpsSpec extends SparkSpec {
     assert(u1.head.n_events == 2 && u1.head.total_value == 3.0)
   }
 
+  test("runUpsert: streaming MERGE — updates in place, re-delivery is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-merge").toString
+    val mem = MemoryStream[(Long, String, Double)]
+    val src = mem.toDF().toDF("campaign_id", "dt", "spend")
+      .withColumn("dt", to_date(col("dt")))
+    val q = graft.streaming.IncrementalStream.runUpsert(
+      src, s"$base/sink", s"$base/ckpt", Seq("campaign_id", "dt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    def sink() = spark.read.parquet(s"$base/sink")
+      .select("campaign_id", "dt", "spend")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2))).toSet
+
+    mem.addData((1L, "2026-01-01", 5.0), (2L, "2026-01-01", 7.0))
+    q.processAllAvailable()
+    assert(sink() == Set((1L, "2026-01-01", 5.0), (2L, "2026-01-01", 7.0)))
+
+    // batch 2: update key 1 in place, insert key 3 on a new day
+    mem.addData((1L, "2026-01-01", 9.0), (3L, "2026-01-02", 1.0))
+    q.processAllAvailable()
+    assert(sink() == Set((1L, "2026-01-01", 9.0), (2L, "2026-01-01", 7.0), (3L, "2026-01-02", 1.0)))
+
+    // re-delivered batch (at-least-once upstream): merge must be a no-op
+    mem.addData((1L, "2026-01-01", 9.0))
+    q.processAllAvailable()
+    assert(sink() == Set((1L, "2026-01-01", 9.0), (2L, "2026-01-01", 7.0), (3L, "2026-01-02", 1.0)))
+    q.stop()
+  }
+
   test("qualityGate and weightedMix run unchanged on a stream (map-only corpus ops)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
