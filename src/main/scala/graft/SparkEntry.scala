@@ -1008,6 +1008,37 @@ object SparkEntry {
         .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))),
 
+    // ---- int8 embedding quantization: arrays don't canonicalize across
+    // the compare paths, so the gate checks int-domain aggregates of the
+    // quantized vector (sum, |sum|, max|q|) plus the scale ----
+    "q91_embed_quantize" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      Similarity.quantizeInt8(e, "v")
+        .select(col("vec_id"),
+          round(col("qscale"), 9).as("qscale"),
+          aggregate(col("qvec"), lit(0L), (acc, q) => acc + q).as("q_sum"),
+          aggregate(col("qvec"), lit(0L), (acc, q) => acc + abs(q)).as("q_abs_sum"),
+          aggregate(col("qvec"), lit(0L), (acc, q) => greatest(acc, abs(q))).as("q_max_abs"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // ---- winsorized aggregation: per-group p01/p99 bounds from the exact
+    // distributed quantile operator, outliers clamped, decimal-exact totals
+    // — the robust-stats composition over Quantiles ----
+    "q92_winsorized" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val bounds = graft.ops.Quantiles.exactQuantiles(
+        li, "l_extendedprice", Seq("l_returnflag"), Seq(0.01, 0.99), Seq("lo", "hi"))
+      li.join(broadcast(bounds), "l_returnflag")
+        .select(col("l_returnflag"),
+          greatest(col("lo"), least(col("hi"), col("l_extendedprice"))).as("w"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("w").cast("decimal(18,4)")).cast("double").as("total_w"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- the optimizer rule under the oracle gate: this is PLAIN window
     // syntax (row_number <= 3, rank dropped) — RowNumberTopKRewrite plans
     // it as the bounded-heap TopKPerKey operator (asserted in TopKSpec);
@@ -1955,6 +1986,34 @@ object SparkEntry {
         |WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 10 AND 40
         |GROUP BY 1, 2
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    // q91: same floor-half-up quantization arithmetic in list lambdas;
+    // HUGEINT list sums cast down.
+    "q91_embed_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |  COALESCE(list_max(list_transform(v, x -> ABS(x))), 0.0) AS mx FROM v),
+        |q AS (SELECT vec_id, mx,
+        |  list_transform(v, x -> CASE WHEN mx = 0 THEN CAST(0 AS BIGINT)
+        |    ELSE CAST(FLOOR(x * 127.0 / mx + 0.5) AS BIGINT) END) AS qv FROM m)
+        |SELECT vec_id, ROUND(mx / 127.0, 9) AS qscale,
+        |  CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |  CAST(list_sum(list_transform(qv, x -> ABS(x))) AS BIGINT) AS q_abs_sum,
+        |  CAST(list_max(list_transform(qv, x -> ABS(x))) AS BIGINT) AS q_max_abs
+        |FROM q ORDER BY vec_id""".stripMargin,
+
+    // q92: quantile_cont is the same type-7 interpolation as exactQuantiles
+    // (pinned by q44/QuantilesSpec); winsorized values sum through
+    // DECIMAL(18,4).
+    "q92_winsorized" ->
+      """WITH b AS (SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.01) AS lo,
+        |  quantile_cont(l_extendedprice, 0.99) AS hi
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(GREATEST(b.lo, LEAST(b.hi, l.l_extendedprice)) AS DECIMAL(18,4))) AS DOUBLE) AS total_w
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q87: the ROW_NUMBER formulation IS the oracle — the rewrite must be
     // row-invisible.

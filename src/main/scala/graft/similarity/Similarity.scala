@@ -48,6 +48,30 @@ object Similarity {
     graft.extensions.GraftExtensions.cosine_sim(a, b)
   }
 
+  /** Per-vector int8 scalar quantization — the 100 TB embedding
+    * storage/bandwidth move (4× smaller vectors; dot products run in the
+    * int domain): scale = max|x| / 127, q_i = round-half-up(x_i / scale),
+    * so every element lands in [−127, 127] with the max hitting ±127
+    * exactly. Zero vectors quantize to zeros with scale 0. Rounding is
+    * written as `floor(x·127/max + 0.5)` — exact floor semantics in any
+    * engine, so the whole transform is oracle-checkable arithmetic.
+    */
+  def quantizeInt8(
+      df: DataFrame,
+      vecCol: String,
+      outVec: String = "qvec",
+      outScale: String = "qscale"): DataFrame = {
+    val v = col(vecCol)
+    val mx = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    df.withColumn("__mx", mx)
+      .withColumn(outVec,
+        transform(v, x => when(col("__mx") === 0, lit(0L))
+          .otherwise(floor(x.cast("double") * 127.0 / col("__mx") + 0.5))
+          .cast("long")))
+      .withColumn(outScale, col("__mx") / 127.0)
+      .drop("__mx")
+  }
+
   /** Exact top-k nearest corpus vectors (cosine) for each query vector.
     * Output: (query_id, neighbor_id, score) with rank ≤ k per query,
     * excluding self-matches. `queries` must be small enough to broadcast —

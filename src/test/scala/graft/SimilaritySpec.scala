@@ -45,6 +45,28 @@ class SimilaritySpec extends SparkSpec {
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  test("quantizeInt8: range, exact max hit, reconstruction error <= scale/2, zero-vector safe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.5, -1.0, 0.25, 0.0)),
+      (2L, Seq(3.0, 2.0, -3.0, 1.5)),
+      (3L, Seq(0.0, 0.0, 0.0, 0.0))) // zero vector
+      .toDF("id", "v")
+    val q = Similarity.quantizeInt8(vecs, "v")
+    val rows = q.orderBy("id").collect()
+    for (r <- rows) {
+      val v = r.getSeq[Double](1)
+      val qv = r.getSeq[Long](2)
+      val scale = r.getDouble(3)
+      assert(qv.forall(x => x >= -127 && x <= 127), s"range: $r")
+      if (v.exists(_ != 0.0)) {
+        assert(qv.map(math.abs).max == 127L, s"max must quantize to ±127: $r")
+        val maxErr = v.zip(qv).map { case (x, qx) => math.abs(x - qx * scale) }.max
+        assert(maxErr <= scale / 2 + 1e-12, s"reconstruction error $maxErr > scale/2: $r")
+      } else assert(qv.forall(_ == 0L) && scale == 0.0, s"zero vector: $r")
+    }
+  }
+
   test("extractFeatures: deterministic fake decode over binary column") {
     val media = Multimodal.asMedia(Tables.documents(spark, sfDir), "doc_id", "text", "text/plain")
     val f1 = Multimodal.extractFeatures(media).orderBy("id").collect()
