@@ -918,6 +918,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- REAL video codec roundtrip: AVI/RIFF container with lossless
+    // PNG-coded frames (registered 'MPNG' fourcc), written and parsed by
+    // the engine, frames decoded by ImageIO — every decoded property is
+    // arithmetic of the spec, so the full container+codec path sits under
+    // the hash gate (closes the last stub tier) ----
+    "q93_video_roundtrip" -> ((s, dir) => {
+      val spec = Tables.documents(s, dir).select(
+        col("doc_id").as("id"),
+        (lit(16) + pmod(col("doc_id"), lit(16))).as("width"),
+        (lit(8) + pmod(col("doc_id"), lit(8))).as("height"),
+        (lit(2) + pmod(col("doc_id"), lit(4))).as("n_frames"),
+        pmod(col("doc_id"), lit(200)).as("gray0"))
+      val media = graft.multimodal.Multimodal.synthesizeVideos(spec)
+      graft.multimodal.Multimodal.decodeVideos(media).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"), col("n_frames"),
+          round(col("first_luma"), 4).as("first_luma"),
+          round(col("last_luma"), 4).as("last_luma"), col("format_ok"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- LLM-pipeline: multimodal plumbing ----
     "q43_multimodal" -> ((s, dir) => {
       val media = graft.multimodal.Multimodal.asMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain")
@@ -1906,6 +1926,18 @@ object SparkEntry {
         |  CAST(1 + doc_id % 2 AS INT) AS channels,
         |  CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
         |  ROUND(CAST(100 + doc_id % 400 AS DOUBLE) / (8000 + (doc_id % 8) * 1000), 6) AS duration_sec,
+        |  TRUE AS format_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q93: frame f is solid gray (gray0 + 37f) mod 256 under a lossless
+    // per-frame codec, so first/last-frame luma are exact arithmetic.
+    "q93_video_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(16 + doc_id % 16 AS INT) AS width,
+        |  CAST(8 + doc_id % 8 AS INT) AS height,
+        |  CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+        |  ROUND(CAST(doc_id % 200 AS DOUBLE), 4) AS first_luma,
+        |  ROUND(CAST((doc_id % 200 + 37 * (1 + doc_id % 4)) % 256 AS DOUBLE), 4) AS last_luma,
         |  TRUE AS format_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed by per-partition batch functions.
   *
   * Two decode tiers:
-  * - REAL decoders for the formats the JDK itself can read — images
-  *   (PNG/JPEG/BMP/GIF via ImageIO: [[decodeImages]]/[[resizeImages]]) and
-  *   audio (WAV/AIFF via javax.sound: [[decodeAudio]]) — spec-verified
-  *   against synthesized media;
+  * - REAL decoders for everything the JDK can express — images (PNG/JPEG/
+  *   BMP/GIF via ImageIO: [[decodeImages]]/[[resizeImages]]), audio
+  *   (WAV/AIFF via javax.sound: [[decodeAudio]]) and video (AVI/RIFF
+  *   container with lossless PNG-coded 'MPNG' frames:
+  *   [[synthesizeVideos]]/[[decodeVideos]]) — each roundtrip sits under the
+  *   DuckDB hash gate via synthesized media whose decoded properties are
+  *   pure arithmetic;
   * - deterministic STUBS ([[decodeStub]]/[[resizeStub]]/[[sampleFrames]])
-  *   for formats with no in-JVM codec (video) and for the text fixtures,
-  *   which are not media — these keep the oracle queries reproducible.
+  *   for foreign codecs the JVM can't decode (H.264 and friends) and for
+  *   the text fixtures, which are not media — these keep the oracle
+  *   queries reproducible.
   *
   * Common to both tiers is the Spark-side contract a 100 TB media pipeline
   * needs:
@@ -253,6 +257,147 @@ object Multimodal {
           out
         } catch { case scala.util.control.NonFatal(_) =>
           AudioMeta(r.id, 0, 0, 0L, 0.0, format_ok = false)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ video (AVI)
+  //
+  // The JDK has no inter-frame video codec, but a REAL video container with
+  // an intra-frame codec is fully decodable in pure JDK: AVI is a RIFF file
+  // (the same chunk grammar as WAV) and the registered 'MPNG' fourcc stores
+  // one PNG per frame — lossless, so every decoded pixel is predictable and
+  // the whole roundtrip sits under the oracle gate. The container walking
+  // (chunk parse → frame iteration → per-frame decode) is exactly the work
+  // a production frame sampler does; only the per-frame codec would change.
+
+  case class VideoMeta(
+      id: Long, width: Int, height: Int, n_frames: Long,
+      first_luma: Double, last_luma: Double, format_ok: Boolean)
+
+  private object Riff {
+    def u32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def u16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def chunk(id: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      fcc(id) ++ u32(data.length.toLong) ++ data ++ pad
+    }
+    def list(listType: String, data: Array[Byte]): Array[Byte] =
+      chunk("LIST", fcc(listType) ++ data)
+    def readU32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) | ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+  }
+
+  /** Synthesize real AVI/MPNG videos from an (id, width, height, n_frames,
+    * gray0) spec: frame f is a solid-gray PNG with gray = (gray0 + 37·f)
+    * mod 256 — the video analogue of [[synthesizeImages]]; every decoded
+    * property is pure arithmetic of the spec.
+    */
+  def synthesizeVideos(spec: DataFrame): DataFrame = {
+    val spark = spec.sparkSession
+    import spark.implicits._
+    spec
+      .select(col("id").cast("long"), col("width").cast("int"), col("height").cast("int"),
+        col("n_frames").cast("int"), col("gray0").cast("int"))
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions { rows =>
+        System.setProperty("java.awt.headless", "true")
+        javax.imageio.ImageIO.setUseCache(false)
+        import Riff._
+        rows.map { case (id, w, h, n, gray0) =>
+          val frames = (0 until n).map { f =>
+            val g = (gray0 + 37 * f) % 256
+            val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val gg = img.createGraphics()
+            gg.setColor(new java.awt.Color(g, g, g)); gg.fillRect(0, 0, w, h); gg.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+          val avih = u32(40000L) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(n.toLong) ++ u32(0) ++
+            u32(1) ++ u32(maxFrame.toLong) ++ u32(w.toLong) ++ u32(h.toLong) ++
+            u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+          val strh = fcc("vids") ++ fcc("MPNG") ++ u32(0) ++ u16(0) ++ u16(0) ++ u32(0) ++
+            u32(1) ++ u32(25) ++ u32(0) ++ u32(n.toLong) ++ u32(maxFrame.toLong) ++
+            u32(0xffffffffL) ++ u32(0) ++ u16(0) ++ u16(0) ++ u16(w) ++ u16(h)
+          val strf = u32(40) ++ u32(w.toLong) ++ u32(h.toLong) ++ u16(1) ++ u16(24) ++
+            fcc("MPNG") ++ u32(w.toLong * h * 3) ++ u32(0) ++ u32(0) ++ u32(0) ++ u32(0)
+          val hdrl = list("hdrl", chunk("avih", avih) ++
+            list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+          val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
+          val riffBody = fcc("AVI ") ++ hdrl ++ movi
+          val bytes = fcc("RIFF") ++ u32(riffBody.length.toLong) ++ riffBody
+          MediaRow(id, bytes, "video/x-msvideo")
+        }
+      }.toDF()
+  }
+
+  /** Real AVI decode: walk the RIFF chunk tree to the 'movi' list, decode
+    * every video frame chunk with ImageIO, report frame count, dimensions,
+    * and first/last-frame mean luma. Corrupt blobs are flagged, never
+    * thrown. Partition-batched like every other codec path.
+    */
+  def decodeVideos(media: DataFrame): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      System.setProperty("java.awt.headless", "true")
+      javax.imageio.ImageIO.setUseCache(false)
+      import Riff._
+      def meanLuma(img: java.awt.image.BufferedImage): Double = {
+        var sum = 0.0; var n = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        if (n == 0) 0.0 else sum / n
+      }
+      rows.map { r =>
+        try {
+          val b = r.media
+          require(b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI ", "not an AVI")
+          var first: java.awt.image.BufferedImage = null
+          var last: java.awt.image.BufferedImage = null
+          var frames = 0L
+          // walk the chunk tree; descend into LISTs, decode '..dc'/'..db'
+          // video frame chunks wherever the movi list puts them
+          def walk(off: Int, end: Int): Unit = {
+            var p = off
+            while (p + 8 <= end) {
+              val id = fourcc(b, p)
+              val size = readU32(b, p + 4).toInt
+              val body = p + 8
+              if (id == "LIST") walk(body + 4, body + size)
+              else if (id.endsWith("dc") || id.endsWith("db")) {
+                val img = javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(b, body, size))
+                if (img != null) {
+                  if (first == null) first = img
+                  last = img
+                  frames += 1
+                }
+              }
+              p = body + size + (size % 2) // chunks pad to even
+            }
+          }
+          walk(12, 8 + readU32(b, 4).toInt)
+          if (first == null) VideoMeta(r.id, 0, 0, 0L, 0.0, 0.0, format_ok = false)
+          else VideoMeta(r.id, first.getWidth, first.getHeight, frames,
+            meanLuma(first), meanLuma(last), format_ok = true)
+        } catch { case scala.util.control.NonFatal(_) =>
+          VideoMeta(r.id, 0, 0, 0L, 0.0, 0.0, format_ok = false)
         }
       }
     }

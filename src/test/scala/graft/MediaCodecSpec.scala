@@ -90,4 +90,27 @@ class MediaCodecSpec extends SparkSpec {
       && metas(1L).n_frames == 1600L && math.abs(metas(1L).duration_sec - 0.2) < 1e-9)
     assert(!metas(2L).format_ok)
   }
+
+  test("video: AVI/MPNG roundtrip — frame count, dims, per-frame luma exact; garbage flagged") {
+    import spark.implicits._
+    val spec = Seq((1L, 32, 16, 4, 100), (2L, 16, 8, 2, 240)) // 240+37 wraps mod 256
+      .toDF("id", "width", "height", "n_frames", "gray0")
+    val media = graft.multimodal.Multimodal.synthesizeVideos(spec)
+    val metas = graft.multimodal.Multimodal.decodeVideos(media)
+      .collect().map(m => m.id -> m).toMap
+    val m1 = metas(1L)
+    assert(m1.format_ok && m1.width == 32 && m1.height == 16 && m1.n_frames == 4L)
+    assert(math.abs(m1.first_luma - 100.0) < 1e-9, m1.toString)
+    assert(math.abs(m1.last_luma - (100 + 37 * 3)) < 1e-9, m1.toString)
+    val m2 = metas(2L)
+    assert(m2.format_ok && m2.n_frames == 2L)
+    assert(math.abs(m2.last_luma - ((240 + 37) % 256)) < 1e-9, m2.toString)
+    // non-AVI and truncated blobs are flagged, never thrown
+    val bad = Seq(
+      graft.multimodal.Multimodal.MediaRow(9L, "not a riff file at all".getBytes, "video/x-msvideo"),
+      graft.multimodal.Multimodal.MediaRow(10L, Array[Byte](1, 2, 3), "video/x-msvideo"))
+      .toDF()
+    val badMetas = graft.multimodal.Multimodal.decodeVideos(bad).collect()
+    assert(badMetas.forall(!_.format_ok))
+  }
 }
