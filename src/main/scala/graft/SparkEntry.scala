@@ -1064,6 +1064,34 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ---- blocked fuzzy matching: sound length-blocking + exact
+    // Levenshtein verify, checked against the exhaustive all-pairs truth
+    // (the q40 pattern for edit distance) on a bounded name subset ----
+    "q94_fuzzy_pairs" -> ((s, dir) => {
+      val names = Tables.customer(s, dir).filter(pmod(col("c_custkey"), lit(30)) === 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"))
+      graft.ops.FuzzyJoin.levenshteinPairs(names, "name", "id", maxDist = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- LAG window: day-over-day revenue delta ----
+    "q95_dod_change" -> ((s, dir) => {
+      val daily = Tables.orders(s, dir)
+        .groupBy(col("o_orderdate").as("dt"))
+        .agg(Analytics.dsum(col("o_totalprice")).as("rev"))
+      daily
+        .withColumn("delta", col("rev") -
+          lag(col("rev"), 1).over(Window.orderBy(col("dt"))))
+        .orderBy(col("dt"))
+    }),
+
+    // ---- NTILE window: quartile assignment under a total order ----
+    "q96_ntile" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"),
+          ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
+        .orderBy(col("o_orderkey"))),
+
     // ---- the optimizer rule under the oracle gate: this is PLAIN window
     // syntax (row_number <= 3, rank dropped) — RowNumberTopKRewrite plans
     // it as the bounded-heap TopKPerKey operator (asserted in TopKSpec);
@@ -2051,6 +2079,28 @@ object SparkEntry {
         |  CAST(SUM(CAST(GREATEST(b.lo, LEAST(b.hi, l.l_extendedprice)) AS DECIMAL(18,4))) AS DOUBLE) AS total_w
         |FROM lineitem l JOIN b USING (l_returnflag)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q94: the oracle is the EXHAUSTIVE all-pairs truth — equality proves
+    // the length-blocking recalls every qualifying pair.
+    "q94_fuzzy_pairs" ->
+      """WITH n AS (SELECT c_custkey AS id, c_name AS name FROM customer
+        |           WHERE c_custkey % 30 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.name, b.name) AS dist
+        |FROM n a JOIN n b ON a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q95_dod_change" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS dt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT dt, rev, rev - LAG(rev) OVER (ORDER BY dt) AS delta
+        |FROM d ORDER BY dt""".stripMargin,
+
+    "q96_ntile" ->
+      """SELECT o_orderkey,
+        |  NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     // q87: the ROW_NUMBER formulation IS the oracle — the rewrite must be
     // row-invisible.

@@ -71,6 +71,41 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("levenshteinPairs equals the exhaustive all-pairs truth (blocking is complete)") {
+    val names = Seq(
+      (1L, "alpha"), (2L, "alphas"), (3L, "alpaca"), (4L, "beta"),
+      (5L, "betas"), (6L, "a"), (7L, "ab"), (8L, "gamma-long-name"),
+      (9L, "gamma-long-nam"), (10L, "")).toDF("id", "name")
+    val got = graft.ops.FuzzyJoin.levenshteinPairs(names, "name", "id", maxDist = 2)
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    val all = names.as[(Long, String)].collect()
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, na) <- all; (ib, nb) <- all if ia < ib
+      dist = lev(na, nb) if dist <= 2
+    } yield (ia, ib, dist)).sortBy(p => (p._1, p._2)).toSeq
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("levenshteinPairs: extraBlockCol confines comparisons to its blocks") {
+    val names = Seq((1L, "aaa", "x"), (2L, "aab", "x"), (3L, "aac", "y"))
+      .toDF("id", "name", "src")
+    val got = graft.ops.FuzzyJoin.levenshteinPairs(names, "name", "id",
+      maxDist = 2, extraBlockCol = Some("src"))
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1)), s"cross-block pair leaked: $got")
+  }
+}
+
 class QuantilesSpec extends SparkSpec {
   import spark.implicits._
 
