@@ -15,6 +15,38 @@ object Layout {
     call_function("zorder2", x.cast("long"), y.cast("long"))
   }
 
+  /** Small-file compaction — the table-maintenance counterpart of
+    * [[clusterByZ]]: a sink that accumulates per-batch appends (the
+    * incremental loader's normal life) degrades into thousands of tiny
+    * files whose open/footer overhead dominates scans at 100 TB. Rewrite
+    * the directory into ⌈total bytes / targetBytes⌉ files and swap it in.
+    *
+    * The swap is write-temp → delete-old → rename: atomic enough for a
+    * maintenance window on HDFS-like filesystems; object stores or
+    * concurrent readers need a table format's snapshot commit instead
+    * (which is metadata around exactly this rewrite).
+    *
+    * @return (files before, files after)
+    */
+  def compact(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val hadoopPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(hadoopPath).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    spark.read.parquet(dir).repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(hadoopPath, true)
+    fs.rename(tmp, hadoopPath)
+    val after = fs.listStatus(hadoopPath)
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length, after)
+  }
+
   /** Cluster `df` by the Morton order of (xCol, yCol): range-partition on
     * the z-value (balanced output files via range sampling), sort within
     * each partition. Written out, every file then covers a small rectangle

@@ -79,6 +79,21 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact: many tiny files become few, content identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_quantity")
+    li.repartition(50).write.parquet(dir) // simulate an append-fragmented sink
+    // sort on ALL columns — (orderkey, linenumber) is not unique in the
+    // synthetic fixture, and ties would make the comparison order-ambiguous
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1), r.getDouble(2))
+    val before = li.collect().toSeq.sortBy(key)
+    val (nBefore, nAfter) = Layout.compact(spark, dir, targetBytes = 64L * 1024 * 1024)
+    assert(nBefore == 50, s"expected 50 input files, saw $nBefore")
+    assert(nAfter < 5, s"compaction left $nAfter files")
+    val after = spark.read.parquet(dir).collect().toSeq.sortBy(key)
+    assert(after == before, "compaction changed the row multiset")
+  }
+
   test("clusterByZ preserves the row multiset and localizes both dimensions per partition") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     val clustered = Layout.clusterByZ(li, "l_partkey", "l_suppkey", numPartitions = 8)
