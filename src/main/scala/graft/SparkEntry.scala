@@ -1092,6 +1092,21 @@ object SparkEntry {
           ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
         .orderBy(col("o_orderkey"))),
 
+    // ---- salted aggregation under the oracle: two-stage (keys, salt) →
+    // keys merge must be row-identical to the plain GROUP BY (salting is an
+    // execution detail, invisible in the result). Integer value column so
+    // the partial-merge order can't perturb float sums ----
+    "q97_skew_salted_agg" -> ((s, dir) =>
+      graft.ops.Skew.saltedSum(Tables.lineitem(s, dir),
+        keys = Seq("l_returnflag"), valueCol = "l_partkey", saltBuckets = 16)
+        .orderBy(col("l_returnflag"))),
+
+    // ---- skew diagnostic: per-key share histogram (find the hot keys
+    // before they find you) ----
+    "q98_key_histogram" -> ((s, dir) =>
+      graft.ops.Skew.keyHistogram(Tables.events(s, dir), Seq("event_type"))
+        .orderBy(col("n").desc, col("event_type"))),
+
     // ---- the optimizer rule under the oracle gate: this is PLAIN window
     // syntax (row_number <= 3, rank dropped) — RowNumberTopKRewrite plans
     // it as the bounded-heap TopKPerKey operator (asserted in TopKSpec);
@@ -2101,6 +2116,19 @@ object SparkEntry {
       """SELECT o_orderkey,
         |  NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    // q97: the oracle is the UNSALTED aggregate — equality proves the
+    // two-stage salted merge is exact.
+    "q97_skew_salted_agg" ->
+      """SELECT l_returnflag, CAST(SUM(l_partkey) AS BIGINT) AS sum_l_partkey,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q98_key_histogram" ->
+      """WITH c AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT event_type, n,
+        |  ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM c), 6) AS share
+        |FROM c ORDER BY n DESC, event_type""".stripMargin,
 
     // q87: the ROW_NUMBER formulation IS the oracle — the rewrite must be
     // row-invisible.
