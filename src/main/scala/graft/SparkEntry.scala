@@ -1107,6 +1107,29 @@ object SparkEntry {
       graft.ops.Skew.keyHistogram(Tables.events(s, dir), Seq("event_type"))
         .orderBy(col("n").desc, col("event_type"))),
 
+    // ---- EXCEPT ALL: the MULTISET difference (q17's EXCEPT is the
+    // distinct variant) — per-key copies survive count-wise ----
+    "q99_except_all" -> ((s, dir) => {
+      val all = Tables.orders(s, dir).select(col("o_custkey"))
+      val f = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      all.exceptAll(f).orderBy(col("o_custkey"))
+    }),
+
+    // ---- median absolute deviation: the robust dispersion statistic —
+    // the exact quantile operator composed twice (median, then median of
+    // absolute deviations) ----
+    "q100_mad" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val med = graft.ops.Quantiles.exactQuantiles(
+        li, "l_extendedprice", Seq("l_returnflag"), Seq(0.5), Seq("med"))
+      val dev = li.join(broadcast(med), "l_returnflag")
+        .select(col("l_returnflag"), abs(col("l_extendedprice") - col("med")).as("adev"))
+      graft.ops.Quantiles.exactQuantiles(dev, "adev", Seq("l_returnflag"), Seq(0.5), Seq("mad"))
+        .select(col("l_returnflag"), round(col("mad"), 6).as("mad"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- the optimizer rule under the oracle gate: this is PLAIN window
     // syntax (row_number <= 3, rank dropped) — RowNumberTopKRewrite plans
     // it as the bounded-heap TopKPerKey operator (asserted in TopKSpec);
@@ -2129,6 +2152,22 @@ object SparkEntry {
         |SELECT event_type, n,
         |  ROUND(CAST(n AS DOUBLE) / (SELECT SUM(n) FROM c), 6) AS share
         |FROM c ORDER BY n DESC, event_type""".stripMargin,
+
+    "q99_except_all" ->
+      """SELECT o_custkey FROM orders
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+
+    // q100: quantile_cont twice — same type-7 interpolation as
+    // exactQuantiles on both passes.
+    "q100_mad" ->
+      """WITH m AS (SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+        |           FROM lineitem GROUP BY 1),
+        |d AS (SELECT l.l_returnflag, ABS(l.l_extendedprice - m.med) AS adev
+        |      FROM lineitem l JOIN m USING (l_returnflag))
+        |SELECT l_returnflag, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q87: the ROW_NUMBER formulation IS the oracle — the rewrite must be
     // row-invisible.
