@@ -27,6 +27,40 @@ object Sources {
   def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
     df.write.mode(mode).option("header", "true").csv(path)
 
+  /** JSON-lines scan with explicit schema — same no-inference boundary rule
+    * as CSV: schema inference over JSON is a full extra pass at 100 TB and
+    * silently widens types on dirty data.
+    */
+  def readJson(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  /** ORC scan/sink — the other columnar format Spark ships natively; same
+    * predicate-pushdown and column-pruning behavior as parquet, so the
+    * engine's scan-side design notes carry over unchanged.
+    */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
+  /** Line-oriented text-corpus ingestion: one document per line, content-
+    * addressed ids (xxhash64 of source file ⊕ line text) — stable across
+    * re-reads and partitionings, unlike zip-with-index schemes, and the
+    * natural key for the exact-dedup stage that follows ingestion anyway.
+    * Output: (doc_id, text, source).
+    */
+  def readTextCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(dir)
+      .withColumn("source", input_file_name())
+      .select(xxhash64(col("source"), col("value")).as("doc_id"),
+        col("value").as("text"), col("source"))
+  }
+
   /** S3: newest file in `dir` matching prefix/suffix by lexicographic name
     * order (the reference's versioned `ads_data_<date><A..Z>.csv` naming
     * makes name order = recency order, insert_ads_data.py:7-8).
