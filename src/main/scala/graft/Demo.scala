@@ -16,13 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Demo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", java.nio.file.Files.createTempDirectory("graft-wh").toString)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.local(Sessions.coresFromEnv, appName = "graft-demo",
+      warehouseDir = Some(java.nio.file.Files.createTempDirectory("graft-wh").toString))
     spark.sparkContext.setLogLevel("ERROR")
     val ws = java.nio.file.Files.createTempDirectory("graft-demo").toString
     println(s"[demo] workspace: $ws")

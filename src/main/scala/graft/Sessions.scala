@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's session configuration — the four mains each
+  * hand-rolled the same builder, and config drift between the correctness
+  * and bench surfaces is exactly the kind of skew that makes numbers
+  * incomparable.
+  *
+  * The knobs and why (the same settings scale to a real cluster; only the
+  * values change):
+  * - `spark.sql.shuffle.partitions` = parallelism: sized to cores here; on
+  *   a cluster, size so post-shuffle partitions land near
+  *   `maxPartitionBytes` (or let AQE coalesce with a high initial count).
+  * - `spark.sql.adaptive.enabled`: runtime re-planning — skew-join
+  *   splitting, partition coalescing, runtime broadcast decisions.
+  * - session timezone pinned UTC: every date/timestamp computation in the
+  *   oracle contract assumes it.
+  * - graft extensions registered at build time so SQL text resolves the
+  *   native expressions and the TopKPerKey strategy/rewrite are active
+  *   everywhere, not only after the first DataFrame-API call.
+  */
+object Sessions {
+
+  def local(
+      cores: Int,
+      appName: String = "graft",
+      warehouseDir: Option[String] = None,
+      adaptive: Boolean = true): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", adaptive.toString)
+      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+    warehouseDir.foreach(d => b.config("spark.sql.warehouse.dir", d))
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Cores requested via SPARK_GRAFT_CPUS (driver contract), default 4. */
+  def coresFromEnv: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+}
