@@ -84,6 +84,26 @@ object Analytics {
       .limit(k)
   }
 
+  /** The data side of the reference's reporting notebook
+    * (analytics_reports.ipynb cells 3-6): every frame its charts plot,
+    * exported as headered single-file CSVs ready for any plotting
+    * environment. Chart RENDERING stays out of engine scope (matplotlib is
+    * not a query operator); this closes everything up to the pixels — a
+    * notebook user points pandas/matplotlib at `outDir` and reproduces the
+    * report.
+    */
+  def exportReportData(spark: SparkSession, sfDir: String, outDir: String): Unit = {
+    val frames = Seq(
+      "top_campaigns_by_spend" -> topCampaignsBySpend(spark, sfDir),
+      "daily_ctr_trend" -> dailyCtrTrend(spark, sfDir),
+      "creative_scorecard" -> creativeScorecard(spark, sfDir))
+    frames.foreach { case (name, df) =>
+      // reports are human-scale (top-k / daily grains): one file per chart
+      df.coalesce(1).write.mode("overwrite")
+        .option("header", "true").csv(s"$outDir/$name")
+    }
+  }
+
   /** Notebook cell 4: daily mean CTR trend, ordered by day. */
   def dailyCtrTrend(spark: SparkSession, sfDir: String): DataFrame =
     campaignDailyMetrics(spark, sfDir)

@@ -19,6 +19,19 @@ class ExtrasSpec extends SparkSpec {
     assert(pairs == expected, s"missing=${expected.diff(pairs).size} extra=${pairs.diff(expected).size}")
   }
 
+  test("exportReportData writes the three notebook chart feeds as readable headered CSVs") {
+    val out = java.nio.file.Files.createTempDirectory("graft-reports").toString
+    graft.analytics.Analytics.exportReportData(spark, sfDir, out)
+    for (name <- Seq("top_campaigns_by_spend", "daily_ctr_trend", "creative_scorecard")) {
+      val back = spark.read.option("header", "true").csv(s"$out/$name")
+      assert(back.count() > 0, s"$name is empty")
+      assert(back.columns.length >= 2, s"$name lost its columns: ${back.columns.mkString(",")}")
+    }
+    // the trend feed matches the query it claims to export
+    val trend = spark.read.option("header", "true").csv(s"$out/daily_ctr_trend")
+    assert(trend.count() == graft.analytics.Analytics.dailyCtrTrend(spark, sfDir).count())
+  }
+
   test("bpeTokens splits contractions, words, digits, punctuation") {
     val toks = Seq("It's 42 degrees, really!").toDF("text")
       .select(TextFunctions.bpeTokens(col("text"))).as[Seq[String]].head()
