@@ -371,29 +371,39 @@ object Multimodal {
           var first: java.awt.image.BufferedImage = null
           var last: java.awt.image.BufferedImage = null
           var frames = 0L
+          var corrupt = false
           // walk the chunk tree; descend into LISTs, decode '..dc'/'..db'
-          // video frame chunks wherever the movi list puts them
+          // video frame chunks wherever the movi list puts them. The u32
+          // chunk size is untrusted: a value the enclosing container cannot
+          // hold (including u32 > Int.MaxValue, which would wrap negative)
+          // flags the blob as corrupt and STOPS the walk — clamping could
+          // leave `p` non-advancing, turning a bad blob into a hang.
           def walk(off: Int, end: Int): Unit = {
             var p = off
-            while (p + 8 <= end) {
+            while (!corrupt && p + 8 <= end) {
               val id = fourcc(b, p)
-              val size = readU32(b, p + 4).toInt
+              val sizeL = readU32(b, p + 4)
               val body = p + 8
-              if (id == "LIST") walk(body + 4, body + size)
-              else if (id.endsWith("dc") || id.endsWith("db")) {
-                val img = javax.imageio.ImageIO.read(
-                  new java.io.ByteArrayInputStream(b, body, size))
-                if (img != null) {
-                  if (first == null) first = img
-                  last = img
-                  frames += 1
+              if (sizeL > (end - body).toLong) corrupt = true
+              else {
+                val size = sizeL.toInt
+                if (id == "LIST") walk(body + 4, body + size)
+                else if (id.endsWith("dc") || id.endsWith("db")) {
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(b, body, size))
+                  if (img != null) {
+                    if (first == null) first = img
+                    last = img
+                    frames += 1
+                  }
                 }
+                p = body + size + (size % 2) // chunks pad to even
               }
-              p = body + size + (size % 2) // chunks pad to even
             }
           }
-          walk(12, 8 + readU32(b, 4).toInt)
-          if (first == null) VideoMeta(r.id, 0, 0, 0L, 0.0, 0.0, format_ok = false)
+          val riffEnd = math.min(b.length.toLong, 8L + readU32(b, 4)).toInt
+          walk(12, riffEnd)
+          if (corrupt || first == null) VideoMeta(r.id, 0, 0, 0L, 0.0, 0.0, format_ok = false)
           else VideoMeta(r.id, first.getWidth, first.getHeight, frames,
             meanLuma(first), meanLuma(last), format_ok = true)
         } catch { case scala.util.control.NonFatal(_) =>

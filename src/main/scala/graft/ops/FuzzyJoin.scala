@@ -48,7 +48,10 @@ object FuzzyJoin {
         .select(col("id").as("id_b"), col("name").as("name_b"),
           col("xb").as("xb_b"), col("blk")),
         Seq("blk"))
-      .filter(col("id") < col("id_b") && col("xb") === col("xb_b"))
+      // null-safe block equality: a NULL extraBlockCol is a block of its
+      // own (NULL rows still pair with each other) — plain `===` would
+      // evaluate NULL and silently drop them, exact duplicates included
+      .filter(col("id") < col("id_b") && col("xb") <=> col("xb_b"))
       .select(col("id").as("id_a"), col("id_b"), col("name"), col("name_b"))
       .dropDuplicates("id_a", "id_b") // a pair can share both probed blocks
     pairs

@@ -115,10 +115,22 @@ object Quantiles {
     * — so the bit-identical-to-`percentile()` contract holds on every input.
     * (With no grouping keys the global aggregate already yields its one
     * NULL row on empty input, so there is nothing to restore.)
+    *
+    * The join condition is null-safe (`<=>` per key): `percentile()` treats
+    * NULL as a group key like any other, so a NULL-keyed group with non-null
+    * values must pick up its computed quantiles, not be orphaned by
+    * three-valued equality.
     */
   private def restoreAllNullGroups(df: DataFrame, by: Seq[String], out: DataFrame): DataFrame =
     if (by.isEmpty) out
-    else df.select(by.map(col): _*).distinct().join(out, by, "left")
+    else {
+      val left = df.select(by.map(col): _*).distinct()
+      val right = by.foldLeft(out)((d, k) => d.withColumnRenamed(k, s"__rk_$k"))
+      val cond = by.map(k => left(k) <=> right(s"__rk_$k")).reduce(_ && _)
+      val quantCols = out.columns.filterNot(by.contains)
+      left.join(right, cond, "left")
+        .select(by.map(left(_)) ++ quantCols.map(right(_)): _*)
+    }
 
   private def checkArgs(probs: Seq[Double], outNames: Seq[String]): Unit = {
     require(probs.nonEmpty && probs.length == outNames.length,

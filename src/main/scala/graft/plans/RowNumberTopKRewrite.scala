@@ -31,8 +31,10 @@ object RowNumberTopKRewrite extends Rule[LogicalPlan] {
   private def limit(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn => Some(k)
     case GreaterThanOrEqual(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId == rn => Some(k)
-    case LessThan(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn => Some(k - 1)
-    case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId == rn => Some(k - 1)
+    // `rn < k` ⇒ limit k−1; guard the subtraction — k = Int.MinValue would
+    // wrap to Int.MaxValue and turn an always-false filter into top-MaxValue
+    case LessThan(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn && k > Int.MinValue => Some(k - 1)
+    case GreaterThan(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId == rn && k > Int.MinValue => Some(k - 1)
     case EqualTo(a: AttributeReference, Literal(k: Int, IntegerType)) if a.exprId == rn && k == 1 => Some(1)
     case EqualTo(Literal(k: Int, IntegerType), a: AttributeReference) if a.exprId == rn && k == 1 => Some(1)
     case _ => None
