@@ -96,10 +96,16 @@ object Quantiles {
 
     // global rank within the group = rows before this partition + local
     // rank; the local window partitions on (__pid, group) so its
-    // parallelism is partitions × groups, never just groups
+    // parallelism is partitions × groups, never just groups. The offsets
+    // join is null-safe on the group keys (`<=>`): a USING-style equi-join
+    // would drop every NULL-keyed row here, losing the NULL group's real
+    // quantiles before the all-NULL restore join could ever see them.
+    val offR = ("__pid" +: by).foldLeft(offsets)((d, k) => d.withColumnRenamed(k, s"__o_$k"))
+    val joinCond = (col("__pid") === col("__o___pid")) +: by.map(k => col(k) <=> col(s"__o_$k"))
     val localW = Window.partitionBy((col("__pid") +: keys): _*).orderBy(col("__v"))
     val ranked = parted
-      .join(broadcast(offsets), ("__pid" +: by).toSeq)
+      .join(broadcast(offR), joinCond.reduce(_ && _))
+      .drop(("__pid" +: by).map(k => s"__o_$k"): _*)
       .withColumn("__rn", col("__off") + row_number().over(localW))
     // materialize the (one-row-per-group) result eagerly so the pinned
     // `parted` blocks can be released before returning — this variant is

@@ -113,4 +113,33 @@ class MediaCodecSpec extends SparkSpec {
     val badMetas = graft.multimodal.Multimodal.decodeVideos(bad).collect()
     assert(badMetas.forall(!_.format_ok))
   }
+
+  test("video: valid RIFF/AVI header with lying chunk sizes is flagged, no hang or throw") {
+    import spark.implicits._
+    // start from a REAL synthesized AVI so every header chunk is valid,
+    // then overwrite the first frame chunk's u32 size with values its
+    // container cannot hold — including one that wraps negative as an Int
+    val spec = Seq((1L, 8, 8, 2, 50)).toDF("id", "width", "height", "n_frames", "gray0")
+    val good = graft.multimodal.Multimodal.synthesizeVideos(spec)
+      .collect().head.getAs[Array[Byte]]("media")
+    def corruptFirstFrame(sizeBytes: Array[Byte]): Array[Byte] = {
+      val b = good.clone()
+      val idx = b.indices.indexWhere(i => i + 4 <= b.length &&
+        new String(b, i, 4, "US-ASCII") == "00dc")
+      assert(idx > 0, "synthesized AVI must contain a 00dc frame chunk")
+      System.arraycopy(sizeBytes, 0, b, idx + 4, 4)
+      b
+    }
+    val oversize = corruptFirstFrame(Array(0xff, 0xff, 0xff, 0x00).map(_.toByte)) // ~16 MB > container
+    val wrapping = corruptFirstFrame(Array(0xf0, 0xff, 0xff, 0xff).map(_.toByte)) // u32 > Int.MaxValue
+    val rows = Seq(
+      graft.multimodal.Multimodal.MediaRow(20L, oversize, "video/x-msvideo"),
+      graft.multimodal.Multimodal.MediaRow(21L, wrapping, "video/x-msvideo")).toDF()
+    val fut = scala.concurrent.Future {
+      graft.multimodal.Multimodal.decodeVideos(rows).collect()
+    }(scala.concurrent.ExecutionContext.global)
+    val metas = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration(60, "s"))
+    assert(metas.length == 2 && metas.forall(!_.format_ok),
+      s"lying chunk sizes must flag the blob: ${metas.mkString(" | ")}")
+  }
 }

@@ -104,6 +104,21 @@ class FuzzyJoinSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSeq
     assert(got == Seq((1L, 2L, 1)), s"cross-block pair leaked: $got")
   }
+
+  test("levenshteinPairs: NULL extraBlockCol is a block of its own (null-safe equality)") {
+    // rows 3/4 are near-duplicates whose block key is NULL on both sides;
+    // three-valued `===` would silently drop the pair — the null-safe fix
+    // must keep it while still never crossing NULL with a real block
+    val names = Seq(
+      (1L, "aaa", Some("x")), (2L, "aab", Some("x")),
+      (3L, "aaa", None), (4L, "aab", None), (5L, "aaa", Some("y")))
+      .toDF("id", "name", "src")
+    val got = graft.ops.FuzzyJoin.levenshteinPairs(names, "name", "id",
+      maxDist = 2, extraBlockCol = Some("src"))
+      .orderBy("id_a", "id_b").as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1), (3L, 4L, 1)),
+      s"NULL-block pair missing or cross-block pair leaked: $got")
+  }
 }
 
 class QuantilesSpec extends SparkSpec {
@@ -146,6 +161,30 @@ class QuantilesSpec extends SparkSpec {
       assert(rows.length == 2, rows.mkString(" | "))
       assert(rows(0).getDouble(1) == 1.0)
       assert(rows(1).isNullAt(1), s"all-NULL group must yield NULL med: ${rows(1)}")
+    }
+  }
+
+  test("NULL group key with non-null values gets its computed quantiles (percentile() parity)") {
+    // percentile() treats NULL as a group key like any other; the
+    // all-NULL-group restore join must be null-safe or the NULL-keyed
+    // group's real quantiles are orphaned and come back NULL
+    val nullKey = Seq(
+      (Some("a"), Some(1.0)), (None, Some(2.0)), (None, Some(4.0)),
+      (None, None)).toDF("g", "v")
+    val ref = nullKey.groupBy(col("g"))
+      .agg(expr("percentile(v, 0.0D)").as("lo"),
+        expr("percentile(v, 0.5D)").as("med"),
+        expr("percentile(v, 1.0D)").as("hi"))
+    for (variant <- Seq(
+        graft.ops.Quantiles.exactQuantiles _,
+        graft.ops.Quantiles.exactQuantilesSpread _)) {
+      val mine = variant(nullKey, "v", Seq("g"), Seq(0.0, 0.5, 1.0),
+        Seq("lo", "med", "hi"))
+      assert(mine.exceptAll(ref).count() == 0 && ref.exceptAll(mine).count() == 0,
+        mine.collect().mkString(" | "))
+      val nullRow = mine.filter(col("g").isNull).collect()
+      assert(nullRow.length == 1 && nullRow.head.getDouble(2) == 3.0,
+        s"NULL-keyed group must carry med=3.0: ${nullRow.mkString(" | ")}")
     }
   }
 }
