@@ -69,7 +69,15 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures stdout through sbt's log pump, which has truncated
+    // the tail of this line in past rounds (BENCH_r03/r04 both lost q01–q38).
+    // Persist the full vector to a file so the per-query numbers survive
+    // verbatim regardless of log capture.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

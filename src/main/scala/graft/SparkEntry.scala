@@ -47,9 +47,28 @@ object SparkEntry {
     */
   private val nearDupPairsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def nearDupPairs(s: SparkSession, dir: String): DataFrame =
+  private def nearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    pruneDeadMemoEntries()
     nearDupPairsMemo.getOrElseUpdate((s, dir),
       Dedup.minHashVerifiedNearDups(docsWithNearDups(s, dir), threshold = 0.5))
+  }
+
+  /** Drop memo entries whose session is dead, returning how many were
+    * dropped. The memoized DataFrames strongly reference their session, so
+    * without this an embedding process that creates and stops many sessions
+    * would pin every stopped one (and its checkpoint blocks) until
+    * [[clearMemos]] — which only Bench/Verify reliably call. Runs on every
+    * memo access; the predicate is injectable so the wiring is testable
+    * without stopping the suite's shared SparkContext.
+    */
+  private[graft] def pruneDeadMemoEntries(
+      isDead: SparkSession => Boolean = _.sparkContext.isStopped): Int = {
+    val before = nearDupPairsMemo.size
+    nearDupPairsMemo.filterInPlace { case ((sess, _), _) => !isDead(sess) }
+    before - nearDupPairsMemo.size
+  }
+
+  private[graft] def memoSize: Int = nearDupPairsMemo.size
 
   /** Release every memoized frame. The memos are localCheckpoint-backed, so
     * `catalog.clearCache()` cannot see them (checkpoint blocks are RDD
@@ -64,7 +83,8 @@ object SparkEntry {
     val sessions = nearDupPairsMemo.keySet.map(_._1).toSet
     nearDupPairsMemo.clear()
     sessions.foreach { s =>
-      s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      if (!s.sparkContext.isStopped)
+        s.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
   }
 

@@ -40,4 +40,32 @@ class CacheHygieneSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "clearMemos must leave no persistent RDDs behind")
   }
+
+  test("memo is per-(session, dir) and sheds dead-session entries on access") {
+    SparkEntry.clearMemos()
+    val a = spark.newSession()
+    val b = spark.newSession()
+    SparkEntry.queries("q40_minhash_neardups")(a, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    assert(SparkEntry.memoSize == 1)
+    // same session + dir → memo hit, no second entry
+    SparkEntry.queries("q40_minhash_neardups")(a, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    assert(SparkEntry.memoSize == 1, "same (session, dir) must reuse its entry")
+    // distinct session, same dir → its own entry
+    SparkEntry.queries("q40_minhash_neardups")(b, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    assert(SparkEntry.memoSize == 2)
+    // a "stopped" session's entry is dropped by the access-path prune —
+    // injected predicate, since really stopping `a` would kill the suite's
+    // shared SparkContext; the default predicate is sparkContext.isStopped
+    val dropped = SparkEntry.pruneDeadMemoEntries(isDead = _ eq a)
+    assert(dropped == 1 && SparkEntry.memoSize == 1,
+      s"dead-session entry must be shed (dropped=$dropped, size=${SparkEntry.memoSize})")
+    // the survivor still serves its session from the memo
+    SparkEntry.queries("q40_minhash_neardups")(b, sfDir)
+      .write.mode("overwrite").format("noop").save()
+    assert(SparkEntry.memoSize == 1)
+    SparkEntry.clearMemos()
+  }
 }
