@@ -1174,6 +1174,42 @@ object SparkEntry {
       val ex = Seq[Option[Long]](None, Some(2L), Some(4L), Some(6L), Some(8L)).toDF("bucket")
       IncrementalLoader.newRowsNullSafe(src, ex, Seq("bucket"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- snapshot-committed MERGE under the oracle gate: write the table
+    // as a snapshot, merge a batch (updates + inserts) through the manifest
+    // commit, read back THROUGH the manifest — rows must equal the plain
+    // relational upsert (q81's semantics, now with atomic visibility) ----
+    "q101_snapshot_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").as("dt"), col("o_orderstatus"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q101").toString
+      graft.catalog.SnapshotTable.write(s, o, tbl)
+      val updates = o.filter(pmod(col("o_orderkey"), lit(100)) === 0)
+        .withColumn("o_orderstatus", lit("X"))
+      val inserts = o.filter(pmod(col("o_orderkey"), lit(500)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("dt"), col("o_orderstatus"))
+      graft.catalog.SnapshotTable.merge(s, updates.unionByName(inserts), tbl,
+        keys = Seq("o_orderkey", "dt"))
+      graft.catalog.SnapshotTable.read(s, tbl)
+        .orderBy(col("o_orderkey"), col("dt"))
+    }),
+
+    // ---- snapshot compaction under the oracle gate: two appends, one
+    // compact — the read-back multiset must be exactly the union (compaction
+    // is pure layout, invisible to rows) ----
+    "q102_snapshot_compact" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q102").toString
+      graft.catalog.SnapshotTable.write(s,
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 0), tbl)
+      graft.catalog.SnapshotTable.append(s,
+        li.filter(pmod(col("l_orderkey"), lit(2)) === 1), tbl)
+      graft.catalog.SnapshotTable.compact(s, tbl, targetBytes = Long.MaxValue)
+      graft.catalog.SnapshotTable.read(s, tbl)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -2208,6 +2244,28 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM (VALUES (2), (4), (6), (8), (NULL)) e(b)
         |  WHERE e.b IS NOT DISTINCT FROM NULLIF(o.o_orderkey % 10, 5))
-        |ORDER BY o.o_orderkey""".stripMargin
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    // q101: the snapshot-committed MERGE must be row-identical to the plain
+    // relational upsert — the manifest layer is visibility, not semantics.
+    "q101_snapshot_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_orderdate AS dt, o_orderstatus FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, dt, 'X' AS o_orderstatus FROM base WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, dt, o_orderstatus FROM base WHERE o_orderkey % 500 = 0)
+        |SELECT * FROM (
+        |  SELECT * FROM upd
+        |  UNION ALL
+        |  SELECT b.* FROM base b
+        |  WHERE NOT EXISTS (SELECT 1 FROM upd u
+        |                    WHERE u.o_orderkey = b.o_orderkey AND u.dt = b.dt))
+        |ORDER BY o_orderkey, dt""".stripMargin,
+
+    // q102: append + compact is pure layout — the read-back multiset IS the
+    // source table.
+    "q102_snapshot_compact" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

@@ -1,0 +1,281 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.IncrementalLoader
+
+/** A minimal snapshot/manifest table format: the metadata layer that makes
+  * the mutating sinks (compaction, keyed MERGE) safe under concurrent
+  * readers. The remote engines the reference targeted got this from their
+  * transaction layer (Snowflake's `CREATE OR REPLACE` in
+  * `scripts/transform_staging.py:24-40` is an atomic snapshot swap); plain
+  * parquet directories have no equivalent, so `Layout.compact`'s
+  * delete-then-rename swap exposes a window where a reader sees a missing
+  * directory. This module closes that gap the way every table format does
+  * (Delta's `_delta_log`, Iceberg's metadata tree, in miniature):
+  *
+  *  - Data files are immutable and live in per-commit subdirectories
+  *    (`c-<uuid>/part-*.parquet`). Nothing ever rewrites a published file.
+  *  - A manifest (`_log/manifest-%08d.json`) lists the files of one
+  *    complete snapshot, with per-file row counts, sizes, and min/max `dt`
+  *    for manifest-level file skipping.
+  *  - Commit = write-manifest-to-temp + ATOMIC RENAME to the next version.
+  *    Readers resolve the highest published manifest; they either see the
+  *    old snapshot or the new one, never a torn mix, because the rename is
+  *    the single visibility point.
+  *  - Old files are NOT deleted at commit: a reader that resolved version
+  *    N keeps reading N's files even while N+1 commits. [[vacuum]] is the
+  *    explicit retention step that deletes files unreferenced by the
+  *    retained manifests — run it when no reader can still hold an expired
+  *    snapshot (the same contract as Delta's VACUUM).
+  *
+  * Concurrency contract: MANY readers, ONE writer. Multi-writer commits
+  * need a coordination point (a lock service or conditional-put store) that
+  * a filesystem cannot provide portably — out of scope, like early Delta on
+  * HDFS. The commit rename detects a lost race on filesystems whose rename
+  * refuses existing destinations (HDFS) and documents the assumption
+  * elsewhere.
+  *
+  * At 100 TB: the manifest is O(files) driver-side metadata, the dt ranges
+  * skip whole files before any footer is opened, and a merge reads only
+  * the files whose dt range intersects the batch — everything else is
+  * carried forward by reference in the new manifest, never rewritten.
+  */
+object SnapshotTable {
+
+  /** One immutable data file of a snapshot. `minDt`/`maxDt` are ISO date
+    * strings (lexicographic order = date order) when the table has a
+    * non-null `dt` column in that file, None otherwise — absent stats make
+    * pruning conservative (the file is always read), never wrong.
+    */
+  case class FileEntry(path: String, rows: Long, bytes: Long,
+      minDt: Option[String], maxDt: Option[String])
+
+  case class Manifest(version: Long, entries: Seq[FileEntry])
+
+  private val LogDirName = "_log"
+  private val ManifestRe = raw"manifest-(\d{8})\.json".r
+
+  private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def fsFor(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestVersions(fs: FileSystem, dir: String): Seq[(Long, Path)] = {
+    val log = new Path(dir, LogDirName)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case ManifestRe(v) => Some((v.toLong, st.getPath))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** True iff the directory has at least one committed snapshot. */
+  def exists(spark: SparkSession, dir: String): Boolean =
+    manifestVersions(fsFor(spark, dir), dir).nonEmpty
+
+  /** The latest committed snapshot's manifest. */
+  def currentManifest(spark: SparkSession, dir: String): Option[Manifest] = {
+    val fs = fsFor(spark, dir)
+    manifestVersions(fs, dir).lastOption.map { case (_, p) => readManifest(fs, p) }
+  }
+
+  private def readManifest(fs: FileSystem, p: Path): Manifest = {
+    val in = fs.open(p)
+    try org.json4s.jackson.Serialization.read[Manifest](
+      new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+    finally in.close()
+  }
+
+  /** The latest snapshot as a DataFrame — only the manifest's files, so a
+    * concurrent compact/merge (which only ADDS files before its commit)
+    * cannot change what this snapshot reads.
+    */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readEntries(spark, dir, snapshot(spark, dir).entries)
+
+  /** [[read]] restricted to files whose dt range intersects [lo, hi] (ISO
+    * date strings) — manifest-level file skipping: files outside the range
+    * are never opened, not even their footers. Files without dt stats are
+    * conservatively included.
+    */
+  def readDtRange(spark: SparkSession, dir: String, lo: String, hi: String): DataFrame = {
+    val live = snapshot(spark, dir).entries
+    val hit = live.filter(e => (e.minDt, e.maxDt) match {
+      case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
+      case _ => true
+    })
+    readEntries(spark, dir, hit)
+  }
+
+  private def snapshot(spark: SparkSession, dir: String): Manifest =
+    currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+
+  private def readEntries(spark: SparkSession, dir: String, entries: Seq[FileEntry]): DataFrame = {
+    require(entries.nonEmpty,
+      s"snapshot at $dir has no data files matching the requested range")
+    spark.read.parquet(entries.map(e => new Path(dir, e.path).toString): _*)
+  }
+
+  /** Create or replace the table with `df` as a single new snapshot. */
+  def write(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    val entries = writeData(spark, df, dir)
+    commit(spark, dir, entries)
+  }
+
+  /** Append `df` as new files; every existing file is carried forward by
+    * reference (zero data rewritten).
+    */
+  def append(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    val kept = currentManifest(spark, dir).map(_.entries).getOrElse(Seq.empty)
+    val entries = writeData(spark, df, dir)
+    commit(spark, dir, kept ++ entries)
+  }
+
+  /** Keyed MERGE (update-else-insert) of `batch`, dt-scoped like
+    * [[IncrementalLoader.mergeIntoSink]] but snapshot-committed: only files
+    * whose dt range intersects the batch's dt set are rewritten; all other
+    * files move to the new snapshot by reference. Readers holding the old
+    * manifest are untouched — no dynamic-partition-overwrite visibility
+    * window.
+    */
+  def merge(spark: SparkSession, batch: DataFrame, dir: String,
+      keys: Seq[String] = IncrementalLoader.AdsKeys): Long = {
+    require(keys.contains("dt"), "snapshot merge requires dt in the merge key")
+    require(batch.filter(col("dt").isNull).isEmpty, "snapshot merge: batch has NULL dt rows")
+    currentManifest(spark, dir) match {
+      case None => write(spark, batch, dir)
+      case Some(m) =>
+        val touched = batch.select(col("dt").cast("string")).distinct()
+          .collect().map(_.getString(0)).sorted
+        val (rewrite, keep) = m.entries.partition(e => (e.minDt, e.maxDt) match {
+          case (Some(mn), Some(mx)) => touched.exists(d => mn <= d && d <= mx)
+          case _ => true // no stats → conservative rewrite
+        })
+        val base =
+          if (rewrite.isEmpty) batch.limit(0)
+          else readEntries(spark, dir, rewrite)
+        val out = IncrementalLoader.upsert(base, batch, keys)
+        val entries = writeData(spark, out, dir)
+        commit(spark, dir, keep ++ entries)
+    }
+  }
+
+  /** Rewrite the current snapshot into ⌈total bytes / targetBytes⌉ files and
+    * commit — the concurrent-reader-safe form of [[graft.ops.Layout.compact]]:
+    * readers of the old snapshot keep their files (nothing is deleted here;
+    * that's [[vacuum]]'s job), readers arriving after the commit see only
+    * the compacted files.
+    *
+    * @return (live files before, live files after)
+    */
+  def compact(spark: SparkSession, dir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val m = snapshot(spark, dir)
+    val totalBytes = m.entries.map(_.bytes).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val entries = writeData(spark, readEntries(spark, dir, m.entries).repartition(nOut), dir)
+    commit(spark, dir, entries)
+    (m.entries.length, entries.length)
+  }
+
+  /** Retention: delete data files referenced by NONE of the newest
+    * `keepVersions` manifests, drop the expired manifests, and clear
+    * crash-leftover temp files. Call when no reader can still hold an
+    * expired snapshot. Returns the number of data files deleted.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2): Int = {
+    require(keepVersions >= 1, "must keep at least the current snapshot")
+    val fs = fsFor(spark, dir)
+    val versions = manifestVersions(fs, dir)
+    if (versions.isEmpty) return 0
+    val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepVersions))
+    val live: Set[String] = kept.flatMap { case (_, p) =>
+      readManifest(fs, p).entries.map(_.path)
+    }.toSet
+    val root = new Path(dir)
+    var deleted = 0
+    // data files live one level down, in per-commit subdirectories
+    fs.listStatus(root).filter(st => st.isDirectory && st.getPath.getName != LogDirName)
+      .foreach { d =>
+        val children = fs.listStatus(d.getPath)
+        children.foreach { f =>
+          val rel = s"${d.getPath.getName}/${f.getPath.getName}"
+          val isData = f.isFile && f.getPath.getName.endsWith(".parquet")
+          if (isData && !live.contains(rel)) { fs.delete(f.getPath, false); deleted += 1 }
+          else if (f.isFile && !isData && !live.contains(rel)) fs.delete(f.getPath, false)
+        }
+        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
+      }
+    expired.foreach { case (_, p) => fs.delete(p, false) }
+    // crash leftovers: unpublished temp manifests
+    val log = new Path(dir, LogDirName)
+    if (fs.exists(log)) fs.listStatus(log)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
+      .foreach(st => fs.delete(st.getPath, false))
+    deleted
+  }
+
+  /** Write `df` into a fresh per-commit subdirectory and return its file
+    * entries with row counts and dt stats (one scan over just the new
+    * files). Files are invisible to every reader until a manifest that
+    * lists them is committed.
+    */
+  private def writeData(spark: SparkSession, df: DataFrame, dir: String): Seq[FileEntry] = {
+    val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
+    val commitDir = new Path(dir, commitName)
+    df.write.parquet(commitDir.toString)
+    val fs = fsFor(spark, dir)
+    val files = fs.listStatus(commitDir)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    if (files.isEmpty) return Seq.empty
+    val written = spark.read.parquet(commitDir.toString)
+    val hasDt = written.columns.contains("dt")
+    val aggs =
+      if (hasDt) Seq(count(lit(1)).as("rows"),
+        min(col("dt").cast("string")).as("mn"), max(col("dt").cast("string")).as("mx"))
+      else Seq(count(lit(1)).as("rows"))
+    val stats = written.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+      .map { r =>
+        val name = r.getString(0).split('/').last
+        val dtStats = if (hasDt) (Option(r.getString(2)), Option(r.getString(3))) else (None, None)
+        name -> (r.getLong(1), dtStats)
+      }.toMap
+    // empty part files (0 rows) carry nothing a snapshot needs: leave them
+    // unlisted and let vacuum collect them
+    files.toSeq.flatMap { st =>
+      stats.get(st.getPath.getName).map { case (rows, (mn, mx)) =>
+        FileEntry(s"$commitName/${st.getPath.getName}", rows, st.getLen, mn, mx)
+      }
+    }
+  }
+
+  /** Publish `entries` as the next snapshot version. The temp write + atomic
+    * rename means a manifest is either fully visible or not at all; a
+    * half-written file can never be the current version.
+    */
+  private def commit(spark: SparkSession, dir: String, entries: Seq[FileEntry]): Long = {
+    val fs = fsFor(spark, dir)
+    val log = new Path(dir, LogDirName)
+    if (!fs.exists(log)) fs.mkdirs(log)
+    val version = manifestVersions(fs, dir).lastOption.map(_._1 + 1).getOrElse(1L)
+    val manifest = Manifest(version, entries)
+    val tmp = new Path(log, s"manifest-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(org.json4s.jackson.Serialization.write(manifest)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new Path(log, f"manifest-$version%08d.json")
+    if (!fs.rename(tmp, dest))
+      throw new IllegalStateException(
+        s"lost a commit race publishing version $version at $dir (single-writer contract)")
+    version
+  }
+}

@@ -22,9 +22,12 @@ object Layout {
     * the directory into ⌈total bytes / targetBytes⌉ files and swap it in.
     *
     * The swap is write-temp → delete-old → rename: atomic enough for a
-    * maintenance window on HDFS-like filesystems; object stores or
-    * concurrent readers need a table format's snapshot commit instead
-    * (which is metadata around exactly this rewrite).
+    * maintenance window on HDFS-like filesystems. For concurrent readers
+    * use [[graft.catalog.SnapshotTable.compact]] instead — the same rewrite
+    * behind a manifest commit, so a reader either sees the old snapshot or
+    * the new one, never a missing directory (proved by SnapshotSpec's
+    * concurrent-reader test). This plain-directory variant remains for
+    * sinks that aren't snapshot tables.
     *
     * @return (files before, files after)
     */
