@@ -132,6 +132,49 @@ class StreamOpsSpec extends SparkSpec {
     q.stop()
   }
 
+  test("runUpsert: restart from checkpoint resumes exactly — no reprocess, no loss") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-restart").toString
+    val (srcDir, sinkDir, ckpt) = (s"$base/src", s"$base/sink", s"$base/ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "campaign_id BIGINT, dt DATE, spend DOUBLE")
+    def writeBatch(rows: Seq[(Long, String, Double)]): Unit =
+      rows.toDF("campaign_id", "dt", "spend").withColumn("dt", to_date(col("dt")))
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def stream() = graft.streaming.IncrementalStream.runUpsert(
+      spark.readStream.schema(schema).parquet(srcDir), sinkDir, ckpt,
+      Seq("campaign_id", "dt"),
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    def sink() = spark.read.parquet(sinkDir).select("campaign_id", "dt", "spend")
+      .collect().map(r => (r.getLong(0), r.getDate(1).toString, r.getDouble(2))).toSet
+
+    writeBatch(Seq((1L, "2026-01-01", 5.0), (2L, "2026-01-01", 7.0)))
+    val q1 = stream()
+    assert(q1.awaitTermination(120000), "first run must drain and self-terminate")
+    assert(sink() == Set((1L, "2026-01-01", 5.0), (2L, "2026-01-01", 7.0)))
+
+    // the query is down (run N ended). DELETE the processed source files: a
+    // restart can now only produce the right sink by resuming from the
+    // CHECKPOINT's seen-files state — re-reading history is impossible
+    val srcPath = new org.apache.hadoop.fs.Path(srcDir)
+    val fs = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(srcPath).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(f => fs.delete(f.getPath, false))
+    writeBatch(Seq((1L, "2026-01-01", 9.0), (3L, "2026-01-02", 1.0)))
+
+    val q2 = stream()
+    assert(q2.awaitTermination(120000), "restarted run must drain and self-terminate")
+    // equals the one-shot result: batch1 then batch2 merged in a single
+    // uninterrupted pipeline (update key 1, keep key 2, insert key 3)
+    assert(sink() == Set((1L, "2026-01-01", 9.0), (2L, "2026-01-01", 7.0), (3L, "2026-01-02", 1.0)))
+
+    // a third restart with nothing new must change nothing (no re-delivery
+    // of batch 2 past the checkpoint's committed offset)
+    val q3 = stream()
+    assert(q3.awaitTermination(120000))
+    assert(sink() == Set((1L, "2026-01-01", 9.0), (2L, "2026-01-01", 7.0), (3L, "2026-01-02", 1.0)))
+  }
+
   test("qualityGate and weightedMix run unchanged on a stream (map-only corpus ops)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
