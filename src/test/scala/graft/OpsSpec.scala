@@ -39,6 +39,65 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin measurably spreads a hot key: max/median task shuffle-read ratio") {
+    // synthetic hot key: key 0 carries 60k rows, keys 1..15 carry 500 each.
+    // Broadcast and AQE are disabled so the join is a genuine shuffle join
+    // and AQE's own skew splitting can't mask the operator's effect.
+    val left = spark.range(60000).select(lit(0L).as("k"), col("id").as("x"))
+      .union(spark.range(15L * 500).select((col("id") % 15 + 1).as("k"), col("id").as("x")))
+    val right = spark.range(16).select(col("id").as("k"), (col("id") * 10).as("y"))
+
+    def joinStageTaskReads(run: () => Unit): Seq[Long] = {
+      val recs = scala.collection.mutable.Buffer.empty[(Int, Long)]
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            recs.synchronized { recs += ((t.stageId, t.taskMetrics.shuffleReadMetrics.recordsRead)) }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        run()
+        // listener events are async: poll until the buffer goes quiet
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val now = recs.synchronized(recs.size)
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      // the join's reduce stage is the stage with the largest shuffle-read total
+      val byStage = recs.synchronized(recs.toSeq).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      byStage.maxBy(_._2.sum)._2
+    }
+    def maxOverMedian(reads: Seq[Long]): Double = {
+      val nz = reads.filter(_ > 0).sorted
+      assert(nz.length >= 2, s"need several reading tasks, got $nz")
+      nz.max.toDouble / nz(nz.length / 2)
+    }
+
+    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plainReads = joinStageTaskReads(() =>
+        left.join(right, Seq("k")).write.mode("overwrite").format("noop").save())
+      val saltedReads = joinStageTaskReads(() =>
+        Skew.saltedJoin(left, right, "k", saltBuckets = 8)
+          .write.mode("overwrite").format("noop").save())
+      val (before, after) = (maxOverMedian(plainReads), maxOverMedian(saltedReads))
+      info(f"max/median task shuffle-read: plain $before%.1f -> salted $after%.1f")
+      assert(before >= 10.0,
+        f"synthetic skew must dominate the plain join's hottest task (got $before%.1f)")
+      assert(after <= before / 4,
+        f"salting must spread the hot key (plain $before%.1f, salted $after%.1f)")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("keyHistogram surfaces the heaviest keys with shares") {
     val ev = Tables.events(spark, sfDir)
     val h = Skew.keyHistogram(ev, Seq("event_type"), topN = 3).collect()
