@@ -273,6 +273,16 @@ object Dedup {
     * Verification computes exact cosine over (token, count) vectors for
     * candidate pairs only — O(candidates · tokens), never O(n²).
     *
+    * Scale caveat (holds for every pair-enumerating near-dup operator here):
+    * the OUTPUT is inherently quadratic in duplicate-group size — a cluster
+    * of g mutual near-dups is C(g,2) pairs, so a corpus dominated by huge
+    * duplicate groups pays that enumeration no matter how good candidate
+    * generation is (measured: a fixture of signature-identical replica
+    * groups went 14× superlinear while honest near-linear corpora stay
+    * linear — ScaleSoakSpec). At 100 TB, run exact dedup first and consume
+    * [[graft.ops.Graph.connectedComponents]] clusters rather than raw pairs
+    * when groups can be large.
+    *
     * `broadcastDocLimit` bounds the broadcast-hinted joins IN CODE: the
     * probe table is ~68 slim rows/doc (~2.5 KB) and the term vectors ~one
     * ~10 KB row/doc, so past ~10⁵ eligible docs the hints would exceed any
