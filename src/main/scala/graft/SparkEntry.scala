@@ -1210,6 +1210,22 @@ object SparkEntry {
       graft.catalog.SnapshotTable.compact(s, tbl, targetBytes = Long.MaxValue)
       graft.catalog.SnapshotTable.read(s, tbl)
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- incrementally-maintained rollup under the oracle gate: three
+    // loads folded through mergeable partial-aggregate state must equal ONE
+    // full aggregation of everything (the materialized-view invariant) ----
+    "q103_incremental_rollup" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      val states = (0 until 3).map(i =>
+        graft.ingest.IncrementalRollup.aggState(
+          li.filter(pmod(col("l_orderkey"), lit(3)) === i), keys, ms))
+      val state = states.reduce((a, b) =>
+        graft.ingest.IncrementalRollup.mergeState(a, b, keys, ms))
+      graft.ingest.IncrementalRollup.finalize(state, ms)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   )
 
@@ -2266,6 +2282,25 @@ object SparkEntry {
     // source table.
     "q102_snapshot_compact" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // q103: the incrementally-folded rollup state must equal one full
+    // aggregation (sums through DECIMAL for engine-exactness, avg finalized
+    // at 6dp from the state columns).
+    "q103_incremental_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+        |  COUNT(l_quantity) AS cnt_l_quantity,
+        |  MIN(l_quantity) AS min_l_quantity,
+        |  MAX(l_quantity) AS max_l_quantity,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice,
+        |  COUNT(l_extendedprice) AS cnt_l_extendedprice,
+        |  MIN(l_extendedprice) AS min_l_extendedprice,
+        |  MAX(l_extendedprice) AS max_l_extendedprice,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(l_quantity), 6) AS avg_l_quantity,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(l_extendedprice), 6) AS avg_l_extendedprice
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -98,6 +98,22 @@ object SnapshotTable {
   def read(spark: SparkSession, dir: String): DataFrame =
     readEntries(spark, dir, snapshot(spark, dir).entries)
 
+  /** Time travel: the table exactly as committed at `version`. Free with
+    * immutable files + versioned manifests — available as long as [[vacuum]]
+    * retention still covers that version (expired versions throw).
+    */
+  def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
+    val fs = fsFor(spark, dir)
+    val p = manifestVersions(fs, dir).collectFirst { case (v, path) if v == version => path }
+      .getOrElse(throw new IllegalStateException(
+        s"version $version not available at $dir (never committed, or expired by vacuum)"))
+    readEntries(spark, dir, readManifest(fs, p).entries)
+  }
+
+  /** Committed versions still readable (newest last). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] =
+    manifestVersions(fsFor(spark, dir), dir).map(_._1)
+
   /** [[read]] restricted to files whose dt range intersects [lo, hi] (ISO
     * date strings) — manifest-level file skipping: files outside the range
     * are never opened, not even their footers. Files without dt stats are

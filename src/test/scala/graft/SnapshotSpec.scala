@@ -90,6 +90,29 @@ class SnapshotSpec extends SparkSpec {
       "current snapshot must survive vacuum untouched")
   }
 
+  test("time travel: every retained version reads back exactly; vacuum expires honestly") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, sampleDf(10), dir)
+    SnapshotTable.append(spark, sampleDf(5).withColumn("id", col("id") + 100), dir)
+    SnapshotTable.merge(spark, sampleDf(10).withColumn("v", col("id") * 7), dir,
+      keys = Seq("id", "dt"))
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(SnapshotTable.readVersion(spark, dir, 1).count() == 10L)
+    assert(SnapshotTable.readVersion(spark, dir, 2).count() == 15L)
+    // v1's rows are untouched by the later merge
+    assert(SnapshotTable.readVersion(spark, dir, 1)
+      .agg(sum("v")).collect().head.getLong(0) == 2L * (9L * 10 / 2))
+    // the current version sees the merged values
+    assert(SnapshotTable.read(spark, dir).filter(col("id") < 100)
+      .agg(sum("v")).collect().head.getLong(0) == 7L * (9L * 10 / 2))
+    // vacuum to 2 versions: v1 expires and now throws, v2/v3 still read
+    SnapshotTable.vacuum(spark, dir, keepVersions = 2)
+    assert(SnapshotTable.versions(spark, dir) == Seq(2L, 3L))
+    intercept[IllegalStateException] { SnapshotTable.readVersion(spark, dir, 1) }
+    assert(SnapshotTable.readVersion(spark, dir, 2).count() == 15L)
+    assert(SnapshotTable.read(spark, dir).count() == 15L)
+  }
+
   test("crash leftovers are invisible: orphan data dirs and temp manifests") {
     val dir = tmpTable()
     SnapshotTable.write(spark, sampleDf(30), dir)
