@@ -1226,6 +1226,27 @@ object SparkEntry {
         graft.ingest.IncrementalRollup.mergeState(a, b, keys, ms))
       graft.ingest.IncrementalRollup.finalize(state, ms)
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- the full incremental-consumption loop under the oracle gate:
+    // three appends to a snapshot table, rollup folded ONLY from each
+    // version window's changesBetween (never a full table scan) — must
+    // equal one full aggregation of everything ----
+    "q104_rollup_from_changes" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity"), col("l_extendedprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q104").toString
+      (0 until 3).foreach(i => graft.catalog.SnapshotTable.append(s,
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i), tbl))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      val state = (0L until 3L).map(v =>
+        graft.ingest.IncrementalRollup.aggState(
+          graft.catalog.SnapshotTable.changesBetween(s, tbl, v, v + 1), keys, ms))
+        .reduce((a, b) => graft.ingest.IncrementalRollup.mergeState(a, b, keys, ms))
+      graft.ingest.IncrementalRollup.finalize(state, ms)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   )
 
@@ -2288,6 +2309,24 @@ object SparkEntry {
     // aggregation (sums through DECIMAL for engine-exactness, avg finalized
     // at 6dp from the state columns).
     "q103_incremental_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+        |  COUNT(l_quantity) AS cnt_l_quantity,
+        |  MIN(l_quantity) AS min_l_quantity,
+        |  MAX(l_quantity) AS max_l_quantity,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice,
+        |  COUNT(l_extendedprice) AS cnt_l_extendedprice,
+        |  MIN(l_extendedprice) AS min_l_extendedprice,
+        |  MAX(l_extendedprice) AS max_l_extendedprice,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(l_quantity), 6) AS avg_l_quantity,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(l_extendedprice), 6) AS avg_l_extendedprice
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q104: identical truth to q103 — the incremental path (snapshot
+    // appends + changesBetween windows) must be invisible to the result.
+    "q104_rollup_from_changes" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
         |  COUNT(l_quantity) AS cnt_l_quantity,

@@ -53,7 +53,14 @@ object SnapshotTable {
   case class FileEntry(path: String, rows: Long, bytes: Long,
       minDt: Option[String], maxDt: Option[String])
 
-  case class Manifest(version: Long, entries: Seq[FileEntry])
+  /** `txn` carries exactly-once markers for streaming writers (appId → last
+    * committed batch id, the Delta `txn` action in miniature); it is
+    * preserved verbatim across every later commit — compaction or merge
+    * must not make a committed batch look uncommitted. Optional so
+    * manifests written before this field existed still parse.
+    */
+  case class Manifest(version: Long, entries: Seq[FileEntry],
+      txn: Option[Map[String, Long]] = None)
 
   private val LogDirName = "_log"
   private val ManifestRe = raw"manifest-(\d{8})\.json".r
@@ -138,19 +145,69 @@ object SnapshotTable {
     spark.read.parquet(entries.map(e => new Path(dir, e.path).toString): _*)
   }
 
-  /** Create or replace the table with `df` as a single new snapshot. */
+  /** Create or replace the table with `df` as a single new snapshot. Txn
+    * markers are preserved: replacing contents must not make a streaming
+    * writer's committed batches look uncommitted.
+    */
   def write(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val entries = writeData(spark, df, dir)
-    commit(spark, dir, entries)
+    commit(spark, dir, entries, txnOf(currentManifest(spark, dir)))
   }
 
   /** Append `df` as new files; every existing file is carried forward by
     * reference (zero data rewritten).
     */
   def append(spark: SparkSession, df: DataFrame, dir: String): Long = {
-    val kept = currentManifest(spark, dir).map(_.entries).getOrElse(Seq.empty)
+    val cur = currentManifest(spark, dir)
     val entries = writeData(spark, df, dir)
-    commit(spark, dir, kept ++ entries)
+    commit(spark, dir, cur.map(_.entries).getOrElse(Seq.empty) ++ entries, txnOf(cur))
+  }
+
+  /** Idempotent append for at-least-once writers (the streaming sink's
+    * primitive): commits `df` with an (appId → batchId) marker, and is a
+    * NO-OP when the current manifest already records `batchId` (or later)
+    * for `appId` — a re-delivered micro-batch after a crash cannot append
+    * twice. Returns whether a commit happened.
+    *
+    * Batch ids must be monotonically increasing per appId (Structured
+    * Streaming's contract for foreachBatch).
+    */
+  def appendExactlyOnce(spark: SparkSession, df: DataFrame, dir: String,
+      appId: String, batchId: Long): Boolean = {
+    val cur = currentManifest(spark, dir)
+    if (txnOf(cur).get(appId).exists(_ >= batchId)) false
+    else {
+      val entries = writeData(spark, df, dir)
+      commit(spark, dir, cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
+        txnOf(cur) + (appId -> batchId))
+      true
+    }
+  }
+
+  /** CDC-style incremental read: the rows of files ADDED between
+    * `fromVersion` (exclusive; 0 = before the first commit) and `toVersion`
+    * (inclusive). For an append-only table this is exactly the appended
+    * rows — the incremental-consumption primitive (fold them into an
+    * [[graft.ingest.IncrementalRollup]], feed a downstream sync, …).
+    * Tables mutated by [[merge]]/[[compact]] rewrite files, so "added
+    * files" would double-count carried rows — callers own that contract,
+    * same as any file-based CDC.
+    */
+  def changesBetween(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    val fs = fsFor(spark, dir)
+    def entriesAt(v: Long): Seq[FileEntry] =
+      if (v == 0L) Seq.empty
+      else manifestVersions(fs, dir).collectFirst { case (mv, p) if mv == v => readManifest(fs, p).entries }
+        .getOrElse(throw new IllegalStateException(
+          s"version $v not available at $dir (never committed, or expired by vacuum)"))
+    val before = entriesAt(fromVersion).map(_.path).toSet
+    val to = entriesAt(toVersion)
+    val added = to.filterNot(e => before.contains(e.path))
+    if (added.nonEmpty) readEntries(spark, dir, added)
+    else readEntries(spark, dir, to).limit(0) // no new files: empty frame, right schema
   }
 
   /** Keyed MERGE (update-else-insert) of `batch`, dt-scoped like
@@ -178,7 +235,7 @@ object SnapshotTable {
           else readEntries(spark, dir, rewrite)
         val out = IncrementalLoader.upsert(base, batch, keys)
         val entries = writeData(spark, out, dir)
-        commit(spark, dir, keep ++ entries)
+        commit(spark, dir, keep ++ entries, txnOf(Some(m)))
     }
   }
 
@@ -197,7 +254,7 @@ object SnapshotTable {
     val totalBytes = m.entries.map(_.bytes).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val entries = writeData(spark, readEntries(spark, dir, m.entries).repartition(nOut), dir)
-    commit(spark, dir, entries)
+    commit(spark, dir, entries, txnOf(Some(m)))
     (m.entries.length, entries.length)
   }
 
@@ -273,16 +330,20 @@ object SnapshotTable {
     }
   }
 
+  private def txnOf(m: Option[Manifest]): Map[String, Long] =
+    m.flatMap(_.txn).getOrElse(Map.empty)
+
   /** Publish `entries` as the next snapshot version. The temp write + atomic
     * rename means a manifest is either fully visible or not at all; a
     * half-written file can never be the current version.
     */
-  private def commit(spark: SparkSession, dir: String, entries: Seq[FileEntry]): Long = {
+  private def commit(spark: SparkSession, dir: String, entries: Seq[FileEntry],
+      txn: Map[String, Long] = Map.empty): Long = {
     val fs = fsFor(spark, dir)
     val log = new Path(dir, LogDirName)
     if (!fs.exists(log)) fs.mkdirs(log)
     val version = manifestVersions(fs, dir).lastOption.map(_._1 + 1).getOrElse(1L)
-    val manifest = Manifest(version, entries)
+    val manifest = Manifest(version, entries, if (txn.isEmpty) None else Some(txn))
     val tmp = new Path(log, s"manifest-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
     val out = fs.create(tmp, false)
     try out.write(org.json4s.jackson.Serialization.write(manifest)

@@ -113,6 +113,43 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() == 15L)
   }
 
+  test("appendExactlyOnce: re-delivered batch ids are no-ops; markers survive compaction") {
+    val dir = tmpTable()
+    assert(SnapshotTable.appendExactlyOnce(spark, sampleDf(10), dir, "app1", 0L))
+    assert(SnapshotTable.appendExactlyOnce(spark, sampleDf(5).withColumn("id", col("id") + 100),
+      dir, "app1", 1L))
+    assert(SnapshotTable.read(spark, dir).count() == 15L)
+    // re-delivery of batch 1 (crash between commit and checkpoint): NO-OP
+    assert(!SnapshotTable.appendExactlyOnce(spark, sampleDf(5).withColumn("id", col("id") + 100),
+      dir, "app1", 1L))
+    assert(SnapshotTable.read(spark, dir).count() == 15L, "re-delivered batch must not double-append")
+    // a different app's batch 1 is independent
+    assert(SnapshotTable.appendExactlyOnce(spark, sampleDf(2).withColumn("id", col("id") + 500),
+      dir, "app2", 1L))
+    assert(SnapshotTable.read(spark, dir).count() == 17L)
+    // compaction must carry the markers: batch 1 is STILL a no-op after it
+    SnapshotTable.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(!SnapshotTable.appendExactlyOnce(spark, sampleDf(5).withColumn("id", col("id") + 100),
+      dir, "app1", 1L))
+    assert(SnapshotTable.read(spark, dir).count() == 17L)
+  }
+
+  test("changesBetween yields exactly the appended rows per version window") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, sampleDf(10), dir)                                   // v1
+    SnapshotTable.append(spark, sampleDf(5).withColumn("id", col("id") + 100), dir) // v2
+    SnapshotTable.append(spark, sampleDf(3).withColumn("id", col("id") + 200), dir) // v3
+    assert(SnapshotTable.changesBetween(spark, dir, 0, 1).count() == 10L)
+    val d12 = SnapshotTable.changesBetween(spark, dir, 1, 2)
+    assert(d12.count() == 5L && d12.agg(min("id")).collect().head.getLong(0) == 100L)
+    assert(SnapshotTable.changesBetween(spark, dir, 1, 3).count() == 8L)
+    // a window with no new files is an empty frame with the table's schema
+    val d33 = SnapshotTable.changesBetween(spark, dir, 2, 3)
+    assert(d33.count() == 3L)
+    assert(SnapshotTable.changesBetween(spark, dir, 0, 3).count() == 18L)
+    intercept[IllegalArgumentException] { SnapshotTable.changesBetween(spark, dir, 2, 2) }
+  }
+
   test("crash leftovers are invisible: orphan data dirs and temp manifests") {
     val dir = tmpTable()
     SnapshotTable.write(spark, sampleDf(30), dir)

@@ -175,6 +175,39 @@ class StreamOpsSpec extends SparkSpec {
     assert(sink() == Set((1L, "2026-01-01", 9.0), (2L, "2026-01-01", 7.0), (3L, "2026-01-02", 1.0)))
   }
 
+  test("SnapshotSink: exactly-once append across restart, atomic batch visibility") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft-snapsink").toString
+    val (srcDir, tbl, ckpt) = (s"$base/src", s"$base/tbl", s"$base/ckpt")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v BIGINT")
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, i.toLong * 2)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def stream() = graft.streaming.SnapshotSink.runAppend(
+      spark.readStream.schema(schema).parquet(srcDir), tbl, ckpt, appId = "sinktest")
+
+    writeBatch(0 until 20)
+    assert(stream().awaitTermination(120000))
+    assert(graft.catalog.SnapshotTable.read(spark, tbl).count() == 20L)
+
+    writeBatch(100 until 110)
+    assert(stream().awaitTermination(120000))
+    assert(graft.catalog.SnapshotTable.read(spark, tbl).count() == 30L)
+
+    // simulate the crash window: the table committed a batch but the
+    // checkpoint didn't record it, so the batch is RE-DELIVERED — the
+    // manifest's txn marker must make it a no-op
+    val last = graft.catalog.SnapshotTable.versions(spark, tbl).max
+    assert(!graft.catalog.SnapshotTable.appendExactlyOnce(spark,
+      (100 until 110).map(i => (i.toLong, i.toLong * 2)).toDF("id", "v"), tbl, "sinktest", 1L))
+    assert(graft.catalog.SnapshotTable.versions(spark, tbl).max == last, "no-op must not commit")
+    assert(graft.catalog.SnapshotTable.read(spark, tbl).count() == 30L)
+
+    // restart with nothing new: no commits, table unchanged
+    assert(stream().awaitTermination(120000))
+    assert(graft.catalog.SnapshotTable.read(spark, tbl).count() == 30L)
+  }
+
   test("qualityGate and weightedMix run unchanged on a stream (map-only corpus ops)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, String, String)]
