@@ -56,11 +56,15 @@ object SnapshotTable {
   /** `txn` carries exactly-once markers for streaming writers (appId → last
     * committed batch id, the Delta `txn` action in miniature); it is
     * preserved verbatim across every later commit — compaction or merge
-    * must not make a committed batch look uncommitted. Optional so
-    * manifests written before this field existed still parse.
+    * must not make a committed batch look uncommitted. `schemaDdl` is the
+    * snapshot's table schema: readers pass it explicitly to the scan (zero
+    * footer-sampling inference at 100 TB) and older files simply fill
+    * columns they predate with NULL — additive schema evolution for free.
+    * Both Optional so manifests written before the fields existed still
+    * parse.
     */
   case class Manifest(version: Long, entries: Seq[FileEntry],
-      txn: Option[Map[String, Long]] = None)
+      txn: Option[Map[String, Long]] = None, schemaDdl: Option[String] = None)
 
   private val LogDirName = "_log"
   private val ManifestRe = raw"manifest-(\d{8})\.json".r
@@ -102,19 +106,23 @@ object SnapshotTable {
     * concurrent compact/merge (which only ADDS files before its commit)
     * cannot change what this snapshot reads.
     */
-  def read(spark: SparkSession, dir: String): DataFrame =
-    readEntries(spark, dir, snapshot(spark, dir).entries)
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val m = snapshot(spark, dir)
+    readEntries(spark, dir, m.entries, m.schemaDdl)
+  }
 
-  /** Time travel: the table exactly as committed at `version`. Free with
-    * immutable files + versioned manifests — available as long as [[vacuum]]
-    * retention still covers that version (expired versions throw).
+  /** Time travel: the table exactly as committed at `version` — including
+    * its schema as of that version. Free with immutable files + versioned
+    * manifests — available as long as [[vacuum]] retention still covers
+    * that version (expired versions throw).
     */
   def readVersion(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val fs = fsFor(spark, dir)
     val p = manifestVersions(fs, dir).collectFirst { case (v, path) if v == version => path }
       .getOrElse(throw new IllegalStateException(
         s"version $version not available at $dir (never committed, or expired by vacuum)"))
-    readEntries(spark, dir, readManifest(fs, p).entries)
+    val m = readManifest(fs, p)
+    readEntries(spark, dir, m.entries, m.schemaDdl)
   }
 
   /** Committed versions still readable (newest last). */
@@ -127,23 +135,59 @@ object SnapshotTable {
     * conservatively included.
     */
   def readDtRange(spark: SparkSession, dir: String, lo: String, hi: String): DataFrame = {
-    val live = snapshot(spark, dir).entries
-    val hit = live.filter(e => (e.minDt, e.maxDt) match {
+    val m = snapshot(spark, dir)
+    val hit = m.entries.filter(e => (e.minDt, e.maxDt) match {
       case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
       case _ => true
     })
-    readEntries(spark, dir, hit)
+    readEntries(spark, dir, hit, m.schemaDdl)
   }
 
   private def snapshot(spark: SparkSession, dir: String): Manifest =
     currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
 
-  private def readEntries(spark: SparkSession, dir: String, entries: Seq[FileEntry]): DataFrame = {
+  private def readEntries(spark: SparkSession, dir: String, entries: Seq[FileEntry],
+      schemaDdl: Option[String]): DataFrame = {
     require(entries.nonEmpty,
       s"snapshot at $dir has no data files matching the requested range")
-    spark.read.parquet(entries.map(e => new Path(dir, e.path).toString): _*)
+    val reader = schemaDdl match {
+      case Some(ddl) => spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case None => spark.read // legacy manifest: infer from footers
+    }
+    reader.parquet(entries.map(e => new Path(dir, e.path).toString): _*)
   }
+
+  /** Additive schema merge: prior columns keep their order, genuinely new
+    * columns append; changing an existing column's type is refused loudly
+    * (silent coercion at 100 TB is how tables rot).
+    */
+  private[graft] def mergeSchemas(prior: Option[org.apache.spark.sql.types.StructType],
+      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    prior match {
+      case None => next
+      case Some(p) =>
+        next.fields.foreach { f =>
+          p.fields.find(_.name == f.name).foreach { pf =>
+            require(pf.dataType.catalogString == f.dataType.catalogString,
+              s"schema evolution cannot change column '${f.name}': " +
+                s"${pf.dataType.catalogString} -> ${f.dataType.catalogString}")
+          }
+        }
+        org.apache.spark.sql.types.StructType(
+          p.fields ++ next.fields.filterNot(f => p.fieldNames.contains(f.name)))
+    }
+
+  /** The schema recorded at the current version; legacy manifests fall back
+    * to one footer-inference read.
+    */
+  private def priorSchema(spark: SparkSession, dir: String,
+      cur: Option[Manifest]): Option[org.apache.spark.sql.types.StructType] =
+    cur.flatMap { m =>
+      m.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+        .orElse(if (m.entries.nonEmpty) Some(readEntries(spark, dir, m.entries, None).schema)
+        else None)
+    }
 
   /** Create or replace the table with `df` as a single new snapshot. Txn
     * markers are preserved: replacing contents must not make a streaming
@@ -151,16 +195,22 @@ object SnapshotTable {
     */
   def write(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val entries = writeData(spark, df, dir)
-    commit(spark, dir, entries, txnOf(currentManifest(spark, dir)))
+    // replace semantics: the new contents DEFINE the schema (no merge)
+    commit(spark, dir, entries, txnOf(currentManifest(spark, dir)), Some(df.schema.toDDL))
   }
 
   /** Append `df` as new files; every existing file is carried forward by
-    * reference (zero data rewritten).
+    * reference (zero data rewritten). Additive schema evolution: a batch
+    * with new columns widens the table schema; older files read NULL for
+    * them. A batch missing existing columns is fine too — its files read
+    * NULL there.
     */
   def append(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val cur = currentManifest(spark, dir)
+    val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema)
     val entries = writeData(spark, df, dir)
-    commit(spark, dir, cur.map(_.entries).getOrElse(Seq.empty) ++ entries, txnOf(cur))
+    commit(spark, dir, cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
+      txnOf(cur), Some(merged.toDDL))
   }
 
   /** Idempotent append for at-least-once writers (the streaming sink's
@@ -177,9 +227,10 @@ object SnapshotTable {
     val cur = currentManifest(spark, dir)
     if (txnOf(cur).get(appId).exists(_ >= batchId)) false
     else {
+      val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema)
       val entries = writeData(spark, df, dir)
       commit(spark, dir, cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
-        txnOf(cur) + (appId -> batchId))
+        txnOf(cur) + (appId -> batchId), Some(merged.toDDL))
       true
     }
   }
@@ -198,16 +249,16 @@ object SnapshotTable {
     require(fromVersion < toVersion,
       s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
     val fs = fsFor(spark, dir)
-    def entriesAt(v: Long): Seq[FileEntry] =
-      if (v == 0L) Seq.empty
-      else manifestVersions(fs, dir).collectFirst { case (mv, p) if mv == v => readManifest(fs, p).entries }
+    def manifestAt(v: Long): Option[Manifest] =
+      if (v == 0L) None
+      else Some(manifestVersions(fs, dir).collectFirst { case (mv, p) if mv == v => readManifest(fs, p) }
         .getOrElse(throw new IllegalStateException(
-          s"version $v not available at $dir (never committed, or expired by vacuum)"))
-    val before = entriesAt(fromVersion).map(_.path).toSet
-    val to = entriesAt(toVersion)
-    val added = to.filterNot(e => before.contains(e.path))
-    if (added.nonEmpty) readEntries(spark, dir, added)
-    else readEntries(spark, dir, to).limit(0) // no new files: empty frame, right schema
+          s"version $v not available at $dir (never committed, or expired by vacuum)")))
+    val before = manifestAt(fromVersion).map(_.entries).getOrElse(Seq.empty).map(_.path).toSet
+    val to = manifestAt(toVersion).get
+    val added = to.entries.filterNot(e => before.contains(e.path))
+    if (added.nonEmpty) readEntries(spark, dir, added, to.schemaDdl)
+    else readEntries(spark, dir, to.entries, to.schemaDdl).limit(0) // no new files: empty frame, right schema
   }
 
   /** Keyed MERGE (update-else-insert) of `batch`, dt-scoped like
@@ -232,10 +283,11 @@ object SnapshotTable {
         })
         val base =
           if (rewrite.isEmpty) batch.limit(0)
-          else readEntries(spark, dir, rewrite)
+          else readEntries(spark, dir, rewrite, m.schemaDdl)
         val out = IncrementalLoader.upsert(base, batch, keys)
         val entries = writeData(spark, out, dir)
-        commit(spark, dir, keep ++ entries, txnOf(Some(m)))
+        commit(spark, dir, keep ++ entries, txnOf(Some(m)),
+          m.schemaDdl.orElse(Some(out.schema.toDDL)))
     }
   }
 
@@ -253,8 +305,9 @@ object SnapshotTable {
     val m = snapshot(spark, dir)
     val totalBytes = m.entries.map(_.bytes).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val entries = writeData(spark, readEntries(spark, dir, m.entries).repartition(nOut), dir)
-    commit(spark, dir, entries, txnOf(Some(m)))
+    val entries = writeData(spark,
+      readEntries(spark, dir, m.entries, m.schemaDdl).repartition(nOut), dir)
+    commit(spark, dir, entries, txnOf(Some(m)), m.schemaDdl)
     (m.entries.length, entries.length)
   }
 
@@ -338,12 +391,12 @@ object SnapshotTable {
     * half-written file can never be the current version.
     */
   private def commit(spark: SparkSession, dir: String, entries: Seq[FileEntry],
-      txn: Map[String, Long] = Map.empty): Long = {
+      txn: Map[String, Long] = Map.empty, schemaDdl: Option[String] = None): Long = {
     val fs = fsFor(spark, dir)
     val log = new Path(dir, LogDirName)
     if (!fs.exists(log)) fs.mkdirs(log)
     val version = manifestVersions(fs, dir).lastOption.map(_._1 + 1).getOrElse(1L)
-    val manifest = Manifest(version, entries, if (txn.isEmpty) None else Some(txn))
+    val manifest = Manifest(version, entries, if (txn.isEmpty) None else Some(txn), schemaDdl)
     val tmp = new Path(log, s"manifest-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
     val out = fs.create(tmp, false)
     try out.write(org.json4s.jackson.Serialization.write(manifest)

@@ -150,6 +150,33 @@ class SnapshotSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapshotTable.changesBetween(spark, dir, 2, 2) }
   }
 
+  test("additive schema evolution: new columns widen, old files read NULL, type changes refused") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, sampleDf(10), dir)
+    // widen: a batch with an extra column
+    SnapshotTable.append(spark,
+      sampleDf(5).withColumn("id", col("id") + 100).withColumn("tag", lit("new")), dir)
+    val widened = SnapshotTable.read(spark, dir)
+    assert(widened.columns.toSeq == Seq("id", "dt", "v", "tag"))
+    assert(widened.filter(col("tag").isNull).count() == 10L, "old files must read NULL tag")
+    assert(widened.filter(col("tag") === "new").count() == 5L)
+    // narrow batch: missing an existing column also reads back as NULL
+    SnapshotTable.append(spark,
+      sampleDf(3).select(col("id") + 200 as "id", col("dt")), dir)
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() == 18L && after.filter(col("id") >= 200 && col("v").isNull).count() == 3L)
+    // the recorded schema survives compaction and drives the scan (no inference)
+    SnapshotTable.compact(spark, dir, targetBytes = Long.MaxValue)
+    assert(SnapshotTable.read(spark, dir).columns.toSeq == Seq("id", "dt", "v", "tag"))
+    // time travel reads each version with ITS schema
+    assert(SnapshotTable.readVersion(spark, dir, 1).columns.toSeq == Seq("id", "dt", "v"))
+    // a type change is refused loudly
+    intercept[IllegalArgumentException] {
+      SnapshotTable.append(spark,
+        sampleDf(1).withColumn("v", col("v").cast("string")), dir)
+    }
+  }
+
   test("crash leftovers are invisible: orphan data dirs and temp manifests") {
     val dir = tmpTable()
     SnapshotTable.write(spark, sampleDf(30), dir)
