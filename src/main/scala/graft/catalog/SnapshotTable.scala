@@ -297,16 +297,24 @@ object SnapshotTable {
     * that's [[vacuum]]'s job), readers arriving after the commit see only
     * the compacted files.
     *
+    * `layout` re-arranges rows during the rewrite (row-preserving — e.g.
+    * [[graft.ops.Layout.clusterByZ]] for z-order clustering): layout
+    * maintenance rides the same atomic commit as compaction instead of
+    * being a second full rewrite. When it repartitions itself, it also
+    * controls the file count.
+    *
     * @return (live files before, live files after)
     */
   def compact(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      layout: Option[DataFrame => DataFrame] = None): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val m = snapshot(spark, dir)
     val totalBytes = m.entries.map(_.bytes).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val entries = writeData(spark,
-      readEntries(spark, dir, m.entries, m.schemaDdl).repartition(nOut), dir)
+    val base = readEntries(spark, dir, m.entries, m.schemaDdl)
+    val arranged = layout.fold(base.repartition(nOut))(_.apply(base))
+    val entries = writeData(spark, arranged, dir)
     commit(spark, dir, entries, txnOf(Some(m)), m.schemaDdl)
     (m.entries.length, entries.length)
   }

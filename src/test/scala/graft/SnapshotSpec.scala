@@ -88,6 +88,12 @@ class SnapshotSpec extends SparkSpec {
     assert(deleted >= nBefore, s"vacuum must delete the $nBefore pre-compact files, deleted $deleted")
     assert(SnapshotTable.read(spark, dir).orderBy("id").collect().toSeq == expected,
       "current snapshot must survive vacuum untouched")
+    // layout-maintaining compaction (z-order clustering) is row-preserving
+    // behind the same atomic commit
+    SnapshotTable.compact(spark, dir,
+      layout = Some(df => graft.ops.Layout.clusterByZ(df, "id", "v", numPartitions = 2)))
+    assert(SnapshotTable.read(spark, dir).orderBy("id").collect().toSeq == expected,
+      "clustered compaction must be pure layout")
   }
 
   test("time travel: every retained version reads back exactly; vacuum expires honestly") {
