@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.functions._
 
 import graft.ingest.IncrementalLoader
@@ -49,9 +50,17 @@ object SnapshotTable {
     * strings (lexicographic order = date order) when the table has a
     * non-null `dt` column in that file, None otherwise — absent stats make
     * pruning conservative (the file is always read), never wrong.
+    *
+    * `stats` generalizes the dt pair to every eligible column (numerics,
+    * strings, dates, timestamps, booleans — [[FileStats.eligible]], capped
+    * at [[FileStats.MaxStatCols]]): min/max bounds + null count per column,
+    * the inputs [[readWhere]]/[[delete]]/[[update]] prune files with.
+    * Manifests written before the field existed parse with `stats = None`
+    * and are simply never skipped.
     */
   case class FileEntry(path: String, rows: Long, bytes: Long,
-      minDt: Option[String], maxDt: Option[String])
+      minDt: Option[String], maxDt: Option[String],
+      stats: Option[Map[String, FileStats.ColStat]] = None)
 
   /** `txn` carries exactly-once markers for streaming writers (appId → last
     * committed batch id, the Delta `txn` action in miniature); it is
@@ -147,8 +156,116 @@ object SnapshotTable {
     currentManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $dir"))
 
+  /** Resolve a user predicate Column against the snapshot's recorded schema
+    * through the REAL analyzer, then constant-fold — yielding the coerced
+    * Catalyst tree [[FileStats.mayMatch]] walks. None (→ no pruning) for
+    * legacy manifests without a schema. A predicate that doesn't analyze
+    * (wrong column name, type error) fails here, loudly, before any I/O.
+    */
+  private def resolvePred(spark: SparkSession, m: Manifest,
+      pred: org.apache.spark.sql.Column): Option[Expression] =
+    m.schemaDdl.flatMap { ddl =>
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      org.apache.spark.sql.graftbridge.Bridge.analyzedFilterCondition(empty.filter(pred))
+        .map(FileStats.normalize)
+    }
+
+  /** The manifest entries that MAY hold a row matching `pred`, judged from
+    * per-file column stats ([[FileStats.mayMatch]]); entries without stats
+    * are always kept. Exposed for tests to assert skip counts.
+    */
+  private[graft] def pruneEntries(spark: SparkSession, m: Manifest,
+      pred: org.apache.spark.sql.Column): Seq[FileEntry] =
+    resolvePred(spark, m, pred) match {
+      case None => m.entries
+      case Some(e) => m.entries.filter(en => en.stats.forall(FileStats.mayMatch(e, _, en.rows)))
+    }
+
+  /** [[read]] restricted — at the MANIFEST level, before any footer is
+    * opened — to files whose column stats admit a row matching `pred`; the
+    * predicate is then still applied row-wise, so the result is exactly
+    * `read(...).filter(pred)`. This is the general form of [[readDtRange]]:
+    * the same skipping Snowflake does with micro-partition metadata and
+    * Delta with per-file stats, driven here by walking the predicate's
+    * Catalyst expression tree against the manifest. Unsupported predicate
+    * shapes skip nothing and stay correct.
+    */
+  def readWhere(spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column): DataFrame = {
+    val m = snapshot(spark, dir)
+    readEntries(spark, dir, pruneEntries(spark, m, pred), m.schemaDdl).filter(pred)
+  }
+
+  /** Row-level DELETE, copy-on-write: rewrite ONLY the files whose stats
+    * admit a matching row (everything else moves to the new snapshot by
+    * reference), dropping rows where `pred` is TRUE. SQL DELETE semantics:
+    * rows where the predicate evaluates NULL survive. Readers of the old
+    * snapshot still see every pre-delete row until [[vacuum]].
+    *
+    * At 100 TB this is the difference between a GDPR erasure touching the
+    * handful of files a user's rows cluster in (after [[compact]] with a
+    * key-clustering layout) and rewriting the whole table.
+    *
+    * @return number of rows deleted
+    */
+  def delete(spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column): Long = {
+    val m = snapshot(spark, dir)
+    val resolved = resolvePred(spark, m, pred)
+    val (rewrite, keep) = m.entries.partition(
+      e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
+    if (rewrite.isEmpty) return 0L
+    val base = readEntries(spark, dir, rewrite, m.schemaDdl)
+    val survivors = base.filter(!coalesce(pred, lit(false)))
+    val entries = writeData(spark, survivors, dir)
+    val deleted = rewrite.map(_.rows).sum - entries.map(_.rows).sum
+    if (deleted == 0L) return 0L // nothing actually matched: don't churn files
+    commit(spark, dir, keep ++ entries, txnOf(Some(m)), m.schemaDdl)
+    deleted
+  }
+
+  /** Row-level UPDATE, copy-on-write with the same stats-pruned rewrite set
+    * as [[delete]]: rows where `pred` is TRUE get each `set` column
+    * replaced; all other rows (including NULL-predicate rows) are carried
+    * unchanged. Assignments must not change the schema — a type change is
+    * refused loudly, like [[mergeSchemas]].
+    *
+    * @return number of rows updated
+    */
+  def update(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = {
+    val m = snapshot(spark, dir)
+    val resolved = resolvePred(spark, m, pred)
+    val (rewrite, keep) = m.entries.partition(
+      e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
+    if (rewrite.isEmpty) return 0L
+    val base = readEntries(spark, dir, rewrite, m.schemaDdl)
+    val unknown = set.keySet -- base.columns.toSet
+    require(unknown.isEmpty, s"UPDATE assigns columns not in the table: ${unknown.mkString(", ")}")
+    val hit = coalesce(pred, lit(false))
+    val updated = base.select(base.columns.map { c =>
+      set.get(c).map(v => when(hit, v).otherwise(col(s"`$c`")).as(c)).getOrElse(col(s"`$c`"))
+    }.toSeq: _*)
+    base.schema.fields.zip(updated.schema.fields).foreach { case (b, u) =>
+      require(b.dataType.catalogString == u.dataType.catalogString,
+        s"UPDATE cannot change column '${b.name}': " +
+          s"${b.dataType.catalogString} -> ${u.dataType.catalogString}")
+    }
+    val nUpdated = base.filter(hit).count()
+    if (nUpdated == 0L) return 0L
+    val entries = writeData(spark, updated, dir)
+    commit(spark, dir, keep ++ entries, txnOf(Some(m)), m.schemaDdl)
+    nUpdated
+  }
+
   private def readEntries(spark: SparkSession, dir: String, entries: Seq[FileEntry],
       schemaDdl: Option[String]): DataFrame = {
+    if (entries.isEmpty && schemaDdl.isDefined)
+      // a fully-pruned (or fully-deleted) snapshot with a recorded schema is
+      // an ordinary empty table, not an error
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl.get))
     require(entries.nonEmpty,
       s"snapshot at $dir has no data files matching the requested range")
     val reader = schemaDdl match {
@@ -370,23 +487,32 @@ object SnapshotTable {
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty) return Seq.empty
     val written = spark.read.parquet(commitDir.toString)
-    val hasDt = written.columns.contains("dt")
-    val aggs =
-      if (hasDt) Seq(count(lit(1)).as("rows"),
-        min(col("dt").cast("string")).as("mn"), max(col("dt").cast("string")).as("mx"))
-      else Seq(count(lit(1)).as("rows"))
-    val stats = written.groupBy(input_file_name().as("f"))
+    // one grouped scan over just the new files gathers rows + min/max/nulls
+    // for every stat-eligible column — the same pass that used to collect
+    // only the dt pair (which now derives from the general stats)
+    val statFields = written.schema.fields
+      .filter(f => FileStats.eligible(f.dataType)).take(FileStats.MaxStatCols)
+    val aggs = count(lit(1)).as("__rows") +: statFields.flatMap(FileStats.aggsFor).toSeq
+    val perFile = written.groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*).collect()
       .map { r =>
         val name = r.getString(0).split('/').last
-        val dtStats = if (hasDt) (Option(r.getString(2)), Option(r.getString(3))) else (None, None)
-        name -> (r.getLong(1), dtStats)
+        val colStats = statFields.map { f =>
+          val kind = FileStats.kindOf(f.dataType)
+          val lo = Option(r.getAs[String](s"__lo_${f.name}")).map(FileStats.truncLo)
+          val hi = Option(r.getAs[String](s"__hi_${f.name}")).map(FileStats.truncHi)
+          f.name -> FileStats.ColStat(kind, lo, hi, r.getAs[Long](s"__nulls_${f.name}"))
+        }.toMap
+        name -> (r.getAs[Long]("__rows"), colStats)
       }.toMap
     // empty part files (0 rows) carry nothing a snapshot needs: leave them
     // unlisted and let vacuum collect them
     files.toSeq.flatMap { st =>
-      stats.get(st.getPath.getName).map { case (rows, (mn, mx)) =>
-        FileEntry(s"$commitName/${st.getPath.getName}", rows, st.getLen, mn, mx)
+      perFile.get(st.getPath.getName).map { case (rows, colStats) =>
+        val dt = colStats.get("dt").filter(_.kind == "str")
+        FileEntry(s"$commitName/${st.getPath.getName}", rows, st.getLen,
+          dt.flatMap(_.lo), dt.flatMap(_.hi),
+          if (colStats.isEmpty) None else Some(colStats))
       }
     }
   }

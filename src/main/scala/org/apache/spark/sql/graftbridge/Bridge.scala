@@ -15,4 +15,19 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The ANALYZED Catalyst condition of `df`'s top-level Filter — the input
+    * the manifest-level file skipper walks. Spark 4's classic `Column` is a
+    * tree of connect-style ColumnNodes (`UnresolvedFunction(">=", …)`), not
+    * Catalyst comparisons, so the only faithful way to a walkable predicate
+    * is through the session analyzer — which also performs the type
+    * coercion (int column vs long literal, string literal vs date column)
+    * the stats comparison depends on.
+    */
+  def analyzedFilterCondition(df: DataFrame):
+      Option[org.apache.spark.sql.catalyst.expressions.Expression] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => Some(f.condition)
+      case _ => None
+    }
 }
