@@ -1247,7 +1247,52 @@ object SparkEntry {
         .reduce((a, b) => graft.ingest.IncrementalRollup.mergeState(a, b, keys, ms))
       graft.ingest.IncrementalRollup.finalize(state, ms)
         .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
+    }),
+
+    // ---- snapshot rollback under the oracle gate: base write, then a junk
+    // append and a junk delete, then rollback to version 1 — the read-back
+    // must be exactly the base table (RESTORE is metadata-only; the bad
+    // commits stay in history) ----
+    "q105_snapshot_rollback" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").as("dt"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q105").toString
+      graft.catalog.SnapshotTable.write(s, o, tbl) // v1
+      graft.catalog.SnapshotTable.append(s,
+        o.filter(pmod(col("o_orderkey"), lit(10)) === 0)
+          .select(col("o_orderkey") + 20000000L, col("dt"), col("o_totalprice")), tbl) // v2
+      graft.catalog.SnapshotTable.delete(s, tbl, pmod(col("o_orderkey"), lit(7)) === 0) // v3
+      graft.catalog.SnapshotTable.rollback(s, tbl, 1L) // v4 == v1
+      graft.catalog.SnapshotTable.read(s, tbl).orderBy(col("o_orderkey"), col("dt"))
+    }),
+
+    // ---- deterministic corpus shuffle + fixed-size sharding: every row's
+    // exact (shard, pos) placement in md5(id, seed) order — computed
+    // hierarchically (bucket windows + offset lift), never through a global
+    // single-task window ----
+    "q106_shuffle_shard" -> ((s, dir) =>
+      graft.ops.Shards.deterministicShards(
+        Tables.documents(s, dir), seed = 42L, shardSize = 64L)
+        .orderBy(col("doc_id"))),
+
+    // ---- corpus-level paragraph dedup (C4/RefinedWeb recipe): the fixture
+    // plants cross-document repeats by suffixing every doc with the text of
+    // doc (id mod 100); first corpus-wide occurrence survives, repeats drop,
+    // docs reassemble from surviving paragraphs ----
+    "q107_paragraph_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val b = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val fixture = d.join(b, col("bid") === pmod(col("doc_id"), lit(100)))
+        .select(col("doc_id"), concat(col("text"), lit("\n\n"), col("btext")).as("text"))
+      Dedup.paragraphDedup(fixture).orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus-trained bigram LM surprisal (CCNet-style quality signal):
+    // add-k-smoothed bigram NLL per document, counts trained on the corpus
+    // itself ----
+    "q108_bigram_surprisal" -> ((s, dir) =>
+      graft.text.TextPipelines.bigramSurprisal(Tables.documents(s, dir))
+        .orderBy(col("doc_id")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2340,6 +2385,67 @@ object SparkEntry {
         |    / COUNT(l_quantity), 6) AS avg_l_quantity,
         |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    / COUNT(l_extendedprice), 6) AS avg_l_extendedprice
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // q105: rollback restores version 1 exactly — the junk append/delete
+    // must be invisible, so the truth is the plain base projection.
+    "q105_snapshot_rollback" ->
+      """SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders
+        |ORDER BY o_orderkey, dt""".stripMargin,
+
+    // q106: the deterministic-shard contract IS this SQL — global
+    // ROW_NUMBER in md5(id || '-' || seed) order, cut into 64-row shards.
+    // The engine must reproduce every placement without the single-task
+    // window the oracle is allowed to use.
+    "q106_shuffle_shard" ->
+      """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '-42') AS hx
+        |           FROM documents),
+        |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY hx, doc_id) - 1 AS g FROM h)
+        |SELECT doc_id, g // 64 AS shard, g % 64 AS pos FROM r ORDER BY doc_id""".stripMargin,
+
+    // q107: paragraph dedup over the repeat-planted fixture; first
+    // occurrence by (doc_id, pos), docs reassembled in paragraph order.
+    // The oracle keys on the paragraph STRING where the engine keys on its
+    // xxhash64 digest — a collision would surface here.
+    "q107_paragraph_dedup" ->
+      """WITH d AS (
+        |  SELECT a.doc_id, a.text || chr(10) || chr(10) || b.text AS text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 100),
+        |p AS (
+        |  SELECT doc_id, generate_subscripts(ps, 1) - 1 AS pos, unnest(ps) AS para
+        |  FROM (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps FROM d)),
+        |k AS (
+        |  SELECT doc_id, pos, para,
+        |    ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM p),
+        |r AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean_text
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+        |  LEN(string_split(d.text, chr(10) || chr(10))) AS n_paras,
+        |  COALESCE(r.n_kept, 0) AS n_kept
+        |FROM d LEFT JOIN r USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // q108: add-0.5-smoothed bigram NLL; contexts and vocabulary are
+    // defined over the same >= 2-token documents on both sides, and the
+    // average rounds at 6dp to absorb summation-order float noise.
+    "q108_bigram_surprisal" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, toks FROM t WHERE LEN(toks) >= 2),
+        |p AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM t2),
+        |g AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS bg, a.w AS w1
+        |  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(toks) AS w FROM t2)),
+        |c2 AS (SELECT bg, COUNT(*) AS c2 FROM g GROUP BY bg),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM g GROUP BY w1)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  ROUND(AVG(-LN((c2 + 0.5) / (c1 + 0.5 * v))), 6) AS surprisal
+        |FROM g JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

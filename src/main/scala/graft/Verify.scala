@@ -8,7 +8,18 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = Sessions.local(Sessions.coresFromEnv, appName = "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional comma-separated filter for local iteration (same contract as
+    // Bench's SPARK_GRAFT_QUERIES); unknown names fail fast. The driver
+    // leaves it unset and dumps everything.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_QUERIES: ${unknown.mkString(", ")}")
+    }
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

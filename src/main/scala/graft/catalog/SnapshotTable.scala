@@ -138,6 +138,32 @@ object SnapshotTable {
   def versions(spark: SparkSession, dir: String): Seq[Long] =
     manifestVersions(fsFor(spark, dir), dir).map(_._1)
 
+  /** Restore the table to the state of `version` by committing that
+    * snapshot's file list (and schema, and exactly-once txn watermarks) as a
+    * NEW version — the bad commits stay in history, nothing is rewritten or
+    * deleted, and readers switch atomically with the manifest rename. Data
+    * files are immutable and shared across manifests, so this is metadata-
+    * only regardless of table size. Restoring the txn map matters: a
+    * rolled-back exactly-once append is gone from the data, so a re-delivery
+    * of that batch must apply again, not be swallowed by a newer watermark.
+    *
+    * Fails loudly if `version` has expired or any of its files were already
+    * [[vacuum]]ed — a rollback target must be inside the retention window.
+    * Returns the new (restored) version number.
+    */
+  def rollback(spark: SparkSession, dir: String, version: Long): Long = {
+    val fs = fsFor(spark, dir)
+    val p = manifestVersions(fs, dir).collectFirst { case (v, path) if v == version => path }
+      .getOrElse(throw new IllegalStateException(
+        s"cannot roll back to version $version at $dir (never committed, or expired by vacuum)"))
+    val m = readManifest(fs, p)
+    val missing = m.entries.filterNot(e => fs.exists(new Path(dir, e.path)))
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"cannot roll back to version $version at $dir: ${missing.length} data file(s) " +
+        s"already vacuumed (e.g. ${missing.take(3).map(_.path).mkString(", ")})")
+    commit(spark, dir, m.entries, txnOf(Some(m)), m.schemaDdl)
+  }
+
   /** [[read]] restricted to files whose dt range intersects [lo, hi] (ISO
     * date strings) — manifest-level file skipping: files outside the range
     * are never opened, not even their footers. Files without dt stats are

@@ -502,4 +502,57 @@ object Dedup {
       .filter(col("j_raw") >= threshold)
       .select(col("id_a"), col("id_b"), col("j_raw").as("jaccard"))
   }
+
+  // --------------------------------------------------------- paragraph dedup
+
+  /** Corpus-level paragraph dedup (the C4 / RefinedWeb recipe): split each
+    * document into paragraphs, keep the FIRST corpus-wide occurrence of
+    * every distinct paragraph — smallest (doc_id, position) — drop the
+    * repeats everywhere else, and reassemble documents from their surviving
+    * paragraphs. Boilerplate that repeats across pages (headers, navigation,
+    * license blurbs) would otherwise dominate a trained model's data.
+    *
+    * Output: (doc_id, clean_text, n_paras, n_kept). Documents whose every
+    * paragraph was a repeat survive with clean_text = '' and n_kept = 0 —
+    * the caller's quality gate drops them explicitly; silently losing rows
+    * here would corrupt any downstream anti-join against the input.
+    *
+    * Scale shape: first-occurrence selection is a hash-groupBy
+    * min(struct(doc_id, pos)) on an 8-byte paragraph digest — NOT a
+    * corpus-wide window per paragraph (hot boilerplate is exactly the key
+    * skew a window cannot split, while partial aggregation collapses each
+    * hot digest map-side). The exchanges carry (digest, doc_id, pos) for
+    * selection and each SURVIVING paragraph once for reassembly; dropped
+    * duplicate text never shuffles. Digest equality stands in for string
+    * equality (xxhash64 collisions negligible; the string-keyed oracle
+    * would expose one).
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sep: String = "\n\n"): DataFrame = {
+    val sepLit = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), sepLit)).as(Seq("pos", "para")))
+      .withColumn("ph", xxhash64(col("para")))
+    val firsts = paras.groupBy(col("ph"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("f"))
+      .select(col("ph"), col("f.doc_id").as("f_doc"), col("f.pos").as("f_pos"))
+    val kept = paras.join(firsts, Seq("ph"))
+      .filter(col("doc_id") === col("f_doc") && col("pos") === col("f_pos"))
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(sep,
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para"))).as("clean_text"))
+    docs
+      .select(col(idCol).as("doc_id"), size(split(col(textCol), sepLit)).as("n_paras"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
 }

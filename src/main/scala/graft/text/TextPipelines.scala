@@ -226,4 +226,57 @@ object TextPipelines {
       .select(col("doc_id"), col("n_shingles"), col("n_unique"),
         (lit(1.0) - col("n_unique").cast("double") / col("n_shingles")).as("rep_score"))
   }
+
+  /** Corpus-trained bigram language-model scoring — the CCNet/KenLM-style
+    * quality signal: train add-k-smoothed bigram probabilities on the corpus
+    * itself, then score every document by the average negative
+    * log-likelihood of its bigrams (low surprisal ≈ fluent/typical text,
+    * high ≈ gibberish or boilerplate-shredded text).
+    *
+    * p(w2|w1) = (c(w1 w2) + k) / (c(w1 ·) + k·V), where c(w1 ·) is the
+    * bigram-context count and V the corpus vocabulary size. Documents with
+    * fewer than two tokens have no bigrams and are excluded.
+    *
+    * Scale shape: ONE native tokenization pass; per-doc bigrams come from a
+    * codegen'd zip_with over the token array (array-local, no positional
+    * self-join); training is two hash aggregations with map-side combine;
+    * scoring joins each doc's bigrams against the count tables on
+    * (bigram|context) keys — the exchanges carry short strings and counts,
+    * never documents. V is one scalar broadcast through a 1-row cross join,
+    * not driver state.
+    */
+  def bigramSurprisal(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be > 0 for smoothing, got $addK")
+    val spark = docs.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val grams = toks
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .persist()
+    val vocab = toks.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val c2 = grams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val out = grams
+      .join(c2, "bg")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log((col("c2") + addK) / (col("c1") + col("v") * addK))), 6)
+          .as("surprisal"))
+    graft.util.Caching.materialize(out, grams)
+  }
 }

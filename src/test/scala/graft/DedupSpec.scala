@@ -187,4 +187,19 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.ngramJaccardPairs(d, threshold = 0.1).select("jaccard").as[Double].collect()
     assert(out.toSeq == Seq(0.5))
   }
+
+  test("paragraphDedup keeps first corpus-wide occurrence, reassembles in order, keeps emptied docs") {
+    val d = docs(
+      (1L, "A\n\nB"),       // both first occurrences → survives whole
+      (2L, "B\n\nC"),       // B repeats doc1 → only C survives
+      (3L, "A\n\nB"),       // everything repeats → survives empty, NOT dropped
+      (4L, "D\n\nC\n\nD2")) // C repeats doc2 → D and D2 survive, order kept
+    val out = Dedup.paragraphDedup(d).orderBy("doc_id")
+      .as[(Long, String, Int, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "A\n\nB", 2, 2L),
+      (2L, "C", 2, 1L),
+      (3L, "", 2, 0L),
+      (4L, "D\n\nD2", 3, 2L)))
+  }
 }

@@ -241,4 +241,45 @@ class SnapshotSpec extends SparkSpec {
     // NOTE deliberately no vacuum inside the loop: retention is the one
     // step that must wait for readers to drain, same as any table format
   }
+
+  test("rollback: restores data/schema/txn as a NEW version; refuses vacuumed targets") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, sampleDf(40), dir) // v1
+    SnapshotTable.appendExactlyOnce(spark,
+      sampleDf(10).withColumn("id", col("id") + 500), dir, "app", 7L) // v2, watermark app->7
+    SnapshotTable.delete(spark, dir, col("id") < 20) // v3
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L, 2L, 3L))
+
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).map(_.getPath).filter(_.endsWith(".parquet")).toSet
+    }
+    val filesBefore = dataFiles()
+    val restored = SnapshotTable.rollback(spark, dir, 1L)
+    assert(restored == 4L, "rollback commits a NEW version, never rewrites history")
+    // metadata-only regardless of table size: no data file written or removed
+    assert(dataFiles() == filesBefore, "rollback must not touch data files")
+    // content is exactly v1
+    assert(SnapshotTable.read(spark, dir).orderBy("id").collect().toSeq ==
+      SnapshotTable.readVersion(spark, dir, 1L).orderBy("id").collect().toSeq)
+    assert(SnapshotTable.read(spark, dir).count() == 40L)
+    // txn watermark rolled back with the data: batch 7's rows are gone, so
+    // its re-delivery must APPLY again, not be swallowed by v2's marker
+    assert(SnapshotTable.appendExactlyOnce(spark,
+      sampleDf(10).withColumn("id", col("id") + 500), dir, "app", 7L),
+      "re-delivery of a rolled-back batch must apply")
+    assert(SnapshotTable.read(spark, dir).count() == 50L)
+
+    // the bad commits stay readable history until vacuum expires them
+    assert(SnapshotTable.readVersion(spark, dir, 3L).count() == 30L)
+
+    // after vacuum retention drops v2/v3's extra files, rolling back to an
+    // expired or file-less version refuses loudly
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.rollback(spark, dir, 3L)
+    }
+    assert(e.getMessage.contains("roll back"), e.getMessage)
+  }
 }

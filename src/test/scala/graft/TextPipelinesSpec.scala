@@ -114,4 +114,20 @@ class TextPipelinesSpec extends SparkSpec {
       .filter(col("prev").isNotNull && col("score") > col("prev"))
     assert(bad.count() == 0)
   }
+
+  test("bigramSurprisal: hand-computed add-k NLL on a tiny corpus; <2-token docs excluded") {
+    // corpus: "a b", "a b", "a c", "z"  →  c2("a b")=2, c2("a c")=1,
+    // c1("a")=3, V={a,b,c}=3 (the 1-token doc contributes no bigrams and no
+    // vocabulary — it is outside the trained model entirely)
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = TextPipelines.bigramSurprisal(d, addK = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    def nll(c2: Double, c1: Double, v: Double) = -math.log((c2 + 0.5) / (c1 + 0.5 * v))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      (1L, 1L, r6(nll(2, 3, 3))),
+      (2L, 1L, r6(nll(2, 3, 3))),
+      (3L, 1L, r6(nll(1, 3, 3)))))
+  }
 }
