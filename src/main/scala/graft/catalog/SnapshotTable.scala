@@ -32,12 +32,23 @@ import graft.ingest.IncrementalLoader
   *    retained manifests — run it when no reader can still hold an expired
   *    snapshot (the same contract as Delta's VACUUM).
   *
-  * Concurrency contract: MANY readers, ONE writer. Multi-writer commits
-  * need a coordination point (a lock service or conditional-put store) that
-  * a filesystem cannot provide portably — out of scope, like early Delta on
-  * HDFS. The commit rename detects a lost race on filesystems whose rename
-  * refuses existing destinations (HDFS) and documents the assumption
-  * elsewhere.
+  * Concurrency contract: MANY readers, MANY writers — optimistic
+  * concurrency control. Every commit is a compare-and-swap on the next
+  * version number: publish succeeds only if `manifest-%08d` for that
+  * version did not exist yet. On HDFS the no-overwrite rename IS that CAS;
+  * local filesystems overwrite on rename, so a JVM-striped per-table mutex
+  * supplies the same guarantee — exact for `local[*]`, where every writer
+  * shares the JVM (object stores without atomic rename need a
+  * conditional-put log store, out of scope, like early Delta on S3).
+  * A writer that loses the race re-reads the winner's manifest and REBASES
+  * when the two commits are disjoint: appends always rebase (their new
+  * files conflict with nothing), snapshot rewrites (merge / compact /
+  * delete / update) rebase over concurrent appends but CONFLICT when the
+  * winner removed a file whose content flowed into their output — those
+  * re-run the whole operation against the new snapshot (bounded retries),
+  * which is full serializability, the same discipline as Delta's OCC.
+  * Data files written by an abandoned attempt are unreferenced and
+  * reclaimed by [[vacuum]].
   *
   * At 100 TB: the manifest is O(files) driver-side metadata, the dt ranges
   * skip whole files before any footer is opened, and a merge reads only
@@ -161,7 +172,9 @@ object SnapshotTable {
     if (missing.nonEmpty) throw new IllegalStateException(
       s"cannot roll back to version $version at $dir: ${missing.length} data file(s) " +
         s"already vacuumed (e.g. ${missing.take(3).map(_.path).mkString(", ")})")
-    commit(spark, dir, m.entries, txnOf(Some(m)), m.schemaDdl)
+    // replace-all semantics: a restore serializes AFTER anything that
+    // raced it — the restored state is exactly version `version`
+    commitLoop(spark, dir)(_ => Some((m.entries, txnOf(Some(m)), m.schemaDdl))).get
   }
 
   /** [[read]] restricted to files whose dt range intersects [lo, hi] (ISO
@@ -235,20 +248,29 @@ object SnapshotTable {
     *
     * @return number of rows deleted
     */
-  def delete(spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column): Long = {
-    val m = snapshot(spark, dir)
-    val resolved = resolvePred(spark, m, pred)
-    val (rewrite, keep) = m.entries.partition(
-      e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
-    if (rewrite.isEmpty) return 0L
-    val base = readEntries(spark, dir, rewrite, m.schemaDdl)
-    val survivors = base.filter(!coalesce(pred, lit(false)))
-    val entries = writeData(spark, survivors, dir)
-    val deleted = rewrite.map(_.rows).sum - entries.map(_.rows).sum
-    if (deleted == 0L) return 0L // nothing actually matched: don't churn files
-    commit(spark, dir, keep ++ entries, txnOf(Some(m)), m.schemaDdl)
-    deleted
-  }
+  def delete(spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column): Long =
+    retryingRewrite(dir) {
+      val m = snapshot(spark, dir)
+      val resolved = resolvePred(spark, m, pred)
+      val rewrite = m.entries.filter(
+        e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
+      if (rewrite.isEmpty) 0L
+      else {
+        val base = readEntries(spark, dir, rewrite, m.schemaDdl)
+        val survivors = base.filter(!coalesce(pred, lit(false)))
+        val entries = writeData(spark, survivors, dir)
+        val deleted = rewrite.map(_.rows).sum - entries.map(_.rows).sum
+        if (deleted == 0L) 0L // nothing actually matched: don't churn files
+        else {
+          val removed = rewrite.map(_.path).toSet
+          commitLoop(spark, dir) { cur =>
+            Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
+              txnOf(cur), cur.flatMap(_.schemaDdl).orElse(m.schemaDdl)))
+          }
+          deleted
+        }
+      }
+    }
 
   /** Row-level UPDATE, copy-on-write with the same stats-pruned rewrite set
     * as [[delete]]: rows where `pred` is TRUE get each `set` column
@@ -260,29 +282,37 @@ object SnapshotTable {
     */
   def update(spark: SparkSession, dir: String,
       pred: org.apache.spark.sql.Column,
-      set: Map[String, org.apache.spark.sql.Column]): Long = {
+      set: Map[String, org.apache.spark.sql.Column]): Long = retryingRewrite(dir) {
     val m = snapshot(spark, dir)
     val resolved = resolvePred(spark, m, pred)
-    val (rewrite, keep) = m.entries.partition(
+    val rewrite = m.entries.filter(
       e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
-    if (rewrite.isEmpty) return 0L
-    val base = readEntries(spark, dir, rewrite, m.schemaDdl)
-    val unknown = set.keySet -- base.columns.toSet
-    require(unknown.isEmpty, s"UPDATE assigns columns not in the table: ${unknown.mkString(", ")}")
-    val hit = coalesce(pred, lit(false))
-    val updated = base.select(base.columns.map { c =>
-      set.get(c).map(v => when(hit, v).otherwise(col(s"`$c`")).as(c)).getOrElse(col(s"`$c`"))
-    }.toSeq: _*)
-    base.schema.fields.zip(updated.schema.fields).foreach { case (b, u) =>
-      require(b.dataType.catalogString == u.dataType.catalogString,
-        s"UPDATE cannot change column '${b.name}': " +
-          s"${b.dataType.catalogString} -> ${u.dataType.catalogString}")
+    if (rewrite.isEmpty) 0L
+    else {
+      val base = readEntries(spark, dir, rewrite, m.schemaDdl)
+      val unknown = set.keySet -- base.columns.toSet
+      require(unknown.isEmpty, s"UPDATE assigns columns not in the table: ${unknown.mkString(", ")}")
+      val hit = coalesce(pred, lit(false))
+      val updated = base.select(base.columns.map { c =>
+        set.get(c).map(v => when(hit, v).otherwise(col(s"`$c`")).as(c)).getOrElse(col(s"`$c`"))
+      }.toSeq: _*)
+      base.schema.fields.zip(updated.schema.fields).foreach { case (b, u) =>
+        require(b.dataType.catalogString == u.dataType.catalogString,
+          s"UPDATE cannot change column '${b.name}': " +
+            s"${b.dataType.catalogString} -> ${u.dataType.catalogString}")
+      }
+      val nUpdated = base.filter(hit).count()
+      if (nUpdated == 0L) 0L
+      else {
+        val entries = writeData(spark, updated, dir)
+        val removed = rewrite.map(_.path).toSet
+        commitLoop(spark, dir) { cur =>
+          Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
+            txnOf(cur), cur.flatMap(_.schemaDdl).orElse(m.schemaDdl)))
+        }
+        nUpdated
+      }
     }
-    val nUpdated = base.filter(hit).count()
-    if (nUpdated == 0L) return 0L
-    val entries = writeData(spark, updated, dir)
-    commit(spark, dir, keep ++ entries, txnOf(Some(m)), m.schemaDdl)
-    nUpdated
   }
 
   private def readEntries(spark: SparkSession, dir: String, entries: Seq[FileEntry],
@@ -338,8 +368,10 @@ object SnapshotTable {
     */
   def write(spark: SparkSession, df: DataFrame, dir: String): Long = {
     val entries = writeData(spark, df, dir)
-    // replace semantics: the new contents DEFINE the schema (no merge)
-    commit(spark, dir, entries, txnOf(currentManifest(spark, dir)), Some(df.schema.toDDL))
+    // replace semantics: the new contents DEFINE the schema (no merge) and
+    // a raced replace serializes last — txn markers are still taken from
+    // the manifest current at publish time so no committed batch id is lost
+    commitLoop(spark, dir)(cur => Some((entries, txnOf(cur), Some(df.schema.toDDL)))).get
   }
 
   /** Append `df` as new files; every existing file is carried forward by
@@ -349,11 +381,15 @@ object SnapshotTable {
     * NULL there.
     */
   def append(spark: SparkSession, df: DataFrame, dir: String): Long = {
-    val cur = currentManifest(spark, dir)
-    val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema)
     val entries = writeData(spark, df, dir)
-    commit(spark, dir, cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
-      txnOf(cur), Some(merged.toDDL))
+    // an append conflicts with nothing: rebasing over ANY winner is just
+    // re-listing its entries (and re-merging schema), so raced appends all
+    // land — no lost update
+    commitLoop(spark, dir) { cur =>
+      val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema)
+      Some((cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
+        txnOf(cur), Some(merged.toDDL)))
+    }.get
   }
 
   /** Idempotent append for at-least-once writers (the streaming sink's
@@ -367,14 +403,22 @@ object SnapshotTable {
     */
   def appendExactlyOnce(spark: SparkSession, df: DataFrame, dir: String,
       appId: String, batchId: Long): Boolean = {
-    val cur = currentManifest(spark, dir)
-    if (txnOf(cur).get(appId).exists(_ >= batchId)) false
+    // cheap pre-check: skip writing data files for a batch already recorded
+    if (txnOf(currentManifest(spark, dir)).get(appId).exists(_ >= batchId)) false
     else {
-      val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema)
       val entries = writeData(spark, df, dir)
-      commit(spark, dir, cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
-        txnOf(cur) + (appId -> batchId), Some(merged.toDDL))
-      true
+      // the watermark re-check runs INSIDE the commit loop, against the
+      // manifest the CAS will publish over — two racing deliveries of the
+      // same batch reduce to one commit and one abandoned attempt whose
+      // files vacuum reclaims
+      commitLoop(spark, dir) { cur =>
+        if (txnOf(cur).get(appId).exists(_ >= batchId)) None
+        else {
+          val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema)
+          Some((cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
+            txnOf(cur) + (appId -> batchId), Some(merged.toDDL)))
+        }
+      }.isDefined
     }
   }
 
@@ -415,22 +459,41 @@ object SnapshotTable {
       keys: Seq[String] = IncrementalLoader.AdsKeys): Long = {
     require(keys.contains("dt"), "snapshot merge requires dt in the merge key")
     require(batch.filter(col("dt").isNull).isEmpty, "snapshot merge: batch has NULL dt rows")
-    currentManifest(spark, dir) match {
-      case None => write(spark, batch, dir)
-      case Some(m) =>
-        val touched = batch.select(col("dt").cast("string")).distinct()
-          .collect().map(_.getString(0)).sorted
-        val (rewrite, keep) = m.entries.partition(e => (e.minDt, e.maxDt) match {
-          case (Some(mn), Some(mx)) => touched.exists(d => mn <= d && d <= mx)
-          case _ => true // no stats → conservative rewrite
-        })
-        val base =
-          if (rewrite.isEmpty) batch.limit(0)
-          else readEntries(spark, dir, rewrite, m.schemaDdl)
-        val out = IncrementalLoader.upsert(base, batch, keys)
-        val entries = writeData(spark, out, dir)
-        commit(spark, dir, keep ++ entries, txnOf(Some(m)),
-          m.schemaDdl.orElse(Some(out.schema.toDDL)))
+    retryingRewrite(dir) {
+      currentManifest(spark, dir) match {
+        case None =>
+          val entries = writeData(spark, batch, dir)
+          commitLoop(spark, dir) { cur =>
+            // the create-the-table assumption broke if anyone committed
+            // first: re-run as a merge into whatever they made
+            if (cur.isDefined) throw new SnapshotConflictException(
+              s"table at $dir appeared concurrently; re-running merge against it")
+            Some((entries, Map.empty[String, Long], Some(batch.schema.toDDL)))
+          }.get
+        case Some(m) =>
+          val touched = batch.select(col("dt").cast("string")).distinct()
+            .collect().map(_.getString(0)).sorted
+          val rewrite = m.entries.filter(e => (e.minDt, e.maxDt) match {
+            case (Some(mn), Some(mx)) => touched.exists(d => mn <= d && d <= mx)
+            case _ => true // no stats → conservative rewrite
+          })
+          val base =
+            if (rewrite.isEmpty) batch.limit(0)
+            else readEntries(spark, dir, rewrite, m.schemaDdl)
+          val out = IncrementalLoader.upsert(base, batch, keys)
+          // refuse type-changing batches BEFORE the rewrite, and record the
+          // (additively) merged schema — committing the old DDL over files
+          // whose types a batch silently widened would poison every
+          // subsequent read
+          mergeSchemas(priorSchema(spark, dir, Some(m)), out.schema)
+          val entries = writeData(spark, out, dir)
+          val removed = rewrite.map(_.path).toSet
+          commitLoop(spark, dir) { cur =>
+            val merged = mergeSchemas(priorSchema(spark, dir, cur), out.schema)
+            Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
+              txnOf(cur), Some(merged.toDDL)))
+          }.get
+      }
     }
   }
 
@@ -452,14 +515,23 @@ object SnapshotTable {
       targetBytes: Long = 128L * 1024 * 1024,
       layout: Option[DataFrame => DataFrame] = None): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
-    val m = snapshot(spark, dir)
-    val totalBytes = m.entries.map(_.bytes).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val base = readEntries(spark, dir, m.entries, m.schemaDdl)
-    val arranged = layout.fold(base.repartition(nOut))(_.apply(base))
-    val entries = writeData(spark, arranged, dir)
-    commit(spark, dir, entries, txnOf(Some(m)), m.schemaDdl)
-    (m.entries.length, entries.length)
+    retryingRewrite(dir) {
+      val m = snapshot(spark, dir)
+      val totalBytes = m.entries.map(_.bytes).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val base = readEntries(spark, dir, m.entries, m.schemaDdl)
+      val arranged = layout.fold(base.repartition(nOut))(_.apply(base))
+      val entries = writeData(spark, arranged, dir)
+      // a compaction reads EVERY base file, so any concurrent rewrite
+      // conflicts; concurrent appends rebase — their files ride along
+      // uncompacted until the next compact
+      val basePaths = m.entries.map(_.path).toSet
+      commitLoop(spark, dir) { cur =>
+        Some((rebasedEntries(dir, Some(m), cur, basePaths, basePaths, entries),
+          txnOf(cur), cur.flatMap(_.schemaDdl).orElse(m.schemaDdl)))
+      }
+      (m.entries.length, entries.length)
+    }
   }
 
   /** Retention: delete data files referenced by NONE of the newest
@@ -546,26 +618,113 @@ object SnapshotTable {
   private def txnOf(m: Option[Manifest]): Map[String, Long] =
     m.flatMap(_.txn).getOrElse(Map.empty)
 
-  /** Publish `entries` as the next snapshot version. The temp write + atomic
-    * rename means a manifest is either fully visible or not at all; a
-    * half-written file can never be the current version.
+  /** A raced snapshot rewrite whose inputs the winning commit invalidated:
+    * the losing operation must be re-run from the new snapshot (see
+    * [[retryingRewrite]]); a rebase would silently resurrect rows the
+    * winner rewrote.
     */
-  private def commit(spark: SparkSession, dir: String, entries: Seq[FileEntry],
-      txn: Map[String, Long] = Map.empty, schemaDdl: Option[String] = None): Long = {
-    val fs = fsFor(spark, dir)
+  final class SnapshotConflictException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
+
+  private val MaxCasAttempts = 50  // CAS losses re-read one manifest: cheap
+  private val MaxRewriteRetries = 4 // conflicts re-run a data rewrite: dear
+
+  /** Per-log-directory publish mutex. Hadoop's local filesystem maps rename
+    * onto POSIX rename(2), which OVERWRITES an existing destination — so an
+    * exists-check + rename is only a CAS under mutual exclusion. All
+    * `local[*]` writers share one JVM, so this striped lock IS the
+    * coordination point there; on HDFS the rename itself refuses existing
+    * destinations and the lock is merely harmless.
+    */
+  private val publishLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Try to publish `manifest` as exactly its version — a compare-and-swap
+    * on the version slot. False = another writer took the version first.
+    * The temp write + atomic rename keeps torn manifests impossible: a
+    * reader sees the full file or no file.
+    */
+  private def tryPublish(fs: FileSystem, dir: String, manifest: Manifest): Boolean = {
     val log = new Path(dir, LogDirName)
-    if (!fs.exists(log)) fs.mkdirs(log)
-    val version = manifestVersions(fs, dir).lastOption.map(_._1 + 1).getOrElse(1L)
-    val manifest = Manifest(version, entries, if (txn.isEmpty) None else Some(txn), schemaDdl)
     val tmp = new Path(log, s"manifest-${java.util.UUID.randomUUID().toString.take(12)}.tmp")
     val out = fs.create(tmp, false)
     try out.write(org.json4s.jackson.Serialization.write(manifest)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val dest = new Path(log, f"manifest-$version%08d.json")
-    if (!fs.rename(tmp, dest))
-      throw new IllegalStateException(
-        s"lost a commit race publishing version $version at $dir (single-writer contract)")
-    version
+    val dest = new Path(log, f"manifest-${manifest.version}%08d.json")
+    val lock = publishLocks.computeIfAbsent(
+      fs.makeQualified(log).toString, _ => new Object)
+    val won = lock.synchronized {
+      !fs.exists(dest) && fs.rename(tmp, dest)
+    }
+    if (!won) fs.delete(tmp, false)
+    won
+  }
+
+  /** The optimistic commit loop: build a manifest against the CURRENT
+    * version with `mk`, CAS-publish it as current+1, and on a lost race
+    * re-invoke `mk` against the winner — each op's `mk` is where rebase vs
+    * conflict is decided. `mk` returning None abandons the commit (e.g. an
+    * exactly-once batch the winner already recorded); a
+    * [[SnapshotConflictException]] from `mk` propagates to
+    * [[retryingRewrite]]. Returns the committed version, None if abandoned.
+    */
+  private def commitLoop(spark: SparkSession, dir: String)(
+      mk: Option[Manifest] => Option[(Seq[FileEntry], Map[String, Long], Option[String])])
+      : Option[Long] = {
+    val fs = fsFor(spark, dir)
+    val log = new Path(dir, LogDirName)
+    if (!fs.exists(log)) fs.mkdirs(log)
+    var attempt = 0
+    while (attempt < MaxCasAttempts) {
+      attempt += 1
+      val curPair = manifestVersions(fs, dir).lastOption
+      val cur = curPair.map { case (_, p) => readManifest(fs, p) }
+      val version = curPair.map(_._1 + 1).getOrElse(1L)
+      mk(cur) match {
+        case None => return None
+        case Some((entries, txn, schemaDdl)) =>
+          val m = Manifest(version, entries, if (txn.isEmpty) None else Some(txn), schemaDdl)
+          if (tryPublish(fs, dir, m)) return Some(version)
+      }
+    }
+    throw new IllegalStateException(
+      s"gave up publishing at $dir after $MaxCasAttempts lost commit races")
+  }
+
+  /** Rebase a rewrite (`removed` base files replaced by `added`) onto the
+    * manifest current at publish time. Sound when every commit that won in
+    * between only ADDED files; if any file whose content flowed into this
+    * rewrite (`read`) is gone from `cur`, the rewrite's output is stale →
+    * conflict, re-run. `base` == the manifest the op computed against.
+    */
+  private def rebasedEntries(dir: String, base: Option[Manifest], cur: Option[Manifest],
+      read: Set[String], removed: Set[String], added: Seq[FileEntry]): Seq[FileEntry] = {
+    val basePaths = base.map(_.entries.map(_.path).toSet).getOrElse(Set.empty)
+    val curPaths = cur.map(_.entries.map(_.path).toSet).getOrElse(Set.empty)
+    val goneSince = basePaths -- curPaths
+    val stale = goneSince.intersect(read)
+    if (stale.nonEmpty) throw new SnapshotConflictException(
+      s"concurrent commit at $dir rewrote ${stale.size} file(s) this operation read " +
+        s"(e.g. ${stale.take(3).mkString(", ")}); re-running against the new snapshot")
+    cur.map(_.entries).getOrElse(Seq.empty).filterNot(e => removed.contains(e.path)) ++ added
+  }
+
+  /** Run a snapshot rewrite, re-running it from scratch (it re-reads the
+    * current snapshot) each time a concurrent winner invalidated its
+    * inputs. Bounded: pathological contention surfaces as an error, not
+    * livelock.
+    */
+  private def retryingRewrite[T](dir: String)(body: => T): T = {
+    var tries = 0
+    while (true) {
+      try return body
+      catch {
+        case e: SnapshotConflictException =>
+          tries += 1
+          if (tries > MaxRewriteRetries) throw new IllegalStateException(
+            s"snapshot rewrite at $dir conflicted $tries times; giving up", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

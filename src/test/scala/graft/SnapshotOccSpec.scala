@@ -1,0 +1,145 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch}
+
+import org.apache.spark.sql.functions._
+import graft.catalog.SnapshotTable
+
+/** Optimistic concurrency for the snapshot commit layer: every writer
+  * CAS-publishes the next manifest version and rebases (or re-runs) on a
+  * lost race. These tests drive REAL races — latch-released threads against
+  * one table — and assert the serializable outcomes: raced appends all
+  * land, raced exactly-once deliveries commit once, rewrites raced with
+  * appends lose no rows, and overlapping merges both apply via retry.
+  * local[*] writers share the JVM, so the striped publish mutex these
+  * tests exercise is exactly the coordination point production `local`
+  * mode uses; on HDFS the no-overwrite rename plays that role.
+  */
+class SnapshotOccSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft-occ").toString
+
+  private def df(ids: Range, dt0: String = "2024-01-01") =
+    ids.toDF("id").select(
+      col("id").cast("long").as("id"),
+      date_add(to_date(lit(dt0)), (col("id") % 5).cast("int")).as("dt"),
+      (col("id") * 2).cast("long").as("v"))
+
+  /** Run `body` for each element on its own thread, all released together;
+    * rethrows the first failure.
+    */
+  private def inRacingThreads[T](items: Seq[T])(body: T => Unit): Unit = {
+    val start = new CountDownLatch(1)
+    val errors = new ConcurrentLinkedQueue[Throwable]()
+    val threads = items.map { it =>
+      new Thread(() => {
+        start.await()
+        try body(it) catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    start.countDown()
+    threads.foreach(_.join(120000))
+    if (!errors.isEmpty) throw errors.peek()
+  }
+
+  test("raced appends from many threads all land — no lost update") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, df(0 until 100), dir)
+    val threads = 6
+    val appendsPerThread = 3
+    inRacingThreads(0 until threads) { t =>
+      for (b <- 0 until appendsPerThread) {
+        val base = 1000 + t * 100 + b * 10
+        SnapshotTable.append(spark, df(base until base + 10), dir)
+      }
+    }
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 100L + threads * appendsPerThread * 10,
+      "a lost commit race dropped an append")
+    assert(got.select("id").distinct().count() == got.count())
+    // every append is its own committed version: none were coalesced away
+    assert(SnapshotTable.versions(spark, dir).length == 1 + threads * appendsPerThread)
+  }
+
+  test("racing deliveries of the same exactly-once batch commit once; vacuum reclaims the loser") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, df(0 until 100), dir)
+    val outcomes = new ConcurrentLinkedQueue[Boolean]()
+    inRacingThreads(Seq("delivery-a", "delivery-b")) { _ =>
+      outcomes.add(SnapshotTable.appendExactlyOnce(
+        spark, df(1000 until 1010), dir, appId = "occ-stream", batchId = 1L))
+    }
+    import scala.jdk.CollectionConverters._
+    assert(outcomes.asScala.count(identity) == 1,
+      s"exactly one racing delivery must commit, got $outcomes")
+    assert(SnapshotTable.read(spark, dir).count() == 110L)
+
+    // the losing attempt's data files are unreferenced; retention deletes
+    // them and afterwards every parquet on disk is manifest-listed
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    assert(SnapshotTable.read(spark, dir).count() == 110L)
+    val live = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    val onDisk = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(d => d.isDirectory && d.getName != "_log").flatMap(d =>
+        d.listFiles().filter(f => f.getName.endsWith(".parquet")).map(f => s"${d.getName}/${f.getName}"))
+    }.toSet
+    assert(onDisk == live, s"orphans survived vacuum: ${(onDisk -- live).take(3)}")
+  }
+
+  test("compact raced with appends rebases: nothing lost, nothing duplicated") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, df(0 until 200), dir)
+    inRacingThreads(Seq("appender", "compactor")) {
+      case "appender" =>
+        for (b <- 0 until 5) {
+          val base = 1000 + b * 20
+          SnapshotTable.append(spark, df(base until base + 20), dir)
+        }
+      case _ =>
+        for (_ <- 0 until 3) SnapshotTable.compact(spark, dir, targetBytes = 1L << 30)
+    }
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 300L, "compact lost a concurrently appended file")
+    assert(got.select("id").distinct().count() == 300L, "compact duplicated rows")
+    // quiesced compact still converges to one file
+    SnapshotTable.compact(spark, dir, targetBytes = 1L << 30)
+    assert(SnapshotTable.currentManifest(spark, dir).get.entries.length == 1)
+    assert(SnapshotTable.read(spark, dir).count() == 300L)
+  }
+
+  test("overlapping merges conflict, retry, and BOTH apply (serializable outcome)") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, df(0 until 50), dir)
+    val v0 = SnapshotTable.versions(spark, dir).last
+    // both batches touch the same dt range → same rewrite files → the
+    // loser must detect the conflict and re-run against the winner
+    inRacingThreads(Seq(0, 10)) { lo =>
+      val batch = df(lo until lo + 10).withColumn("v", lit(-1L - lo))
+      SnapshotTable.merge(spark, batch, dir, keys = Seq("id", "dt"))
+    }
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 50L)
+    assert(got.filter(col("v") === -1L).count() == 10L, "first merge's update lost")
+    assert(got.filter(col("v") === -11L).count() == 10L, "second merge's update lost")
+    assert(got.filter(col("v") >= 0).count() == 30L)
+    assert(SnapshotTable.versions(spark, dir).last == v0 + 2, "each merge must commit a version")
+  }
+
+  test("merge refuses a batch that silently changes a column's type") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, df(0 until 20).withColumn("v", col("v").cast("int")), dir)
+    val e = intercept[IllegalArgumentException] {
+      // upsert coerces the int table column to the batch's long — recording
+      // the old DDL over widened files would poison every later read, so
+      // the merge must refuse before rewriting anything
+      SnapshotTable.merge(spark, df(0 until 5), dir, keys = Seq("id", "dt"))
+    }
+    assert(e.getMessage.contains("cannot change column 'v'"))
+    assert(SnapshotTable.read(spark, dir).count() == 20, "failed merge must leave the table untouched")
+  }
+}
