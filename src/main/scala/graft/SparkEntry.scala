@@ -1292,7 +1292,70 @@ object SparkEntry {
     // itself ----
     "q108_bigram_surprisal" -> ((s, dir) =>
       graft.text.TextPipelines.bigramSurprisal(Tables.documents(s, dir))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ---- LATERAL-FLATTEN surface (Snowflake FLATTEN ≙ Spark explode):
+    // corpus token frequency, top-20 by (count desc, token) — the explode
+    // and empty-filter stay in whole-stage codegen, shuffle carries
+    // (token, partial count) ----
+    "q109_flatten_tokens" -> ((s, dir) =>
+      graft.text.TextPipelines.tokenFrequency(Tables.documents(s, dir), topN = 20)),
+
+    // ---- time-series densification: every (priority, day) cell of the
+    // order-date span, missing days forward-filled from the last observed
+    // daily revenue (decimal-exact sums; NULL before first observation) ----
+    "q110_gap_fill" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("priority"), col("o_orderdate"), col("o_totalprice"))
+      graft.analytics.Analytics.densifyDaily(o, "priority", "o_orderdate",
+        graft.analytics.Analytics.dsum(col("o_totalprice")), "revenue_ffill")
+        .orderBy(col("priority"), col("day"))
+    }),
+
+    // ---- deterministic train/val/test split: membership is a pure
+    // function of md5(doc_id) against cumulative hex thresholds — re-runs,
+    // engines, and shards agree, no RNG ----
+    "q111_hash_split" -> ((s, dir) =>
+      graft.text.TextPipelines.deterministicSplit(
+        Tables.documents(s, dir), col("doc_id"),
+        Seq("test" -> 0.05, "val" -> 0.05, "train" -> 0.9))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("split"))),
+
+    // ---- per-column data profile in ONE pass (nulls / exact distincts /
+    // decimal-canonicalized bounds): the promotion gate a 100 TB ingest
+    // runs before publishing a batch ----
+    "q112_profile" -> ((s, dir) =>
+      graft.analytics.Analytics.profileColumns(Tables.customer(s, dir),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
+
+    // ---- collocation extraction: top-30 bigrams by PMI over bigrams seen
+    // ≥5 times — unigram counts join the DISTINCT bigram keys, totals ride
+    // 1-row broadcasts ----
+    "q113_pmi_collocations" -> ((s, dir) =>
+      graft.text.TextPipelines.pmiCollocations(Tables.documents(s, dir),
+        minCount = 5, topN = 30)),
+
+    // ---- k-means clustering of the embedding corpus (deterministic Lloyd
+    // fit, spherical assignment): per-cluster sizes. No SQL oracle — the
+    // iterative fit isn't SQL-expressible; correctness is spec-gated by
+    // planted-cluster recovery (SimilaritySpec) ----
+    "q114_kmeans" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.similarity.Similarity.clusterEmbeddings(e, dim = 64, k = 8, iters = 3)
+        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .orderBy(col("cluster"))
+    }),
+
+    // ---- BPE tokenizer-vocabulary training (Sennrich 2016): ten merge
+    // rounds over the corpus's word-frequency dict — vocab-bounded per
+    // round no matter the corpus size. No SQL oracle (iterative); the
+    // textbook merge sequence is spec-gated (CurationOpsSpec) ----
+    "q115_bpe_merges" -> ((s, dir) =>
+      graft.text.TextPipelines.trainBpeMerges(Tables.documents(s, dir), nMerges = 10)
+        .orderBy(col("rank")))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2446,6 +2509,83 @@ object SparkEntry {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(AVG(-LN((c2 + 0.5) / (c1 + 0.5 * v))), 6) AS surprisal
         |FROM g JOIN c2 USING (bg) JOIN c1 USING (w1) CROSS JOIN v
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q109_flatten_tokens" ->
+      s"""WITH toks AS (
+        |  SELECT UNNEST($ToksCte) AS token
+        |  FROM (SELECT LOWER(text) AS text FROM documents))
+        |SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q110_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS obs
+        |  FROM orders GROUP BY 1, 2),
+        |bounds AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+        |                  MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |spine AS (SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM bounds),
+        |keys AS (SELECT DISTINCT o_orderpriority AS priority FROM orders)
+        |SELECT k.priority AS priority, s.day AS day,
+        |  last_value(d.obs IGNORE NULLS) OVER (
+        |    PARTITION BY k.priority ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ffill
+        |FROM keys k CROSS JOIN spine s
+        |LEFT JOIN daily d ON d.priority = k.priority AND d.day = s.day
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q111_hash_split" ->
+      """WITH assigned AS (
+        |  SELECT CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc' THEN 'test'
+        |              WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999' THEN 'val'
+        |              ELSE 'train' END AS split, n_chars
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
+
+    "q112_profile" ->
+      """SELECT col_name, null_count, distinct_count, min_value, max_value FROM (
+        |  SELECT 'c_custkey' AS col_name, COUNT(*) - COUNT(c_custkey) AS null_count,
+        |    COUNT(DISTINCT c_custkey) AS distinct_count,
+        |    CAST(CAST(MIN(c_custkey) AS DECIMAL(38,6)) AS VARCHAR) AS min_value,
+        |    CAST(CAST(MAX(c_custkey) AS DECIMAL(38,6)) AS VARCHAR) AS max_value FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name', COUNT(*) - COUNT(c_name), COUNT(DISTINCT c_name),
+        |    CAST(MIN(c_name) AS VARCHAR), CAST(MAX(c_name) AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', COUNT(*) - COUNT(c_nationkey), COUNT(DISTINCT c_nationkey),
+        |    CAST(CAST(MIN(c_nationkey) AS DECIMAL(38,6)) AS VARCHAR),
+        |    CAST(CAST(MAX(c_nationkey) AS DECIMAL(38,6)) AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_acctbal', COUNT(*) - COUNT(c_acctbal), COUNT(DISTINCT c_acctbal),
+        |    CAST(CAST(MIN(c_acctbal) AS DECIMAL(38,6)) AS VARCHAR),
+        |    CAST(CAST(MAX(c_acctbal) AS DECIMAL(38,6)) AS VARCHAR) FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', COUNT(*) - COUNT(c_mktsegment), COUNT(DISTINCT c_mktsegment),
+        |    CAST(MIN(c_mktsegment) AS VARCHAR), CAST(MAX(c_mktsegment) AS VARCHAR) FROM customer
+        |) ORDER BY col_name""".stripMargin,
+
+    "q113_pmi_collocations" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $ToksCte AS toks
+        |  FROM (SELECT doc_id, LOWER(text) AS text FROM documents)),
+        |t2 AS (SELECT doc_id, toks FROM t WHERE LEN(toks) >= 2),
+        |p AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, UNNEST(toks) AS w FROM t2),
+        |g AS (
+        |  SELECT a.w || ' ' || b.w AS bg, a.w AS w1, b.w AS w2
+        |  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |cbg AS (SELECT bg, MIN(w1) AS w1, MIN(w2) AS w2, COUNT(*) AS cnt
+        |        FROM g GROUP BY bg HAVING COUNT(*) >= 5),
+        |nbg AS (SELECT COUNT(*) AS nbg FROM g),
+        |uni AS (SELECT w, COUNT(*) AS c FROM (SELECT UNNEST(toks) AS w FROM t2) GROUP BY w),
+        |ntok AS (SELECT COUNT(*) AS ntok FROM (SELECT UNNEST(toks) AS w FROM t2))
+        |SELECT bg, cnt,
+        |  ROUND(LN((CAST(cnt AS DOUBLE) * ntok.ntok * ntok.ntok)
+        |    / (CAST(nbg.nbg AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+        |FROM cbg JOIN uni u1 ON u1.w = cbg.w1 JOIN uni u2 ON u2.w = cbg.w2
+        |CROSS JOIN nbg CROSS JOIN ntok
+        |ORDER BY pmi DESC, bg LIMIT 30""".stripMargin
   )
 }

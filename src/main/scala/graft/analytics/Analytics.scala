@@ -124,4 +124,71 @@ object Analytics {
         count_distinct(col("user_id")).as("n_users"))
       .orderBy(col("impressions").desc, col("event_type"))
       .limit(k)
+
+  /** Time-series densification: one row per (key, day) for EVERY day in the
+    * table's [min, max] date span, observed days aggregated by `agg`,
+    * missing days gap-filled by last-observation-carried-forward (NULL
+    * before a key's first observation — fabricating a value there would be
+    * a lie). The standard prep for charting, forecasting, or joining
+    * against a calendar feed: downstream consumers get a dense grid.
+    *
+    * Scale shape: the per-(key, day) aggregate map-side combines; the date
+    * spine and key list are metadata-sized (days × distinct keys — a grid,
+    * not the fact table), so the cross join is cheap and the left join
+    * shuffles grid-sized frames only; the forward-fill window partitions by
+    * key over the bounded day span, so no task ever sorts more than one
+    * key's calendar.
+    */
+  def densifyDaily(
+      df: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      agg: Column,
+      outName: String): DataFrame = {
+    val daily = df.groupBy(col(keyCol), col(dateCol).as("day")).agg(agg.as("__obs"))
+    val spine = df.agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+      .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
+    val grid = df.select(col(keyCol)).distinct().crossJoin(spine)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Long.MinValue, 0)
+    grid.join(daily, Seq(keyCol, "day"), "left")
+      .withColumn(outName, last(col("__obs"), ignoreNulls = true).over(w))
+      .drop("__obs")
+  }
+
+  /** Per-column data profile — null count, exact distinct count, min/max —
+    * in ONE pass over the table (multiple exact distincts plan as one
+    * Expand-backed aggregate: the scan is read once, expanded ×columns in
+    * the exchange; exact-by-construction, the profiling contract). Numeric
+    * bounds are canonicalized through DECIMAL(38,6) so the stringified
+    * profile is engine-portable (raw double→string formatting is not);
+    * dates/strings stringify directly.
+    *
+    * This is the schema-drift / data-quality gate a 100 TB ingest runs
+    * before promoting a batch: nulls where there were none, cardinality
+    * collapse, or out-of-range bounds all surface here.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val unknown = cols.filterNot(df.columns.contains)
+    require(unknown.isEmpty, s"profileColumns: no such column(s): ${unknown.mkString(", ")}")
+    def canon(c: Column, name: String): Column =
+      df.schema(name).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => c.cast("decimal(38,6)").cast("string")
+        case _ => c.cast("string")
+      }
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        canon(min(col(c)), c).as(s"__mn_$c"),
+        canon(max(col(c)), c).as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map(c =>
+      s"'$c', __n - `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    row.selectExpr(s"stack(${cols.length}, $stacked) " +
+        "as (col_name, null_count, distinct_count, min_value, max_value)")
+      .orderBy(col("col_name"))
+  }
 }

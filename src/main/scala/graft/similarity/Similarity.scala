@@ -130,7 +130,8 @@ object Similarity {
       corpus: DataFrame, // (id, vec)
       dim: Int,
       nlist: Int = 16,
-      iters: Int = 2): Seq[Seq[Double]] = {
+      iters: Int = 2,
+      initSeeds: Option[Seq[Seq[Double]]] = None): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
     // Each Lloyd round re-scans the corpus (seed job + iters assignment
     // jobs); cache it across the fit like any iterative ML training — but
@@ -138,10 +139,10 @@ object Similarity {
     // a caller-owned cache.
     val weCached = corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (weCached) corpus.persist()
-    var centroids: Seq[Seq[Double]] = corpus
+    var centroids: Seq[Seq[Double]] = initSeeds.getOrElse(corpus
       .orderBy(col("id")).limit(nlist)
       .select(col("vec").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq)
     (0 until iters).foreach { _ =>
       val assigned = corpus.join(assignCells(corpus, centroids), "id")
         .select(col("cell"), posexplode(col("vec").cast("array<double>")))
@@ -268,5 +269,85 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id").as("neighbor_id"), col("score"))
+  }
+
+  // ------------------------------------------------------------ clustering
+
+  /** Deterministic farthest-point seeding for [[clusterEmbeddings]]: an
+    * md5-ordered sample of `candidates` vectors (hash-spread — unbiased by
+    * id layout, unlike the lowest-id seeds the IVF quantizer is content
+    * with), then greedy max-min-cosine-distance selection of k on the
+    * driver (candidates × dim bounded model state). The k-means++ idea
+    * without its RNG: every run picks the same well-spread seeds, so a
+    * corpus whose modes are separated gets one seed per mode with
+    * overwhelming probability.
+    */
+  private def spreadSeeds(corpus: DataFrame, k: Int, candidates: Int): Seq[Seq[Double]] = {
+    val cand = corpus
+      .orderBy(md5(col("id").cast("string")), col("id"))
+      .limit(candidates)
+      .select(col("vec").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    require(cand.nonEmpty, "cannot seed clustering from an empty corpus")
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val n = math.sqrt(na) * math.sqrt(nb)
+      if (n == 0) 0.0 else d / n
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(cand.head)
+    while (chosen.length < math.min(k, cand.length)) {
+      // the candidate farthest (min-cosine over chosen, maximized) from
+      // every seed so far; ties resolve to the earliest candidate
+      val next = cand.iterator.filterNot(chosen.contains)
+        .maxBy(c => 1.0 - chosen.iterator.map(s => cos(c, s)).max)
+      chosen += next
+    }
+    chosen.toSeq
+  }
+
+  /** First-class k-means clustering of the corpus: (id, cluster) via the
+    * same deterministic Lloyd iterations the IVF index builds its cells
+    * with ([[trainCentroids]]), but seeded by [[spreadSeeds]] — clustering
+    * QUALITY depends on seed spread in a way a coarse quantizer doesn't.
+    * Spherical assignment by native cosine; the driver holds only
+    * seeds/centroids (k × dim). Exposed on its own because clustering is a
+    * curation primitive in its own right, not just an index: topic
+    * bucketing, semantic dedup domains, and cluster-balanced subsampling
+    * all start from this frame.
+    */
+  def clusterEmbeddings(
+      corpus: DataFrame, // (id, vec)
+      dim: Int,
+      k: Int = 8,
+      iters: Int = 4): DataFrame = {
+    val centroids = trainCentroids(corpus, dim, k, iters,
+      initSeeds = Some(spreadSeeds(corpus, k, candidates = 8 * k)))
+    assignCells(corpus, centroids).withColumnRenamed("cell", "cluster")
+  }
+
+  /** Cluster-balanced corpus subsampling: k-means buckets the corpus by
+    * semantic neighborhood, then a deterministic per-cluster hash quota
+    * ([[graft.text.TextPipelines.hashSamplePerGroup]]'s contract: lowest
+    * md5(id, seed) ranks win, no RNG) takes at most `perCluster` ids from
+    * EACH cluster — the curation move that stops a corpus's dominant mode
+    * from crowding out its tails in a training mix. Returns (id, cluster);
+    * join back on id for the payload.
+    */
+  def clusterBalancedSample(
+      corpus: DataFrame, // (id, vec)
+      dim: Int,
+      k: Int = 8,
+      perCluster: Int = 100,
+      iters: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(perCluster > 0, s"perCluster must be positive, got $perCluster")
+    val assigned = clusterEmbeddings(corpus, dim, k, iters)
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(md5(concat_ws("|", col("id").cast("string"), lit(seed))), col("id"))
+    assigned
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= perCluster)
+      .drop("__rk")
   }
 }

@@ -279,4 +279,166 @@ object TextPipelines {
           .as("surprisal"))
     graft.util.Caching.materialize(out, grams)
   }
+
+  /** Corpus-wide token frequency through the LATERAL-FLATTEN surface
+    * (Snowflake's `LATERAL FLATTEN`, Spark's `explode`): one row per token
+    * occurrence, hash-aggregated to counts, top-N by (count desc, token) —
+    * a fully deterministic tie-break, so the cut is stable across engines.
+    *
+    * Tokenization is the same native single-pass `ws_tokens` every text
+    * pipeline shares; the explode and the row-level empty filter both stay
+    * inside whole-stage codegen, and the aggregation map-side combines, so
+    * the shuffle carries (token, partial count) — never documents.
+    */
+  def tokenFrequency(docs: DataFrame, textCol: String = "text", topN: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+    docs
+      .select(explode(graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(topN)
+  }
+
+  /** Deterministic train/val/test assignment: a row's split is a pure
+    * function of its id — `md5(id)`'s first four hex chars against
+    * cumulative thresholds over the 16-bit bucket space. Re-runs, engines,
+    * and shards all agree (the same property [[hashSamplePerGroup]] builds
+    * on); no RNG, no state, map-only, and adding data never reassigns an
+    * existing id. The LAST split takes the remainder, so fractions of the
+    * others must sum below 1.
+    */
+  def deterministicSplit(
+      df: DataFrame,
+      idCol: Column,
+      splits: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(splits.length >= 2, "need at least two named splits")
+    require(splits.init.forall(_._2 > 0) && splits.init.map(_._2).sum < 1.0,
+      s"non-final split fractions must be positive and sum below 1: $splits")
+    val bucket = substring(md5(idCol.cast("string")), 1, 4)
+    val cums = splits.init.scanLeft(0.0)(_ + _._2).tail
+    val thresholds = cums.map(f => f"${math.floor(f * 65536).toLong}%04x")
+    val assigned = splits.init.zip(thresholds).foldRight(lit(splits.last._1)) {
+      case (((name, _), hexHi), rest) => when(bucket < lit(hexHi), name).otherwise(rest)
+    }
+    df.withColumn(outCol, assigned)
+  }
+
+  /** Collocation extraction: top-N bigrams by pointwise mutual information,
+    * `pmi = ln( (c_bg / N_bg) / ((c_w1 / N_tok) · (c_w2 / N_tok)) )`, over
+    * bigrams seen at least `minCount` times. The classic signal for
+    * multiword expressions ("new york") in corpus curation.
+    *
+    * Scale shape: ONE native tokenization feeding both the bigram and
+    * unigram counts ([[bigramSurprisal]]'s machinery); unigram counts join
+    * against the DISTINCT bigram keys (post-aggregation, so the exchanges
+    * carry short strings and counts); the two corpus totals ride a 1-row
+    * broadcast. Output is rounded to 6dp with a (pmi, bigram) tie-break —
+    * deterministic under any plan.
+    */
+  def pmiCollocations(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minCount: Int = 5,
+      topN: Int = 30): DataFrame = {
+    require(minCount >= 1 && topN >= 1, s"minCount/topN must be positive: $minCount/$topN")
+    val spark = docs.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .persist()
+    val grams = toks
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val cbg = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+    val nbg = grams.agg(count(lit(1)).as("nbg"))
+    val uniRows = toks.select(explode(col("toks")).as("w"))
+    val uni = uniRows.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val ntok = uniRows.agg(count(lit(1)).as("ntok"))
+    val u1 = uni.select(col("w").as("w1"), col("c").as("c1"))
+    val u2 = uni.select(col("w").as("w2"), col("c").as("c2"))
+    val out = cbg
+      .join(u1, "w1").join(u2, "w2")
+      .crossJoin(broadcast(nbg)).crossJoin(broadcast(ntok))
+      .select(col("bg"), col("cnt"),
+        round(log((col("cnt").cast("double") * col("ntok") * col("ntok"))
+          / (col("nbg").cast("double") * col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(topN)
+    graft.util.Caching.materialize(out, toks)
+  }
+
+  /** Train `nMerges` BPE merges on the corpus — real tokenizer-vocabulary
+    * training, the step [[graft.functions.TextFunctions]]' BPE-ish token
+    * counter presupposes. Classic algorithm (Sennrich et al. 2016): words
+    * become character-symbol sequences; each round merges the globally most
+    * frequent adjacent symbol pair (greedy, non-overlapping, left-to-right).
+    *
+    * Scale shape: training runs on the WORD-FREQUENCY DICT, not the corpus
+    * — one corpus-scale tokenize+aggregate up front, then every round
+    * touches only (distinct word, freq) rows, which is vocab-bounded no
+    * matter how many TB the corpus is. The pair count per round is a
+    * map-side-combined aggregate; the merge rewrite is array-local per
+    * word (an `aggregate` fold — interpreted, acceptable off the corpus
+    * hot path); `localCheckpoint` after each round keeps the plan flat
+    * instead of nesting one fold per merge. Ties break by
+    * (count desc, left, right) — fully deterministic.
+    *
+    * @return one row per learned merge: (rank, left, right, pair_count)
+    */
+  def trainBpeMerges(
+      docs: DataFrame,
+      textCol: String = "text",
+      nMerges: Int = 20): DataFrame = {
+    require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.extensions.GraftExtensions.register(spark)
+    var vocab = docs
+      .select(explode(graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      // split("") yields the word's characters (no empty edge tokens in
+      // Spark 3+); single-char words simply never produce pairs
+      .select(split(col("w"), "").as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 0 until nMerges if !exhausted) {
+      val best = vocab
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("p.a"), col("p.b"))
+        .limit(1)
+        .select(col("p.a"), col("p.b"), col("c"))
+        .as[(String, String, Long)].collect()
+      best.headOption match {
+        case None => exhausted = true // every word is a single symbol
+        case Some((a, b, c)) =>
+          merges += ((rank, a, b, c))
+          val prev = vocab
+          vocab = vocab.withColumn("syms",
+            aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+              when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))))
+            .localCheckpoint()
+          prev.unpersist(blocking = false)
+      }
+    }
+    vocab.unpersist(blocking = false)
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
 }
