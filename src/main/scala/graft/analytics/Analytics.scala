@@ -132,12 +132,14 @@ object Analytics {
     * a lie). The standard prep for charting, forecasting, or joining
     * against a calendar feed: downstream consumers get a dense grid.
     *
-    * Scale shape: the per-(key, day) aggregate map-side combines; the date
-    * spine and key list are metadata-sized (days × distinct keys — a grid,
-    * not the fact table), so the cross join is cheap and the left join
-    * shuffles grid-sized frames only; the forward-fill window partitions by
-    * key over the bounded day span, so no task ever sorts more than one
-    * key's calendar.
+    * Scale shape: ONE pass over the fact table (the map-side-combined daily
+    * aggregate); the date bounds, key list, spine, and grid all derive from
+    * that (days × distinct keys)-sized frame — deriving them from `df`
+    * instead would re-scan the fact table three times for metadata-scale
+    * answers (.explain showed exactly that before the daily frame was
+    * shared). The forward-fill window partitions by key over the bounded
+    * day span, so no task ever sorts more than one key's calendar. Eager
+    * (the shared daily frame is released before returning).
     */
   def densifyDaily(
       df: DataFrame,
@@ -146,15 +148,17 @@ object Analytics {
       agg: Column,
       outName: String): DataFrame = {
     val daily = df.groupBy(col(keyCol), col(dateCol).as("day")).agg(agg.as("__obs"))
-    val spine = df.agg(min(col(dateCol)).as("__lo"), max(col(dateCol)).as("__hi"))
+      .persist()
+    val spine = daily.agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
       .select(explode(sequence(col("__lo"), col("__hi"))).as("day"))
-    val grid = df.select(col(keyCol)).distinct().crossJoin(spine)
+    val grid = daily.select(col(keyCol)).distinct().crossJoin(spine)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol)).orderBy(col("day"))
       .rowsBetween(Long.MinValue, 0)
-    grid.join(daily, Seq(keyCol, "day"), "left")
+    val out = grid.join(daily, Seq(keyCol, "day"), "left")
       .withColumn(outName, last(col("__obs"), ignoreNulls = true).over(w))
       .drop("__obs")
+    graft.util.Caching.materialize(out, daily)
   }
 
   /** Per-column data profile — null count, exact distinct count, min/max —
