@@ -1355,7 +1355,19 @@ object SparkEntry {
     // textbook merge sequence is spec-gated (CurationOpsSpec) ----
     "q115_bpe_merges" -> ((s, dir) =>
       graft.text.TextPipelines.trainBpeMerges(Tables.documents(s, dir), nMerges = 10)
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // ---- PageRank centrality, 5 fixed power iterations over an
+    // orders-derived topology — fixed iteration count is what makes the
+    // recurrence oracle-expressible as unrolled CTEs; the constants are
+    // written identically on both sides so even (1 − d)/N matches
+    // bit-for-bit before the final 6dp rounding ----
+    "q116_pagerank" -> ((s, dir) => {
+      val edges = Tables.orders(s, dir)
+        .select(col("o_custkey").as("src"), pmod(col("o_orderkey"), lit(1500)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.ops.Graph.pageRank(edges, iters = 5).orderBy(col("v"))
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1408,7 +1420,37 @@ object SparkEntry {
       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q116's oracle: the same fixed-point-free PageRank recurrence unrolled
+    * as one CTE per iteration. Built by a loop so the Spark iteration count
+    * and the SQL unroll depth can never drift apart. Constants are spelled
+    * so both engines compute identical doubles: `(CAST(1 AS DOUBLE) - 0.85)`
+    * is IEEE 1.0−0.85 (= Scala's `1.0 - damping`), NOT DuckDB's exact
+    * decimal 0.15.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      s"""r$i AS (
+        |  SELECT nd.v AS v,
+        |    (CAST(1 AS DOUBLE) - 0.85) / nn.n + 0.85 * COALESCE(c.s, CAST(0 AS DOUBLE)) AS r
+        |  FROM nodes nd CROSS JOIN nn
+        |  LEFT JOIN (
+        |    SELECT e.dst AS v, SUM(p.r / d.deg) AS s
+        |    FROM edges e JOIN r${i - 1} p ON p.v = e.src JOIN deg d ON d.src = e.src
+        |    GROUP BY e.dst) c ON c.v = nd.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+      |  SELECT DISTINCT o_custkey AS src, o_orderkey % 1500 AS dst
+      |  FROM orders WHERE o_custkey <> o_orderkey % 1500),
+      |nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+      |r0 AS (SELECT v, CAST(1 AS DOUBLE) / n AS r FROM nodes, nn),
+      |$iterCtes
+      |SELECT v, ROUND(r, 6) AS rank FROM r$iters ORDER BY v""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q116_pagerank" -> pageRankOracle(5),
     "q01_kpi_topk_spend" ->
       """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
         |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

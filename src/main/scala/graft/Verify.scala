@@ -5,6 +5,9 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    require(args.length == 2,
+      s"usage: graft.Verify <sfDir> <outDir> — filter queries via the " +
+        s"SPARK_GRAFT_QUERIES env var, not extra args (got: ${args.mkString(" ")})")
     val Array(sfDir, outDir) = args
     val spark = Sessions.local(Sessions.coresFromEnv, appName = "graft-verify")
     new java.io.File(outDir).mkdirs()

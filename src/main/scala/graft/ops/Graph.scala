@@ -86,4 +86,58 @@ object Graph {
         s"($changed labels still changing) — raise maxIters (graph diameter exceeds it)")
     labels.select(col("id"), col("lab").as("rep"))
   }
+
+  /** PageRank centrality by `iters` synchronous power iterations — the
+    * web-graph quality prior corpus curation weighs sources with (crawl
+    * frontiers and document quality scores both start from link centrality).
+    * Standard simplified recurrence, identical on both sides of the oracle
+    * gate so fixed-iteration results are engine-comparable:
+    * `r_0 = 1/N`, `r_{k+1}(v) = (1−d)/N + d · Σ_{u→v} r_k(u)/outdeg(u)`
+    * (dangling mass not redistributed). A FIXED iteration count — not a
+    * convergence test — is what keeps it SQL-expressible as unrolled CTEs.
+    *
+    * Scale shape: each round is one (edges ⋈ ranks ⋈ out-degrees) join and
+    * one map-side-combined aggregate — ranks/degrees frames carry (node,
+    * double), never adjacency blobs; the rank frame is localCheckpointed
+    * per round (lineage stays O(1), superseded blocks released — the
+    * [[connectedComponents]] discipline). Returns (v, rank) rounded to 6dp.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be positive, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val sc = edges.sparkSession.sparkContext
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct().persist()
+    val nodes = e.select(col("src").as("v")).union(e.select(col("dst"))).distinct().persist()
+    val n = nodes.count()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val out = df.localCheckpoint()
+      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    }
+    var (rank, rankIds) = checkpointTracked(
+      nodes.select(col("v"), lit(1.0 / n).as("r")))
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(rank.select(col("v").as("src"), col("r")), "src")
+        .join(deg, "src")
+        .select(col("dst").as("v"), (col("r") / col("deg")).as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("in"))
+      val (next, nextIds) = checkpointTracked(
+        nodes.join(contrib, Seq("v"), "left")
+          .select(col("v"),
+            (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("in"), lit(0.0))).as("r")))
+      rankIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      rank = next
+      rankIds = nextIds
+    }
+    val out = graft.util.Caching.materialize(
+      rank.select(col("v"), round(col("r"), 6).as("rank")), e, nodes)
+    // `out` is materialized: the final round's checkpoint blocks have no
+    // remaining reader either
+    rankIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    out
+  }
 }

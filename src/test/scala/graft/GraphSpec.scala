@@ -21,4 +21,36 @@ class GraphSpec extends SparkSpec {
     val got = Graph.connectedComponents(edges).as[(Long, Long)].collect()
     assert(got.length == 13 && got.forall(_._2 == 0L))
   }
+
+  test("pageRank: matches a driver-side power-iteration replay on random digraphs") {
+    val rnd = new scala.util.Random(47L)
+    for (round <- 0 until 5) {
+      val n = 5 + rnd.nextInt(10)
+      val edges = (0 until 2 * n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      if (edges.nonEmpty) {
+        val iters = 1 + rnd.nextInt(5)
+        val got = Graph.pageRank(edges.toDF("src", "dst"), iters = iters)
+          .as[(Long, Double)].collect().toMap
+
+        // replay the exact recurrence: r0 = 1/N; rK = (1-d)/N + d * inbound
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+        val nn = nodes.length.toDouble
+        val outdeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+        var r = nodes.map(_ -> 1.0 / nn).toMap
+        for (_ <- 0 until iters) {
+          val in = edges.groupBy(_._2).view.mapValues(
+            _.map { case (u, _) => r(u) / outdeg(u) }.sum).toMap
+          r = nodes.map(v => v -> ((1.0 - 0.85) / nn + 0.85 * in.getOrElse(v, 0.0))).toMap
+        }
+        nodes.foreach { v =>
+          assert(math.abs(got(v) - r(v)) < 2e-6,
+            s"round $round iters=$iters node $v: got ${got(v)} want ${r(v)}")
+        }
+        // rank mass stays <= 1 (dangling mass leaks, never grows) — modulo
+        // the per-node 6dp rounding of the returned ranks
+        assert(got.values.sum <= 1.0 + 5e-7 * nodes.length)
+      }
+    }
+  }
 }
