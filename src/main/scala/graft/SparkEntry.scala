@@ -1367,6 +1367,44 @@ object SparkEntry {
         .select(col("o_custkey").as("src"), pmod(col("o_orderkey"), lit(1500)).as("dst"))
         .filter(col("src") =!= col("dst"))
       graft.ops.Graph.pageRank(edges, iters = 5).orderBy(col("v"))
+    }),
+
+    // ---- the remaining rank-family windows in one pass: PERCENT_RANK /
+    // CUME_DIST (frame-independent) and FIRST_VALUE / NTH_VALUE over an
+    // explicit running frame (both engines default differently — spelling
+    // the frame keeps the gate exact); (price, key) ordering is total, so
+    // every rank is deterministic ----
+    "q117_window_stats" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderpriority"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"),
+        first(col("o_totalprice")).over(run).as("min_price"),
+        nth_value(col("o_totalprice"), 2).over(run).as("second_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- incrementally-maintained JOIN view: three loads of MISALIGNED
+    // order/lineitem deltas (mod-3 vs mod-5 splits, so ΔA⋈B, A⋈ΔB and
+    // ΔA⋈ΔB all contribute) folded by the delta rule — the aggregated view
+    // must equal one full join the oracle computes directly ----
+    "q118_incremental_join" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      val loads = (0 until 3).map(i => (
+        o.filter(pmod(col("o_orderkey"), lit(3)) === i),
+        li.filter(pmod(col("o_orderkey"), lit(5)) === i)))
+      val (view, _, _) = graft.ingest.IncrementalJoin.foldView(loads, Seq("o_orderkey"))
+      view.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -1451,6 +1489,27 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q116_pagerank" -> pageRankOracle(5),
+
+    "q117_window_stats" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  ROUND(percent_rank() OVER w, 6) AS pr,
+        |  ROUND(cume_dist() OVER w, 6) AS cd,
+        |  first_value(o_totalprice) OVER wr AS min_price,
+        |  nth_value(o_totalprice, 2) OVER wr AS second_price
+        |FROM orders
+        |WINDOW
+        |  w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+        |  wr AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q118_incremental_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_orderkey % 5 <= 2
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q01_kpi_topk_spend" ->
       """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
         |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

@@ -48,4 +48,30 @@ class RollupSpec extends SparkSpec {
     assert(fin(1).getLong(2) == 0L && fin(1).isNullAt(3) && fin(1).isNullAt(5),
       s"all-NULL group must finalize to NULLs: ${fin(1)}")
   }
+
+  test("incremental join view: random delta folds equal the one-shot join") {
+    import graft.ingest.IncrementalJoin
+    val rnd = new scala.util.Random(53L)
+    for (round <- 0 until 5) {
+      val aRows = (0 until 30 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(15).toLong, rnd.nextInt(100)))
+      val bRows = (0 until 30 + rnd.nextInt(40)).map(_ =>
+        (rnd.nextInt(15).toLong, rnd.nextInt(100)))
+      val nLoads = 2 + rnd.nextInt(3)
+      // random, possibly EMPTY delta slices per load (empty deltas exercise
+      // the degenerate terms of the delta rule)
+      val aSplit = aRows.map(r => (rnd.nextInt(nLoads), r))
+      val bSplit = bRows.map(r => (rnd.nextInt(nLoads), r))
+      val loads = (0 until nLoads).map { i =>
+        (aSplit.filter(_._1 == i).map(_._2).toDF("k", "av"),
+          bSplit.filter(_._1 == i).map(_._2).toDF("k", "bv"))
+      }
+      val (view, fa, fb) = IncrementalJoin.foldView(loads, Seq("k"))
+      val oneShot = aRows.toDF("k", "av").join(bRows.toDF("k", "bv"), Seq("k"))
+      assert(view.exceptAll(oneShot).count() == 0 && oneShot.exceptAll(view).count() == 0,
+        s"round $round: folded view diverged from the one-shot join")
+      // the folded sides are the full sides
+      assert(fa.count() == aRows.length.toLong && fb.count() == bRows.length.toLong)
+    }
+  }
 }

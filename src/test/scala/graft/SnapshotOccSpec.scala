@@ -130,6 +130,31 @@ class SnapshotOccSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, dir).last == v0 + 2, "each merge must commit a version")
   }
 
+  test("exactly-once stream appends race a compactor: every batch lands once, markers survive") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, df(0 until 100), dir)
+    inRacingThreads(Seq("stream", "compactor")) {
+      case "stream" =>
+        for (b <- 0 until 6) {
+          val base = 1000 + b * 10
+          assert(SnapshotTable.appendExactlyOnce(
+            spark, df(base until base + 10), dir, appId = "occ-app", batchId = b.toLong))
+          // a crash re-delivery of the same batch MID-RACE must stay a
+          // no-op: the watermark re-check runs against whatever manifest
+          // the concurrent compactor just published
+          assert(!SnapshotTable.appendExactlyOnce(
+            spark, df(base until base + 10), dir, appId = "occ-app", batchId = b.toLong))
+        }
+      case _ =>
+        for (_ <- 0 until 4) SnapshotTable.compact(spark, dir, targetBytes = 1L << 30)
+    }
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 160L, "a batch was lost or doubled under the race")
+    assert(got.select("id").distinct().count() == 160L)
+    val txn = SnapshotTable.currentManifest(spark, dir).get.txn.get
+    assert(txn("occ-app") == 5L, s"stream watermark lost across compactions: $txn")
+  }
+
   test("merge refuses a batch that silently changes a column's type") {
     val dir = tmpTable()
     SnapshotTable.write(spark, df(0 until 20).withColumn("v", col("v").cast("int")), dir)
