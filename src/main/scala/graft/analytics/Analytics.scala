@@ -182,17 +182,25 @@ object Analytics {
         case _: org.apache.spark.sql.types.NumericType => c.cast("decimal(38,6)").cast("string")
         case _ => c.cast("string")
       }
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
-        canon(min(col(c)), c).as(s"__mn_$c"),
-        canon(max(col(c)), c).as(s"__mx_$c"))
+    // internal aliases are INDEX-based and user names are backtick-escaped
+    // on reference / literal on output — a column named `it's` or `a.b`
+    // never reaches any string-parsed identifier unquoted
+    def exact(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(exact(c)).as(s"__nn_$i"),
+        count_distinct(exact(c)).as(s"__nd_$i"),
+        canon(min(exact(c)), c).as(s"__mn_$i"),
+        canon(max(exact(c)), c).as(s"__mx_$i"))
     } :+ count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map(c =>
-      s"'$c', __n - `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
-    row.selectExpr(s"stack(${cols.length}, $stacked) " +
-        "as (col_name, null_count, distinct_count, min_value, max_value)")
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"),
+        (col("__n") - col(s"__nn_$i")).as("null_count"),
+        col(s"__nd_$i").as("distinct_count"),
+        col(s"__mn_$i").as("min_value"),
+        col(s"__mx_$i").as("max_value"))
+    }
+    row.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
       .orderBy(col("col_name"))
   }
 }

@@ -534,13 +534,30 @@ object SnapshotTable {
     }
   }
 
+  /** Grace period an unreferenced file must age before [[vacuum]] may
+    * delete it: under the multi-writer contract a writer that has run
+    * [[writeData]] but not yet CAS-published is indistinguishable from an
+    * abandoned attempt — deleting its fresh files would publish a manifest
+    * with dangling references. 30 minutes comfortably exceeds any commit's
+    * write-to-publish window; the same idea as Delta's vacuum retention
+    * check.
+    */
+  val DefaultVacuumGraceMs: Long = 30L * 60 * 1000
+
   /** Retention: delete data files referenced by NONE of the newest
     * `keepVersions` manifests, drop the expired manifests, and clear
     * crash-leftover temp files. Call when no reader can still hold an
-    * expired snapshot. Returns the number of data files deleted.
+    * expired snapshot; concurrent WRITERS are safe by default because only
+    * unreferenced files older than `minUnreferencedAgeMs` are touched — an
+    * in-flight commit's data files are younger than that by construction.
+    * Pass 0 only when provably no commit is in flight (tests, maintenance
+    * windows). Returns the number of data files deleted.
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2): Int = {
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
+      minUnreferencedAgeMs: Long = DefaultVacuumGraceMs): Int = {
     require(keepVersions >= 1, "must keep at least the current snapshot")
+    require(minUnreferencedAgeMs >= 0, "grace period cannot be negative")
+    val cutoff = System.currentTimeMillis() - minUnreferencedAgeMs
     val fs = fsFor(spark, dir)
     val versions = manifestVersions(fs, dir)
     if (versions.isEmpty) return 0
@@ -557,16 +574,19 @@ object SnapshotTable {
         children.foreach { f =>
           val rel = s"${d.getPath.getName}/${f.getPath.getName}"
           val isData = f.isFile && f.getPath.getName.endsWith(".parquet")
-          if (isData && !live.contains(rel)) { fs.delete(f.getPath, false); deleted += 1 }
-          else if (f.isFile && !isData && !live.contains(rel)) fs.delete(f.getPath, false)
+          val aged = f.getModificationTime <= cutoff
+          if (isData && !live.contains(rel) && aged) { fs.delete(f.getPath, false); deleted += 1 }
+          else if (f.isFile && !isData && !live.contains(rel) && aged) fs.delete(f.getPath, false)
         }
         if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
       }
     expired.foreach { case (_, p) => fs.delete(p, false) }
-    // crash leftovers: unpublished temp manifests
+    // crash leftovers: unpublished temp manifests — same grace, a fresh
+    // .tmp may be a concurrent tryPublish between create and rename
     val log = new Path(dir, LogDirName)
     if (fs.exists(log)) fs.listStatus(log)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp"))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp")
+        && st.getModificationTime <= cutoff)
       .foreach(st => fs.delete(st.getPath, false))
     deleted
   }
@@ -629,14 +649,17 @@ object SnapshotTable {
   private val MaxCasAttempts = 50  // CAS losses re-read one manifest: cheap
   private val MaxRewriteRetries = 4 // conflicts re-run a data rewrite: dear
 
-  /** Per-log-directory publish mutex. Hadoop's local filesystem maps rename
-    * onto POSIX rename(2), which OVERWRITES an existing destination — so an
-    * exists-check + rename is only a CAS under mutual exclusion. All
-    * `local[*]` writers share one JVM, so this striped lock IS the
-    * coordination point there; on HDFS the rename itself refuses existing
-    * destinations and the lock is merely harmless.
+  /** Publish mutexes, striped by log-path hash. Hadoop's local filesystem
+    * maps rename onto POSIX rename(2), which OVERWRITES an existing
+    * destination — so an exists-check + rename is only a CAS under mutual
+    * exclusion. All `local[*]` writers share one JVM, so this striped lock
+    * IS the coordination point there; on HDFS the rename itself refuses
+    * existing destinations and the lock is merely harmless. A fixed stripe
+    * array (not a per-path map) stays bounded over a process that touches
+    * unboundedly many table directories; two tables sharing a stripe just
+    * serialize their publishes occasionally.
     */
-  private val publishLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val publishLocks = Array.fill(64)(new Object)
 
   /** Try to publish `manifest` as exactly its version — a compare-and-swap
     * on the version slot. False = another writer took the version first.
@@ -651,8 +674,7 @@ object SnapshotTable {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val dest = new Path(log, f"manifest-${manifest.version}%08d.json")
-    val lock = publishLocks.computeIfAbsent(
-      fs.makeQualified(log).toString, _ => new Object)
+    val lock = publishLocks(math.floorMod(fs.makeQualified(log).toString.hashCode, 64))
     val won = lock.synchronized {
       !fs.exists(dest) && fs.rename(tmp, dest)
     }

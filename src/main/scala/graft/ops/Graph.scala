@@ -44,14 +44,9 @@ object Graph {
     // The RDD a Dataset.localCheckpoint pins is internal to the Dataset, so
     // to release a superseded round's blocks (memory stays O(1) in rounds,
     // not O(diameter)) each checkpoint diffs the context's persistent-RDD
-    // registry around its creation and unpersists those ids once the next
-    // round no longer reads them.
-    val sc = edges.sparkSession.sparkContext
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
+    // registry around its creation (graft.util.Caching.checkpointTracked)
+    // and unpersists those ids once the next round no longer reads them.
+    import graft.util.Caching.{checkpointTracked, releaseTracked}
     var (labels, labelIds) = checkpointTracked(
       sym.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("lab")))
@@ -72,7 +67,7 @@ object Graph {
       changed = next.filter(col("lab") =!= col("__old")).count()
       // `next` is materialized and `changed` computed — the previous round's
       // checkpoint blocks have no remaining reader
-      labelIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      releaseTracked(labels, labelIds)
       labels = next.select(col("id"), col("lab"))
       labelIds = nextIds
       it += 1
@@ -105,18 +100,13 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    val sc = edges.sparkSession.sparkContext
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct().persist()
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst"))).distinct().persist()
     val n = nodes.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-      val before = sc.getPersistentRDDs.keySet
-      val out = df.localCheckpoint()
-      (out, (sc.getPersistentRDDs.keySet -- before).toSet)
-    }
+    import graft.util.Caching.{checkpointTracked, releaseTracked}
     var (rank, rankIds) = checkpointTracked(
       nodes.select(col("v"), lit(1.0 / n).as("r")))
     for (_ <- 0 until iters) {
@@ -129,7 +119,7 @@ object Graph {
         nodes.join(contrib, Seq("v"), "left")
           .select(col("v"),
             (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("in"), lit(0.0))).as("r")))
-      rankIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      releaseTracked(rank, rankIds)
       rank = next
       rankIds = nextIds
     }
@@ -137,7 +127,7 @@ object Graph {
       rank.select(col("v"), round(col("r"), 6).as("rank")), e, nodes)
     // `out` is materialized: the final round's checkpoint blocks have no
     // remaining reader either
-    rankIds.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    releaseTracked(out, rankIds)
     out
   }
 }

@@ -283,11 +283,15 @@ object Similarity {
     * overwhelming probability.
     */
   private def spreadSeeds(corpus: DataFrame, k: Int, candidates: Int): Seq[Seq[Double]] = {
+    // distinct by VALUE: a pool dominated by exact-duplicate embeddings
+    // (precisely the dedup corpora this module serves) must not starve the
+    // selection loop — fewer distinct candidates than k simply yields fewer
+    // seeds, i.e. an effectively smaller k, which degenerate data deserves
     val cand = corpus
       .orderBy(md5(col("id").cast("string")), col("id"))
       .limit(candidates)
       .select(col("vec").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      .collect().map(_.getSeq[Double](0).toSeq).toSeq.distinct
     require(cand.nonEmpty, "cannot seed clustering from an empty corpus")
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0

@@ -319,6 +319,10 @@ object TextPipelines {
     val bucket = substring(md5(idCol.cast("string")), 1, 4)
     val cums = splits.init.scanLeft(0.0)(_ + _._2).tail
     val thresholds = cums.map(f => f"${math.floor(f * 65536).toLong}%04x")
+    // a fraction below the 16-bit bucket resolution would floor onto the
+    // previous threshold and silently leave its split EMPTY — refuse loudly
+    require(("0000" +: thresholds) == ("0000" +: thresholds).distinct,
+      s"split fractions below 1/65536 resolution collapse: $splits -> $thresholds")
     val assigned = splits.init.zip(thresholds).foldRight(lit(splits.last._1)) {
       case (((name, _), hexHi), rest) => when(bucket < lit(hexHi), name).otherwise(rest)
     }
@@ -389,8 +393,11 @@ object TextPipelines {
     * matter how many TB the corpus is. The pair count per round is a
     * map-side-combined aggregate; the merge rewrite is array-local per
     * word (an `aggregate` fold — interpreted, acceptable off the corpus
-    * hot path); `localCheckpoint` after each round keeps the plan flat
-    * instead of nesting one fold per merge. Ties break by
+    * hot path); tracked `localCheckpoint`s after each round keep the plan
+    * flat instead of nesting one fold per merge, and each superseded
+    * round's pinned blocks are released (plain `Dataset.unpersist` cannot
+    * see them — the [[graft.ops.Graph.connectedComponents]] lesson,
+    * shared via `Caching.checkpointTracked`). Ties break by
     * (count desc, left, right) — fully deterministic.
     *
     * @return one row per learned merge: (rank, left, right, pair_count)
@@ -402,14 +409,14 @@ object TextPipelines {
     require(nMerges >= 1, s"nMerges must be positive, got $nMerges")
     val spark = docs.sparkSession
     import spark.implicits._
+    import graft.util.Caching.{checkpointTracked, releaseTracked}
     graft.extensions.GraftExtensions.register(spark)
-    var vocab = docs
+    var (vocab, vocabIds) = checkpointTracked(docs
       .select(explode(graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol)))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       // split("") yields the word's characters (no empty edge tokens in
       // Spark 3+); single-char words simply never produce pairs
-      .select(split(col("w"), "").as("syms"), col("freq"))
-      .localCheckpoint()
+      .select(split(col("w"), "").as("syms"), col("freq")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
     for (rank <- 0 until nMerges if !exhausted) {
@@ -428,17 +435,17 @@ object TextPipelines {
         case None => exhausted = true // every word is a single symbol
         case Some((a, b, c)) =>
           merges += ((rank, a, b, c))
-          val prev = vocab
-          vocab = vocab.withColumn("syms",
+          val (next, nextIds) = checkpointTracked(vocab.withColumn("syms",
             aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
               when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
                 concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-                .otherwise(concat(acc, array(x)))))
-            .localCheckpoint()
-          prev.unpersist(blocking = false)
+                .otherwise(concat(acc, array(x))))))
+          releaseTracked(vocab, vocabIds)
+          vocab = next
+          vocabIds = nextIds
       }
     }
-    vocab.unpersist(blocking = false)
+    releaseTracked(vocab, vocabIds)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 }

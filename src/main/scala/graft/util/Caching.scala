@@ -24,4 +24,29 @@ object Caching {
   def materialize(result: DataFrame, cached: DataFrame*): DataFrame =
     try result.localCheckpoint(eager = true)
     finally cached.foreach(_.unpersist(blocking = false))
+
+  /** localCheckpoint a frame AND capture the ids of the RDD blocks it
+    * pinned, so an iterative operator can release a superseded round's
+    * blocks explicitly. `Dataset.unpersist` can NOT do this — the pinned
+    * RDD is internal to the Dataset, so unpersist on the frame is a no-op
+    * and every round would leak one checkpointed copy. The id capture
+    * diffs the context's persistent-RDD registry around the checkpoint;
+    * concurrent jobs persisting RDDs in the window would be captured too,
+    * so keep the call inside one logical owner (every current caller is a
+    * driver-side training/propagation loop).
+    */
+  def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+  }
+
+  /** Release blocks captured by [[checkpointTracked]] once no frame reads
+    * them anymore.
+    */
+  def releaseTracked(df: DataFrame, ids: Set[Int]): Unit = {
+    val sc = df.sparkSession.sparkContext
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+  }
 }

@@ -80,7 +80,7 @@ class SnapshotOccSpec extends SparkSpec {
 
     // the losing attempt's data files are unreferenced; retention deletes
     // them and afterwards every parquet on disk is manifest-listed
-    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0)
     assert(SnapshotTable.read(spark, dir).count() == 110L)
     val live = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
     val onDisk = {
@@ -153,6 +153,26 @@ class SnapshotOccSpec extends SparkSpec {
     assert(got.select("id").distinct().count() == 160L)
     val txn = SnapshotTable.currentManifest(spark, dir).get.txn.get
     assert(txn("occ-app") == 5L, s"stream watermark lost across compactions: $txn")
+  }
+
+  test("vacuum grace period protects an in-flight writer's fresh unreferenced files") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, df(0 until 50), dir)
+    SnapshotTable.append(spark, df(100 until 150), dir) // v2: v1's listing is now sharable history
+    // simulate a writer mid-commit: data files written, manifest not yet
+    // published — exactly what an abandoned exactly-once twin leaves too
+    val orphanDir = new java.io.File(dir, "c-inflight00001")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-00000-inflight.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // default grace: the fresh unreferenced file must SURVIVE retention
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    assert(orphan.exists, "vacuum deleted a fresh unreferenced file inside the grace period")
+    // aged past the grace: reclaimed
+    orphan.setLastModified(System.currentTimeMillis() - SnapshotTable.DefaultVacuumGraceMs - 60000)
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    assert(!orphan.exists, "vacuum must reclaim an unreferenced file older than the grace period")
+    assert(SnapshotTable.read(spark, dir).count() == 100L)
   }
 
   test("merge refuses a batch that silently changes a column's type") {

@@ -84,7 +84,7 @@ class SnapshotSpec extends SparkSpec {
     assert(nAfter < nBefore, s"compact must shrink files: $nBefore -> $nAfter")
     assert(SnapshotTable.read(spark, dir).orderBy("id").collect().toSeq == expected)
     // old files still on disk (readers of the old snapshot stay safe) until vacuum
-    val deleted = SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    val deleted = SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0)
     assert(deleted >= nBefore, s"vacuum must delete the $nBefore pre-compact files, deleted $deleted")
     assert(SnapshotTable.read(spark, dir).orderBy("id").collect().toSeq == expected,
       "current snapshot must survive vacuum untouched")
@@ -112,7 +112,7 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).filter(col("id") < 100)
       .agg(sum("v")).collect().head.getLong(0) == 7L * (9L * 10 / 2))
     // vacuum to 2 versions: v1 expires and now throws, v2/v3 still read
-    SnapshotTable.vacuum(spark, dir, keepVersions = 2)
+    SnapshotTable.vacuum(spark, dir, keepVersions = 2, minUnreferencedAgeMs = 0)
     assert(SnapshotTable.versions(spark, dir) == Seq(2L, 3L))
     intercept[IllegalStateException] { SnapshotTable.readVersion(spark, dir, 1) }
     assert(SnapshotTable.readVersion(spark, dir, 2).count() == 15L)
@@ -195,7 +195,7 @@ class SnapshotSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() == 30L,
       "uncommitted data must be invisible to readers")
     assert(SnapshotTable.currentManifest(spark, dir).get.version == 1L)
-    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0)
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/_log/manifest-zzz.tmp")),
       "vacuum must clear crash-leftover temp manifests")
     assert(SnapshotTable.read(spark, dir).count() == 30L)
@@ -276,7 +276,7 @@ class SnapshotSpec extends SparkSpec {
 
     // after vacuum retention drops v2/v3's extra files, rolling back to an
     // expired or file-less version refuses loudly
-    SnapshotTable.vacuum(spark, dir, keepVersions = 1)
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0)
     val e = intercept[IllegalStateException] {
       SnapshotTable.rollback(spark, dir, 3L)
     }
