@@ -1,0 +1,110 @@
+package graft.ops
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** TFRecord shard export — the last meter of a training-data pipeline: the
+  * placed corpus ([[Shards.deterministicShards]]) written as the
+  * length-prefixed record files trainers actually consume. Format per
+  * record (public TFRecord spec): `uint64 LE length`, masked CRC32C of the
+  * length bytes, payload, masked CRC32C of the payload, with
+  * `mask(c) = ((c >>> 15) | (c << 17)) + 0xa282ead8`. The JDK ships CRC32C
+  * (java.util.zip.CRC32C), so the framing is dependency-free.
+  *
+  * Scale shape: `repartition(shard)` hash-routes every row of a shard to
+  * ONE task (whole shards per partition by construction), rows stream to
+  * the file in pos order — no shard is ever materialized in memory, and a
+  * task retry rewrites its shard files from scratch (create-overwrite), so
+  * the output is idempotent. Files are byte-identical across re-runs
+  * because placement, order, and framing are all deterministic.
+  */
+object TfRecord {
+
+  private val MaskDelta = 0xa282ead8L
+
+  private[graft] def maskedCrc(bytes: Array[Byte]): Int = {
+    val crc = new java.util.zip.CRC32C()
+    crc.update(bytes)
+    val rotated = ((crc.getValue >>> 15) | (crc.getValue << 17)) & 0xFFFFFFFFL
+    ((rotated + MaskDelta) & 0xFFFFFFFFL).toInt
+  }
+
+  /** One framed record: length, masked len-CRC, payload, masked data-CRC. */
+  private[graft] def frame(payload: Array[Byte]): Array[Byte] = {
+    val lenBytes = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      .putLong(payload.length.toLong).array()
+    val bb = ByteBuffer.allocate(8 + 4 + payload.length + 4)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(lenBytes)
+    bb.putInt(maskedCrc(lenBytes))
+    bb.put(payload)
+    bb.putInt(maskedCrc(payload))
+    bb.array()
+  }
+
+  /** Write (shard, pos, payload) rows as `shard-%05d.tfrecord` files under
+    * `outDir`. Positions must be dense from 0 within each shard (exactly
+    * what [[Shards.deterministicShards]] emits) — a gap means rows were
+    * lost upstream and the export refuses rather than silently misalign a
+    * training order. Returns the number of shards written.
+    */
+  def writeShards(
+      placed: DataFrame, // (shard, pos, payload binary)
+      outDir: String,
+      payloadCol: String = "payload",
+      shardCol: String = "shard",
+      posCol: String = "pos"): Int = {
+    val spark = placed.sparkSession
+    import spark.implicits._
+    val rows = placed
+      .select(col(shardCol).cast("int").as("shard"),
+        col(posCol).cast("long").as("pos"),
+        col(payloadCol).cast("binary").as("payload"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .as[(Int, Long, Array[Byte])]
+    rows.foreachPartition { it: Iterator[(Int, Long, Array[Byte])] =>
+      // executor-side Hadoop conf from the classpath: file:// locally,
+      // cluster defaults from core-site on a real deployment
+      val fsConf = new org.apache.hadoop.conf.Configuration()
+      var cur: Option[(Int, java.io.OutputStream)] = None
+      var expectedPos = 0L
+      it.foreach { case (shard, pos, payload) =>
+        if (!cur.exists(_._1 == shard)) {
+          cur.foreach(_._2.close())
+          val p = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tfrecord")
+          cur = Some((shard, p.getFileSystem(fsConf).create(p, true)))
+          expectedPos = 0L
+        }
+        require(pos == expectedPos,
+          s"shard $shard: positions not dense at $pos (expected $expectedPos) — rows lost upstream")
+        expectedPos += 1
+        cur.get._2.write(frame(payload))
+      }
+      cur.foreach(_._2.close())
+    }
+    placed.select(col(shardCol)).distinct().count().toInt
+  }
+
+  /** Driver-side reader for verification: parse one .tfrecord file,
+    * CHECKING both CRCs per record. The spec's roundtrip oracle.
+    */
+  private[graft] def readFile(path: java.nio.file.Path): Seq[Array[Byte]] = {
+    val bytes = java.nio.file.Files.readAllBytes(path)
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (bb.remaining() > 0) {
+      val lenBytes = new Array[Byte](8)
+      bb.get(lenBytes)
+      val len = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getLong.toInt
+      require(bb.getInt == maskedCrc(lenBytes), s"$path: length CRC mismatch at record ${out.size}")
+      val payload = new Array[Byte](len)
+      bb.get(payload)
+      require(bb.getInt == maskedCrc(payload), s"$path: data CRC mismatch at record ${out.size}")
+      out += payload
+    }
+    out.toSeq
+  }
+}

@@ -49,4 +49,43 @@ class ShardsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(a != c, "a different seed must reshuffle the corpus")
   }
+
+  test("TFRecord export: CRC-checked roundtrip in placement order, byte-identical re-runs") {
+    import graft.ops.TfRecord
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val placed = Shards.deterministicShards(docs, seed = 7L, shardSize = 64L)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select(col("shard"), col("pos"), col("text").cast("binary").as("payload"))
+    val out1 = java.nio.file.Files.createTempDirectory("graft-tfr1")
+    val nShards = TfRecord.writeShards(placed, out1.toString)
+    assert(nShards == math.ceil(200.0 / 64).toInt)
+
+    // roundtrip through the CRC-checking reader: concatenated shards in
+    // order must replay the exact placement order
+    val expect = Shards.deterministicShards(docs, seed = 7L, shardSize = 64L)
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .orderBy("shard", "pos").select("text").as[String].collect().toSeq
+    val files = (0 until nShards).map(i => out1.resolve(f"shard-$i%05d.tfrecord"))
+    files.foreach(f => assert(java.nio.file.Files.exists(f), s"missing $f"))
+    val got = files.flatMap(f => TfRecord.readFile(f)).map(new String(_, "UTF-8"))
+    assert(got == expect, "replayed payload order diverges from the placement order")
+    // every shard but the last is exactly full
+    files.init.foreach(f => assert(TfRecord.readFile(f).size == 64))
+
+    // re-export → byte-identical files (the resume/audit contract)
+    val out2 = java.nio.file.Files.createTempDirectory("graft-tfr2")
+    TfRecord.writeShards(placed, out2.toString)
+    files.indices.foreach { i =>
+      val a = java.nio.file.Files.readAllBytes(out1.resolve(f"shard-$i%05d.tfrecord"))
+      val b = java.nio.file.Files.readAllBytes(out2.resolve(f"shard-$i%05d.tfrecord"))
+      assert(java.util.Arrays.equals(a, b), s"shard $i differs across re-runs")
+    }
+
+    // a gap in positions is refused, not silently misaligned
+    val gappy = placed.filter(!(col("shard") === 0 && col("pos") === 3))
+    val e = intercept[org.apache.spark.SparkException] {
+      TfRecord.writeShards(gappy, java.nio.file.Files.createTempDirectory("graft-tfr3").toString)
+    }
+    assert(e.getMessage != null)
+  }
 }
