@@ -448,4 +448,40 @@ object TextPipelines {
     releaseTracked(vocab, vocabIds)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
+
+  /** Apply learned BPE merges ([[trainBpeMerges]]' output, rank order —
+    * Sennrich's apply discipline) and return each document's BPE token
+    * count — the real sequence-length signal packing and pricing need,
+    * where the whitespace-token count is only a proxy.
+    *
+    * Scale shape: segmentation runs on the DISTINCT-WORD dict (the same
+    * vocab-bounded frame training used — each merge is one array-local
+    * fold over dict rows, never the corpus); the corpus then joins its
+    * exploded words against the dict's per-word piece counts — exchanges
+    * carry (word, count), and unseen-at-training words still segment
+    * correctly because merges apply to any character sequence.
+    */
+  def bpeTokenCounts(
+      docs: DataFrame,
+      merges: Seq[(String, String)],
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+    val words = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol)))).as("w"))
+    val segmented = merges.foldLeft(
+      words.select(col("w")).distinct().withColumn("syms", split(col("w"), ""))) {
+      case (d, (a, b)) =>
+        d.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+    }.select(col("w"), size(col("syms")).as("pieces"))
+    words.join(segmented, "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_bpe_tokens"))
+  }
 }

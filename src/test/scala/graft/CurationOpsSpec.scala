@@ -118,6 +118,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(TextPipelines.trainBpeMerges(tiny, nMerges = 5).count() == 0)
   }
 
+  test("bpeTokenCounts: learned merges segment seen AND unseen words correctly") {
+    // merges learned from the textbook corpus: (u g), (u n), (h ug) →
+    // hug=[hug]=1, pug=[p ug]=2, pun=[p un]=2, bun=[b un]=2, hugs=[hug s]=2,
+    // and the UNSEEN word dug=[d ug]=2 (merges apply to any char sequence)
+    val merges = Seq(("u", "g"), ("u", "n"), ("h", "ug"))
+    val docs = Seq(
+      (1L, "hug pug pun"), // 1+2+2 = 5 pieces over 3 words
+      (2L, "bun hugs dug")) // 2+2+2 = 6 pieces over 3 words
+      .toDF("doc_id", "text")
+    val got = TextPipelines.bpeTokenCounts(docs, merges)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 5L), (2L, 3L, 6L)), s"BPE counts wrong: $got")
+  }
+
   test("clusterBalancedSample: at most perCluster ids per cluster, deterministic") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
