@@ -1405,6 +1405,22 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- correlated LATERAL subquery (Snowflake/pg LATERAL, Spark 3.4+
+    // lateral join): per-nation top-2 customers through the SQL surface —
+    // Catalyst decorrelates the ordered-limit subquery; same total-order
+    // tie-break on both engines ----
+    "q119_lateral_topk" -> ((s, dir) => {
+      Tables.nation(s, dir).createOrReplaceTempView("nation")
+      Tables.customer(s, dir).createOrReplaceTempView("customer")
+      s.sql("""
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")
     })
   )
 
@@ -1510,6 +1526,14 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE l_orderkey % 5 <= 2
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q119_lateral_topk" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_name, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
     "q01_kpi_topk_spend" ->
       """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
         |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
