@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * both break it); the order key here is md5(id || '-' || seed), which any
   * engine reproduces byte-for-byte and is as shuffled as a training order
   * needs to be. Reference scope: the reference ETL materializes ordered
-  * extracts (`scripts/extract_oracle.py:31-38` writes keyed CSV batches);
+  * extracts (`scripts/oracle_to_snowflake.py:32-36` materializes the full ordered extract);
   * fixed-size shard placement is the training-pipeline extension of that.
   */
 object Shards {
