@@ -44,9 +44,13 @@ import graft.ingest.IncrementalLoader
   * when the two commits are disjoint: appends always rebase (their new
   * files conflict with nothing), snapshot rewrites (merge / compact /
   * delete / update) rebase over concurrent appends but CONFLICT when the
-  * winner removed a file whose content flowed into their output — those
-  * re-run the whole operation against the new snapshot (bounded retries),
-  * which is full serializability, the same discipline as Delta's OCC.
+  * winner removed a file whose content flowed into their output — and a
+  * keyed [[merge]] additionally conflicts when the winner ADDED files
+  * intersecting the batch's dt range (a winner merge may have upserted the
+  * same keys; rebasing would duplicate them — Delta's
+  * ConcurrentAppendException discipline). Conflicted ops re-run against
+  * the new snapshot (bounded retries), which is full serializability, the
+  * same discipline as Delta's OCC.
   * Data files written by an abandoned attempt are unreferenced and
   * reclaimed by [[vacuum]].
   *
@@ -488,7 +492,26 @@ object SnapshotTable {
           mergeSchemas(priorSchema(spark, dir, Some(m)), out.schema)
           val entries = writeData(spark, out, dir)
           val removed = rewrite.map(_.path).toSet
+          val basePaths = m.entries.map(_.path).toSet
           commitLoop(spark, dir) { cur =>
+            // The stale-read check below only catches winners that REMOVED a
+            // file this merge read. A winner that only ADDED files holding
+            // the batch's dt range may have upserted the same keys (two
+            // merges into a dt no existing file covers both compute an
+            // empty rewrite set) — rebasing over it would commit duplicate
+            // keys, equivalent to NO serial order. Same discipline as
+            // Delta's ConcurrentAppendException: conflict on concurrently
+            // added files intersecting this txn's read predicate, re-run.
+            val addedSince = cur.map(_.entries).getOrElse(Seq.empty)
+              .filterNot(e => basePaths.contains(e.path))
+            val overlap = addedSince.filter(e => (e.minDt, e.maxDt) match {
+              case (Some(mn), Some(mx)) => touched.exists(d => mn <= d && d <= mx)
+              case _ => true // no stats → conservatively a conflict
+            })
+            if (overlap.nonEmpty) throw new SnapshotConflictException(
+              s"concurrent commit at $dir added ${overlap.length} file(s) intersecting this " +
+                s"merge's dt range (e.g. ${overlap.take(3).map(_.path).mkString(", ")}); " +
+                "re-running the merge against the new snapshot")
             val merged = mergeSchemas(priorSchema(spark, dir, cur), out.schema)
             Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
               txnOf(cur), Some(merged.toDDL)))

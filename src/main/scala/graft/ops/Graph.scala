@@ -43,9 +43,9 @@ object Graph {
     //
     // The RDD a Dataset.localCheckpoint pins is internal to the Dataset, so
     // to release a superseded round's blocks (memory stays O(1) in rounds,
-    // not O(diameter)) each checkpoint diffs the context's persistent-RDD
-    // registry around its creation (graft.util.Caching.checkpointTracked)
-    // and unpersists those ids once the next round no longer reads them.
+    // not O(diameter)) each checkpoint reads the pinned RDD's id off the
+    // checkpointed plan (graft.util.Caching.checkpointTracked) and
+    // unpersists it once the next round no longer reads it.
     import graft.util.Caching.{checkpointTracked, releaseTracked}
     var (labels, labelIds) = checkpointTracked(
       sym.select(col("src").as("id")).distinct()

@@ -15,10 +15,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: `repartition(shard)` hash-routes every row of a shard to
   * ONE task (whole shards per partition by construction), rows stream to
-  * the file in pos order — no shard is ever materialized in memory, and a
-  * task retry rewrites its shard files from scratch (create-overwrite), so
-  * the output is idempotent. Files are byte-identical across re-runs
-  * because placement, order, and framing are all deterministic.
+  * the file in pos order — no shard is ever materialized in memory. Output
+  * commit: each task writes to an attempt-unique temp path under `_tmp/`
+  * and RENAMES into place only when the shard is complete, so a zombie or
+  * speculative attempt racing its retry can never interleave bytes into
+  * the destination, and a mid-job failure leaves only `_tmp/` debris —
+  * never a truncated file that looks complete. Placement, order, and
+  * framing are deterministic, so racing attempts produce byte-identical
+  * files and either rename winner is correct.
   */
 object TfRecord {
 
@@ -69,22 +73,40 @@ object TfRecord {
       // executor-side Hadoop conf from the classpath: file:// locally,
       // cluster defaults from core-site on a real deployment
       val fsConf = new org.apache.hadoop.conf.Configuration()
-      var cur: Option[(Int, java.io.OutputStream)] = None
+      val attemptId = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      var cur: Option[(Int, org.apache.hadoop.fs.Path, java.io.OutputStream)] = None
       var expectedPos = 0L
+      // complete shard → close the temp file and rename it into place; the
+      // rename is the single visibility point, so readers (and a racing
+      // attempt's winner) only ever see whole shards
+      def commitShard(shard: Int, tmp: org.apache.hadoop.fs.Path,
+          out: java.io.OutputStream): Unit = {
+        out.close()
+        val fs = tmp.getFileSystem(fsConf)
+        val dest = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tfrecord")
+        if (fs.exists(dest)) fs.delete(dest, false) // re-run: identical bytes, any winner fine
+        require(fs.rename(tmp, dest), s"tfrecord export: rename $tmp -> $dest failed")
+      }
       it.foreach { case (shard, pos, payload) =>
         if (!cur.exists(_._1 == shard)) {
-          cur.foreach(_._2.close())
-          val p = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tfrecord")
-          cur = Some((shard, p.getFileSystem(fsConf).create(p, true)))
+          cur.foreach { case (s, t, o) => commitShard(s, t, o) }
+          val tmp = new org.apache.hadoop.fs.Path(outDir,
+            f"_tmp/shard-$shard%05d.tfrecord.attempt-$attemptId")
+          cur = Some((shard, tmp, tmp.getFileSystem(fsConf).create(tmp, true)))
           expectedPos = 0L
         }
         require(pos == expectedPos,
           s"shard $shard: positions not dense at $pos (expected $expectedPos) — rows lost upstream")
         expectedPos += 1
-        cur.get._2.write(frame(payload))
+        cur.get._3.write(frame(payload))
       }
-      cur.foreach(_._2.close())
+      cur.foreach { case (s, t, o) => commitShard(s, t, o) }
     }
+    // all tasks committed: clear attempt debris (failed/zombie temp files)
+    val tmpDir = new org.apache.hadoop.fs.Path(outDir, "_tmp")
+    val fs = tmpDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
     placed.select(col(shardCol)).distinct().count().toInt
   }
 

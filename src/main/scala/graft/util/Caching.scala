@@ -25,21 +25,25 @@ object Caching {
     try result.localCheckpoint(eager = true)
     finally cached.foreach(_.unpersist(blocking = false))
 
-  /** localCheckpoint a frame AND capture the ids of the RDD blocks it
-    * pinned, so an iterative operator can release a superseded round's
-    * blocks explicitly. `Dataset.unpersist` can NOT do this — the pinned
-    * RDD is internal to the Dataset, so unpersist on the frame is a no-op
-    * and every round would leak one checkpointed copy. The id capture
-    * diffs the context's persistent-RDD registry around the checkpoint;
-    * concurrent jobs persisting RDDs in the window would be captured too,
-    * so keep the call inside one logical owner (every current caller is a
-    * driver-side training/propagation loop).
+  /** localCheckpoint a frame AND capture the id of the RDD it pinned, so an
+    * iterative operator can release a superseded round's blocks explicitly.
+    * `Dataset.unpersist` can NOT do this — the pinned RDD is internal to
+    * the Dataset, so unpersist on the frame is a no-op and every round
+    * would leak one checkpointed copy. The pinned RDD is identified
+    * DIRECTLY off the checkpointed Dataset's plan (its `LogicalRDD` wraps
+    * exactly the persisted RDD) — not by diffing the context-global
+    * persistent-RDD registry, which under concurrent driver threads (two
+    * iterative loops at once, a mode the OCC layer supports) captures the
+    * OTHER loop's ids and lets releaseTracked unpersist a checkpointed RDD
+    * whose truncated lineage makes it unrecomputable.
     */
   def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    (out, (sc.getPersistentRDDs.keySet -- before).toSet)
+    val ids = org.apache.spark.sql.graftbridge.Bridge.checkpointedRddId(out).toSet
+    // a miss means the plan shape changed under us: fail loudly rather than
+    // silently leak one pinned copy per loop round
+    require(ids.nonEmpty, "checkpointTracked: checkpointed plan exposed no LogicalRDD")
+    (out, ids)
   }
 
   /** Release blocks captured by [[checkpointTracked]] once no frame reads

@@ -30,4 +30,17 @@ object Bridge {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter => Some(f.condition)
       case _ => None
     }
+
+  /** The id of the RDD a `localCheckpoint()`ed Dataset pins: its analyzed
+    * plan is a `LogicalRDD` wrapping exactly the persisted internal RDD.
+    * Reading it off the plan identifies the pinned blocks WITHOUT diffing
+    * the context-global persistent-RDD registry — two iterative loops
+    * checkpointing concurrently can never capture (and later unpersist)
+    * each other's blocks.
+    */
+  def checkpointedRddId(df: DataFrame): Option[Int] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
+      case _ => None
+    }
 }

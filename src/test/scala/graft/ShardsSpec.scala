@@ -69,6 +69,9 @@ class ShardsSpec extends SparkSpec {
     files.foreach(f => assert(java.nio.file.Files.exists(f), s"missing $f"))
     val got = files.flatMap(f => TfRecord.readFile(f)).map(new String(_, "UTF-8"))
     assert(got == expect, "replayed payload order diverges from the placement order")
+    // temp-then-rename commit: no attempt debris survives a clean export
+    assert(!java.nio.file.Files.exists(out1.resolve("_tmp")),
+      "export left _tmp attempt files behind")
     // every shard but the last is exactly full
     files.init.foreach(f => assert(TfRecord.readFile(f).size == 64))
 

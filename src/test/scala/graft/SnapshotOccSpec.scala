@@ -130,6 +130,29 @@ class SnapshotOccSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, dir).last == v0 + 2, "each merge must commit a version")
   }
 
+  test("merges into an uncovered dt range conflict rather than duplicate keys") {
+    val dir = tmpTable()
+    SnapshotTable.write(spark, df(0 until 50), dir) // dts 2024-01-01..05
+    // both batches upsert the SAME (id, dt) keys into a dt no existing file
+    // covers: each computes an EMPTY rewrite set, so the stale-read check
+    // never fires — only the added-files conflict check stands between them
+    // and committing the same keys twice
+    def batch(tag: Long) = (1000 until 1010).toDF("id").select(
+      col("id").cast("long").as("id"),
+      to_date(lit("2025-06-01")).as("dt"),
+      lit(tag).as("v"))
+    inRacingThreads(Seq(1L, 2L)) { tag =>
+      SnapshotTable.merge(spark, batch(tag), dir, keys = Seq("id", "dt"))
+    }
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 60L, "concurrent merges into an uncovered dt duplicated keys")
+    assert(got.select("id", "dt").distinct().count() == 60L)
+    // the loser re-ran its upsert OVER the winner: one serial order's values
+    val vs = got.filter(col("id") >= 1000).select("v").as[Long].collect().toSet
+    assert(vs == Set(1L) || vs == Set(2L),
+      s"merged values must reflect one serial order, got $vs")
+  }
+
   test("exactly-once stream appends race a compactor: every batch lands once, markers survive") {
     val dir = tmpTable()
     SnapshotTable.write(spark, df(0 until 100), dir)
