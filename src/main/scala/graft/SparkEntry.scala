@@ -1337,25 +1337,32 @@ object SparkEntry {
       graft.text.TextPipelines.pmiCollocations(Tables.documents(s, dir),
         minCount = 5, topN = 30)),
 
-    // ---- k-means clustering of the embedding corpus (deterministic Lloyd
-    // fit, spherical assignment): per-cluster sizes. No SQL oracle — the
-    // iterative fit isn't SQL-expressible; correctness is spec-gated by
-    // planted-cluster recovery (SimilaritySpec) ----
-    "q114_kmeans" -> ((s, dir) => {
+    // ---- k-means ASSIGNMENT, the deterministic half of clustering: every
+    // embedding to its nearest of 4 fixed centroids (spherical argmax,
+    // ties to the higher cid), per-cluster sizes + min/max cosine. The
+    // centroids are integer-arithmetic constants both engines spell
+    // identically (the q116 trick), so this half is hash-gated; the
+    // iterative Lloyd FIT stays spec-gated by planted-cluster recovery
+    // (SimilaritySpec/CurationOpsSpec) ----
+    "q114_kmeans_assign" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-        .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      graft.similarity.Similarity.clusterEmbeddings(e, dim = 64, k = 8, iters = 3)
-        .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      graft.similarity.Similarity.assignEmbeddings(e, KmeansCentroids)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("score")), 6).as("lo"), round(max(col("score")), 6).as("hi"))
         .orderBy(col("cluster"))
     }),
 
-    // ---- BPE tokenizer-vocabulary training (Sennrich 2016): ten merge
-    // rounds over the corpus's word-frequency dict — vocab-bounded per
-    // round no matter the corpus size. No SQL oracle (iterative); the
-    // textbook merge sequence is spec-gated (CurationOpsSpec) ----
-    "q115_bpe_merges" -> ((s, dir) =>
-      graft.text.TextPipelines.trainBpeMerges(Tables.documents(s, dir), nMerges = 10)
-        .orderBy(col("rank"))),
+    // ---- BPE APPLY, the deterministic half of tokenization: segment every
+    // document's words with a FIXED merge table (rank order, Sennrich's
+    // apply discipline) and count pieces per document. Hash-gated against
+    // a DuckDB oracle that replays the exact left-fold per merge as
+    // unrolled recursive CTEs; the iterative merge TRAINING stays
+    // spec-gated by the textbook walkthrough (CurationOpsSpec) ----
+    "q115_bpe_apply" -> ((s, dir) =>
+      graft.text.TextPipelines.bpeTokenCounts(Tables.documents(s, dir), BpeFixedMerges)
+        .orderBy(col("doc_id"))),
 
     // ---- PageRank centrality, 5 fixed power iterations over an
     // orders-derived topology — fixed iteration count is what makes the
@@ -1474,6 +1481,80 @@ object SparkEntry {
       |SELECT query_id, rank, neighbor_id, score FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** q114's fixed centroids: 4 × 64 constants from integer arithmetic and
+    * one division — `((c·31 + j·17) mod 13 − 6) / 6.0` — which Scala and
+    * DuckDB evaluate to bit-identical IEEE doubles. Fixing the centroids is
+    * what makes the assignment half of k-means SQL-expressible; the Lloyd
+    * fit (which would have to reproduce cross-engine float summation order)
+    * stays spec-gated.
+    */
+  private val KmeansCentroids: Seq[Seq[Double]] =
+    (0 until 4).map(c => (0 until 64).map(j => ((c * 31 + j * 17) % 13 - 6).toDouble / 6.0))
+
+  /** q115's fixed merge table, rank order. Later merges consume earlier
+    * merges' output symbols ("th"+"e") — the sequencing the oracle must
+    * replay exactly.
+    */
+  private val BpeFixedMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "e" -> "r", "a" -> "n",
+    "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n", "o" -> "r")
+
+  /** q114's oracle: the same centroid constants generated by the same
+    * integer arithmetic, brute-force cosine argmax (ties to higher cid,
+    * matching the engine's max-struct ordering), per-cluster rollup.
+    */
+  private def kmeansAssignOracle(centroids: Seq[Seq[Double]]): String = {
+    val k = centroids.length
+    val dim = centroids.head.length
+    s"""WITH cents AS (
+      |  SELECT CAST(c AS INT) AS c,
+      |    list_transform(generate_series(0, ${dim - 1}),
+      |      j -> CAST((c*31 + j*17) % 13 - 6 AS DOUBLE) / 6.0) AS cvec
+      |  FROM (SELECT UNNEST(generate_series(0, ${k - 1})) AS c)),
+      |scored AS (
+      |  SELECT e.vec_id, c.c,
+      |    list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) AS s
+      |  FROM embeddings e CROSS JOIN cents c),
+      |best AS (
+      |  SELECT vec_id, c, s,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+      |  FROM scored)
+      |SELECT c AS cluster, COUNT(*) AS n, ROUND(MIN(s), 6) AS lo, ROUND(MAX(s), 6) AS hi
+      |FROM best WHERE rn = 1 GROUP BY c ORDER BY c""".stripMargin
+  }
+
+  /** q115's oracle: one recursive CTE per merge replaying EXACTLY the
+    * engine's per-word left fold (merge the current symbol into the
+    * accumulator's tail when (tail, current) = (left, right)). Built by a
+    * loop over the same merge table the Spark side applies, so table and
+    * unroll can never drift. A greedy string-replace formulation is NOT
+    * equivalent (repeated-symbol runs share delimiters across occurrences
+    * and converge to a different segmentation) — the fold must be literal.
+    */
+  private def bpeApplyOracle(merges: Seq[(String, String)]): String = {
+    def q(s: String) = s.replace("'", "''")
+    val folds = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"""f$i AS (
+        |  SELECT w, syms AS rest, CAST([] AS VARCHAR[]) AS acc FROM in$i
+        |  UNION ALL
+        |  SELECT w, rest[2:],
+        |    CASE WHEN len(acc) > 0 AND acc[len(acc)] = '${q(a)}' AND rest[1] = '${q(b)}'
+        |      THEN list_append(acc[1:len(acc)-1], '${q(a + b)}')
+        |      ELSE list_append(acc, rest[1]) END
+        |  FROM f$i WHERE len(rest) > 0),
+        |in${i + 1} AS (SELECT w, acc AS syms FROM f$i WHERE len(rest) = 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+      |words AS (SELECT doc_id, UNNEST($ToksCte) AS w
+      |  FROM (SELECT doc_id, LOWER(text) AS text FROM documents)),
+      |dict AS (SELECT DISTINCT w FROM words),
+      |in0 AS (SELECT w, string_split(w, '') AS syms FROM dict),
+      |$folds,
+      |seg AS (SELECT w, CAST(len(syms) AS INT) AS pieces FROM in${merges.length})
+      |SELECT doc_id, COUNT(*) AS n_words, CAST(SUM(pieces) AS BIGINT) AS n_bpe_tokens
+      |FROM words JOIN seg USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** q116's oracle: the same fixed-point-free PageRank recurrence unrolled
     * as one CTE per iteration. Built by a loop so the Spark iteration count
     * and the SQL unroll depth can never drift apart. Constants are spelled
@@ -1504,6 +1585,8 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "q114_kmeans_assign" -> kmeansAssignOracle(KmeansCentroids),
+    "q115_bpe_apply" -> bpeApplyOracle(BpeFixedMerges),
     "q116_pagerank" -> pageRankOracle(5),
 
     "q117_window_stats" ->

@@ -108,18 +108,30 @@ object Similarity {
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "cvec")
   }
 
-  /** (id, cell) nearest-centroid assignment: max (score, cid) struct per id —
-    * struct ordering is lexicographic, so ties deterministically pick the
-    * larger cid (same tie-break as the literal array_max formulation).
+  /** Spherical nearest-centroid assignment of every corpus vector, keeping
+    * the winning cosine: (id, cluster, score). Max (score, cid) struct per
+    * id — struct ordering is lexicographic, so ties deterministically pick
+    * the larger cid (same tie-break as the literal array_max formulation).
+    * This is the deterministic half of k-means, exposed on its own so a
+    * fixed-centroid assignment is oracle-checkable end to end (the
+    * iterative fit stays spec-gated by planted-cluster recovery).
     */
-  private def assignCells(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
+  def assignEmbeddings(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame = {
     val spark = corpus.sparkSession
     corpus.crossJoin(broadcast(centroidFrame(spark, centroids)))
       .select(col("id"),
         struct(nativeCosine(spark, col("vec"), col("cvec")).as("s"), col("cid").as("i")).as("sc"))
       .groupBy(col("id"))
-      .agg(max(col("sc")).getField("i").as("cell"))
+      .agg(max(col("sc")).as("m"))
+      .select(col("id"), col("m").getField("i").as("cluster"), col("m").getField("s").as("score"))
   }
+
+  /** (id, cell) nearest-centroid assignment ([[assignEmbeddings]] without
+    * the score) — the fit's per-round assignment step.
+    */
+  private def assignCells(corpus: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    assignEmbeddings(corpus, centroids)
+      .select(col("id"), col("cluster").as("cell"))
 
   /** Deterministic k-means-lite coarse quantizer: seeds = the nlist
     * lowest-id corpus vectors, then `iters` Lloyd rounds (assignment on

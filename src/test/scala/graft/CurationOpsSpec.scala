@@ -9,7 +9,7 @@ import graft.text.TextPipelines
   * splits, collocations, and k-means clustering. Each oracle-gated query
   * (q109–q113) has its engine-parity checked by the DuckDB gate; these
   * specs pin the SEMANTICS on hand-computable fixtures — including the
-  * planted-cluster recovery that stands in for q114's missing SQL oracle.
+  * planted-cluster recovery that gates the iterative k-means FIT (q114 hash-gates the assignment half).
   */
 class CurationOpsSpec extends SparkSpec {
   import spark.implicits._
