@@ -34,6 +34,18 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", adaptive.toString)
       .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
+      // INT64 micros, not the deprecated INT96: INT96 carries no usable
+      // footer statistics, and the snapshot layer's per-file pruning
+      // bounds come straight from footers (FooterStats)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // committer v2: task outputs move straight to the destination at task
+      // commit instead of a second job-commit rename pass. v2's weaker
+      // failure story (partial task files visible on job abort) is masked
+      // for every mutating sink in this engine — SnapshotTable writes land
+      // in a private c-<uuid> dir that no reader resolves until the
+      // manifest rename publishes it, and vacuum reclaims abandoned files
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
       .config("spark.ui.enabled", "false")
     warehouseDir.foreach(d => b.config("spark.sql.warehouse.dir", d))
     val spark = b.getOrCreate()

@@ -23,8 +23,20 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val res = fn(spark, sfDir)
+        // dump LTZ timestamps as NTZ: the session is UTC, so values are
+        // identical, but the INT64-micros writer (Sessions pins it for
+        // footer stats) annotates LTZ columns isAdjustedToUTC=true and
+        // DuckDB would read them as TIMESTAMPTZ ('+00:00' suffix) while
+        // the oracle SQL yields naive timestamps — a representation skew,
+        // not a value difference
+        val dump = res.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+        }.foldLeft(res)((d, c) =>
+          d.withColumn(c, org.apache.spark.sql.functions.col(s"`$c`").cast("timestamp_ntz")))
+        dump.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -81,6 +81,10 @@ object FileStats {
   private def litKey(kind: String, l: Literal): Option[String] = {
     if (l.value == null) return None
     (kind, l.dataType) match {
+      // a NaN literal compares false against any real bound, which would
+      // wrongly prune files that DO hold NaN rows (bounds never cover NaN:
+      // parquet footers exclude it, and a footer collector can't see it)
+      case ("num", FloatType | DoubleType) if l.value.toString == "NaN" => None
       case ("num", _: NumericType) => Some(l.value.toString)
       case ("num", BooleanType) => Some(if (l.value == true) "1" else "0")
       case ("num", TimestampType | TimestampNTZType) => Some(l.value.toString) // micros

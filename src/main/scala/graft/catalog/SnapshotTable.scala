@@ -440,9 +440,11 @@ object SnapshotTable {
     require(fromVersion < toVersion,
       s"need fromVersion < toVersion, got $fromVersion >= $toVersion")
     val fs = fsFor(spark, dir)
+    // one log listing serves both endpoints — never a listing per version
+    val byVersion = manifestVersions(fs, dir).toMap
     def manifestAt(v: Long): Option[Manifest] =
       if (v == 0L) None
-      else Some(manifestVersions(fs, dir).collectFirst { case (mv, p) if mv == v => readManifest(fs, p) }
+      else Some(byVersion.get(v).map(readManifest(fs, _))
         .getOrElse(throw new IllegalStateException(
           s"version $v not available at $dir (never committed, or expired by vacuum)")))
     val before = manifestAt(fromVersion).map(_.entries).getOrElse(Seq.empty).map(_.path).toSet
@@ -615,8 +617,10 @@ object SnapshotTable {
   }
 
   /** Write `df` into a fresh per-commit subdirectory and return its file
-    * entries with row counts and dt stats (one scan over just the new
-    * files). Files are invisible to every reader until a manifest that
+    * entries with row counts and per-column stats read from the parquet
+    * FOOTERS ([[FooterStats]]) — no second scan over data just written; a
+    * commit's stats cost is O(files) footer reads regardless of file
+    * sizes. Files are invisible to every reader until a manifest that
     * lists them is committed.
     */
   private def writeData(spark: SparkSession, df: DataFrame, dir: String): Seq[FileEntry] = {
@@ -627,35 +631,31 @@ object SnapshotTable {
     val files = fs.listStatus(commitDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     if (files.isEmpty) return Seq.empty
-    val written = spark.read.parquet(commitDir.toString)
-    // one grouped scan over just the new files gathers rows + min/max/nulls
-    // for every stat-eligible column — the same pass that used to collect
-    // only the dt pair (which now derives from the general stats)
-    val statFields = written.schema.fields
-      .filter(f => FileStats.eligible(f.dataType)).take(FileStats.MaxStatCols)
-    val aggs = count(lit(1)).as("__rows") +: statFields.flatMap(FileStats.aggsFor).toSeq
-    val perFile = written.groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*).collect()
-      .map { r =>
-        val name = r.getString(0).split('/').last
-        val colStats = statFields.map { f =>
-          val kind = FileStats.kindOf(f.dataType)
-          val lo = Option(r.getAs[String](s"__lo_${f.name}")).map(FileStats.truncLo)
-          val hi = Option(r.getAs[String](s"__hi_${f.name}")).map(FileStats.truncHi)
-          f.name -> FileStats.ColStat(kind, lo, hi, r.getAs[Long](s"__nulls_${f.name}"))
-        }.toMap
-        name -> (r.getAs[Long]("__rows"), colStats)
-      }.toMap
-    // empty part files (0 rows) carry nothing a snapshot needs: leave them
-    // unlisted and let vacuum collect them
-    files.toSeq.flatMap { st =>
-      perFile.get(st.getPath.getName).map { case (rows, colStats) =>
-        val dt = colStats.get("dt").filter(_.kind == "str")
-        FileEntry(s"$commitName/${st.getPath.getName}", rows, st.getLen,
-          dt.flatMap(_.lo), dt.flatMap(_.hi),
-          if (colStats.isEmpty) None else Some(colStats))
+    val statFields = df.schema.fields
+      .filter(f => FileStats.eligible(f.dataType)).take(FileStats.MaxStatCols).toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    // footer reads are independent metadata fetches: overlap them (matters
+    // on object stores where each is a round trip, harmless locally)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.length))
+    try {
+      val futures = files.toSeq.map { st =>
+        pool.submit(new java.util.concurrent.Callable[Option[FileEntry]] {
+          def call(): Option[FileEntry] = {
+            val (rows, colStats) = FooterStats.collect(conf, st.getPath, statFields)
+            // empty part files (0 rows) carry nothing a snapshot needs:
+            // leave them unlisted and let vacuum collect them
+            if (rows == 0L) None
+            else {
+              val dt = colStats.get("dt").filter(_.kind == "str")
+              Some(FileEntry(s"$commitName/${st.getPath.getName}", rows, st.getLen,
+                dt.flatMap(_.lo), dt.flatMap(_.hi),
+                if (colStats.isEmpty) None else Some(colStats)))
+            }
+          }
+        })
       }
-    }
+      futures.flatMap(_.get())
+    } finally pool.shutdown()
   }
 
   private def txnOf(m: Option[Manifest]): Map[String, Long] =

@@ -18,6 +18,9 @@ object SparkSpec {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // mirror Sessions.local: INT64-micros timestamps so parquet footers
+      // carry stats the snapshot layer can prune on
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
