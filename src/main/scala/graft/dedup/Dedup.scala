@@ -377,6 +377,11 @@ object Dedup {
         bit_count(col("sig").bitwiseXOR(col("sig_b"))) <= 3 * chunks - 1)
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      // free operator metric (CollectMetricsExec, no extra job/shuffle):
+      // candidate-pair volume is THE superlinear-leaning term of this
+      // pipeline — verification cost tracks it — so every execution
+      // reports it for drift monitoring (the scale soak asserts on it)
+      .observe("simhash_candidate_pairs", count(lit(1)).as("n"))
 
     // Exact token-frequency cosine for candidates only, over the SAME
     // cached vectors the signatures came from; the dot product is a native

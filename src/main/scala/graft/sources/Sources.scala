@@ -105,6 +105,26 @@ object Sources {
       .load()
   }
 
+  /** S5/S6 extract normalization (`scripts/oracle_to_snowflake.py:38-43`):
+    * the live Oracle table spells the date column `EVENT_DATE`, the staging
+    * contract spells it `DT` and normalizes to day precision before any key
+    * comparison. Pair with [[AdsJdbcDialect.register]] for the NUMBER-family
+    * type mapping.
+    */
+  def readAdsExtract(
+      spark: SparkSession,
+      url: String,
+      table: String,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val raw = readJdbc(spark, url, table, props)
+    val renamed =
+      if (raw.columns.contains("EVENT_DATE")) raw.withColumnRenamed("EVENT_DATE", "DT")
+      else raw
+    if (renamed.columns.contains("DT"))
+      renamed.withColumn("DT", org.apache.spark.sql.functions.col("DT").cast("date"))
+    else renamed
+  }
+
   /** S7/S8: batched JDBC append (the reference's executemany,
     * oracle_to_snowflake.py:104-110; batchsize replaces hand-batching).
     */

@@ -71,14 +71,39 @@ class ScaleSoakSpec extends SparkSpec {
     reps.minBy(_.sec)
   }
 
-  private def assertScaling(name: String, m1: RunMetrics, m4: RunMetrics): Unit = {
+  private def assertScaling(name: String, m1: RunMetrics, m4: RunMetrics,
+      extra: Map[String, Long] = Map.empty): Unit = {
     info(s"$name 1x: ${m1.pretty}")
     info(s"$name 4x: ${m4.pretty}")
+    SoakReport.record(name, m1, m4, extra)
     assert(m4.diskSpill == 0L, s"$name spilled ${m4.diskSpill} bytes to disk at 4x")
     assert(m4.sec <= 6.0 * math.max(m1.sec, 0.5),
       f"$name time superlinear: 1x ${m1.sec}%.2fs -> 4x ${m4.sec}%.2fs")
     assert(m4.shuffleWriteBytes <= 6L * math.max(m1.shuffleWriteBytes, 1L << 20),
       s"$name shuffle superlinear: ${m1.shuffleWriteBytes} -> ${m4.shuffleWriteBytes}")
+  }
+
+  /** Capture a named `observe` metric (first long of its row) from the
+    * queries `run` executes. The ExecutionListenerBus is async — poll until
+    * the metric lands (or time out loudly).
+    */
+  private def observedMetric(name: String)(run: () => Unit): Long = {
+    val got = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ns: Long): Unit =
+        qe.observedMetrics.get(name).foreach(r => got.set(r.getLong(0)))
+      override def onFailure(fn: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      run()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (got.get() == Long.MinValue && System.nanoTime() < deadline) Thread.sleep(100)
+    } finally spark.listenerManager.unregister(l)
+    assert(got.get() != Long.MinValue, s"observed metric '$name' never arrived")
+    got.get()
   }
 
   /** `factor`× the sf0.1 documents: replica i suffixes EVERY token with
@@ -148,9 +173,21 @@ class ScaleSoakSpec extends SparkSpec {
 
   test("soak: SimHash-cosine near-dup pipeline scales near-linearly, no disk spill") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
-    val m1 = measure(() => noop(Dedup.simHashCosineNearDups(scaledDocs(1))))
-    val m4 = measure(() => noop(Dedup.simHashCosineNearDups(scaledDocs(4))))
-    assertScaling("simhash", m1, m4)
+    var cand1 = 0L
+    var cand4 = 0L
+    val m1 = measure(() => cand1 = observedMetric("simhash_candidate_pairs")(
+      () => noop(Dedup.simHashCosineNearDups(scaledDocs(1)))))
+    val m4 = measure(() => cand4 = observedMetric("simhash_candidate_pairs")(
+      () => noop(Dedup.simHashCosineNearDups(scaledDocs(4)))))
+    info(s"simhash candidate pairs: 1x=$cand1 4x=$cand4")
+    // replicas share no vocabulary by fixture construction, so candidate
+    // volume must grow ~linearly with input — the superlinear-leaning term
+    // is the one to catch drifting (recall loss or candidate explosion)
+    assert(cand1 > 0L, "candidate stage produced zero pairs at 1x")
+    assert(cand4 <= 6L * cand1,
+      s"simhash candidate pairs superlinear: 1x $cand1 -> 4x $cand4")
+    assertScaling("simhash", m1, m4,
+      Map("candidate_pairs_x1" -> cand1, "candidate_pairs_x4" -> cand4))
   }
 
   test("soak: IVF ANN scales near-linearly in corpus size, no disk spill") {
@@ -164,6 +201,58 @@ class ScaleSoakSpec extends SparkSpec {
     assertScaling("ivf", m1, m4)
   }
 
+  /** `factor`× the sf0.1 orders as a keyed snapshot-table feed: replica i
+    * offsets the key space, same dt spread.
+    */
+  private def scaledOrders(factor: Int): DataFrame = {
+    val base = Tables.orders(spark, sf01)
+      .select(col("o_orderkey"), col("o_orderdate").cast("string").as("dt"),
+        col("o_totalprice"))
+    (0 until factor).map { i =>
+      if (i == 0) base
+      else base.withColumn("o_orderkey", col("o_orderkey") + i * 100000000L)
+    }.reduce(_ unionByName _)
+  }
+
+  test("soak: snapshot pipeline (write, append, merge, compact, read) scales near-linearly, no disk spill") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    import graft.catalog.SnapshotTable
+    def pipeline(factor: Int): Unit = {
+      val dir = s"$soakRoot/snap_x${factor}_${System.nanoTime()}"
+      val o = scaledOrders(factor)
+      SnapshotTable.write(spark, o.filter(pmod(col("o_orderkey"), lit(2)) === 0), dir)
+      SnapshotTable.append(spark, o.filter(pmod(col("o_orderkey"), lit(2)) === 1), dir)
+      SnapshotTable.merge(spark,
+        o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+          .withColumn("o_totalprice", -col("o_totalprice")),
+        dir, keys = Seq("o_orderkey", "dt"))
+      SnapshotTable.compact(spark, dir, targetBytes = 1L << 30)
+      noop(SnapshotTable.read(spark, dir))
+    }
+    val m1 = measure(() => pipeline(1))
+    val m4 = measure(() => pipeline(4))
+    assertScaling("snapshot_pipeline", m1, m4)
+  }
+
+  test("soak: PageRank scales near-linearly in edges, no disk spill") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    def edges(factor: Int): DataFrame = {
+      val base = Tables.orders(spark, sf01)
+        .select(col("o_custkey").as("src"), pmod(col("o_orderkey"), lit(15000)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      (0 until factor).map { i =>
+        // disjoint subgraph per replica: nodes AND edges both scale by the
+        // factor, the per-iteration exchange stays (node, double)-sized
+        if (i == 0) base
+        else base.select((col("src") + i * 10000000L).as("src"),
+          (col("dst") + i * 10000000L).as("dst"))
+      }.reduce(_ unionByName _)
+    }
+    val m1 = measure(() => noop(graft.ops.Graph.pageRank(edges(1), iters = 5)))
+    val m4 = measure(() => noop(graft.ops.Graph.pageRank(edges(4), iters = 5)))
+    assertScaling("pagerank", m1, m4)
+  }
+
   test("soak: exact quantiles scale near-linearly, no disk spill") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     val m1 = measure(() => noop(graft.ops.Quantiles.exactQuantiles(
@@ -173,5 +262,38 @@ class ScaleSoakSpec extends SparkSpec {
       scaledLineitem(4), "l_extendedprice", Seq("l_returnflag"),
       Seq(0.05, 0.5, 0.95), Seq("lo", "med", "hi"))))
     assertScaling("quantiles", m1, m4)
+  }
+}
+
+/** Accumulates each soak's measured metrics and persists them as
+  * `SOAK.json` in the repo root after every test — the per-round artifact
+  * that makes the scale-soak evidence reviewable without re-running the
+  * (env-gated, slow) suite. Flushed incrementally so a later test's
+  * failure never loses an earlier test's numbers.
+  */
+object SoakReport {
+  private val results = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def record(name: String, m1: AnyRef, m4: AnyRef, extra: Map[String, Long]): Unit = {
+    def renderMetrics(m: AnyRef): String = {
+      // RunMetrics(sec, shuffleWriteBytes, diskSpill, memSpill, peakMem)
+      val p = m.asInstanceOf[Product]
+      val Seq(sec, shufW, disk, mem, peak) = p.productIterator.toSeq
+      f"""{"sec":${sec.asInstanceOf[Double]}%.2f,"shuffle_write_bytes":$shufW,""" +
+        s""""disk_spill_bytes":$disk,"mem_spill_bytes":$mem,"peak_task_mem_bytes":$peak}"""
+    }
+    val extraJson =
+      if (extra.isEmpty) ""
+      else extra.toSeq.sortBy(_._1).map { case (k, v) => s""","$k":$v""" }.mkString
+    results.put(name, s""""$name":{"x1":${renderMetrics(m1)},"x4":${renderMetrics(m4)}$extraJson}""")
+    flush()
+  }
+
+  private def flush(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val body = results.asScala.toSeq.sortBy(_._1).map(_._2).mkString(",")
+    val json = s"""{"sf_base":"/root/testdata/sf0.1","factors":[1,4],$body}""" + "\n"
+    java.nio.file.Files.write(java.nio.file.Paths.get("SOAK.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -78,6 +78,51 @@ class SourcesSpec extends SparkSpec {
     assert(loaded.except(orders).count() == 0 && orders.except(loaded).count() == 0)
   }
 
+  test("ads dialect: NUMBER-family type contract and EVENT_DATE extract normalization (S5/S6)") {
+    import graft.sources.AdsJdbcDialect
+    import org.apache.spark.sql.types._
+    AdsJdbcDialect.register()
+    // the marker in the db path routes these connections through the dialect
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-ads").toString + "/graft-ads-db"
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+
+    // the reference's staging shape (scripts/oracle_to_snowflake.py:63-74):
+    // NUMBER ids/counts, DATE dt, NUMBER(10,2) spend
+    val ads = spark.range(0, 100).select(
+      (col("id") % 5).as("CAMPAIGN_ID"),
+      (col("id") % 3).as("ADSET_ID"),
+      col("id").as("CREATIVE_ID"),
+      date_add(to_date(lit("2024-06-01")), (col("id") % 30).cast("int")).as("DT"),
+      (col("id") * 100).as("IMPRESSIONS"),
+      (col("id") * 3).as("CLICKS"),
+      (col("id").cast("decimal(10,2)") * 1.25).cast("decimal(10,2)").as("SPEND"),
+      (col("id") % 7).as("CONVERSIONS"))
+
+    Sources.writeJdbc(ads, url, "ADS_DATA_STG", props, mode = "overwrite")
+    val back = Sources.readJdbc(spark, url, "ADS_DATA_STG", props)
+    val types = back.schema.fields.map(f => f.name -> f.dataType).toMap
+    // NUMBER (scale 0) → long (the int() contract), NOT decimal(19,0)
+    assert(types("CAMPAIGN_ID") == LongType && types("IMPRESSIONS") == LongType,
+      s"scale-0 NUMBER must map to LongType, got $types")
+    // NUMBER(10,2) → decimal(10,2), exact money — never double
+    assert(types("SPEND") == DecimalType(10, 2), s"SPEND must stay DECIMAL(10,2), got $types")
+    assert(types("DT") == DateType)
+    // value parity through the dialect boundary (dates day-exact,
+    // money 2dp-exact)
+    assert(back.except(ads).count() == 0 && ads.except(back).count() == 0)
+
+    // the live-table variant spells the date EVENT_DATE
+    // (scripts/insert_ads_data.py:23,37-40); the extract renames to DT and
+    // normalizes to day precision (scripts/oracle_to_snowflake.py:38-43)
+    Sources.writeJdbc(ads.withColumnRenamed("DT", "EVENT_DATE"),
+      url, "ADS_DATA_LIVE", props, mode = "overwrite")
+    val extracted = Sources.readAdsExtract(spark, url, "ADS_DATA_LIVE", props)
+    assert(extracted.columns.contains("DT") && !extracted.columns.contains("EVENT_DATE"))
+    assert(extracted.schema("DT").dataType == DateType)
+    assert(extracted.except(ads).count() == 0 && ads.except(extracted).count() == 0)
+  }
+
   test("JSON and ORC round-trip lineitem with explicit schemas; ORC pushes filters") {
     val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
     val li = Tables.lineitem(spark, sfDir)
