@@ -1428,6 +1428,30 @@ object SparkEntry {
                  WHERE c_nationkey = n.n_nationkey
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
         ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""")
+    }),
+
+    // ---- RETRACTION-capable incremental join view (Z-relation algebra):
+    // three loads of signed deltas — inserts, double-inserts, retractions
+    // on both sides — folded through signedJoinDelta; the oracle computes
+    // each row's NET multiplicity closed-form and joins once. Gates that
+    // a retraction cancels exactly the view rows its insert produced ----
+    "q120_ivm_retract" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey").as("k"), col("o_orderkey").as("a_id"))
+      val c = Tables.customer(s, dir).select(col("c_custkey").as("k"), col("c_nationkey").as("nat"))
+      def m(df: DataFrame, mult: Long) = df.withColumn("mult", lit(mult))
+      def aMod(i: Int) = o.filter(pmod(col("a_id"), lit(3)) === i)
+      val loads = Seq(
+        (m(aMod(0), 1L), m(c, 1L)),
+        (m(aMod(1), 1L)
+          .unionByName(m(aMod(0).filter(pmod(col("a_id"), lit(5)) === 0), -1L)),
+          m(c.limit(0), 1L)),
+        (m(aMod(2), 1L)
+          .unionByName(m(aMod(1).filter(pmod(col("a_id"), lit(5)) === 0), -1L))
+          .unionByName(m(aMod(0).filter(pmod(col("a_id"), lit(7)) === 0), 1L)),
+          m(c.filter(pmod(col("k"), lit(10)) === 0), -1L)))
+      val (view, _, _) = graft.ingest.IncrementalJoin.foldSignedView(loads, Seq("k"))
+      view.select(col("k"), col("a_id"), col("nat"), col("mult"))
+        .orderBy(col("k"), col("a_id"))
     })
   )
 
@@ -1617,6 +1641,27 @@ object SparkEntry {
         |         WHERE c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
         |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
+
+    // q120: each row's net multiplicity in closed form — base insert (+1),
+    // the two %5 retraction waves (−1), the %3∧%7 double-insert (+1) on
+    // the A side; the %10 customer retraction zeroes the B side — then ONE
+    // join with multiplicity products and net-zero rows dropped. The fold
+    // must land on exactly this.
+    "q120_ivm_retract" ->
+      """WITH a AS (
+        |  SELECT o_custkey AS k, o_orderkey AS a_id,
+        |    CAST(1
+        |      - CASE WHEN o_orderkey % 3 IN (0, 1) AND o_orderkey % 5 = 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ma
+        |  FROM orders),
+        |b AS (
+        |  SELECT c_custkey AS k, c_nationkey AS nat,
+        |    CAST(CASE WHEN c_custkey % 10 = 0 THEN 0 ELSE 1 END AS BIGINT) AS mb
+        |  FROM customer)
+        |SELECT a.k, a.a_id, b.nat, a.ma * b.mb AS mult
+        |FROM a JOIN b ON a.k = b.k
+        |WHERE a.ma * b.mb <> 0
+        |ORDER BY a.k, a.a_id""".stripMargin,
     "q01_kpi_topk_spend" ->
       """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
         |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

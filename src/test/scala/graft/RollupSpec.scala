@@ -74,4 +74,67 @@ class RollupSpec extends SparkSpec {
       assert(fa.count() == aRows.length.toLong && fb.count() == bRows.length.toLong)
     }
   }
+
+  test("signed join view: random insert/retract folds equal the one-shot join of net-live sides") {
+    import graft.ingest.IncrementalJoin
+    val rnd = new scala.util.Random(71L)
+    for (round <- 0 until 4) {
+      val nLoads = 3 + rnd.nextInt(2)
+      var liveA = Vector.empty[(Long, Int)] // live BAGS, tracked in plain Scala
+      var liveB = Vector.empty[(Long, Int)]
+      val loads = (0 until nLoads).map { i =>
+        def mkDelta(live: Vector[(Long, Int)]): (Seq[(Long, Int, Long)], Vector[(Long, Int)]) = {
+          val ins = (0 until 10 + rnd.nextInt(10)).map(_ =>
+            (rnd.nextInt(12).toLong, rnd.nextInt(50)))
+          val dels = if (i == 0) Vector.empty else rnd.shuffle(live).take(rnd.nextInt(6))
+          (ins.map { case (k, v) => (k, v, 1L) } ++ dels.map { case (k, v) => (k, v, -1L) },
+            (live diff dels) ++ ins)
+        }
+        val (da, la) = mkDelta(liveA); liveA = la
+        val (db, lb) = mkDelta(liveB); liveB = lb
+        (da.toDF("k", "av", "mult"), db.toDF("k", "bv", "mult"))
+      }
+      val (view, fa, fb) = IncrementalJoin.foldSignedView(loads, Seq("k"))
+      assert(view.filter(col("mult") <= 0L).isEmpty,
+        s"round $round: consolidated view kept a non-positive multiplicity")
+      // expand multiplicities back into a bag and compare to the one-shot
+      // join of the net-live bags — the recompute the fold must never need
+      def expand(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("__i", explode(sequence(lit(1L), col("mult")))).drop("mult", "__i")
+      val oneShot = liveA.toDF("k", "av").join(liveB.toDF("k", "bv"), Seq("k"))
+      val got = expand(view)
+      assert(got.exceptAll(oneShot).count() == 0 && oneShot.exceptAll(got).count() == 0,
+        s"round $round: signed fold diverged from one-shot recompute")
+      // final sides are exactly the net-live bags
+      val gotA = expand(fa)
+      val wantA = liveA.toDF("k", "av")
+      assert(gotA.exceptAll(wantA).count() == 0 && wantA.exceptAll(gotA).count() == 0)
+      val gotB = expand(fb)
+      val wantB = liveB.toDF("k", "bv")
+      assert(gotB.exceptAll(wantB).count() == 0 && wantB.exceptAll(gotB).count() == 0)
+    }
+  }
+
+  test("signed join view: retraction delivered before its insert nets out (commutative algebra)") {
+    import graft.ingest.IncrementalJoin
+    val noB = Seq.empty[(Long, Int, Long)].toDF("k", "bv", "mult")
+    // a reordered (retract, insert) pair for the same row must cancel to
+    // ZERO — the retraction corresponds to the insert that arrives late
+    val loads = Seq(
+      (Seq((1L, 10, 1L)).toDF("k", "av", "mult"), Seq((1L, 99, 1L)).toDF("k", "bv", "mult")),
+      (Seq((1L, 20, -1L)).toDF("k", "av", "mult"), noB), // retract BEFORE its insert
+      (Seq((1L, 20, 1L)).toDF("k", "av", "mult"), noB))
+    val (view, fa, _) = IncrementalJoin.foldSignedView(loads, Seq("k"))
+    val got = view.orderBy("av").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 10, 99, 1L)),
+      s"swapped retract+insert must net to zero, got ${got.toSeq}")
+    assert(fa.filter(col("av") === 20).isEmpty, "cancelled row must leave no side state")
+
+    // a FURTHER genuine insert of the same row then nets to one live pair
+    val (view2, _, _) = IncrementalJoin.foldSignedView(
+      loads :+ ((Seq((1L, 20, 1L)).toDF("k", "av", "mult"), noB)), Seq("k"))
+    val got2 = view2.orderBy("av").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(got2.toSeq == Seq((1L, 10, 99, 1L), (1L, 20, 99, 1L)),
+      s"net +1 after cancellation must be one live pair, got ${got2.toSeq}")
+  }
 }
