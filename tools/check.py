@@ -1,14 +1,21 @@
 #!/usr/bin/env python3
 """Local pre-check mimicking the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <outDir>
+Usage: python3 tools/check.py <sfDir> <outDir> [--json <reportPath>]
 (run `sbt "runMain graft.Verify <sfDir> <outDir>"` first)
+
+--json writes the per-query outcome in the driver's CORRECTNESS format, so
+a self-run artifact (CORRECTNESS_SELF.json) can be committed every round
+and a stale driver artifact can never mask a regression.
 """
 import sys, os, json, glob
 import duckdb
 import pandas as pd
 
 sf_dir, out_dir = sys.argv[1], sys.argv[2]
+report_path = None
+if len(sys.argv) > 4 and sys.argv[3] == "--json":
+    report_path = sys.argv[4]
 
 con = duckdb.connect()
 for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
@@ -74,4 +81,19 @@ for n, c in rows_only:
 for n, msg in fails:
     print(f"FAIL  {n}: {msg[:600]}")
 print(f"\n{len(passes)} pass, {len(rows_only)} rows-only, {len(fails)} fail")
+
+if report_path:
+    report = {}
+    for n, c in passes:
+        report[n] = {"rows_match": True, "schema_match": True, "hash_match": True,
+                     "spark_rows": c, "oracle_rows": c, "err": None}
+    for n, c in rows_only:
+        report[n] = {"rows_match": None, "schema_match": None, "hash_match": None,
+                     "spark_rows": c, "oracle_rows": None, "err": "no_oracle"}
+    for n, msg in fails:
+        report[n] = {"rows_match": False, "schema_match": False, "hash_match": False,
+                     "spark_rows": None, "oracle_rows": None, "err": msg[:300]}
+    with open(report_path, "w") as f:
+        json.dump(dict(sorted(report.items())), f, indent=2)
+    print(f"wrote {report_path}")
 sys.exit(1 if fails else 0)
