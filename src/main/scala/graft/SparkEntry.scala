@@ -1452,6 +1452,31 @@ object SparkEntry {
       val (view, _, _) = graft.ingest.IncrementalJoin.foldSignedView(loads, Seq("k"))
       view.select(col("k"), col("a_id"), col("nat"), col("mult"))
         .orderBy(col("k"), col("a_id"))
+    }),
+
+    // ---- RETRACTION-capable incremental rollup (subtractable aggregates
+    // only — min/max stay on the append-only path by design): three signed
+    // loads with a retraction wave folded through decimal-exact state; the
+    // oracle weights every fact by its closed-form net multiplicity and
+    // aggregates once ----
+    "q121_rollup_retract" -> ((s, dir) => {
+      import graft.ingest.IncrementalRollup
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity"), col("l_extendedprice"))
+      val keys = Seq("l_returnflag", "l_linestatus")
+      val ms = Seq("l_quantity", "l_extendedprice")
+      def m(df: DataFrame, mult: Long) = df.withColumn("mult", lit(mult))
+      def slice(i: Int) = li.filter(pmod(col("l_orderkey"), lit(3)) === i)
+      def retractWave(i: Int) = slice(i).filter(pmod(col("l_orderkey"), lit(5)) === 0)
+      val loads = Seq(
+        m(slice(0), 1L),
+        m(slice(1), 1L).unionByName(m(retractWave(0), -1L)),
+        m(slice(2), 1L).unionByName(m(retractWave(1), -1L)))
+      val state = loads.map(d => IncrementalRollup.signedAggState(d, keys, ms))
+        .reduce((a, b) => IncrementalRollup.mergeSignedState(a, b, keys, ms))
+      IncrementalRollup.finalize(state, ms)
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   )
 
@@ -1662,6 +1687,31 @@ object SparkEntry {
         |FROM a JOIN b ON a.k = b.k
         |WHERE a.ma * b.mb <> 0
         |ORDER BY a.k, a.a_id""".stripMargin,
+
+    // q121: weight each fact by its net multiplicity (insert +1, the two
+    // %5 retraction waves −1), aggregate once; sums ride DECIMAL(18,2) so
+    // a retraction cancels its insert exactly, like the engine's state
+    "q121_rollup_retract" ->
+      """WITH f AS (
+        |  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+        |    CAST(1 - CASE WHEN l_orderkey % 3 IN (0, 1) AND l_orderkey % 5 = 0
+        |             THEN 1 ELSE 0 END AS BIGINT) AS w
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(w) AS BIGINT) AS rows_net,
+        |  CAST(SUM(CAST(l_quantity * w AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_quantity,
+        |  CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN w ELSE 0 END) AS BIGINT) AS cnt_l_quantity,
+        |  CAST(SUM(CAST(l_extendedprice * w AS DECIMAL(18,2))) AS DOUBLE) AS sum_l_extendedprice,
+        |  CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL THEN w ELSE 0 END) AS BIGINT) AS cnt_l_extendedprice,
+        |  ROUND(CAST(SUM(CAST(l_quantity * w AS DECIMAL(18,2))) AS DOUBLE)
+        |    / NULLIF(CAST(SUM(CASE WHEN l_quantity IS NOT NULL THEN w ELSE 0 END) AS DOUBLE), 0), 6) AS avg_l_quantity,
+        |  ROUND(CAST(SUM(CAST(l_extendedprice * w AS DECIMAL(18,2))) AS DOUBLE)
+        |    / NULLIF(CAST(SUM(CASE WHEN l_extendedprice IS NOT NULL THEN w ELSE 0 END) AS DOUBLE), 0), 6) AS avg_l_extendedprice
+        |FROM f GROUP BY l_returnflag, l_linestatus
+        |HAVING NOT (SUM(w) = 0
+        |  AND SUM(CASE WHEN l_quantity IS NOT NULL THEN w ELSE 0 END) = 0
+        |  AND SUM(CASE WHEN l_extendedprice IS NOT NULL THEN w ELSE 0 END) = 0)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q01_kpi_topk_spend" ->
       """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
         |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

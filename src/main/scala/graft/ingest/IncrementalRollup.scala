@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   * appended once). Derived measures that are NOT mergeable (avg) are
   * finalized at read from the state — never stored.
   *
-  * Append-only by design: retractions (deletes/updates of facts) would need
-  * subtractable state (no min/max) or a recompute of touched groups — out
-  * of scope, like every eventually-consistent rollup of this shape.
+  * The full state (with min/max) is append-only by design: min/max are not
+  * subtractable, so retracting a fact from them needs a recompute of
+  * touched groups or a value-multiset state. Retractions ARE supported for
+  * the subtractable aggregates through the signed variants
+  * ([[signedAggState]]/[[mergeSignedState]]): rows carry ±n multiplicities
+  * (the same Z-relation algebra as [[IncrementalJoin]]'s signed view),
+  * sums fold `m·mult`, counts fold the multiplicities, and fully-retracted
+  * groups vanish from the state. avg finalizes from sum/cnt as usual.
   *
   * At 100 TB: the state table is O(groups), each merge shuffles only
   * O(batch groups) rows, and the fold is one union + one map-side-combined
@@ -63,9 +68,53 @@ object IncrementalRollup {
 
   /** The user-facing view of the state: the mergeable columns plus the
     * finalized derived measures (avg, rounded like every compared ratio).
+    * Works on both the append-only and the signed state (avg = sum/cnt
+    * either way).
     */
   def finalize(state: DataFrame, measures: Seq[String], avgDecimals: Int = 6): DataFrame =
     measures.foldLeft(state)((df, m) =>
       df.withColumn(s"avg_$m",
         round(col(s"sum_$m") / nullif(col(s"cnt_$m").cast("double"), lit(0.0)), avgDecimals)))
+
+  // ------------------------------------------------- signed (retractions)
+
+  private def signedStateCols(measures: Seq[String]): Seq[String] =
+    "rows_net" +: measures.flatMap(m => Seq(s"sum_$m", s"cnt_$m"))
+
+  /** Signed partial-aggregate state of one batch whose rows carry `multCol`
+    * (+n insert, −n retract): per group, `rows_net` = Σ mult (the group's
+    * liveness), `sum_m` = Σ m·mult (decimal-summed, so a retraction cancels
+    * its insert EXACTLY, no float residue), `cnt_m` = Σ mult over non-NULL
+    * m. Deliberately no min/max — they are not subtractable; the
+    * append-only [[aggState]] remains their path.
+    */
+  def signedAggState(batch: DataFrame, keys: Seq[String], measures: Seq[String],
+      multCol: String = "mult"): DataFrame = {
+    require(keys.nonEmpty && measures.nonEmpty, "rollup needs keys and measures")
+    val aggs = sum(col(multCol)).as("rows_net") +: measures.flatMap { m =>
+      Seq(graft.analytics.Analytics.dsum(col(m) * col(multCol)).as(s"sum_$m"),
+        sum(when(col(m).isNotNull, col(multCol)).otherwise(0L)).as(s"cnt_$m"))
+    }
+    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a signed batch state into the signed state: everything adds, and
+    * groups whose net row multiplicity AND every count reach zero are
+    * dropped — the state tracks LIVE groups, not delivery history. (A group
+    * at rows_net 0 with a non-zero count is a transient of out-of-order
+    * delivery; it stays visible until the matching deltas arrive.)
+    */
+  def mergeSignedState(state: DataFrame, delta: DataFrame,
+      keys: Seq[String], measures: Seq[String]): DataFrame = {
+    val aggs = sum(col("rows_net")).as("rows_net") +: measures.flatMap { m =>
+      Seq(graft.analytics.Analytics.dsum(col(s"sum_$m")).as(s"sum_$m"),
+        sum(col(s"cnt_$m")).as(s"cnt_$m"))
+    }
+    val cols = (keys ++ signedStateCols(measures)).map(col)
+    val dead = col("rows_net") === 0L &&
+      measures.map(m => col(s"cnt_$m") === 0L).reduce(_ && _)
+    state.select(cols: _*).unionByName(delta.select(cols: _*))
+      .groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .filter(!dead)
+  }
 }

@@ -75,6 +75,57 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("signed rollup: random insert/retract folds equal the one-shot aggregate of net-live facts") {
+    import graft.ingest.IncrementalRollup
+    import graft.analytics.Analytics
+    val rnd = new scala.util.Random(97L)
+    for (rd <- 0 until 3) {
+      var live = Vector.empty[(String, Option[Double])]
+      val groups = Seq("a", "b", "c", "d")
+      val nLoads = 3 + rnd.nextInt(2)
+      val states = (0 until nLoads).map { i =>
+        val ins = (0 until 15 + rnd.nextInt(15)).map { _ =>
+          (groups(rnd.nextInt(groups.length)),
+            if (rnd.nextInt(10) == 0) Option.empty[Double]
+            else Some(rnd.nextInt(10000) / 100.0)) // 2dp money-like
+        }
+        val dels = if (i == 0) Vector.empty else rnd.shuffle(live).take(rnd.nextInt(8))
+        live = (live diff dels) ++ ins
+        val delta = ins.map { case (g, v) => (g, v, 1L) } ++
+          dels.map { case (g, v) => (g, v, -1L) }
+        IncrementalRollup.signedAggState(delta.toDF("g", "v", "mult"), Seq("g"), Seq("v"))
+      }
+      val state = states.reduce((a, b) =>
+        IncrementalRollup.mergeSignedState(a, b, Seq("g"), Seq("v")))
+      val got = IncrementalRollup.finalize(state, Seq("v"))
+        .select("g", "rows_net", "sum_v", "cnt_v", "avg_v")
+      val oneShot = live.toDF("g", "v").groupBy("g").agg(
+        count(lit(1)).as("rows_net"),
+        Analytics.dsum(col("v")).as("sum_v"),
+        count(col("v")).as("cnt_v"))
+        .withColumn("avg_v",
+          round(col("sum_v") / nullif(col("cnt_v").cast("double"), lit(0.0)), 6))
+        .select("g", "rows_net", "sum_v", "cnt_v", "avg_v")
+      assert(got.exceptAll(oneShot).count() == 0 && oneShot.exceptAll(got).count() == 0,
+        s"round $rd: signed rollup diverged from one-shot recompute of the live bag")
+    }
+  }
+
+  test("signed rollup: a fully-retracted group vanishes from the state") {
+    import graft.ingest.IncrementalRollup
+    val d1 = Seq(("z", 5.0, 1L), ("z", 7.0, 1L), ("k", 1.0, 1L)).toDF("g", "v", "mult")
+    val d2 = Seq(("z", 5.0, -1L), ("z", 7.0, -1L)).toDF("g", "v", "mult")
+    val state = IncrementalRollup.mergeSignedState(
+      IncrementalRollup.signedAggState(d1, Seq("g"), Seq("v")),
+      IncrementalRollup.signedAggState(d2, Seq("g"), Seq("v")),
+      Seq("g"), Seq("v"))
+    val rows = state.collect()
+    assert(rows.length == 1 && rows.head.getString(0) == "k",
+      s"fully-retracted group must drop from the state, got ${rows.toSeq}")
+    // and the retraction cancelled EXACTLY (decimal-summed, no residue)
+    assert(state.filter(col("g") === "k").select("sum_v").collect().head.getDouble(0) == 1.0)
+  }
+
   test("signed join view: random insert/retract folds equal the one-shot join of net-live sides") {
     import graft.ingest.IncrementalJoin
     val rnd = new scala.util.Random(71L)
