@@ -1477,6 +1477,26 @@ object SparkEntry {
         .reduce((a, b) => IncrementalRollup.mergeSignedState(a, b, keys, ms))
       IncrementalRollup.finalize(state, ms)
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- incremental COUNT DISTINCT via mergeable HLL sketch state
+    // (DataSketches hll_sketch_agg/hll_union_agg): three loads folded as
+    // sketch unions, estimates read at the end. Cardinalities here sit in
+    // the sketch's coupon (sparse) regime, where the estimate IS the exact
+    // count — so plain COUNT(DISTINCT) oracles it exactly; beyond that
+    // regime the same state degrades to ±~1% with O(2^lgK) bytes/group ----
+    "q122_rollup_distinct" -> ((s, dir) => {
+      import graft.ingest.IncrementalRollup
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_returnflag"),
+        col("l_suppkey"), pmod(col("l_orderkey"), lit(5000)).as("okey_bucket"))
+      val keys = Seq("l_returnflag")
+      val cols = Seq("l_suppkey", "okey_bucket")
+      // lgK 16: the coupon-set regime (exact estimates) holds to 2^16/4 =
+      // 16384 distincts — above both columns' cardinality at every SF
+      val states = (0 until 3).map(i => IncrementalRollup.distinctState(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i), keys, cols, lgConfigK = 16))
+      val state = states.reduce((a, b) => IncrementalRollup.mergeDistinctState(a, b, keys, cols))
+      IncrementalRollup.finalizeDistinct(state, cols).orderBy(col("l_returnflag"))
     })
   )
 
@@ -1712,6 +1732,15 @@ object SparkEntry {
         |  AND SUM(CASE WHEN l_quantity IS NOT NULL THEN w ELSE 0 END) = 0
         |  AND SUM(CASE WHEN l_extendedprice IS NOT NULL THEN w ELSE 0 END) = 0)
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // q122: the sketches stay in their sparse-exact regime at these
+    // cardinalities, so exact COUNT(DISTINCT) is the oracle
+    "q122_rollup_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_l_suppkey,
+        |  CAST(COUNT(DISTINCT l_orderkey % 5000) AS BIGINT) AS nd_okey_bucket
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q01_kpi_topk_spend" ->
       """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
         |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
