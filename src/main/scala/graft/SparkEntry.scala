@@ -1497,6 +1497,30 @@ object SparkEntry {
         li.filter(pmod(col("l_orderkey"), lit(3)) === i), keys, cols, lgConfigK = 16))
       val state = states.reduce((a, b) => IncrementalRollup.mergeDistinctState(a, b, keys, cols))
       IncrementalRollup.finalizeDistinct(state, cols).orderBy(col("l_returnflag"))
+    }),
+
+    // ---- planner-integrated snapshot relation (custom FileIndex, the
+    // Delta TahoeFileIndex seam): the committed table read through
+    // readTable, filtered and aggregated through the ordinary DataFrame
+    // surface — manifest pruning happens at planning time invisibly
+    // (asserted by SnapshotRelationSpec's numFiles metrics; here the
+    // oracle gates end-to-end row fidelity of the scan path) ----
+    "q123_snapshot_relation" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderdate").cast("string").as("dt"),
+        col("o_orderpriority"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q123").toString
+      (0 until 3).foreach { k =>
+        val part = o.filter(pmod(col("o_orderkey"), lit(3)) === k)
+        if (k == 0) graft.catalog.SnapshotTable.write(s, part, tbl)
+        else graft.catalog.SnapshotTable.append(s, part, tbl)
+      }
+      graft.catalog.SnapshotTable.readTable(s, tbl)
+        .filter(col("o_totalprice") > 150000.0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          graft.analytics.Analytics.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -1741,6 +1765,14 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT l_orderkey % 5000) AS BIGINT) AS nd_okey_bucket
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,
+
+    // q123: the snapshot holds exactly the orders rows, so the oracle
+    // aggregates the source table directly
+    "q123_snapshot_relation" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_totalprice > 150000.0
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q01_kpi_topk_spend" ->
       """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
         |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

@@ -1,0 +1,85 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.StructType
+
+/** PLANNING-TIME integration of the snapshot table with Spark's file scan:
+  * a [[FileIndex]] over one committed manifest, the same extension seam
+  * Delta's TahoeFileIndex sits in. The planner hands `listFiles` the
+  * query's resolved data filters, and the index answers with only the
+  * manifest entries whose per-file stats admit a match — so EVERY read of
+  * the relation (DataFrame filters, SQL, join pushdowns) skips files
+  * automatically, without routing through the explicit
+  * [[SnapshotTable.readWhere]] API, and parquet row-group pushdown +
+  * column pruning compose on top for free.
+  *
+  * The index never touches the filesystem: paths, sizes, and row counts
+  * all come from the manifest (immutable files + versioned manifests make
+  * that sound), so planning cost is O(manifest) driver memory — at 100 TB
+  * there is no "list the table" step at all, the manifest IS the listing.
+  * Reads are pinned to the manifest resolved at construction: a concurrent
+  * commit cannot change what this relation scans (same snapshot-isolation
+  * contract as [[SnapshotTable.read]]).
+  */
+private[graft] class SnapshotFileIndex(
+    spark: SparkSession, dir: String, manifest: SnapshotTable.Manifest)
+  extends FileIndex {
+
+  private val qualifiedDir: Path = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+  }
+
+  private def status(e: SnapshotTable.FileEntry): FileStatus =
+    // built straight from manifest metadata — no filesystem round trip;
+    // length must be exact (it is: recorded from the commit-time listing
+    // of immutable files) because the scan plans splits from it
+    new FileStatus(e.bytes, false, 1, 128L * 1024 * 1024, 0L,
+      new Path(qualifiedDir, e.path))
+
+  override def rootPaths: Seq[Path] = Seq(qualifiedDir)
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pruned = SnapshotTable.pruneForFilters(manifest, dataFilters)
+    Seq(PartitionDirectory(InternalRow.empty, pruned.map(status).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    manifest.entries.map(e => new Path(qualifiedDir, e.path).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = manifest.entries.map(_.bytes).sum
+}
+
+private[graft] object SnapshotRelation {
+
+  /** The current snapshot as a planner-integrated relation (see
+    * [[SnapshotFileIndex]]). Requires a recorded schema (every manifest
+    * this engine writes has one; legacy schema-less manifests use
+    * [[SnapshotTable.read]]).
+    */
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val m = SnapshotTable.currentManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $dir"))
+    val schema = StructType.fromDDL(m.schemaDdl.getOrElse(throw new IllegalStateException(
+      s"snapshot at $dir has no recorded schema; use SnapshotTable.read")))
+    val rel = HadoopFsRelation(
+      new SnapshotFileIndex(spark, dir, m),
+      partitionSchema = new StructType(),
+      dataSchema = schema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+      spark, LogicalRelation(rel, isStreaming = false))
+  }
+}

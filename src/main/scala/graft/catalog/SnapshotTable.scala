@@ -226,6 +226,27 @@ object SnapshotTable {
       case Some(e) => m.entries.filter(en => en.stats.forall(FileStats.mayMatch(e, _, en.rows)))
     }
 
+  /** The manifest entries that may match ALL of `filters` — resolved
+    * Catalyst data filters as the planner hands them to a FileIndex.
+    * Entries without stats are always kept; unsupported filter shapes
+    * prune nothing ([[FileStats.mayMatch]]'s conservative contract).
+    */
+  private[graft] def pruneForFilters(m: Manifest, filters: Seq[Expression]): Seq[FileEntry] = {
+    val norm = filters.map(FileStats.normalize)
+    m.entries.filter(e => norm.forall(f => e.stats.forall(FileStats.mayMatch(f, _, e.rows))))
+  }
+
+  /** The current snapshot as a PLANNER-INTEGRATED relation
+    * ([[SnapshotFileIndex]]): any filter applied to the returned frame —
+    * DataFrame API, SQL over a temp view, join pushdowns — prunes manifest
+    * entries at planning time, with parquet row-group pushdown and column
+    * pruning composing on top. The explicit [[readWhere]] stays for
+    * callers that want the pruned entry list itself; results are
+    * identical.
+    */
+  def readTable(spark: SparkSession, dir: String): DataFrame =
+    SnapshotRelation(spark, dir)
+
   /** [[read]] restricted — at the MANIFEST level, before any footer is
     * opened — to files whose column stats admit a row matching `pred`; the
     * predicate is then still applied row-wise, so the result is exactly
