@@ -75,7 +75,11 @@ private[graft] object SnapshotRelation {
     val rel = HadoopFsRelation(
       new SnapshotFileIndex(spark, dir, m),
       partitionSchema = new StructType(),
-      dataSchema = schema,
+      // nullable-normalized like DataSource.resolveRelation does for every
+      // file source (manifests written before mergeSchemas nullable-ized
+      // appended columns would otherwise hide pre-evolution NULLs);
+      // top-level is enough — snapshot schemas are flat
+      dataSchema = StructType(schema.fields.map(_.copy(nullable = true))),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)

@@ -372,8 +372,13 @@ object SnapshotTable {
                 s"${pf.dataType.catalogString} -> ${f.dataType.catalogString}")
           }
         }
+        // appended columns MUST record as nullable regardless of the
+        // batch's nullability: every pre-evolution file reads NULL for
+        // them, and a non-nullable attribute would let the planner
+        // constant-fold `IS NULL` over those rows to false
         org.apache.spark.sql.types.StructType(
-          p.fields ++ next.fields.filterNot(f => p.fieldNames.contains(f.name)))
+          p.fields ++ next.fields.filterNot(f => p.fieldNames.contains(f.name))
+            .map(_.copy(nullable = true)))
     }
 
   /** The schema recorded at the current version; legacy manifests fall back

@@ -71,9 +71,26 @@ class SnapshotRelationSpec extends SparkSpec {
     // parquet-level pushdown + column pruning compose on top
     val plan = t.filter(col("id") === 1050L).select("name")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [EqualTo(id,1050)]"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,1050)]"), plan)
     assert(plan.contains("ReadSchema") && !plan.contains("score"),
       s"column pruning must drop unused columns from the scan:\n$plan")
+  }
+
+  test("readTable reads additively-evolved schemas: old files fill new columns with NULL") {
+    val dir = Files.createTempDirectory("graft-rel-evo").toString
+    SnapshotTable.write(spark,
+      spark.range(100).select(col("id")).repartition(1), dir)
+    SnapshotTable.append(spark,
+      spark.range(100, 200).select(col("id"), lit("fresh").as("tag")).repartition(1), dir)
+    val t = SnapshotTable.readTable(spark, dir)
+    assert(t.columns.toSeq == Seq("id", "tag"))
+    assert(t.filter(col("tag").isNull).count() == 100L,
+      "pre-evolution files must read NULL for the appended column")
+    assert(t.filter(col("tag") === "fresh").count() == 100L)
+    // filters on the evolved column stay conservative for old files (they
+    // carry no stats for it) but still prune nothing incorrectly
+    assert(scannedFiles(t.filter(col("tag") === "fresh")) == 2L)
+    assert(t.filter(col("tag") === "stale").count() == 0L)
   }
 
   test("readTable is snapshot-isolated: a concurrent commit cannot change what it scans") {
