@@ -62,14 +62,14 @@ private[graft] class SnapshotFileIndex(
 
 private[graft] object SnapshotRelation {
 
-  /** The current snapshot as a planner-integrated relation (see
-    * [[SnapshotFileIndex]]). Requires a recorded schema (every manifest
-    * this engine writes has one; legacy schema-less manifests use
-    * [[SnapshotTable.read]]).
+  /** The snapshot at `version` (None = current) as a planner-integrated
+    * relation (see [[SnapshotFileIndex]]). Requires a recorded schema
+    * (every manifest this engine writes has one; legacy schema-less
+    * manifests use [[SnapshotTable.read]]).
     */
-  def apply(spark: SparkSession, dir: String): DataFrame = {
-    val m = SnapshotTable.currentManifest(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $dir"))
+  def apply(spark: SparkSession, dir: String,
+      version: Option[Long] = None): DataFrame = {
+    val m = SnapshotTable.manifestFor(spark, dir, version)
     val schema = StructType.fromDDL(m.schemaDdl.getOrElse(throw new IllegalStateException(
       s"snapshot at $dir has no recorded schema; use SnapshotTable.read")))
     val rel = HadoopFsRelation(

@@ -236,16 +236,30 @@ object SnapshotTable {
     m.entries.filter(e => norm.forall(f => e.stats.forall(FileStats.mayMatch(f, _, e.rows))))
   }
 
-  /** The current snapshot as a PLANNER-INTEGRATED relation
+  /** The manifest at `version` (None = current), for the relation layer. */
+  private[graft] def manifestFor(spark: SparkSession, dir: String,
+      version: Option[Long]): Manifest = version match {
+    case None => snapshot(spark, dir)
+    case Some(v) =>
+      val fs = fsFor(spark, dir)
+      manifestVersions(fs, dir).collectFirst { case (mv, p) if mv == v => readManifest(fs, p) }
+        .getOrElse(throw new IllegalStateException(
+          s"version $v not available at $dir (never committed, or expired by vacuum)"))
+  }
+
+  /** The snapshot as a PLANNER-INTEGRATED relation
     * ([[SnapshotFileIndex]]): any filter applied to the returned frame —
     * DataFrame API, SQL over a temp view, join pushdowns — prunes manifest
     * entries at planning time, with parquet row-group pushdown and column
-    * pruning composing on top. The explicit [[readWhere]] stays for
+    * pruning composing on top. Pass `version` for time travel with the
+    * same pruning (files are immutable, so an old manifest's stats are as
+    * good as the current one's). The explicit [[readWhere]] stays for
     * callers that want the pruned entry list itself; results are
     * identical.
     */
-  def readTable(spark: SparkSession, dir: String): DataFrame =
-    SnapshotRelation(spark, dir)
+  def readTable(spark: SparkSession, dir: String,
+      version: Option[Long] = None): DataFrame =
+    SnapshotRelation(spark, dir, version)
 
   /** [[read]] restricted — at the MANIFEST level, before any footer is
     * opened — to files whose column stats admit a row matching `pred`; the

@@ -100,5 +100,13 @@ class SnapshotRelationSpec extends SparkSpec {
     SnapshotTable.append(spark, spark.range(100, 200).select(col("id")).repartition(1), dir)
     assert(t.count() == 100L, "relation must stay pinned to its manifest")
     assert(SnapshotTable.readTable(spark, dir).count() == 200L)
+    // time travel through the same relation path, pruning included
+    val v1 = SnapshotTable.versions(spark, dir).head
+    assert(SnapshotTable.readTable(spark, dir, Some(v1)).count() == 100L)
+    assert(scannedFiles(SnapshotTable.readTable(spark, dir, Some(v1))
+      .filter(col("id") === 999L)) == 0L, "time-travel reads must prune from the old manifest")
+    intercept[IllegalStateException] {
+      SnapshotTable.readTable(spark, dir, Some(99L))
+    }
   }
 }
