@@ -153,6 +153,30 @@ object SnapshotTable {
   def versions(spark: SparkSession, dir: String): Seq[Long] =
     manifestVersions(fsFor(spark, dir), dir).map(_._1)
 
+  /** Table history, one row per retained version (newest last): live file
+    * count, row count, total bytes, the delta vs the previous retained
+    * version (files added/removed — how much the commit physically
+    * changed), and the exactly-once txn watermarks. Metadata-only at any
+    * table size (reads manifests, never data) — the DESCRIBE HISTORY
+    * surface for audits and debugging retention.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val fs = fsFor(spark, dir)
+    val ms = manifestVersions(fs, dir).map { case (_, p) => readManifest(fs, p) }
+    val rows = ms.zipWithIndex.map { case (m, i) =>
+      val prev: Set[String] =
+        if (i == 0) Set.empty else ms(i - 1).entries.map(_.path).toSet
+      val cur = m.entries.map(_.path).toSet
+      (m.version, m.entries.length.toLong, m.entries.map(_.rows).sum,
+        m.entries.map(_.bytes).sum,
+        (cur -- prev).size.toLong, (prev -- cur).size.toLong,
+        m.txn.getOrElse(Map.empty).map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","))
+    }
+    import spark.implicits._
+    rows.toDF("version", "n_files", "n_rows", "n_bytes",
+      "files_added", "files_removed", "txn")
+  }
+
   /** Restore the table to the state of `version` by committing that
     * snapshot's file list (and schema, and exactly-once txn watermarks) as a
     * NEW version — the bad commits stay in history, nothing is rewritten or

@@ -35,6 +35,13 @@ class SnapshotSpec extends SparkSpec {
     assert(m1.entries.toSet.subsetOf(m2.entries.toSet),
       "append must carry prior files by reference")
     assert(SnapshotTable.read(spark, dir).count() == 150L)
+
+    // history: one row per version, row/byte totals and commit deltas
+    val h = SnapshotTable.history(spark, dir).orderBy("version").collect()
+    assert(h.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(h.map(_.getLong(2)).toSeq == Seq(100L, 150L), "history row counts")
+    assert(h(1).getLong(4) == m2.entries.size - m1.entries.size &&
+      h(1).getLong(5) == 0L, "append history: only added files, none removed")
   }
 
   test("merge rewrites only dt-intersecting files; result equals the upsert semantics") {
