@@ -1521,6 +1521,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           graft.analytics.Analytics.dsum(col("o_totalprice")).as("total"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- incremental PERCENTILES from mergeable histogram state: bin
+    // counts add across loads (order statistics don't), the readout is
+    // deterministic integer arithmetic with error bounded by one bin
+    // width — so the folded state AND the quantile walk replicate exactly
+    // in SQL, unlike GK/KLL sketch internals ----
+    "q124_hist_quantiles" -> ((s, dir) => {
+      import graft.ingest.IncrementalRollup
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      val keys = Seq("l_returnflag")
+      val states = (0 until 3).map(i => IncrementalRollup.histState(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i), keys, "l_extendedprice", 1000.0))
+      val state = states.reduce((a, b) => IncrementalRollup.mergeHistState(a, b, keys))
+      IncrementalRollup.quantilesFromHist(state, keys, 1000.0,
+        Seq(0.5, 0.95), Seq("med", "p95"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -1773,6 +1791,24 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders WHERE o_totalprice > 150000.0
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // q124: the same bins, cumulative walk, and upper-edge readout in SQL —
+    // the fold is invisible (bin counts add), so one-shot binning oracles it
+    "q124_hist_quantiles" ->
+      """WITH h AS (
+        |  SELECT l_returnflag, CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS bin,
+        |         CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag, bin),
+        |c AS (
+        |  SELECT l_returnflag, bin, cnt,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |    SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM h)
+        |SELECT l_returnflag,
+        |  MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN (bin + 1) * 1000.0 END) AS med,
+        |  MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN (bin + 1) * 1000.0 END) AS p95
+        |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q01_kpi_topk_spend" ->
       """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
         |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

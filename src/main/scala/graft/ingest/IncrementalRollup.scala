@@ -153,4 +153,55 @@ object IncrementalRollup {
   def finalizeDistinct(state: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(state)((df, c) =>
       df.withColumn(s"nd_$c", hll_sketch_estimate(col(s"hll_$c"))).drop(s"hll_$c"))
+
+  // --------------------------------------- histogram state (percentiles)
+
+  /** Mergeable PERCENTILE state: a fixed-width histogram per group —
+    * (group, bin, cnt) rows with `bin = floor(m / width)`. Bin counts add
+    * across batches (trivially mergeable, unlike order statistics), the
+    * state is O(groups × occupied bins), and a quantile read costs one
+    * cumulative walk over a group's bins. The readout error is bounded by
+    * ONE BIN WIDTH (spec'd against the exact quantile operator) and every
+    * step is integer/deterministic arithmetic — so unlike GK/KLL sketches
+    * the folded state is exactly reproducible in plain SQL, hash-gate
+    * included. Pick `width` from the domain (e.g. cents for money): the
+    * accuracy/state trade is explicit, not buried in sketch internals.
+    */
+  def histState(batch: DataFrame, keys: Seq[String], measure: String,
+      width: Double): DataFrame = {
+    require(keys.nonEmpty && width > 0, "hist rollup needs keys and a positive width")
+    batch.filter(col(measure).isNotNull)
+      .groupBy((keys.map(col) :+ floor(col(measure) / width).cast("long").as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Fold histogram states: bin counts add. */
+  def mergeHistState(state: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val sel = (keys :+ "bin" :+ "cnt").map(col)
+    state.select(sel: _*).unionByName(delta.select(sel: _*))
+      .groupBy((keys :+ "bin").map(col): _*).agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Quantiles from the folded histogram: for each requested probability,
+    * the UPPER EDGE `(bin + 1) · width` of the first bin whose cumulative
+    * count reaches `ceil(p · n)` — a deterministic upper bound on the
+    * exact quantile, off by at most one bin width. One pass: a cumulative
+    * window per group, then min over qualifying bins per probability.
+    */
+  def quantilesFromHist(state: DataFrame, keys: Seq[String], width: Double,
+      probs: Seq[Double], names: Seq[String]): DataFrame = {
+    require(probs.nonEmpty && probs.length == names.length,
+      "need one output name per probability")
+    require(probs.forall(p => p > 0 && p <= 1), s"probabilities must be in (0,1], got $probs")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("bin"))
+    val cum = state
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)))
+    val aggs = probs.zip(names).map { case (p, name) =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), (col("bin") + 1) * width)).as(name)
+    }
+    cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

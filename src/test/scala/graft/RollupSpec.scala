@@ -141,6 +141,33 @@ class RollupSpec extends SparkSpec {
       s"HLL estimate drifted beyond 4% at 150k distincts: $est")
   }
 
+  test("histogram state: folds equal one-shot binning; quantile readout within one bin width of exact") {
+    import graft.ingest.IncrementalRollup
+    val rnd = new scala.util.Random(113L)
+    val rows = (0 until 3000).map(_ =>
+      ("g" + rnd.nextInt(3), math.floor(rnd.nextDouble() * 10000) / 100.0)) // 2dp values in [0, 100)
+    val width = 5.0
+    val batches = rows.grouped(1000).map(_.toDF("g", "v")).toSeq
+    val folded = batches.map(b => IncrementalRollup.histState(b, Seq("g"), "v", width))
+      .reduce((a, b) => IncrementalRollup.mergeHistState(a, b, Seq("g")))
+    val oneShot = IncrementalRollup.histState(rows.toDF("g", "v"), Seq("g"), "v", width)
+    assert(folded.exceptAll(oneShot).count() == 0 && oneShot.exceptAll(folded).count() == 0,
+      "folded histogram state must equal one-shot binning exactly")
+
+    val got = IncrementalRollup.quantilesFromHist(folded, Seq("g"), width,
+      Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99")).orderBy("g").collect()
+    val exact = graft.ops.Quantiles.exactQuantiles(rows.toDF("g", "v"), "v", Seq("g"),
+      Seq(0.5, 0.9, 0.99), Seq("p50", "p90", "p99")).orderBy("g").collect()
+    got.zip(exact).foreach { case (h, e) =>
+      assert(h.getString(0) == e.getString(0))
+      (1 to 3).foreach { i =>
+        val (hv, ev) = (h.getDouble(i), e.getDouble(i))
+        assert(hv >= ev - 1e-9 && hv - ev <= width + 1e-9,
+          s"hist quantile off by more than one bin: group ${h.getString(0)} col $i hist=$hv exact=$ev")
+      }
+    }
+  }
+
   test("signed rollup: a fully-retracted group vanishes from the state") {
     import graft.ingest.IncrementalRollup
     val d1 = Seq(("z", 5.0, 1L), ("z", 7.0, 1L), ("k", 1.0, 1L)).toDF("g", "v", "mult")
