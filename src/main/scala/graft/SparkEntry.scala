@@ -1487,12 +1487,15 @@ object SparkEntry {
     // regime the same state degrades to ±~1% with O(2^lgK) bytes/group ----
     "q122_rollup_distinct" -> ((s, dir) => {
       import graft.ingest.IncrementalRollup
+      // both distinct domains are MODULO-BOUNDED (2000 and 5000) so the
+      // lgK-16 coupon-set regime (exact to 2^16/4 = 16384) holds at ANY
+      // scale factor — raw l_suppkey would leave the exact regime past
+      // ~SF 1.6 and turn this gate into a false alarm
       val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_returnflag"),
-        col("l_suppkey"), pmod(col("l_orderkey"), lit(5000)).as("okey_bucket"))
+        pmod(col("l_suppkey"), lit(2000)).as("supp_bucket"),
+        pmod(col("l_orderkey"), lit(5000)).as("okey_bucket"))
       val keys = Seq("l_returnflag")
-      val cols = Seq("l_suppkey", "okey_bucket")
-      // lgK 16: the coupon-set regime (exact estimates) holds to 2^16/4 =
-      // 16384 distincts — above both columns' cardinality at every SF
+      val cols = Seq("supp_bucket", "okey_bucket")
       val states = (0 until 3).map(i => IncrementalRollup.distinctState(
         li.filter(pmod(col("l_orderkey"), lit(3)) === i), keys, cols, lgConfigK = 16))
       val state = states.reduce((a, b) => IncrementalRollup.mergeDistinctState(a, b, keys, cols))
@@ -1779,7 +1782,7 @@ object SparkEntry {
     // cardinalities, so exact COUNT(DISTINCT) is the oracle
     "q122_rollup_distinct" ->
       """SELECT l_returnflag,
-        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_l_suppkey,
+        |  CAST(COUNT(DISTINCT l_suppkey % 2000) AS BIGINT) AS nd_supp_bucket,
         |  CAST(COUNT(DISTINCT l_orderkey % 5000) AS BIGINT) AS nd_okey_bucket
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

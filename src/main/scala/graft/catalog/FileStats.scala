@@ -101,11 +101,23 @@ object FileStats {
   private def nameOf(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)
     case u: UnresolvedAttribute => Some(u.name)
-    // an un-analyzed Column predicate has no implicit casts, but a resolved
-    // one (from a solved plan) may wrap the attribute — a widening cast
-    // preserves order, so skipping through it keeps bounds valid
-    case Cast(inner, _, _, _) => nameOf(inner)
+    // A resolved predicate may wrap the attribute in a cast. Skipping
+    // through it is only sound when the cast is order-preserving AND the
+    // cast domain matches the stat encoding ("num" bounds compare as
+    // doubles): widening numeric→numeric casts qualify (including
+    // decimal→double — decimal bounds are already stored through a double
+    // cast). Anything else — narrowing (wraps), timestamp→long (rescales
+    // micros to seconds), string parses — must NOT prune on raw column
+    // bounds; returning None keeps the file (conservative contract).
+    case c @ Cast(inner, to, _, _) if safeCastSkip(inner.dataType, to) => nameOf(inner)
     case _ => None
+  }
+
+  private def safeCastSkip(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (f: NumericType, t: NumericType) =>
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f, t) ||
+        (f.isInstanceOf[DecimalType] && t == DoubleType)
+    case _ => false
   }
 
   /** Fold every foldable subtree to a plain Literal. Analysis leaves

@@ -85,8 +85,17 @@ object TfRecord {
         out.close()
         val fs = tmp.getFileSystem(fsConf)
         val dest = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tfrecord")
-        if (fs.exists(dest)) fs.delete(dest, false) // re-run: identical bytes, any winner fine
-        require(fs.rename(tmp, dest), s"tfrecord export: rename $tmp -> $dest failed")
+        // overwrite semantics (a re-export after a data fix must replace
+        // stale shards); within one job racing twins write identical bytes
+        // so either winner is correct. The delete→rename pair is not
+        // atomic — a zombie attempt killed between the two steps leaves
+        // the shard missing — which is why writeShards re-verifies every
+        // destination file exists after the job and fails loudly.
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(tmp, dest)) {
+          require(fs.exists(dest), s"tfrecord export: rename $tmp -> $dest failed")
+          fs.delete(tmp, false) // lost a same-job rename race: twin bytes are ours
+        }
       }
       it.foreach { case (shard, pos, payload) =>
         if (!cur.exists(_._1 == shard)) {
@@ -107,7 +116,18 @@ object TfRecord {
     val tmpDir = new org.apache.hadoop.fs.Path(outDir, "_tmp")
     val fs = tmpDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
-    placed.select(col(shardCol)).distinct().count().toInt
+    // completeness gate: the commitShard delete→rename pair is not atomic,
+    // so a zombie attempt killed between the steps could have removed a
+    // twin's committed file — catch that here as a hard failure instead of
+    // shipping an export with a missing shard
+    val shards = rows.select(col("shard")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val missing = shards.filterNot(sh =>
+      fs.exists(new org.apache.hadoop.fs.Path(outDir, f"shard-$sh%05d.tfrecord")))
+    require(missing.isEmpty,
+      s"tfrecord export: ${missing.length} shard file(s) missing after commit " +
+        s"(e.g. shard ${missing.take(3).mkString(", ")}); re-run the export")
+    shards.length
   }
 
   /** Driver-side reader for verification: parse one .tfrecord file,

@@ -35,16 +35,22 @@ object AdsJdbcDialect extends JdbcDialect {
       val scale =
         if (md == null) 0
         else scala.util.Try(md.build().getLong("scale").toInt).getOrElse(0)
-      // NUMBER with no fractional digits is an id/count (the int() path);
-      // precision above long range stays decimal so nothing truncates
-      if (scale == 0 && size > 0 && size <= 19) Some(LongType)
+      // NUMBER with no fractional digits is an id/count (the int() path).
+      // The long mapping stops at precision 18: every 18-digit integer
+      // fits a long, while NUMBER(19) can hold values past Long.MaxValue
+      // — those stay decimal so nothing can overflow at read time
+      if (scale == 0 && size > 0 && size <= 18) Some(LongType)
       else if (size > 0) Some(DecimalType(math.min(size, DecimalType.MAX_PRECISION), scale))
       else None
     case _ => None // DATE, VARCHAR, …: Spark's defaults are the contract
   }
 
   override def getJDBCType(dt: DataType): Option[JdbcType] = dt match {
-    case LongType => Some(JdbcType("DECIMAL(19,0)", Types.NUMERIC))
+    // DECIMAL(18,0), not 19: it round-trips back to LongType (see
+    // getCatalystType), and an id/count beyond 18 digits is outside the
+    // ads domain — such a write fails loudly at insert rather than
+    // landing in a column the read path would have to widen
+    case LongType => Some(JdbcType("DECIMAL(18,0)", Types.NUMERIC))
     case d: DecimalType =>
       Some(JdbcType(s"DECIMAL(${d.precision},${d.scale})", Types.NUMERIC))
     case DoubleType => Some(JdbcType("DOUBLE", Types.DOUBLE)) // Snowflake FLOAT

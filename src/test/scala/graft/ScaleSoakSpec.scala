@@ -75,7 +75,10 @@ class ScaleSoakSpec extends SparkSpec {
       extra: Map[String, Long] = Map.empty): Unit = {
     info(s"$name 1x: ${m1.pretty}")
     info(s"$name 4x: ${m4.pretty}")
-    SoakReport.record(name, m1, m4, extra)
+    def named(m: RunMetrics) = Map[String, Any]("sec" -> m.sec,
+      "shuffle_write_bytes" -> m.shuffleWriteBytes, "disk_spill_bytes" -> m.diskSpill,
+      "mem_spill_bytes" -> m.memSpill, "peak_task_mem_bytes" -> m.peakMem)
+    SoakReport.record(name, named(m1), named(m4), extra)
     assert(m4.diskSpill == 0L, s"$name spilled ${m4.diskSpill} bytes to disk at 4x")
     assert(m4.sec <= 6.0 * math.max(m1.sec, 0.5),
       f"$name time superlinear: 1x ${m1.sec}%.2fs -> 4x ${m4.sec}%.2fs")
@@ -274,13 +277,18 @@ class ScaleSoakSpec extends SparkSpec {
 object SoakReport {
   private val results = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def record(name: String, m1: AnyRef, m4: AnyRef, extra: Map[String, Long]): Unit = {
-    def renderMetrics(m: AnyRef): String = {
-      // RunMetrics(sec, shuffleWriteBytes, diskSpill, memSpill, peakMem)
-      val p = m.asInstanceOf[Product]
-      val Seq(sec, shufW, disk, mem, peak) = p.productIterator.toSeq
-      f"""{"sec":${sec.asInstanceOf[Double]}%.2f,"shuffle_write_bytes":$shufW,""" +
-        s""""disk_spill_bytes":$disk,"mem_spill_bytes":$mem,"peak_task_mem_bytes":$peak}"""
+  def record(name: String, m1: Map[String, Any], m4: Map[String, Any],
+      extra: Map[String, Long]): Unit = {
+    // fields arrive NAMED from the call site — never positionally
+    // destructured off a case class, so a RunMetrics reordering cannot
+    // silently transpose artifact fields
+    def renderMetrics(m: Map[String, Any]): String = {
+      def num(v: Any): String = v match {
+        case d: Double => f"$d%.2f"
+        case x => x.toString
+      }
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":${num(v)}""" }
+        .mkString("{", ",", "}")
     }
     val extraJson =
       if (extra.isEmpty) ""
