@@ -73,6 +73,33 @@ class DataSkippingSpec extends SparkSpec {
     assert(!may(StartsWith(a("s"), Literal("mangos")), strStats))
   }
 
+  test("cast-wrapped attributes prune only through order-preserving numeric widenings") {
+    import org.apache.spark.sql.types._
+    // widening casts keep pruning: int column bounds vs a long/double literal
+    val intStats = Map("v" -> ColStat("num", Some("10.0"), Some("99.0"), 0L))
+    val vInt = AttributeReference("v", IntegerType)()
+    assert(!may(EqualTo(Cast(vInt, LongType), Literal(500L)), intStats))
+    assert(may(EqualTo(Cast(vInt, LongType), Literal(50L)), intStats))
+    assert(!may(GreaterThan(Cast(vInt, DoubleType), Literal(99.5)), intStats))
+    // decimal→double matches the stored-bound encoding (itself a double cast)
+    val decStats = Map("amt" -> ColStat("num", Some("10.0"), Some("99.0"), 0L))
+    val amt = AttributeReference("amt", DecimalType(10, 2))()
+    assert(!may(GreaterThan(Cast(amt, DoubleType), Literal(100.0)), decStats))
+    // NON-order-preserving casts must never prune on raw column bounds:
+    // timestamp→long RESCALES micros to seconds — bounds are in micros,
+    // the literal in seconds, so any comparison would be garbage
+    val tsStats = Map("ts" -> ColStat("num", Some("1.7E15"), Some("1.71E15"), 0L))
+    val ts = AttributeReference("ts", TimestampType)()
+    assert(may(LessThan(Cast(ts, LongType), Literal(1700000000L)), tsStats),
+      "timestamp→long cast compares seconds against micros bounds — must keep the file")
+    // narrowing long→int wraps values: a file holding 4294967301 matches
+    // CAST(id AS INT) = 5, so its (big) bounds must not prune it
+    val bigStats = Map("id" -> ColStat("num", Some("4.294967301E9"), Some("4.294967301E9"), 0L))
+    val idL = AttributeReference("id", LongType)()
+    assert(may(EqualTo(Cast(idL, IntegerType), Literal(5)), bigStats),
+      "narrowing cast wraps — raw bounds must not prune")
+  }
+
   test("string bound truncation: lower truncates, upper pads to re-dominate") {
     val long = "x" * 100
     assert(FileStats.cmpUtf8(FileStats.truncLo(long), long) < 0, "truncated lo must stay <=")
