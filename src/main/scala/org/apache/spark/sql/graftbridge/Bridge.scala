@@ -43,4 +43,18 @@ object Bridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd.id)
       case _ => None
     }
+
+  /** Re-root a batch frame as a STREAMING logical plan (`LogicalRDD` with
+    * isStreaming = true): what a DSv1 streaming Source must return from
+    * `getBatch` — MicroBatchExecution asserts the plan is streaming. The
+    * RDD is the frame's planned execution, so the batch's whole pipeline
+    * (manifest-pruned scans included) still runs where it was planned.
+    */
+  def asStreamingFrame(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[_]]
+    val spark = ds.sparkSession
+    val qe = ds.queryExecution
+    classic.Dataset.ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd, isStreaming = true)(spark))
+  }
 }
