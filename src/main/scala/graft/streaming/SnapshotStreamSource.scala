@@ -35,7 +35,10 @@ import graft.catalog.SnapshotTable
   * Usage: `spark.readStream.format(classOf[SnapshotSourceProvider].getName)
   * .option("path", dir).load()`.
   */
-class SnapshotStreamSource(sqlContext: SQLContext, dir: String) extends Source {
+class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
+    maxVersionsPerBatch: Option[Long] = None) extends Source {
+  require(maxVersionsPerBatch.forall(_ >= 1L),
+    s"maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
 
   private val spark = sqlContext.sparkSession
   private val schema0: StructType = {
@@ -45,10 +48,25 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String) extends Source {
       s"cannot stream from $dir: manifest records no schema")))
   }
 
+  // Rate limiting: the highest version this source has already SURFACED
+  // (returned from getOffset, replayed through getBatch, or confirmed via
+  // commit — the engine calls commit with the restored offset on restart,
+  // which is what re-anchors the cap after a recovery). Without a cap, a
+  // backfill over a long table history would arrive as one giant first
+  // micro-batch; with it, the first offset advances at most
+  // maxVersionsPerBatch versions per poll — Delta's maxFilesPerTrigger
+  // idea, at version granularity.
+  private var surfaced: Long = 0L
+
   override def schema: StructType = schema0
 
-  override def getOffset: Option[Offset] =
-    SnapshotTable.versions(spark, dir).lastOption.map(LongOffset(_))
+  override def getOffset: Option[Offset] = synchronized {
+    SnapshotTable.versions(spark, dir).lastOption.map { cur =>
+      val next = maxVersionsPerBatch.fold(cur)(k => math.min(cur, surfaced + k))
+      surfaced = math.max(surfaced, next)
+      LongOffset(next)
+    }
+  }
 
   // offsets arrive as LongOffset while running and as SerializedOffset
   // (raw json) after a restart; LongOffset's json is just the number
@@ -57,12 +75,16 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String) extends Source {
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(version).getOrElse(0L)
     val to = version(end)
+    synchronized { surfaced = math.max(surfaced, to) }
     val batch =
       if (from >= to) // recovery replay of an empty window
         SnapshotTable.read(spark, dir).limit(0)
       else SnapshotTable.changesBetween(spark, dir, from, to)
     org.apache.spark.sql.graftbridge.Bridge.asStreamingFrame(batch)
   }
+
+  override def commit(end: Offset): Unit =
+    synchronized { surfaced = math.max(surfaced, version(end)) }
 
   override def stop(): Unit = ()
 }
@@ -76,6 +98,9 @@ class SnapshotSourceProvider extends StreamSourceProvider {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "snapshot stream source requires .option(\"path\", <table dir>)"))
 
+  private def maxVersionsOf(parameters: Map[String, String]): Option[Long] =
+    parameters.get("maxVersionsPerBatch").map(_.toLong)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
     ("graft-snapshot", new SnapshotStreamSource(sqlContext, dirOf(parameters)).schema)
@@ -83,5 +108,5 @@ class SnapshotSourceProvider extends StreamSourceProvider {
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new SnapshotStreamSource(sqlContext, dirOf(parameters))
+    new SnapshotStreamSource(sqlContext, dirOf(parameters), maxVersionsOf(parameters))
 }

@@ -64,6 +64,36 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(received.size() == sizeBefore, "an idle restart must not re-deliver")
   }
 
+  test("maxVersionsPerBatch rate-limits a backfill into bounded micro-batches") {
+    val dir = Files.createTempDirectory("graft-stream-rate").toString
+    val ckpt = Files.createTempDirectory("graft-stream-rate-ckpt").toString
+    def rows(a: Int, b: Int) = (a until b).toDF("id").select(col("id").cast("long").as("id"))
+    // six committed versions of 10 rows each — a long-history backfill
+    SnapshotTable.write(spark, rows(0, 10), dir)
+    (1 until 6).foreach(k => SnapshotTable.append(spark, rows(k * 10, k * 10 + 10), dir))
+
+    val batchSizes = new ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", dir)
+      .option("maxVersionsPerBatch", "2")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(df.count()); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+    assert(sizes.sum == 60L, s"backfill must deliver every row, got $sizes")
+    assert(sizes.forall(_ <= 20L),
+      s"each micro-batch must stay within 2 versions (20 rows), got $sizes")
+    assert(sizes.length >= 3, s"6 versions at 2/batch need >= 3 batches, got $sizes")
+  }
+
   test("streaming from a snapshot table into a snapshot table is exactly-once end to end") {
     val src = Files.createTempDirectory("graft-stream-e2e-src").toString
     val dst = Files.createTempDirectory("graft-stream-e2e-dst").toString
