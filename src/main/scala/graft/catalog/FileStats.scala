@@ -114,9 +114,27 @@ object FileStats {
   }
 
   private def safeCastSkip(from: DataType, to: DataType): Boolean = (from, to) match {
-    case (f: NumericType, t: NumericType) =>
-      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f, t) ||
-        (f.isInstanceOf[DecimalType] && t == DoubleType)
+    // DoubleType targets: exact for int/float inputs, and monotone for
+    // long/decimal — and the stored bounds already live in the double
+    // domain (collected through a double cast), so double(v) <= double(hi)
+    // holds for every summarized v and the bound comparison agrees with
+    // the predicate's own arithmetic.
+    case (_: NumericType, DoubleType) => true
+    // Exact integral widening never changes a value.
+    case (f: NumericType, t: NumericType) if isExactIntegral(f) && isExactIntegral(t) =>
+      org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f, t)
+    // FloatType targets are REFUSED even though Spark's canUpCast admits
+    // int→float and long→float: float rounds |v| > 2^24, so CAST(col AS
+    // FLOAT) can land ON or PAST the double-precision stored bound
+    // (hi=16777219 → float(16777219)=16777220.0f matches a >= 16777220.0f
+    // predicate the bound comparison would prune). Decimal targets are
+    // refused for the same reason: scale coercion re-rounds values
+    // relative to the double-stored bounds.
+    case _ => false
+  }
+
+  private def isExactIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
     case _ => false
   }
 

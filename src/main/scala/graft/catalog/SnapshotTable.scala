@@ -518,6 +518,41 @@ object SnapshotTable {
     else readEntries(spark, dir, to.entries, to.schemaDdl).limit(0) // no new files: empty frame, right schema
   }
 
+  /** The largest retained version `v` in (`fromVersion`, `toVersion`] whose
+    * file-level delta vs `fromVersion` — exactly the files a
+    * [[changesBetween]] batch over that window would deliver — holds at
+    * most `maxFiles` files; always at least the first retained version
+    * above `fromVersion`, so one oversized commit still surfaces (as its
+    * own batch) rather than stalling a stream forever. Metadata-only: one
+    * log listing plus one manifest read per candidate version, and the
+    * walk stops at the first version over budget (sound for the
+    * append-only streaming contract, where the delta grows monotonically).
+    * A `fromVersion` of 0 — or one already expired by vacuum — counts
+    * against an empty base set, matching what the from-scratch batch
+    * delivers. Returns `fromVersion` itself when no retained version lies
+    * in the window.
+    */
+  def capVersionByFiles(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, maxFiles: Long): Long = {
+    require(maxFiles >= 1L, s"maxFiles must be >= 1, got $maxFiles")
+    val fs = fsFor(spark, dir)
+    val byVersion = manifestVersions(fs, dir).toMap
+    val base: Set[String] = byVersion.get(fromVersion)
+      .map(readManifest(fs, _).entries.map(_.path).toSet).getOrElse(Set.empty)
+    val candidates = byVersion.keys.filter(v => v > fromVersion && v <= toVersion).toSeq.sorted
+    var chosen = fromVersion
+    var first = true
+    val it = candidates.iterator
+    var over = false
+    while (it.hasNext && !over) {
+      val v = it.next()
+      val delta = readManifest(fs, byVersion(v)).entries.count(e => !base.contains(e.path))
+      if (first || delta <= maxFiles) { chosen = v; first = false }
+      if (delta > maxFiles) over = true
+    }
+    chosen
+  }
+
   /** Keyed MERGE (update-else-insert) of `batch`, dt-scoped like
     * [[IncrementalLoader.mergeIntoSink]] but snapshot-committed: only files
     * whose dt range intersects the batch's dt set are rewritten; all other

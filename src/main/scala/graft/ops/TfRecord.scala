@@ -83,19 +83,37 @@ object TfRecord {
       def commitShard(shard: Int, tmp: org.apache.hadoop.fs.Path,
           out: java.io.OutputStream): Unit = {
         out.close()
-        val fs = tmp.getFileSystem(fsConf)
         val dest = new org.apache.hadoop.fs.Path(outDir, f"shard-$shard%05d.tfrecord")
         // overwrite semantics (a re-export after a data fix must replace
         // stale shards); within one job racing twins write identical bytes
-        // so either winner is correct. The delete→rename pair is not
-        // atomic — a zombie attempt killed between the two steps leaves
-        // the shard missing — which is why writeShards re-verifies every
-        // destination file exists after the job and fails loudly.
-        if (fs.exists(dest)) fs.delete(dest, false)
-        if (!fs.rename(tmp, dest)) {
-          require(fs.exists(dest), s"tfrecord export: rename $tmp -> $dest failed")
-          fs.delete(tmp, false) // lost a same-job rename race: twin bytes are ours
+        // so either winner is correct. The replace must be ATOMIC: a
+        // delete→rename pair leaves a window where the destination is
+        // absent, and a zombie/speculative attempt killed (or racing)
+        // between the two steps can remove a twin's already-committed file
+        // AFTER the driver's completeness gate passed. FileContext.rename
+        // with Options.Rename.OVERWRITE is the Hadoop API that swaps in
+        // one filesystem operation (POSIX rename locally, the NN op on
+        // HDFS) — no observable absent state.
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, fsConf)
+          fc.rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // object stores without an AbstractFileSystem binding fall back
+            // to the non-atomic pair; the driver-side completeness gate
+            // below writeShards still catches a lost shard loudly
+            val fs = tmp.getFileSystem(fsConf)
+            if (fs.exists(dest)) fs.delete(dest, false)
+            if (!fs.rename(tmp, dest)) {
+              require(fs.exists(dest), s"tfrecord export: rename $tmp -> $dest failed")
+              fs.delete(tmp, false) // lost a same-job rename race: twin bytes are ours
+            }
         }
+        // A vanished tmp (FileNotFoundException) propagates and fails THIS
+        // attempt: attempt-unique names mean no twin can have renamed it,
+        // so losing it is a real fault — and if a committed twin already
+        // produced the destination, the retry (or the zombie's demise)
+        // resolves through the completeness gate, never silently.
       }
       it.foreach { case (shard, pos, payload) =>
         if (!cur.exists(_._1 == shard)) {
@@ -116,10 +134,11 @@ object TfRecord {
     val tmpDir = new org.apache.hadoop.fs.Path(outDir, "_tmp")
     val fs = tmpDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(tmpDir)) fs.delete(tmpDir, true)
-    // completeness gate: the commitShard delete→rename pair is not atomic,
-    // so a zombie attempt killed between the steps could have removed a
-    // twin's committed file — catch that here as a hard failure instead of
-    // shipping an export with a missing shard
+    // completeness gate: the primary commit path is an atomic OVERWRITE
+    // rename (no absent-destination window), but the object-store fallback
+    // in commitShard is still a delete→rename pair — keep the gate as the
+    // belt-and-braces check so an export with a missing shard can never be
+    // reported successful on any filesystem
     val shards = rows.select(col("shard")).distinct()
       .collect().map(_.getInt(0)).sorted
     val missing = shards.filterNot(sh =>

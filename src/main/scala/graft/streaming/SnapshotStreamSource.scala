@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.StructType
 
@@ -32,13 +33,34 @@ import graft.catalog.SnapshotTable
   * [[SnapshotSink]]; together they close the loop: table → stream →
   * table with end-to-end exactly-once.
   *
+  * RETENTION CONTRACT: offsets are versions, so [[SnapshotTable.vacuum]]'s
+  * `keepVersions` must stay >= the stream's worst-case checkpoint lag (in
+  * versions). A checkpointed stream resuming from an offset whose manifest
+  * vacuum expired fails LOUDLY with the `IllegalStateException` raised by
+  * [[SnapshotTable.changesBetween]] — never a silent gap in delivery.
+  *
+  * SCHEMA CONTRACT: the source schema is pinned when the query starts.
+  * Additive evolution under a running stream is tolerated — each batch is
+  * projected back to the pinned columns (new columns surface only after a
+  * restart, like Delta). A batch whose files DROP or RETYPE a pinned
+  * column fails loudly with "restart the query" rather than emitting
+  * frames that no longer match the declared schema.
+  *
   * Usage: `spark.readStream.format(classOf[SnapshotSourceProvider].getName)
-  * .option("path", dir).load()`.
+  * .option("path", dir).load()`. Rate limiting:
+  * `maxVersionsPerBatch` bounds how many VERSIONS a micro-batch may span;
+  * `maxFilesPerBatch` additionally bounds how many FILES it may deliver
+  * (one version can carry arbitrarily many files — Delta's
+  * maxFilesPerTrigger idea). Both caps always let at least one version
+  * through, so an oversized commit surfaces alone instead of stalling.
   */
 class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
-    maxVersionsPerBatch: Option[Long] = None) extends Source {
+    maxVersionsPerBatch: Option[Long] = None,
+    maxFilesPerBatch: Option[Long] = None) extends Source {
   require(maxVersionsPerBatch.forall(_ >= 1L),
     s"maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
+  require(maxFilesPerBatch.forall(_ >= 1L),
+    s"maxFilesPerBatch must be >= 1, got $maxFilesPerBatch")
 
   private val spark = sqlContext.sparkSession
   private val schema0: StructType = {
@@ -56,13 +78,27 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
   // micro-batch; with it, the first offset advances at most
   // maxVersionsPerBatch versions per poll — Delta's maxFilesPerTrigger
   // idea, at version granularity.
-  private var surfaced: Long = 0L
+  //
+  // Anchored at (earliest retained version - 1), NOT 0: on a table whose
+  // early manifests vacuum expired, a 0-anchored cap would hand getBatch
+  // an end offset below the earliest retained manifest and permanently
+  // fail the stream on a missing manifest — while the very same stream
+  // without rate limiting (offset = current) would have worked. The first
+  // capped batch then starts from the oldest history that still exists,
+  // exactly what the uncapped backfill delivers.
+  private var surfaced: Long =
+    SnapshotTable.versions(spark, dir).headOption.map(_ - 1L).getOrElse(0L)
 
   override def schema: StructType = schema0
 
   override def getOffset: Option[Offset] = synchronized {
     SnapshotTable.versions(spark, dir).lastOption.map { cur =>
-      val next = maxVersionsPerBatch.fold(cur)(k => math.min(cur, surfaced + k))
+      val vCap = maxVersionsPerBatch.fold(cur)(k => math.min(cur, surfaced + k))
+      val next = maxFilesPerBatch match {
+        case Some(mf) if vCap > surfaced =>
+          SnapshotTable.capVersionByFiles(spark, dir, surfaced, vCap, mf)
+        case _ => vCap
+      }
       surfaced = math.max(surfaced, next)
       LongOffset(next)
     }
@@ -79,8 +115,29 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
     val batch =
       if (from >= to) // recovery replay of an empty window
         SnapshotTable.read(spark, dir).limit(0)
-      else SnapshotTable.changesBetween(spark, dir, from, to)
+      else conform(SnapshotTable.changesBetween(spark, dir, from, to))
     org.apache.spark.sql.graftbridge.Bridge.asStreamingFrame(batch)
+  }
+
+  /** Pin every batch to the schema declared at query start. changesBetween
+    * reads with the window's LATEST manifest schema, so an additive
+    * evolution mid-stream would otherwise hand Spark frames wider than the
+    * source's declared schema — an analysis error (or worse, a silent
+    * positional mismatch) far from its cause. Additive drift projects back
+    * to the pinned columns; a dropped or retyped pinned column is a
+    * contract violation and fails with instructions, not a stack trace.
+    */
+  private def conform(df: DataFrame): DataFrame = {
+    if (df.schema == schema0) df
+    else {
+      val have = df.schema.map(f => f.name -> f.dataType).toMap
+      val broken = schema0.filter(f => !have.get(f.name).contains(f.dataType))
+      if (broken.nonEmpty) throw new IllegalStateException(
+        s"snapshot table at $dir evolved incompatibly under a running stream " +
+          s"(pinned column(s) ${broken.map(_.name).mkString(", ")} missing or retyped); " +
+          "restart the query to pick up the new schema")
+      df.select(schema0.map(f => col(s"`${f.name}`")): _*)
+    }
   }
 
   override def commit(end: Offset): Unit =
@@ -90,16 +147,14 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
 }
 
 /** DSv1 provider: `.format(classOf[SnapshotSourceProvider].getName)` +
-  * `.option("path", dir)`.
+  * `.option("path", dir)`. Optional rate limits:
+  * `.option("maxVersionsPerBatch", k)` and `.option("maxFilesPerBatch", n)`.
   */
 class SnapshotSourceProvider extends StreamSourceProvider {
 
   private def dirOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "snapshot stream source requires .option(\"path\", <table dir>)"))
-
-  private def maxVersionsOf(parameters: Map[String, String]): Option[Long] =
-    parameters.get("maxVersionsPerBatch").map(_.toLong)
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
@@ -108,5 +163,7 @@ class SnapshotSourceProvider extends StreamSourceProvider {
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
-    new SnapshotStreamSource(sqlContext, dirOf(parameters), maxVersionsOf(parameters))
+    new SnapshotStreamSource(sqlContext, dirOf(parameters),
+      parameters.get("maxVersionsPerBatch").map(_.toLong),
+      parameters.get("maxFilesPerBatch").map(_.toLong))
 }

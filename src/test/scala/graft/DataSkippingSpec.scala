@@ -98,6 +98,22 @@ class DataSkippingSpec extends SparkSpec {
     val idL = AttributeReference("id", LongType)()
     assert(may(EqualTo(Cast(idL, IntegerType), Literal(5)), bigStats),
       "narrowing cast wraps — raw bounds must not prune")
+    // FLOAT targets must be refused even though Spark calls int→float an
+    // up-cast: float(16777219) rounds to 16777220.0f, so a file with
+    // hi=16777219 DOES hold a row matching CAST(v AS FLOAT) >= 16777220.0f
+    // — pruning on the double-precision bound would wrongly skip it
+    val f24Stats = Map("v" -> ColStat("num", Some("1.0"), Some("1.6777219E7"), 0L))
+    val vInt2 = AttributeReference("v", IntegerType)()
+    assert(may(GreaterThanOrEqual(Cast(vInt2, FloatType), Literal(16777220.0f)), f24Stats),
+      "int→float cast rounds past the stored bound — must keep the file")
+    val vLong = AttributeReference("v", LongType)()
+    assert(may(GreaterThanOrEqual(Cast(vLong, FloatType), Literal(16777220.0f)), f24Stats),
+      "long→float cast likewise must not prune")
+    // decimal targets re-round relative to double-stored bounds — refused
+    assert(may(GreaterThan(Cast(vInt2, DecimalType(20, 2)), Literal(Decimal(16777219.5), DecimalType(20, 2))), f24Stats),
+      "int→decimal cast target must not prune on double-domain bounds")
+    // exact integral widening still prunes
+    assert(!may(EqualTo(Cast(vInt2, LongType), Literal(20000000L)), f24Stats))
   }
 
   test("string bound truncation: lower truncates, upper pads to re-dominate") {

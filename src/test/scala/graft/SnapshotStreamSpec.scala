@@ -94,6 +94,144 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(sizes.length >= 3, s"6 versions at 2/batch need >= 3 batches, got $sizes")
   }
 
+  test("rate-limited backfill anchors at the earliest RETAINED version after vacuum") {
+    val dir = Files.createTempDirectory("graft-stream-vac").toString
+    val ckpt = Files.createTempDirectory("graft-stream-vac-ckpt").toString
+    def rows(a: Int, b: Int) = (a until b).toDF("id").select(col("id").cast("long").as("id"))
+    SnapshotTable.write(spark, rows(0, 10), dir)
+    (1 until 6).foreach(k => SnapshotTable.append(spark, rows(k * 10, k * 10 + 10), dir))
+    // expire manifests 1..4 — a cap anchored at version 0 would hand
+    // getBatch an end offset whose manifest no longer exists and
+    // permanently fail the stream; the anchor must be the earliest
+    // retained version instead
+    SnapshotTable.vacuum(spark, dir, keepVersions = 2, minUnreferencedAgeMs = 0L)
+    assert(SnapshotTable.versions(spark, dir) == Seq(5L, 6L))
+
+    val received = new ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", dir)
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id").collect().foreach(r => received.add(r.getLong(0)))
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(received.asScala.toSeq.sorted == (0L until 60L),
+      "a rate-limited backfill over a vacuumed table must start from the " +
+        s"oldest retained manifest and deliver every live row, got ${received.size}")
+  }
+
+  test("resuming a checkpointed stream past vacuumed versions fails loudly, never silently skips") {
+    val dir = Files.createTempDirectory("graft-stream-vacfail").toString
+    val ckpt = Files.createTempDirectory("graft-stream-vacfail-ckpt").toString
+    def rows(a: Int, b: Int) = (a until b).toDF("id").select(col("id").cast("long").as("id"))
+    SnapshotTable.write(spark, rows(0, 10), dir)
+    def start() = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", dir)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable() // checkpoint commits offset = version 1
+    q1.stop()
+    // the table moves on; retention is violated relative to the
+    // checkpoint's lag (keepVersions=1 < 3 versions behind)
+    (1 until 4).foreach(k => SnapshotTable.append(spark, rows(k * 10, k * 10 + 10), dir))
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0L)
+    val q2 = start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("not available")),
+      s"resume past vacuumed history must raise the missing-manifest error, got: ${messages(e)}")
+  }
+
+  test("maxFilesPerBatch bounds the files a micro-batch delivers; oversized commits surface alone") {
+    val dir = Files.createTempDirectory("graft-stream-files").toString
+    val ckpt = Files.createTempDirectory("graft-stream-files-ckpt").toString
+    def rows(a: Int, b: Int, parts: Int) =
+      (a until b).toDF("id").select(col("id").cast("long").as("id")).repartition(parts)
+    // five versions x 2 files of ~5 rows, then one oversized 6-file commit
+    SnapshotTable.write(spark, rows(0, 10, 2), dir)
+    (1 until 5).foreach(k => SnapshotTable.append(spark, rows(k * 10, k * 10 + 10, 2), dir))
+    SnapshotTable.append(spark, rows(50, 60, 6), dir)
+
+    val batchSizes = new ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", dir)
+      .option("maxFilesPerBatch", "4")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(df.count()); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq.filter(_ > 0)
+    assert(sizes.sum == 60L, s"file-capped backfill must deliver every row, got $sizes")
+    // 4 files ≈ 2 versions ≈ 20 rows per batch, except the 6-file commit
+    // which exceeds the cap on its own and must still surface (alone)
+    assert(sizes.forall(_ <= 20L), s"each micro-batch must stay within 4 files (~20 rows), got $sizes")
+    assert(sizes.length >= 3, s"5 two-file versions + 1 six-file version at 4 files/batch need >= 3 batches, got $sizes")
+  }
+
+  test("additive schema evolution mid-stream projects to the pinned schema; restart sees the new column") {
+    val dir = Files.createTempDirectory("graft-stream-schema").toString
+    val ckpt = Files.createTempDirectory("graft-stream-schema-ckpt").toString
+    SnapshotTable.write(spark, (0 until 10).toDF("id").select(col("id").cast("long").as("id")), dir)
+
+    val seenSchemas = new ConcurrentLinkedQueue[String]()
+    val received = new ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", dir)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) seenSchemas.add(df.columns.mkString(","))
+        df.select("id").collect().foreach(r => received.add(r.getLong(0)))
+      }
+      .start()
+    val q1 = start()
+    q1.processAllAvailable()
+    // additive evolution while the query runs: new column `extra`
+    SnapshotTable.append(spark, (10 until 20).toDF("id").select(
+      col("id").cast("long").as("id"), lit("x").as("extra")), dir)
+    q1.processAllAvailable()
+    q1.stop()
+    import scala.jdk.CollectionConverters._
+    assert(seenSchemas.asScala.toSet == Set("id"),
+      s"mid-stream batches must stay pinned to the start schema, got $seenSchemas")
+    assert(received.asScala.toSeq.sorted == (0L until 20L))
+
+    // a restarted query pins the evolved schema and surfaces the column
+    SnapshotTable.append(spark, (20 until 30).toDF("id").select(
+      col("id").cast("long").as("id"), lit("y").as("extra")), dir)
+    seenSchemas.clear()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(seenSchemas.asScala.toSet == Set("id,extra"),
+      s"restart must pick up the evolved schema, got $seenSchemas")
+  }
+
   test("streaming from a snapshot table into a snapshot table is exactly-once end to end") {
     val src = Files.createTempDirectory("graft-stream-e2e-src").toString
     val dst = Files.createTempDirectory("graft-stream-e2e-dst").toString
