@@ -289,6 +289,34 @@ object Dedup {
     * sane broadcast budget — beyond the limit the exact same joins run as
     * partitioned hash joins on (chunk, pval) / id with no other change
     * (exercised by DedupSpec's no-hint path).
+    *
+    * `maxHamming` is the candidate cut — the output contract is exactly
+    * "every pair with signature hamming ≤ maxHamming and verified cosine ≥
+    * cosThreshold", and the probe scheme's pigeonhole (some chunk within 2
+    * bits whenever hamming ≤ 3·chunks−1 = 11) guarantees any cut ≤ 11 is
+    * fully covered, so the output is deterministic for the whole range.
+    * The default is 9, chosen from exhaustive all-pairs measurement rather
+    * than the scheme's ceiling: on both the gate corpus (sf0.01) and the
+    * bench corpus (sf0.1 — 3,311 true pairs) every cosine ≥ 0.95 pair sits
+    * at hamming ≤ 8 (binomial concentration: a cos-0.95 pair flips each
+    * bit w.p. ~0.10, so 64-bit hamming centers at 6.5), while hamming 9–11
+    * carried 1.43M pairs with ZERO true positives at sf0.1 — 84% of all
+    * candidate volume was medium-similarity flood (avg cos ≈ 0.77) paying
+    * the verify join for nothing. Cutting at 9 keeps one band of measured
+    * safety margin above the observed max (8) and drops the flood ~3×;
+    * RecallMarginSpec re-asserts the margin against THIS cut on every run,
+    * so a fixture regen that pushes a true pair toward the cut fails by
+    * name, not as an oracle hash diff.
+    *
+    * A per-bucket density split (escalating over-dense buckets to a
+    * two-chunk band) was implemented and MEASURED WORSE, then removed:
+    * flood pairs almost always also collide in some below-cap bucket, so
+    * candidates only dropped 27% while the sub-bucket shuffle join cost 6×
+    * at soak x1 — density is not the lever, the hamming cut is. At corpus
+    * sizes where 16-bit chunk buckets hold millions of rows (≳10⁸ eligible
+    * docs) the in-bucket quadratic does return; the scale path there is
+    * re-chunking (wider chunks / smaller radius for the same coverage via
+    * this same pigeonhole arithmetic), not per-bucket special-casing.
     */
   def simHashCosineNearDups(
       docs: DataFrame,
@@ -296,7 +324,12 @@ object Dedup {
       idCol: String = "doc_id",
       minTokens: Int = 50,
       cosThreshold: Double = 0.95,
-      broadcastDocLimit: Long = 100000L): DataFrame = {
+      broadcastDocLimit: Long = 100000L,
+      maxHamming: Int = 9): DataFrame = {
+    require(maxHamming <= 11,
+      s"maxHamming=$maxHamming exceeds the probe scheme's pigeonhole coverage (11): " +
+        "4 chunks of 16 bits with radius-1 probes on both sides bridge chunk-distance <= 2, " +
+        "which covers total hamming <= 3*4-1 only — a larger cut would make recall probabilistic")
     val spark = docs.sparkSession
     graft.extensions.GraftExtensions.register(spark)
 
@@ -348,10 +381,10 @@ object Dedup {
     // compile than the whole stage took to run).
     //
     // Rows carry the full signature so the join output can be cut to
-    // hamming <= 11 (the probing coverage bound) by a codegen'd bit_count
-    // BEFORE the dedup shuffle and the verify join — docs here are
-    // correlated (shared vocabulary), so medium-similarity pairs collide on
-    // probes constantly and would otherwise flood verification.
+    // hamming <= maxHamming by a codegen'd bit_count BEFORE the dedup
+    // shuffle and the verify join — docs here are correlated (shared
+    // vocabulary), so medium-similarity pairs collide on probes constantly
+    // and would otherwise flood verification.
     val pw = width + 1
     val probed = sigs
       .select(col("id"), col("sig"), explode(sequence(lit(0), lit(chunks * pw - 1))).as("pi"))
@@ -372,9 +405,7 @@ object Dedup {
       .join(maybeBroadcast(probed.select(col("id").as("id_b"), col("sig").as("sig_b"),
         col("chunk"), col("pval"))), Seq("chunk", "pval"))
       .filter(col("id") < col("id_b") &&
-        // pigeonhole coverage bound: ham >= 3*chunks would allow every chunk
-        // to differ by >= 3 bits, beyond radius-1-both-sides probing
-        bit_count(col("sig").bitwiseXOR(col("sig_b"))) <= 3 * chunks - 1)
+        bit_count(col("sig").bitwiseXOR(col("sig_b"))) <= maxHamming)
       .select(col("id").as("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       // free operator metric (CollectMetricsExec, no extra job/shuffle):

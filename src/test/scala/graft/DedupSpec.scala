@@ -89,8 +89,11 @@ class DedupSpec extends SparkSpec {
   }
 
   test("gate canary: SimHash hamming of true pairs stays under the probe bound (q41 invariant)") {
-    // Multi-probe pigeonhole covers hamming <= 11; measured fixture max is
-    // 7-8. Assert margin >= 2 so data drift surfaces here first.
+    // The operator's candidate cut is hamming <= 9 (measured true-pair
+    // concentration; the probe scheme covers up to 11). Measured fixture
+    // max is 7 at sf0.01 — and the 0.93-0.95 near-threshold band is EMPTY
+    // there, so there is no population one regen-nudge from a surprise.
+    // Assert margin >= 2 so data drift surfaces here first.
     import graft.functions.TextFunctions
     val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val d = base.union(base.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz"))))
@@ -111,9 +114,10 @@ class DedupSpec extends SparkSpec {
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
       .select(bit_count(col("sa").bitwiseXOR(col("sb"))).as("ham"))
       .agg(max(col("ham"))).collect()(0).getInt(0)
-    assert(maxHam <= 9,
-      s"true-pair SimHash hamming reached $maxHam (probe bound 11, want margin >= 2) — " +
-        "q41's oracle equality is at risk; widen chunks/probes or raise minTokens")
+    assert(maxHam <= 7,
+      s"true-pair SimHash hamming reached $maxHam (candidate cut 9, want margin >= 2) — " +
+        "q41's oracle equality is at risk; raise maxHamming toward the scheme's coverage " +
+        "bound (11), widen chunks/probes, or raise minTokens")
   }
 
   test("simHashCosineNearDups: no-broadcast path (limit 0) returns the identical pair set") {
@@ -126,6 +130,23 @@ class DedupSpec extends SparkSpec {
     val unhinted = Dedup.simHashCosineNearDups(d, broadcastDocLimit = 0L)
     assert(hinted.count() > 0, "fixture should contain verified near-dup pairs")
     assert(hinted.exceptAll(unhinted).count() == 0 && unhinted.exceptAll(hinted).count() == 0)
+  }
+
+  test("simHashCosineNearDups: hamming cut 9 returns the identical verified pair set as the full coverage bound 11") {
+    // the default candidate cut (9) drops the hamming 9-11 flood band that
+    // measurement shows carries zero true pairs (all cos >= 0.95 pairs sit
+    // at hamming <= 8 on this corpus — binomial concentration). This diff
+    // pins that fact END TO END on the fixture: if a regen ever plants a
+    // true pair at hamming 10-11, the tightened cut would diverge from the
+    // scheme's full coverage bound and this fails by name before q41's
+    // oracle hash does.
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val d = base.union(base.select(col("doc_id") + 1000000, concat(col("text"), lit(" zz"))))
+    val cut = Dedup.simHashCosineNearDups(d)
+    val full = Dedup.simHashCosineNearDups(d, maxHamming = 11)
+    assert(full.count() > 0, "fixture should contain verified near-dup pairs")
+    assert(cut.exceptAll(full).count() == 0 && full.exceptAll(cut).count() == 0)
+    assertThrows[IllegalArgumentException](Dedup.simHashCosineNearDups(d, maxHamming = 12))
   }
 
   test("contaminationFlags: benchmark members and their copies flagged, disjoint docs not") {

@@ -61,11 +61,13 @@ class RecallMarginSpec extends SparkSpec {
       .join(sigs.select((col("id") - 1000000).as("id"), col("sig").as("sig_b")), "id")
       .select(bit_count(col("sig").bitwiseXOR(col("sig_b"))).as("h"))
     val maxHam = ham.agg(max(col("h"))).collect()(0).getInt(0)
-    info(s"max planted hamming = $maxHam (recall guaranteed to 11)")
-    assert(maxHam <= 9,
+    info(s"max planted hamming = $maxHam (candidate cut 9, scheme coverage 11)")
+    assert(maxHam <= 7,
       s"FIXTURE RECALL MARGIN BROKEN: a planted pair's SimHash hamming distance is $maxHam; " +
-        "the multi-probe pigeonhole guarantees recall only to 11 — a regen pushed the fixture " +
-        "into the probabilistic zone and q41's exhaustive oracle would mismatch.")
+        "the operator's candidate cut is hamming <= 9 (chosen from measured true-pair " +
+        "concentration; the probe scheme covers up to 11) — a regen pushed the fixture toward " +
+        "the cut and q41's exhaustive oracle would mismatch. Widen maxHamming toward 11 or " +
+        "regenerate with stronger planted similarity.")
 
     val nEligible = eligible.filter(col("doc_id") < 1000000)
       .join(eligible.select((col("doc_id") - 1000000).as("doc_id")), "doc_id")

@@ -184,8 +184,14 @@ class ScaleSoakSpec extends SparkSpec {
       () => noop(Dedup.simHashCosineNearDups(scaledDocs(4)))))
     info(s"simhash candidate pairs: 1x=$cand1 4x=$cand4")
     // replicas share no vocabulary by fixture construction, so candidate
-    // volume must grow ~linearly with input — the superlinear-leaning term
-    // is the one to catch drifting (recall loss or candidate explosion)
+    // volume must grow ~linearly with input. The bound is 6x (not 4x)
+    // because each replica's token hashes — and therefore its signature
+    // geometry — is an independent realization: the hamming-9 flood band
+    // (medium-similarity pairs surviving the cut) varies ±30% per replica
+    // (measured r8: 555k -> 2.99M, i.e. 5.4x, after the hamming cut 9
+    // removed the 10-11 bands; the r7 uncut set grew 5.0x the same way).
+    // What this catches is drift to QUADRATIC growth (recall loss or
+    // candidate explosion), not realization noise.
     assert(cand1 > 0L, "candidate stage produced zero pairs at 1x")
     assert(cand4 <= 6L * cand1,
       s"simhash candidate pairs superlinear: 1x $cand1 -> 4x $cand4")
