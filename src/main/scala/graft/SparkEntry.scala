@@ -1542,6 +1542,25 @@ object SparkEntry {
       IncrementalRollup.quantilesFromHist(state, keys, 1000.0,
         Seq(0.5, 0.95), Seq("med", "p95"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- the snapshot table through PURE SQL (DataSourceV2 catalog):
+    // write base orders as v-first, append junk, then read the FIRST
+    // version back with `VERSION AS OF` — no Scala read API anywhere in
+    // the query path. The junk append must be invisible to the pinned
+    // version, so the truth is the plain base projection ----
+    "q125_sql_version_as_of" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").as("dt"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q125").toString
+      graft.catalog.SnapshotTable.write(s, o, tbl) // v-first
+      graft.catalog.SnapshotTable.append(s,
+        o.filter(pmod(col("o_orderkey"), lit(9)) === 0)
+          .select(col("o_orderkey") + 30000000L, col("dt"), col("o_totalprice")), tbl)
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      val v0 = graft.catalog.SnapshotTable.versions(s, tbl).head
+      s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` VERSION AS OF $v0 " +
+        "ORDER BY o_orderkey, dt")
     })
   )
 
@@ -1812,6 +1831,12 @@ object SparkEntry {
         |  MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN (bin + 1) * 1000.0 END) AS med,
         |  MIN(CASE WHEN cum >= CEIL(0.95 * n) THEN (bin + 1) * 1000.0 END) AS p95
         |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q125: VERSION AS OF pins the pre-append snapshot, so the truth is the
+    // base orders projection — identical shape to q105's rollback truth
+    "q125_sql_version_as_of" ->
+      """SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders
+        |ORDER BY o_orderkey, dt""".stripMargin,
     "q01_kpi_topk_spend" ->
       """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
         |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

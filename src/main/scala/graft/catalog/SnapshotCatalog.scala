@@ -1,0 +1,203 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The snapshot table surfaced to PURE SQL through DataSourceV2: a
+  * [[TableCatalog]] plugin so `SELECT … FROM snap.ns.tbl` — including
+  * `VERSION AS OF n` time travel — works with no Scala API in sight.
+  *
+  * Register (config or runtime; catalogs instantiate lazily on first
+  * reference):
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.snap", classOf[SnapshotCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.snap.root", "/warehouse")
+  *   spark.sql("SELECT * FROM snap.ads.spend VERSION AS OF 3")
+  * }}}
+  *
+  * Identifier → directory: `snap.a.b.t` resolves to `<root>/a/b/t`; a
+  * backtick-quoted absolute path (`` snap.`/abs/path` ``) bypasses the
+  * root, Delta-style. `VERSION AS OF n` routes through
+  * `loadTable(ident, version)` (the DSv2 time-travel contract) and pins
+  * the scan to manifest `n` exactly like [[SnapshotTable.readVersion]].
+  *
+  * Reads reuse the planner seam the Scala API already has: the table's
+  * [[ScanBuilder]] is Spark's own parquet DSv2 builder handed a
+  * [[SnapshotFileIndex]], so manifest-stats file skipping, parquet
+  * row-group pushdown, column pruning, and manifest-based size statistics
+  * (for broadcast planning) all compose — planning never lists the
+  * filesystem, at 100 TB the manifest IS the listing. Writes stay on the
+  * transactional Scala API ([[SnapshotTable.write]]/append/merge), which
+  * owns the OCC commit protocol; `createTable` provisions an empty v0 so
+  * SQL DDL can stage a table for those writers.
+  */
+class SnapshotCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var root: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = Option(options.get("root"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Catalog instances are cached by Spark's CatalogManager at first use,
+    * so an initialize-time `root` is frozen; fall back to the live session
+    * conf so `spark.conf.set("spark.sql.catalog.<name>.root", …)` works
+    * even after the catalog has been instantiated (e.g. first touched via
+    * an absolute-path identifier that needed no root).
+    */
+  private def rootOpt: Option[String] =
+    root.orElse(scala.util.Try(spark.conf.get(s"spark.sql.catalog.$catalogName.root")).toOption)
+
+  private def dirFor(ident: Identifier): String =
+    if (ident.namespace.isEmpty && ident.name.startsWith("/")) ident.name
+    else rootOpt match {
+      case Some(r) => (r +: ident.namespace :+ ident.name).mkString("/")
+      case None => throw new IllegalArgumentException(
+        s"catalog $catalogName has no 'root' option; set spark.sql.catalog.$catalogName.root " +
+          "or address tables by absolute path: SELECT … FROM " + catalogName + ".`/abs/path`")
+    }
+
+  override def loadTable(ident: Identifier): Table = {
+    val dir = dirFor(ident)
+    if (!SnapshotTable.exists(spark, dir)) throw new NoSuchTableException(ident)
+    new SnapshotV2Table(spark, dir, ident.toString, None)
+  }
+
+  /** `VERSION AS OF <v>` — the DSv2 time-travel entry point. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirFor(ident)
+    if (!SnapshotTable.exists(spark, dir)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"snapshot versions are numeric manifest ids; got VERSION AS OF '$version'")
+    }
+    new SnapshotV2Table(spark, dir, ident.toString, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` is unsupported: manifests record versions, not wall
+    * clocks (commit times are not part of the format's correctness
+    * contract), so a timestamp has no well-defined snapshot.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    throw new UnsupportedOperationException(
+      "snapshot tables time-travel by VERSION AS OF <n>; TIMESTAMP AS OF is not supported " +
+        "(manifest versions, not wall clocks, define snapshots)")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = rootOpt match {
+      case Some(r) => (r +: namespace.toSeq).mkString("/")
+      case None => return Array.empty
+    }
+    val d = new java.io.File(base)
+    if (!d.isDirectory) Array.empty
+    else d.listFiles.filter(f => f.isDirectory && SnapshotTable.exists(spark, f.getPath))
+      .map(f => Identifier.of(namespace, f.getName))
+  }
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val dir = dirFor(ident)
+    if (SnapshotTable.exists(spark, dir)) throw new TableAlreadyExistsException(ident)
+    val schema = CatalogShims.columnsToStructType(info.columns)
+    SnapshotTable.write(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), dir)
+    new SnapshotV2Table(spark, dir, ident.toString, None)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val dir = dirFor(ident)
+    if (SnapshotTable.exists(spark, dir)) throw new TableAlreadyExistsException(ident)
+    SnapshotTable.write(spark, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), dir)
+    new SnapshotV2Table(spark, dir, ident.toString, None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "ALTER TABLE is not supported through the SQL catalog; snapshot schema evolves " +
+        "through the transactional writers (SnapshotTable.append/merge merge schemas)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "DROP TABLE through the SQL catalog is refused: dropping a snapshot table deletes " +
+        "data + history; do it explicitly on the storage layer")
+
+  override def renameTable(old: Identifier, to: Identifier): Unit =
+    throw new UnsupportedOperationException("RENAME TABLE is not supported for path-addressed snapshot tables")
+}
+
+/** One snapshot (current or `VERSION AS OF`) as a DSv2 Table.
+  *
+  * Freshness/pinning semantics follow Spark 4's versioned-table contract:
+  * because [[version]] is reported, Spark's `V2TableRefreshUtil` re-loads
+  * a CURRENT-version reference at each execution start, so a long-lived
+  * `SELECT` DataFrame sees the latest committed snapshot — while every
+  * individual execution is still snapshot-consistent (the refreshed
+  * manifest pins the exact file set before any task runs). A
+  * `VERSION AS OF` reference carries a time-travel spec and is exempt
+  * from refresh: it reads manifest `n` forever (SnapshotCatalogSpec pins
+  * both behaviors).
+  */
+private[graft] class SnapshotV2Table(
+    spark: SparkSession, dir: String, identName: String, pinnedVersion: Option[Long])
+  extends Table with SupportsRead {
+
+  // resolved at load; current-version references are re-loaded per
+  // execution by Spark's versioned-table refresh (see class doc)
+  private val manifest: SnapshotTable.Manifest =
+    SnapshotTable.manifestFor(spark, dir, pinnedVersion)
+
+  private val tableSchema: StructType =
+    StructType.fromDDL(manifest.schemaDdl.getOrElse(throw new IllegalStateException(
+      s"snapshot at $dir has no recorded schema; read it with SnapshotTable.read")))
+
+  override def name(): String = identName
+
+  override def schema(): StructType = tableSchema
+
+  override def version(): String = manifest.version.toString
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def properties(): util.Map[String, String] =
+    Map(
+      "location" -> dir,
+      "snapshot.version" -> manifest.version.toString,
+      "snapshot.numFiles" -> manifest.entries.size.toString,
+      "snapshot.sizeBytes" -> manifest.entries.map(_.bytes).sum.toString).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    // Spark's own parquet DSv2 builder over the manifest-backed index:
+    // filter pushdown (file skip + row-group), column pruning, and
+    // manifest-accurate statistics come from the shared machinery
+    ParquetScanBuilder(spark, new SnapshotFileIndex(spark, dir, manifest),
+      tableSchema, tableSchema, options)
+}
+
+private object CatalogShims {
+  // CatalogV2Util.v2ColumnsToStructType is private[sql]; the mapping is a
+  // straight field-for-field rebuild (defaults/generation are not part of
+  // the snapshot format's surface)
+  def columnsToStructType(cols: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    StructType(cols.map { c =>
+      val f = org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)
+      Option(c.comment).map(f.withComment).getOrElse(f)
+    })
+}

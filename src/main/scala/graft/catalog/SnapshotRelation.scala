@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation, PartitionDirectory, PartitioningAwareFileIndex, PartitionSpec}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
 
@@ -28,7 +28,11 @@ import org.apache.spark.sql.types.StructType
   */
 private[graft] class SnapshotFileIndex(
     spark: SparkSession, dir: String, manifest: SnapshotTable.Manifest)
-  extends FileIndex {
+  extends PartitioningAwareFileIndex(spark, Map.empty, None) {
+  // PartitioningAwareFileIndex (rather than bare FileIndex) so the SAME
+  // index serves both the V1 HadoopFsRelation below and the DSv2
+  // ParquetScanBuilder in SnapshotCatalog — listFiles is overridden in
+  // both paths to answer from the manifest with per-file-stats pruning.
 
   private val qualifiedDir: Path = {
     val p = new Path(dir)
@@ -45,6 +49,17 @@ private[graft] class SnapshotFileIndex(
   override def rootPaths: Seq[Path] = Seq(qualifiedDir)
 
   override def partitionSchema: StructType = new StructType()
+
+  override def partitionSpec(): PartitionSpec = PartitionSpec.emptySpec
+
+  override def leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
+    val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
+    manifest.entries.foreach { e => val s = status(e); m.put(s.getPath, s) }
+    m
+  }
+
+  override def leafDirToChildrenFiles: Map[Path, Array[FileStatus]] =
+    Map(qualifiedDir -> manifest.entries.map(status).toArray)
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{SnapshotCatalog, SnapshotTable}
+
+/** The snapshot table through PURE SQL: a DataSourceV2 catalog resolving
+  * `snap.<ident>` (and backtick-quoted absolute paths), `VERSION AS OF`
+  * time travel via the DSv2 loadTable(ident, version) contract, and the
+  * same manifest-stats file pruning the Scala readTable API gets — all
+  * asserted from scan metrics and row equality against the Scala reads.
+  */
+class SnapshotCatalogSpec extends SparkSpec {
+
+  private def ensureCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.snap", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snap.root", root)
+  }
+
+  private lazy val root: String = Files.createTempDirectory("graft-cat").toString
+
+  private def v2ScannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty, s"no DSv2 batch scan in plan:\n$plan")
+    scans.flatMap(_.inputPartitions).flatMap {
+      case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+        f.files.map(_.filePath.toString)
+      case _ => Seq.empty
+    }.distinct.size.toLong
+  }
+
+  test("SQL reads resolve through the catalog and match the Scala API; VERSION AS OF time-travels") {
+    ensureCatalog()
+    val dir = s"$root/ads/spend"
+    val v0 = spark.range(0, 500).select(col("id"), (col("id") % 5).as("grp"))
+    SnapshotTable.write(spark, v0, dir)
+    val v1 = spark.range(500, 800).select(col("id"), (col("id") % 5).as("grp"))
+    SnapshotTable.append(spark, v1, dir)
+
+    val cur = spark.sql("SELECT * FROM snap.ads.spend")
+    assert(cur.count() == 800)
+    val scala = SnapshotTable.read(spark, dir)
+    assert(cur.exceptAll(scala).isEmpty && scala.exceptAll(cur).isEmpty)
+
+    val versions = SnapshotTable.versions(spark, dir)
+    val tt = spark.sql(s"SELECT * FROM snap.ads.spend VERSION AS OF ${versions.head}")
+    assert(tt.count() == 500)
+    val scalaV0 = SnapshotTable.readVersion(spark, dir, versions.head)
+    assert(tt.exceptAll(scalaV0).isEmpty && scalaV0.exceptAll(tt).isEmpty)
+
+    // Spark's versioned-table semantics: a CURRENT-version reference is
+    // refreshed at execution start (a long-lived DataFrame sees the latest
+    // committed snapshot), while a VERSION AS OF reference stays pinned to
+    // its manifest across concurrent appends
+    val current = spark.sql("SELECT count(*) AS n FROM snap.ads.spend")
+    val pinnedV = SnapshotTable.versions(spark, dir).last
+    val pinned = spark.sql(s"SELECT count(*) AS n FROM snap.ads.spend VERSION AS OF $pinnedV")
+    SnapshotTable.append(spark, spark.range(800, 900).select(col("id"), (col("id") % 5).as("grp")), dir)
+    assert(current.collect()(0).getLong(0) == 900,
+      "current-version reference must refresh to the latest committed snapshot")
+    assert(pinned.collect()(0).getLong(0) == 800,
+      "VERSION AS OF reference must stay pinned across concurrent appends")
+  }
+
+  test("absolute-path identifiers work without a root; aggregates and joins plan over the catalog table") {
+    ensureCatalog()
+    val dir = Files.createTempDirectory("graft-cat-abs").toString
+    SnapshotTable.write(spark,
+      spark.range(0, 100).select(col("id"), (col("id") % 3).as("k")), dir)
+    val agg = spark.sql(s"SELECT k, count(*) AS n FROM snap.`$dir` GROUP BY k ORDER BY k")
+    assert(agg.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 34L), (1L, 33L), (2L, 33L)))
+  }
+
+  test("manifest-stats pruning reaches the DSv2 scan: range predicate scans one file of four") {
+    ensureCatalog()
+    val dir = s"$root/pruned"
+    (0 until 4).foreach { k =>
+      val part = spark.range(k * 1000, k * 1000 + 100).select(col("id")).repartition(1)
+      if (k == 0) SnapshotTable.write(spark, part, dir)
+      else SnapshotTable.append(spark, part, dir)
+    }
+    assert(v2ScannedFiles(spark.sql("SELECT * FROM snap.pruned")) == 4L)
+    assert(v2ScannedFiles(
+      spark.sql("SELECT * FROM snap.pruned WHERE id >= 2000 AND id < 3000")) == 1L)
+    assert(v2ScannedFiles(spark.sql("SELECT * FROM snap.pruned WHERE id = 999999")) == 0L)
+    // row-identical to the Scala read under the same predicate
+    val q = spark.sql("SELECT * FROM snap.pruned WHERE id >= 2000 AND id < 3000")
+    val want = SnapshotTable.read(spark, dir).filter(col("id") >= 2000 && col("id") < 3000)
+    assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty)
+  }
+
+  test("DDL: CREATE TABLE provisions an empty v0 the transactional writers can append to; unsupported ops fail loudly") {
+    ensureCatalog()
+    spark.sql("CREATE TABLE snap.ddl.fresh (id BIGINT, name STRING)")
+    val dir = s"$root/ddl/fresh"
+    assert(SnapshotTable.exists(spark, dir))
+    assert(spark.sql("SELECT * FROM snap.ddl.fresh").count() == 0)
+    SnapshotTable.append(spark,
+      spark.range(0, 10).select(col("id"), concat(lit("n"), col("id")).as("name")), dir)
+    assert(spark.sql("SELECT * FROM snap.ddl.fresh").count() == 10)
+    assertThrows[UnsupportedOperationException](
+      spark.sql("SELECT * FROM snap.ddl.fresh TIMESTAMP AS OF '2026-01-01'").collect())
+    val e = intercept[Exception](spark.sql("DROP TABLE snap.ddl.fresh"))
+    assert(e.getMessage.contains("refused") || e.getCause != null)
+  }
+}
