@@ -1561,6 +1561,27 @@ object SparkEntry {
       val v0 = graft.catalog.SnapshotTable.versions(s, tbl).head
       s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` VERSION AS OF $v0 " +
         "ORDER BY o_orderkey, dt")
+    }),
+
+    // ---- row-level change feed across a MERGE commit: write base orders
+    // as v1, merge one batch that updates every o_orderkey%7 row (negated
+    // price) and inserts fresh keys, then read the per-row changes of the
+    // commit — update pre/post images carry old/new values, carried rows
+    // rewritten value-identical stay silent, inserts surface once. The
+    // oracle reproduces the diff from the base table alone ----
+    "q126_row_changes" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").as("dt"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q126").toString
+      graft.catalog.SnapshotTable.write(s, o, tbl) // v1
+      val batch = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), col("dt"), (-col("o_totalprice")).as("o_totalprice"))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+          .select((col("o_orderkey") + 40000000L).as("o_orderkey"), col("dt"),
+            col("o_totalprice")))
+      graft.catalog.SnapshotTable.merge(s, batch, tbl, keys = Seq("o_orderkey", "dt")) // v2
+      graft.catalog.ChangeFeed.rowChanges(s, tbl, 1L, 2L, Seq("o_orderkey", "dt"))
+        .orderBy(col("o_orderkey"), col("dt"), col("_change_type"))
     })
   )
 
@@ -1837,6 +1858,23 @@ object SparkEntry {
     "q125_sql_version_as_of" ->
       """SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders
         |ORDER BY o_orderkey, dt""".stripMargin,
+
+    // q126: the CDC truth is derivable from the base table alone — every
+    // %7 key yields an update pre image (old price) + post image (negated),
+    // every %11 key a fresh insert under the offset key; carried rows are
+    // silent so nothing else appears
+    "q126_row_changes" ->
+      """WITH base AS (SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders),
+        |upd AS (SELECT * FROM base WHERE o_orderkey % 7 = 0),
+        |ins AS (SELECT o_orderkey + 40000000 AS o_orderkey, dt, o_totalprice
+        |        FROM base WHERE o_orderkey % 11 = 0)
+        |SELECT o_orderkey, dt, o_totalprice,
+        |       'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, dt, -o_totalprice, 'update_postimage', CAST(2 AS BIGINT) FROM upd
+        |UNION ALL
+        |SELECT o_orderkey, dt, o_totalprice, 'insert', CAST(2 AS BIGINT) FROM ins
+        |ORDER BY o_orderkey, dt, _change_type""".stripMargin,
     "q01_kpi_topk_spend" ->
       """WITH anchor AS (SELECT CAST(MAX(CAST(ts AS DATE)) - INTERVAL 13 DAY AS DATE) AS lo FROM events)
         |SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_spend

@@ -88,17 +88,23 @@ object SnapshotTable {
     * parse.
     */
   case class Manifest(version: Long, entries: Seq[FileEntry],
-      txn: Option[Map[String, Long]] = None, schemaDdl: Option[String] = None)
+      txn: Option[Map[String, Long]] = None, schemaDdl: Option[String] = None,
+      // what produced this version ("write"/"append"/"merge"/"compact"/…):
+      // lets change readers treat commits by kind — e.g. ChangeFeed skips
+      // "compact" metadata-only, since compaction preserves the row
+      // multiset by contract. Optional: pre-field manifests parse as None
+      // and fall back to the keyed diff.
+      op: Option[String] = None)
 
   private val LogDirName = "_log"
   private val ManifestRe = raw"manifest-(\d{8})\.json".r
 
   private implicit val jsonFormats: org.json4s.Formats = org.json4s.DefaultFormats
 
-  private def fsFor(spark: SparkSession, dir: String): FileSystem =
+  private[catalog] def fsFor(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def manifestVersions(fs: FileSystem, dir: String): Seq[(Long, Path)] = {
+  private[catalog] def manifestVersions(fs: FileSystem, dir: String): Seq[(Long, Path)] = {
     val log = new Path(dir, LogDirName)
     if (!fs.exists(log)) Seq.empty
     else fs.listStatus(log).toSeq.flatMap { st =>
@@ -119,7 +125,7 @@ object SnapshotTable {
     manifestVersions(fs, dir).lastOption.map { case (_, p) => readManifest(fs, p) }
   }
 
-  private def readManifest(fs: FileSystem, p: Path): Manifest = {
+  private[catalog] def readManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
     try org.json4s.jackson.Serialization.read[Manifest](
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
@@ -202,7 +208,7 @@ object SnapshotTable {
         s"already vacuumed (e.g. ${missing.take(3).map(_.path).mkString(", ")})")
     // replace-all semantics: a restore serializes AFTER anything that
     // raced it — the restored state is exactly version `version`
-    commitLoop(spark, dir)(_ => Some((m.entries, txnOf(Some(m)), m.schemaDdl))).get
+    commitLoop(spark, dir, op = "rollback")(_ => Some((m.entries, txnOf(Some(m)), m.schemaDdl))).get
   }
 
   /** [[read]] restricted to files whose dt range intersects [lo, hi] (ISO
@@ -326,7 +332,7 @@ object SnapshotTable {
         if (deleted == 0L) 0L // nothing actually matched: don't churn files
         else {
           val removed = rewrite.map(_.path).toSet
-          commitLoop(spark, dir) { cur =>
+          commitLoop(spark, dir, op = "delete") { cur =>
             Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
               txnOf(cur), cur.flatMap(_.schemaDdl).orElse(m.schemaDdl)))
           }
@@ -369,7 +375,7 @@ object SnapshotTable {
       else {
         val entries = writeData(spark, updated, dir)
         val removed = rewrite.map(_.path).toSet
-        commitLoop(spark, dir) { cur =>
+        commitLoop(spark, dir, op = "update") { cur =>
           Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
             txnOf(cur), cur.flatMap(_.schemaDdl).orElse(m.schemaDdl)))
         }
@@ -378,7 +384,7 @@ object SnapshotTable {
     }
   }
 
-  private def readEntries(spark: SparkSession, dir: String, entries: Seq[FileEntry],
+  private[catalog] def readEntries(spark: SparkSession, dir: String, entries: Seq[FileEntry],
       schemaDdl: Option[String]): DataFrame = {
     if (entries.isEmpty && schemaDdl.isDefined)
       // a fully-pruned (or fully-deleted) snapshot with a recorded schema is
@@ -439,7 +445,7 @@ object SnapshotTable {
     // replace semantics: the new contents DEFINE the schema (no merge) and
     // a raced replace serializes last — txn markers are still taken from
     // the manifest current at publish time so no committed batch id is lost
-    commitLoop(spark, dir)(cur => Some((entries, txnOf(cur), Some(df.schema.toDDL)))).get
+    commitLoop(spark, dir, op = "write")(cur => Some((entries, txnOf(cur), Some(df.schema.toDDL)))).get
   }
 
   /** Append `df` as new files; every existing file is carried forward by
@@ -453,7 +459,7 @@ object SnapshotTable {
     // an append conflicts with nothing: rebasing over ANY winner is just
     // re-listing its entries (and re-merging schema), so raced appends all
     // land — no lost update
-    commitLoop(spark, dir) { cur =>
+    commitLoop(spark, dir, op = "append") { cur =>
       val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema)
       Some((cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
         txnOf(cur), Some(merged.toDDL)))
@@ -479,7 +485,7 @@ object SnapshotTable {
       // manifest the CAS will publish over — two racing deliveries of the
       // same batch reduce to one commit and one abandoned attempt whose
       // files vacuum reclaims
-      commitLoop(spark, dir) { cur =>
+      commitLoop(spark, dir, op = "append") { cur =>
         if (txnOf(cur).get(appId).exists(_ >= batchId)) None
         else {
           val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema)
@@ -568,7 +574,7 @@ object SnapshotTable {
       currentManifest(spark, dir) match {
         case None =>
           val entries = writeData(spark, batch, dir)
-          commitLoop(spark, dir) { cur =>
+          commitLoop(spark, dir, op = "merge") { cur =>
             // the create-the-table assumption broke if anyone committed
             // first: re-run as a merge into whatever they made
             if (cur.isDefined) throw new SnapshotConflictException(
@@ -594,7 +600,7 @@ object SnapshotTable {
           val entries = writeData(spark, out, dir)
           val removed = rewrite.map(_.path).toSet
           val basePaths = m.entries.map(_.path).toSet
-          commitLoop(spark, dir) { cur =>
+          commitLoop(spark, dir, op = "merge") { cur =>
             // The stale-read check below only catches winners that REMOVED a
             // file this merge read. A winner that only ADDED files holding
             // the batch's dt range may have upserted the same keys (two
@@ -650,7 +656,7 @@ object SnapshotTable {
       // conflicts; concurrent appends rebase — their files ride along
       // uncompacted until the next compact
       val basePaths = m.entries.map(_.path).toSet
-      commitLoop(spark, dir) { cur =>
+      commitLoop(spark, dir, op = "compact") { cur =>
         Some((rebasedEntries(dir, Some(m), cur, basePaths, basePaths, entries),
           txnOf(cur), cur.flatMap(_.schemaDdl).orElse(m.schemaDdl)))
       }
@@ -812,7 +818,7 @@ object SnapshotTable {
     * [[SnapshotConflictException]] from `mk` propagates to
     * [[retryingRewrite]]. Returns the committed version, None if abandoned.
     */
-  private def commitLoop(spark: SparkSession, dir: String)(
+  private def commitLoop(spark: SparkSession, dir: String, op: String)(
       mk: Option[Manifest] => Option[(Seq[FileEntry], Map[String, Long], Option[String])])
       : Option[Long] = {
     val fs = fsFor(spark, dir)
@@ -827,7 +833,8 @@ object SnapshotTable {
       mk(cur) match {
         case None => return None
         case Some((entries, txn, schemaDdl)) =>
-          val m = Manifest(version, entries, if (txn.isEmpty) None else Some(txn), schemaDdl)
+          val m = Manifest(version, entries, if (txn.isEmpty) None else Some(txn), schemaDdl,
+            op = Some(op))
           if (tryPublish(fs, dir, m)) return Some(version)
       }
     }
