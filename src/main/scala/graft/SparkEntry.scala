@@ -1582,6 +1582,34 @@ object SparkEntry {
       graft.catalog.SnapshotTable.merge(s, batch, tbl, keys = Seq("o_orderkey", "dt")) // v2
       graft.catalog.ChangeFeed.rowChanges(s, tbl, 1L, 2L, Seq("o_orderkey", "dt"))
         .orderBy(col("o_orderkey"), col("dt"), col("_change_type"))
+    }),
+
+    // ---- variadic (3-column) Morton interleave, q78's sibling: bit i of
+    // column j lands at output bit 3i+j, 21-bit budget per column — the
+    // pure function behind Layout.clusterByZN, fully oracle-checkable ----
+    "q127_zorder3" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.ops.Layout.zValueN(s,
+            col("l_partkey"), col("l_suppkey"), col("l_linenumber")).as("z"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // ---- rank() <= k through plain window syntax, planned as the
+    // bounded-heap operator in WITH-TIES mode (RowNumberTopKRewrite +
+    // TopKPerKey(RankMode)): l_quantity's small-integer domain ties
+    // heavily, so the kept row set differs from row_number's and the
+    // oracle checks the tie semantics, not just "some top rows" ----
+    "q128_rank_topk" -> ((s, dir) => {
+      graft.extensions.GraftExtensions.register(s)
+      import org.apache.spark.sql.expressions.{Window => W}
+      val w = W.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("l_quantity"))
+        .withColumn("r", rank().over(w))
+        .filter(col("r") <= 2)
+        .drop("r")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
     })
   )
 
@@ -2398,6 +2426,25 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(list_sum(list_transform(range(31), i ->
         |    (((l_partkey >> i) & 1) << (2*i)) + (((l_suppkey >> i) & 1) << (2*i + 1))))
+        |    AS BIGINT) AS z
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // q128: the WITH-TIES retention is exactly SQL rank() <= 2 — DuckDB
+    // evaluates the genuine window, the engine the heap operator
+    "q128_rank_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+        |         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC) AS r
+        |  FROM lineitem)
+        |WHERE r <= 2 ORDER BY l_orderkey, l_linenumber, l_returnflag""".stripMargin,
+
+    // q127: the 3-column interleave replayed as list arithmetic — bit i of
+    // column j at output bit 3i+j, 21 bits per column
+    "q127_zorder3" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(list_sum(list_transform(range(21), i ->
+        |    (((l_partkey >> i) & 1) << (3*i)) + (((l_suppkey >> i) & 1) << (3*i + 1))
+        |      + (((l_linenumber >> i) & 1) << (3*i + 2))))
         |    AS BIGINT) AS z
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 

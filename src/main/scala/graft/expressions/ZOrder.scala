@@ -55,3 +55,90 @@ object ZOrder2 {
     out
   }
 }
+
+/** `zorder(x1, …, xn)` → bigint: the n-column Morton interleave — bit i of
+  * column j lands at output bit n·i + j, each column masked to
+  * ⌊63/n⌋ bits. 100 TB tables cluster on 3-4 columns, not 2: the uniform
+  * bit budget keeps every column's resolution equal so range filters on
+  * ANY of the n columns prune z-sorted files/row groups (a column with
+  * more bits than the others would dominate the order and starve the
+  * rest — Delta's OPTIMIZE ZORDER makes the same equal-budget choice).
+  * n = 2 with this bit budget is NOT [[ZOrder2]] (31 bits/column);
+  * `zorder2` remains the two-column form with maximal resolution.
+  *
+  * Inputs are masked to the budget; callers bucket/normalize wider
+  * domains first. The mapping is a pure bit shuffle, monotone in each
+  * column when the others are fixed, and SQL-expressible — the q127
+  * oracle replays it as list arithmetic in DuckDB.
+  */
+case class ZOrderN(children: Seq[Expression]) extends Expression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (children.size < 2 || children.size > 8)
+      TypeCheckResult.TypeCheckFailure(
+        s"zorder expects 2 to 8 bigint keys, got ${children.size}")
+    else if (children.exists(_.dataType != LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"zorder expects bigint keys, got ${children.map(_.dataType.sql).mkString(", ")}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "zorder"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Long](children.size)
+    var j = 0
+    while (j < children.size) {
+      val v = children(j).eval(input)
+      if (v == null) return null
+      vals(j) = v.asInstanceOf[Long]
+      j += 1
+    }
+    ZOrderN.interleave(vals)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val helper = ZOrderN.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    val evs = children.map(_.genCode(ctx))
+    val arr = ctx.freshName("zvals")
+    val anyNull = evs.map(e => e.isNull.toString).mkString(" || ")
+    val fills = evs.zipWithIndex.map { case (e, i) => s"$arr[$i] = ${e.value};" }.mkString("\n")
+    val src =
+      s"""
+         |${evs.map(_.code.toString).mkString("\n")}
+         |boolean ${ev.isNull} = $anyNull;
+         |long ${ev.value} = 0L;
+         |if (!${ev.isNull}) {
+         |  long[] $arr = new long[${children.size}];
+         |  $fills
+         |  ${ev.value} = $helper.interleave($arr);
+         |}
+         |""".stripMargin
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.CodeBlock(
+      Seq(src), Seq.empty))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+object ZOrderN {
+  def interleave(xs: Array[Long]): Long = {
+    val n = xs.length
+    val width = 63 / n
+    val mask = (1L << width) - 1
+    var out = 0L
+    var j = 0
+    while (j < n) {
+      val v = xs(j) & mask
+      var i = 0
+      while (i < width) {
+        out |= ((v >>> i) & 1L) << (n * i + j)
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
+}

@@ -33,6 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.bloomAggDescriptor)
     ext.injectFunction(GraftExtensions.mightContainDescriptor)
     ext.injectFunction(GraftExtensions.zorder2Descriptor)
+    ext.injectFunction(GraftExtensions.zorderNDescriptor)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RowNumberTopKRewrite)
   }
@@ -212,6 +213,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[graft.expressions.ZOrder2].getName, "zorder2"),
       zorder2Builder)
 
+  private val zorderNBuilder: Seq[Expression] => Expression = exprs => {
+    require(exprs.length >= 2 && exprs.length <= 8,
+      s"zorder expects 2 to 8 bigint keys, got ${exprs.length}")
+    graft.expressions.ZOrderN(exprs)
+  }
+
+  private[extensions] val zorderNDescriptor =
+    (new FunctionIdentifier("zorder"),
+      new ExpressionInfo(classOf[graft.expressions.ZOrderN].getName, "zorder"),
+      zorderNBuilder)
+
   /** Unconditional cast to array<double> — children may be unresolved when
     * the builder runs (so no dataType inspection here); a same-type Cast is
     * removed by the optimizer's SimplifyCasts.
@@ -246,6 +258,8 @@ object GraftExtensions {
       "might_contain", mightContainBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "zorder2", zorder2Builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "zorder", zorderNBuilder, "built-in")
     // planner strategy + optimizer rule for the custom TopKPerKey operator
     // (idempotent)
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy)) {

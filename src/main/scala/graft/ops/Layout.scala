@@ -15,6 +15,14 @@ object Layout {
     call_function("zorder2", x.cast("long"), y.cast("long"))
   }
 
+  /** The n-column z-value (see [[graft.expressions.ZOrderN]]): uniform
+    * ⌊63/n⌋-bit budget per column, 2 ≤ n ≤ 8.
+    */
+  def zValueN(spark: org.apache.spark.sql.SparkSession, cols: Column*): Column = {
+    graft.extensions.GraftExtensions.register(spark)
+    call_function("zorder", cols.map(_.cast("long")): _*)
+  }
+
   /** Small-file compaction — the table-maintenance counterpart of
     * [[clusterByZ]]: a sink that accumulates per-batch appends (the
     * incremental loader's normal life) degrades into thousands of tiny
@@ -62,6 +70,27 @@ object Layout {
       yCol: String,
       numPartitions: Int = 32): DataFrame = {
     val z = zValue(df.sparkSession, col(xCol), col(yCol)).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
+  /** [[clusterByZ]] over 2-8 columns: range-partition + sort by the
+    * n-column Morton value, so every written file covers a small
+    * hyper-rectangle of the n-dimensional key domain and parquet min/max
+    * stats prune on ANY of the clustered columns. The per-column
+    * resolution is ⌊63/n⌋ bits — at n = 4 that is 15 bits (32k buckets
+    * per column), still far finer than any realistic file count, so the
+    * budget costs pruning nothing in practice. Purely a reordering.
+    */
+  def clusterByZN(
+      df: DataFrame,
+      cols: Seq[String],
+      numPartitions: Int = 32): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"clusterByZN takes 2 to 8 columns, got ${cols.size}")
+    val z = zValueN(df.sparkSession, cols.map(col): _*).as("__z")
     df.withColumn("__z", z)
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))

@@ -79,6 +79,69 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zorder (variadic) matches the per-bit reference on fuzzed keys at n = 3 and 4") {
+    GraftExtensions.register(spark)
+    val rnd = new scala.util.Random(47L)
+    for (n <- Seq(3, 4)) {
+      val width = 63 / n
+      val mask = (1L << width) - 1
+      val rows = (0 until 200).map(_ => (0 until n).map(_ => math.abs(rnd.nextLong())).toSeq) :+
+        Seq.fill(n)(0L) :+ Seq.fill(n)(mask)
+      val df = rows.map(r => org.apache.spark.sql.Row.fromSeq(r))
+      val schema = org.apache.spark.sql.types.StructType(
+        (0 until n).map(i => org.apache.spark.sql.types.StructField(s"c$i", org.apache.spark.sql.types.LongType)))
+      val frame = spark.createDataFrame(spark.sparkContext.parallelize(df), schema)
+      val bad = frame.select((0 until n).map(i => col(s"c$i")) :+
+          Layout.zValueN(spark, (0 until n).map(i => col(s"c$i")): _*).as("z"): _*)
+        .collect()
+        .filter { r =>
+          val expect = (0 until n).flatMap { j =>
+            val v = r.getLong(j) & mask
+            (0 until width).map(i => ((v >>> i) & 1L) << (n * i + j))
+          }.foldLeft(0L)(_ | _)
+          r.getLong(n) != expect
+        }
+      assert(bad.isEmpty, s"n=$n: ${bad.take(3).mkString("; ")}")
+    }
+    // arity guard: 1 and 9 keys are refused at analysis
+    intercept[Exception](spark.sql("SELECT zorder(CAST(1 AS BIGINT))").collect())
+  }
+
+  test("clusterByZN on THREE columns: point filters on EACH clustered column skip row groups — measured") {
+    // same comparable-bit-width discipline as the 2-column test: three
+    // ~8-bit bucketed keys, so every column contributes high interleaved
+    // bits. Skipping power divides across dimensions (64 files ≈ 4 ranges
+    // PER column in 3-d, vs 8 in 2-d) — the file count must scale with
+    // cols clustered, the honest cost of multi-dimension layouts
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"),
+        pmod(col("l_orderkey"), lit(256)).as("okey_bucket"),
+        pmod((col("l_extendedprice") * 100).cast("long"), lit(256)).as("price_bucket"))
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    Layout.clusterByZN(li, Seq("l_partkey", "okey_bucket", "price_bucket"), numPartitions = 64)
+      .write.parquet(s"$base/z")
+    li.repartition(64).write.parquet(s"$base/flat")
+
+    // probe MID-domain values: an edge value (min/max of the domain) lets
+    // even the random layout prune (files missing the extreme shrink their
+    // min/max past it), which would understate the z-layout's advantage
+    val probe = li.agg(
+      expr("percentile_approx(l_partkey, 0.5)"),
+      expr("percentile_approx(okey_bucket, 0.5)"),
+      expr("percentile_approx(price_bucket, 0.5)")).head()
+    for ((colName, v) <- Seq("l_partkey" -> probe.getLong(0),
+        "okey_bucket" -> probe.getLong(1), "price_bucket" -> probe.getLong(2))) {
+      val zRows = scanOutputRows(spark.read.parquet(s"$base/z").filter(col(colName) === v))
+      val flatRows = scanOutputRows(spark.read.parquet(s"$base/flat").filter(col(colName) === v))
+      assert(zRows < flatRows * 0.7,
+        s"$colName: z layout read $zRows rows vs $flatRows random — no row-group skipping " +
+          s"(skip ratio ${1.0 - zRows.toDouble / flatRows})")
+    }
+    // the reordering is pure: row multiset identical to the input
+    val a = spark.read.parquet(s"$base/z")
+    assert(a.exceptAll(li).isEmpty && li.exceptAll(a).isEmpty)
+  }
+
   test("compact: many tiny files become few, content identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_quantity")

@@ -81,6 +81,48 @@ class TopKSpec extends SparkSpec {
     assert(!plan.contains("SortExec") && !plan.contains("Window"), plan)
   }
 
+  test("rank()/dense_rank() <= k plan as the heap operator with zero Sort nodes, rows exact under heavy ties") {
+    graft.extensions.GraftExtensions.register(spark)
+    // l_quantity is a small-integer domain — every (flag, quantity) cell
+    // holds many tied rows, so WITH-TIES vs k-distinct-values vs
+    // row_number genuinely differ and sloppy tie handling cannot pass
+    def rankTopK(fn: org.apache.spark.sql.Column) = {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)
+      Tables.lineitem(spark, sfDir)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .withColumn("r", fn.over(w))
+        .filter(col("r") <= 2)
+        .drop("r")
+    }
+    for ((fn, name) <- Seq((rank(), "rank"), (dense_rank(), "dense_rank"))) {
+      val df = rankTopK(fn)
+      val got = df.orderBy("l_orderkey", "l_linenumber").collect().toSeq
+      val plan = df.queryExecution.executedPlan.toString
+      assert("TopKPerKey \\[".r.findAllIn(plan).size >= 2, s"$name:\n$plan")
+      assert(!plan.contains("Window [") && !plan.contains("WindowGroupLimit") &&
+        !plan.contains("Sort "), s"$name:\n$plan")
+      val want = withoutRewrite {
+        val ref = rankTopK(fn)
+        assert(ref.queryExecution.executedPlan.toString.contains("Window"),
+          s"$name control must remain a genuine window plan")
+        ref.orderBy("l_orderkey", "l_linenumber").collect().toSeq
+      }
+      assert(got == want, s"$name rows diverge from the window formulation")
+      assert(got.nonEmpty, name)
+    }
+    // the three modes genuinely differ on this tied data: rank <= 2 keeps
+    // at least as many rows as row_number <= 2, dense_rank <= 2 at least
+    // as many as rank <= 2 (two full quantity cells per flag)
+    val nRowNum = withoutRewrite(Tables.lineitem(spark, sfDir)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity").desc)))
+      .filter(col("r") <= 2).count())
+    val nRank = rankTopK(rank()).count()
+    val nDense = rankTopK(dense_rank()).count()
+    assert(nRowNum < nRank && nRank <= nDense,
+      s"tie structure not exercised: row_number=$nRowNum rank=$nRank dense=$nDense")
+  }
+
   test("topKPerKey handles more keys than k, empty input, and k >= group size") {
     val tiny = Seq(("a", 1L, 1.0), ("a", 2L, 2.0), ("b", 3L, 3.0))
       .toDF("g", "id", "v")
