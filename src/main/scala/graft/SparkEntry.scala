@@ -1610,6 +1610,25 @@ object SparkEntry {
         .filter(col("r") <= 2)
         .drop("r")
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+    }),
+
+    // ---- the snapshot table's full SQL WRITE surface in one lifecycle:
+    // CTAS creates+populates, INSERT INTO appends (an OCC commit), DELETE
+    // FROM runs the stats-pruned copy-on-write delete, the final SELECT
+    // reads the surviving state — no Scala API anywhere in the query path.
+    // The oracle replays the three mutations as set algebra on the base
+    // table ----
+    "q129_sql_insert_delete" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").as("dt"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q129").toString + "/t"
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      o.createOrReplaceTempView("q129_base")
+      s.sql(s"CREATE TABLE snap.`$tbl` AS SELECT * FROM q129_base") // v0 empty + v1 data
+      s.sql(s"INSERT INTO snap.`$tbl` " +
+        "SELECT o_orderkey + 30000000, dt, o_totalprice FROM q129_base WHERE o_orderkey % 9 = 0")
+      s.sql(s"DELETE FROM snap.`$tbl` WHERE o_totalprice > 300000.0")
+      s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` ORDER BY o_orderkey, dt")
     })
   )
 
@@ -2447,6 +2466,18 @@ object SparkEntry {
         |      + (((l_linenumber >> i) & 1) << (3*i + 2))))
         |    AS BIGINT) AS z
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // q129: CTAS ∪ appended subset, minus the deleted rows — pure set
+    // algebra on the base table (no NULLs in o_totalprice, so NOT(>) is <=)
+    "q129_sql_insert_delete" ->
+      """WITH base AS (SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders),
+        |allr AS (SELECT * FROM base
+        |         UNION ALL
+        |         SELECT o_orderkey + 30000000, dt, o_totalprice
+        |         FROM base WHERE o_orderkey % 9 = 0)
+        |SELECT o_orderkey, dt, o_totalprice FROM allr
+        |WHERE o_totalprice <= 300000.0
+        |ORDER BY o_orderkey, dt""".stripMargin,
 
     // q76: the bloom is invisible in the result — the oracle is the plain
     // semi join.

@@ -4,12 +4,15 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -36,10 +39,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[SnapshotFileIndex]], so manifest-stats file skipping, parquet
   * row-group pushdown, column pruning, and manifest-based size statistics
   * (for broadcast planning) all compose — planning never lists the
-  * filesystem, at 100 TB the manifest IS the listing. Writes stay on the
-  * transactional Scala API ([[SnapshotTable.write]]/append/merge), which
-  * owns the OCC commit protocol; `createTable` provisions an empty v0 so
-  * SQL DDL can stage a table for those writers.
+  * filesystem, at 100 TB the manifest IS the listing.
+  *
+  * Writes work in pure SQL too: `INSERT INTO` appends (an OCC commit, zero
+  * existing data rewritten), `INSERT OVERWRITE` replaces, `CREATE TABLE …
+  * AS SELECT` stages an empty v0 then inserts (non-atomic CTAS — the
+  * populated version publishes as a separate commit), `DELETE FROM`
+  * runs the stats-pruned copy-on-write delete for filter-shaped
+  * conditions, and `TRUNCATE TABLE` empties the current version with
+  * history intact. All of them delegate to the transactional Scala
+  * writers ([[SnapshotTable.append]]/write/delete) which own the OCC
+  * commit protocol — SQL and Scala writers can race and both land.
+  * MERGE/UPDATE and schema evolution stay Scala-API-only.
   */
 class SnapshotCatalog extends TableCatalog {
 
@@ -156,7 +167,7 @@ class SnapshotCatalog extends TableCatalog {
   */
 private[graft] class SnapshotV2Table(
     spark: SparkSession, dir: String, identName: String, pinnedVersion: Option[Long])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
 
   // resolved at load; current-version references are re-loaded per
   // execution by Spark's versioned-table refresh (see class doc)
@@ -174,7 +185,8 @@ private[graft] class SnapshotV2Table(
   override def version(): String = manifest.version.toString
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def properties(): util.Map[String, String] =
     Map(
@@ -189,6 +201,91 @@ private[graft] class SnapshotV2Table(
     // manifest-accurate statistics come from the shared machinery
     ParquetScanBuilder(spark, new SnapshotFileIndex(spark, dir, manifest),
       tableSchema, tableSchema, options)
+
+  private def refuseTimeTravelMutation(what: String): Unit =
+    if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
+      s"cannot $what a VERSION AS OF reference of $identName: snapshots are immutable; " +
+        "address the table without a version to mutate its current state")
+
+  /** `INSERT INTO` / `INSERT OVERWRITE` / CTAS population. The write goes
+    * through [[V1Write]] — the DSv2→DataFrame bridge Delta shipped on for
+    * years — so the data lands via the transactional Scala writers that own
+    * the OCC commit protocol: plain inserts are [[SnapshotTable.append]]
+    * commits (zero existing data rewritten, raced inserts all land),
+    * overwrites are [[SnapshotTable.write]] replace commits. Spark has
+    * already resolved the incoming rows against [[schema]] (ANSI store
+    * assignment: reorder, cast, reject extra/missing columns), so SQL
+    * inserts never evolve the schema — evolution stays on the Scala API,
+    * where it is an explicit choice.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    refuseTimeTravelMutation("write to")
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit =
+            if (replace || overwrite) SnapshotTable.write(data.sparkSession, data, dir)
+            else SnapshotTable.append(data.sparkSession, data, dir)
+        }
+      }
+    }
+  }
+
+  /** SQL `DELETE FROM` (and, via [[SupportsDelete]]'s TruncatableTable
+    * default, `TRUNCATE TABLE`): delegates to the copy-on-write
+    * [[SnapshotTable.delete]] — stats-pruned rewrite of only the files that
+    * may hold matching rows, old snapshots untouched until vacuum.
+    *
+    * Spark hands over the condition only when it translates to source
+    * filters (comparisons, IN, null tests, string prefix/suffix/contains,
+    * boolean combinations); arbitrary expressions (`key % 13 = 0`,
+    * subqueries) are refused at analysis — those run through the Scala
+    * API's Column-predicate delete, which takes any expression.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    refuseTimeTravelMutation("delete from")
+    filters.forall(V1FilterColumns.toColumn(_).isDefined)
+  }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    refuseTimeTravelMutation("delete from")
+    val pred = filters.flatMap(V1FilterColumns.toColumn(_))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    SnapshotTable.delete(spark, dir, pred)
+  }
+}
+
+/** V1 source filters → Column predicates, for [[SupportsDelete]]. Total
+  * over every filter shape Spark's translator emits (a `None` makes
+  * `canDeleteWhere` refuse, which surfaces as an analysis error naming the
+  * condition). Attribute names are backtick-quoted whole: snapshot schemas
+  * are flat, so a dotted name is a literal column name, not a path.
+  */
+private object V1FilterColumns {
+  import org.apache.spark.sql.sources._
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(q(a)) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(q(a)) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(q(a)) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(q(a)) >= lit(v))
+    case LessThan(a, v) => Some(col(q(a)) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(q(a)) <= lit(v))
+    case In(a, vs) => Some(col(q(a)).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(q(a)).isNull)
+    case IsNotNull(a) => Some(col(q(a)).isNotNull)
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(q(a)).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(q(a)).endsWith(v))
+    case StringContains(a, v) => Some(col(q(a)).contains(v))
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+  private def q(a: String): String = s"`${a.replace("`", "``")}`"
 }
 
 private object CatalogShims {

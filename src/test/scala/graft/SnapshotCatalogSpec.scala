@@ -99,6 +99,78 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(q.exceptAll(want).isEmpty && want.exceptAll(q).isEmpty)
   }
 
+  test("SQL writes: INSERT INTO appends, INSERT OVERWRITE replaces, CTAS creates+populates — all OCC commits") {
+    ensureCatalog()
+    spark.range(0, 50).select(col("id"), (col("id") % 5).as("grp"))
+      .createOrReplaceTempView("w_src")
+
+    // CTAS: empty v0 + populated v1 (non-atomic CTAS, two commits)
+    spark.sql("CREATE TABLE snap.w.ctas AS SELECT * FROM w_src")
+    val dir = s"$root/w/ctas"
+    assert(spark.sql("SELECT count(*) AS n FROM snap.w.ctas").head().getLong(0) == 50)
+    assert(SnapshotTable.versions(spark, dir).size == 2)
+
+    // INSERT INTO appends: prior files carried by reference (zero rewrites)
+    val before = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    spark.sql("INSERT INTO snap.w.ctas SELECT id + 100, grp FROM w_src WHERE grp = 0")
+    assert(spark.sql("SELECT count(*) AS n FROM snap.w.ctas").head().getLong(0) == 60)
+    val after = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    assert(before.forall(after.contains),
+      "INSERT INTO must carry existing files by reference, not rewrite them")
+
+    // Spark's insert resolution guards the schema: wrong arity is refused
+    assertThrows[Exception](spark.sql("INSERT INTO snap.w.ctas VALUES (1)"))
+
+    // INSERT OVERWRITE replaces the contents; history keeps the old state
+    val vBefore = SnapshotTable.versions(spark, dir).last
+    spark.sql("INSERT OVERWRITE snap.w.ctas SELECT id, grp FROM w_src WHERE grp = 1")
+    assert(spark.sql("SELECT count(*) AS n FROM snap.w.ctas").head().getLong(0) == 10)
+    assert(spark.sql(s"SELECT count(*) AS n FROM snap.w.ctas VERSION AS OF $vBefore")
+      .head().getLong(0) == 60, "pre-overwrite snapshot must survive for time travel")
+
+    // SQL + Scala writers interleave on the same OCC protocol
+    SnapshotTable.append(spark,
+      spark.range(900, 910).select(col("id"), lit(9L).as("grp")), dir)
+    assert(spark.sql("SELECT count(*) AS n FROM snap.w.ctas").head().getLong(0) == 20)
+  }
+
+  test("SQL DELETE FROM prunes by stats and rewrites copy-on-write; TRUNCATE empties with history intact") {
+    ensureCatalog()
+    val dir = s"$root/w/del"
+    // four disjoint id-range files, like the pruning test
+    (0 until 4).foreach { k =>
+      val part = spark.range(k * 1000, k * 1000 + 100)
+        .select(col("id"), (col("id") % 7).as("v")).repartition(1)
+      if (k == 0) SnapshotTable.write(spark, part, dir)
+      else SnapshotTable.append(spark, part, dir)
+    }
+    val before = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    spark.sql(s"DELETE FROM snap.`$dir` WHERE id >= 2000 AND id < 2050")
+    assert(spark.sql(s"SELECT count(*) AS n FROM snap.`$dir`").head().getLong(0) == 350)
+    val after = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    // the three untouched range files survive by reference — only the one
+    // file whose stats admit the predicate was rewritten
+    assert(before.count(after.contains) == 3,
+      s"stats-pruned delete must rewrite exactly one file: before=$before after=$after")
+    // deleted rows remain readable at the pre-delete version
+    val preV = SnapshotTable.versions(spark, dir).init.last
+    assert(spark.sql(s"SELECT count(*) AS n FROM snap.`$dir` VERSION AS OF $preV")
+      .head().getLong(0) == 400)
+
+    // non-filter-shaped conditions are refused at analysis (Scala API takes
+    // them); Spark words it as either "cannot delete" or "cannot translate"
+    val e = intercept[Exception](spark.sql(s"DELETE FROM snap.`$dir` WHERE id % 13 = 0"))
+    val msg = e.getMessage.toLowerCase
+    assert(msg.contains("delete") || msg.contains("translate"), e.getMessage)
+    // the refused DELETE must not have changed anything
+    assert(spark.sql(s"SELECT count(*) AS n FROM snap.`$dir`").head().getLong(0) == 350)
+
+    spark.sql(s"TRUNCATE TABLE snap.`$dir`")
+    assert(spark.sql(s"SELECT count(*) AS n FROM snap.`$dir`").head().getLong(0) == 0)
+    assert(spark.sql(s"SELECT count(*) AS n FROM snap.`$dir` VERSION AS OF $preV")
+      .head().getLong(0) == 400, "TRUNCATE must keep history readable")
+  }
+
   test("DDL: CREATE TABLE provisions an empty v0 the transactional writers can append to; unsupported ops fail loudly") {
     ensureCatalog()
     spark.sql("CREATE TABLE snap.ddl.fresh (id BIGINT, name STRING)")
