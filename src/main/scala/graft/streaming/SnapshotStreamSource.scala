@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.StructType
 
-import graft.catalog.SnapshotTable
+import graft.catalog.{ChangeFeed, SnapshotTable}
 
 /** The snapshot table as a STRUCTURED STREAMING SOURCE — "stream the
   * table", the consumption mode that turns every committed append into a
@@ -53,14 +53,30 @@ import graft.catalog.SnapshotTable
   * (one version can carry arbitrarily many files — Delta's
   * maxFilesPerTrigger idea). Both caps always let at least one version
   * through, so an oversized commit surfaces alone instead of stalling.
+  *
+  * CHANGE-FEED MODE (`.option("readChangeFeed", "true")` +
+  * `.option("changeFeedKeys", "k1,k2")` — Delta's streaming CDF analog):
+  * each micro-batch is [[ChangeFeed.rowChanges]] over the version window
+  * instead of the raw added files, so the APPEND-ONLY contract lifts —
+  * merge/delete/update commits stream as row-level
+  * `_change_type`/`_commit_version` changes (update pre+post images),
+  * compactions pass as metadata-only silence, and the initial backfill
+  * surfaces as plain inserts. The schema gains the two change columns;
+  * everything else (version offsets, exactly-once recovery, rate caps,
+  * vacuum-expiry loudness via rowChanges' own retention check, schema
+  * pinning) behaves identically.
   */
 class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
     maxVersionsPerBatch: Option[Long] = None,
-    maxFilesPerBatch: Option[Long] = None) extends Source {
+    maxFilesPerBatch: Option[Long] = None,
+    changeFeedKeys: Option[Seq[String]] = None) extends Source {
   require(maxVersionsPerBatch.forall(_ >= 1L),
     s"maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
   require(maxFilesPerBatch.forall(_ >= 1L),
     s"maxFilesPerBatch must be >= 1, got $maxFilesPerBatch")
+
+  require(changeFeedKeys.forall(_.nonEmpty),
+    "changeFeedKeys must name at least one key column")
 
   private val spark = sqlContext.sparkSession
   private val schema0: StructType = {
@@ -69,6 +85,16 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
     StructType.fromDDL(m.schemaDdl.getOrElse(throw new IllegalStateException(
       s"cannot stream from $dir: manifest records no schema")))
   }
+  changeFeedKeys.toSeq.flatten.foreach(k => require(schema0.fieldNames.contains(k),
+    s"changeFeedKeys column '$k' not in snapshot schema " +
+      schema0.fieldNames.mkString("[", ", ", "]")))
+
+  /** The declared source schema: the table schema, plus the two change
+    * columns in change-feed mode.
+    */
+  private val declared: StructType = changeFeedKeys.fold(schema0)(_ =>
+    schema0.add(ChangeFeed.ChangeTypeCol, "string", nullable = false)
+      .add(ChangeFeed.CommitVersionCol, "long", nullable = false))
 
   // Rate limiting: the highest version this source has already SURFACED
   // (returned from getOffset, replayed through getBatch, or confirmed via
@@ -89,7 +115,7 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
   private var surfaced: Long =
     SnapshotTable.versions(spark, dir).headOption.map(_ - 1L).getOrElse(0L)
 
-  override def schema: StructType = schema0
+  override def schema: StructType = declared
 
   override def getOffset: Option[Offset] = synchronized {
     SnapshotTable.versions(spark, dir).lastOption.map { cur =>
@@ -112,10 +138,14 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
     val from = start.map(version).getOrElse(0L)
     val to = version(end)
     synchronized { surfaced = math.max(surfaced, to) }
-    val batch =
-      if (from >= to) // recovery replay of an empty window
-        SnapshotTable.read(spark, dir).limit(0)
-      else conform(SnapshotTable.changesBetween(spark, dir, from, to))
+    val batch = (from >= to, changeFeedKeys) match {
+      case (true, _) => // recovery replay of an empty window
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+      case (false, Some(keys)) =>
+        conform(ChangeFeed.rowChanges(spark, dir, from, to, keys))
+      case (false, None) =>
+        conform(SnapshotTable.changesBetween(spark, dir, from, to))
+    }
     org.apache.spark.sql.graftbridge.Bridge.asStreamingFrame(batch)
   }
 
@@ -128,15 +158,15 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
     * contract violation and fails with instructions, not a stack trace.
     */
   private def conform(df: DataFrame): DataFrame = {
-    if (df.schema == schema0) df
+    if (df.schema == declared) df
     else {
       val have = df.schema.map(f => f.name -> f.dataType).toMap
-      val broken = schema0.filter(f => !have.get(f.name).contains(f.dataType))
+      val broken = declared.filter(f => !have.get(f.name).contains(f.dataType))
       if (broken.nonEmpty) throw new IllegalStateException(
         s"snapshot table at $dir evolved incompatibly under a running stream " +
           s"(pinned column(s) ${broken.map(_.name).mkString(", ")} missing or retyped); " +
           "restart the query to pick up the new schema")
-      df.select(schema0.map(f => col(s"`${f.name}`")): _*)
+      df.select(declared.map(f => col(s"`${f.name}`")): _*)
     }
   }
 
@@ -149,6 +179,8 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
 /** DSv1 provider: `.format(classOf[SnapshotSourceProvider].getName)` +
   * `.option("path", dir)`. Optional rate limits:
   * `.option("maxVersionsPerBatch", k)` and `.option("maxFilesPerBatch", n)`.
+  * Change-feed mode: `.option("readChangeFeed", "true")` +
+  * `.option("changeFeedKeys", "k1,k2")`.
   */
 class SnapshotSourceProvider extends StreamSourceProvider {
 
@@ -156,14 +188,24 @@ class SnapshotSourceProvider extends StreamSourceProvider {
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "snapshot stream source requires .option(\"path\", <table dir>)"))
 
+  private def keysOf(parameters: Map[String, String]): Option[Seq[String]] =
+    if (!parameters.get("readChangeFeed").exists(_.toBoolean)) None
+    else Some(parameters.getOrElse("changeFeedKeys", throw new IllegalArgumentException(
+      "readChangeFeed requires .option(\"changeFeedKeys\", \"k1,k2\") — the row-identity " +
+        "columns the per-commit diff joins on (the table's merge keys)"))
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String]): (String, StructType) =
-    ("graft-snapshot", new SnapshotStreamSource(sqlContext, dirOf(parameters)).schema)
+    ("graft-snapshot",
+      new SnapshotStreamSource(sqlContext, dirOf(parameters),
+        changeFeedKeys = keysOf(parameters)).schema)
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new SnapshotStreamSource(sqlContext, dirOf(parameters),
       parameters.get("maxVersionsPerBatch").map(_.toLong),
-      parameters.get("maxFilesPerBatch").map(_.toLong))
+      parameters.get("maxFilesPerBatch").map(_.toLong),
+      keysOf(parameters))
 }

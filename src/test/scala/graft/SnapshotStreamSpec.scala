@@ -262,4 +262,77 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(got.count() == 120L && got.select("id").distinct().count() == 120L,
       "table -> stream -> table must land every row exactly once")
   }
+
+  test("change-feed mode streams row-level changes across merge and delete commits, no replay on restart") {
+    val dir = Files.createTempDirectory("graft-stream-cdf").toString
+    val ckpt = Files.createTempDirectory("graft-stream-cdf-ckpt").toString
+    // merge requires dt in the key; a fixed dt keeps row identity = (id, dt)
+    def rows(a: Int, b: Int) = (a until b).toDF("id").select(
+      col("id").cast("long").as("id"), (col("id") * 3).cast("long").as("v"),
+      to_date(lit("2024-01-01")).as("dt"))
+
+    SnapshotTable.write(spark, rows(0, 20), dir) // v1
+
+    // (kind, commitVersion, id, v) across all micro-batches
+    val received = new ConcurrentLinkedQueue[(String, Long, Long, Long)]()
+    def start() = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", dir)
+      .option("readChangeFeed", "true")
+      .option("changeFeedKeys", "id,dt")
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select(col("_change_type"), col("_commit_version"), col("id"), col("v"))
+          .collect()
+          .foreach(r => received.add((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+      }
+      .start()
+    import scala.jdk.CollectionConverters._
+
+    // initial backfill: the v1 contents arrive as plain inserts
+    val q1 = start()
+    q1.processAllAvailable()
+    assert(received.asScala.toSeq.sorted ==
+      (0L until 20L).map(i => ("insert", 1L, i, i * 3)).sorted,
+      s"backfill must surface as inserts of v1, got ${received.asScala.toSeq.sorted}")
+
+    // a merge while the stream runs: update ids 0-4 (changed v), insert
+    // ids 100-102 — streams as pre+post images plus inserts, and the
+    // carried rows rewritten value-identical stay silent
+    val upd = (0 until 5).map(i => (i.toLong, i * 3L + 1000L))
+    val ins = (100 until 103).map(i => (i.toLong, i * 3L))
+    val batch = (upd ++ ins).toDF("id", "v")
+      .withColumn("dt", to_date(lit("2024-01-01")))
+    SnapshotTable.merge(spark, batch, dir, keys = Seq("id", "dt")) // v2
+    q1.processAllAvailable()
+    val afterMerge = received.asScala.toSeq.filter(_._2 == 2L).sorted
+    val wantMerge = (
+      (0 until 5).map(i => ("update_preimage", 2L, i.toLong, i * 3L)) ++
+      (0 until 5).map(i => ("update_postimage", 2L, i.toLong, i * 3L + 1000L)) ++
+      (100 until 103).map(i => ("insert", 2L, i.toLong, i * 3L))).sorted
+    assert(afterMerge == wantMerge, s"merge commit changes diverge: $afterMerge")
+
+    // a row-level delete streams as delete rows
+    SnapshotTable.delete(spark, dir, col("id") >= 10L && col("id") < 12L) // v3
+    q1.processAllAvailable()
+    q1.stop()
+    assert(received.asScala.toSeq.filter(_._2 == 3L).sorted ==
+      Seq(("delete", 3L, 10L, 30L), ("delete", 3L, 11L, 33L)),
+      "delete commit must stream as delete rows")
+
+    // checkpointed restart with nothing new: no replay
+    val before = received.size()
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(received.size() == before, "idle change-feed restart must not re-deliver")
+
+    // the mode is explicit about its requirements
+    val e = intercept[IllegalArgumentException](spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", dir).option("readChangeFeed", "true").load())
+    assert(e.getMessage.contains("changeFeedKeys"))
+  }
 }
