@@ -1624,7 +1624,7 @@ object SparkEntry {
       val tbl = java.nio.file.Files.createTempDirectory("graft-q129").toString + "/t"
       s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
       o.createOrReplaceTempView("q129_base")
-      s.sql(s"CREATE TABLE snap.`$tbl` AS SELECT * FROM q129_base") // v0 empty + v1 data
+      s.sql(s"CREATE TABLE snap.`$tbl` AS SELECT * FROM q129_base") // atomic CTAS: one commit
       s.sql(s"INSERT INTO snap.`$tbl` " +
         "SELECT o_orderkey + 30000000, dt, o_totalprice FROM q129_base WHERE o_orderkey % 9 = 0")
       s.sql(s"DELETE FROM snap.`$tbl` WHERE o_totalprice > 300000.0")

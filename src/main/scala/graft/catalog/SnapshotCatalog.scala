@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, StagedTable, StagingTableCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -43,16 +43,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * Writes work in pure SQL too: `INSERT INTO` appends (an OCC commit, zero
   * existing data rewritten), `INSERT OVERWRITE` replaces, `CREATE TABLE …
-  * AS SELECT` stages an empty v0 then inserts (non-atomic CTAS — the
-  * populated version publishes as a separate commit), `DELETE FROM`
-  * runs the stats-pruned copy-on-write delete for filter-shaped
-  * conditions, and `TRUNCATE TABLE` empties the current version with
-  * history intact. All of them delegate to the transactional Scala
-  * writers ([[SnapshotTable.append]]/write/delete) which own the OCC
+  * AS SELECT` / `REPLACE TABLE … AS SELECT` are ATOMIC (this catalog is a
+  * [[StagingTableCatalog]]: data files stage invisibly in the target
+  * directory and one manifest publish makes the whole result appear — a
+  * failed CTAS leaves nothing behind), `DELETE FROM` runs the
+  * stats-pruned copy-on-write delete for filter-shaped conditions, and
+  * `TRUNCATE TABLE` empties the current version with history intact. All
+  * of them delegate to the transactional Scala writers
+  * ([[SnapshotTable.append]]/write/delete/commitStaged) which own the OCC
   * commit protocol — SQL and Scala writers can race and both land.
   * MERGE/UPDATE and schema evolution stay Scala-API-only.
   */
-class SnapshotCatalog extends TableCatalog {
+class SnapshotCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: Option[String] = None
@@ -138,6 +140,40 @@ class SnapshotCatalog extends TableCatalog {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), dir)
     new SnapshotV2Table(spark, dir, ident.toString, None)
   }
+
+  /** Atomic `CREATE TABLE … AS SELECT`: the staged table writes its data
+    * files into the target directory WITHOUT publishing a manifest (files
+    * are invisible until a manifest lists them — the same invisibility
+    * every commit relies on between write and publish), and
+    * `commitStagedChanges` publishes exactly ONE version holding the query
+    * result. A failed or cancelled CTAS aborts by deleting the staged
+    * files: no empty-v0 husk, no half-created table — the all-or-nothing
+    * the non-staging DDL path can't give.
+    */
+  override def stageCreate(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    val dir = dirFor(ident)
+    if (SnapshotTable.exists(spark, dir)) throw new TableAlreadyExistsException(ident)
+    new StagedSnapshotTable(spark, dir, ident.toString,
+      CatalogShims.columnsToStructType(columns), createOnly = true)
+  }
+
+  /** Atomic `REPLACE TABLE … AS SELECT`: old snapshot stays readable (and
+    * time-travelable) until the staged commit publishes; a query failure
+    * leaves the table exactly as it was.
+    */
+  override def stageReplace(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable = {
+    val dir = dirFor(ident)
+    if (!SnapshotTable.exists(spark, dir)) throw new NoSuchTableException(ident)
+    new StagedSnapshotTable(spark, dir, ident.toString,
+      CatalogShims.columnsToStructType(columns), createOnly = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, columns: Array[V2Column],
+      partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
+    new StagedSnapshotTable(spark, dirFor(ident), ident.toString,
+      CatalogShims.columnsToStructType(columns), createOnly = false)
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
@@ -255,6 +291,51 @@ private[graft] class SnapshotV2Table(
       .reduceOption(_ && _).getOrElse(lit(true))
     SnapshotTable.delete(spark, dir, pred)
   }
+}
+
+/** A staged (not-yet-published) snapshot table for atomic CTAS / RTAS.
+  * `insert` stages data files in the target directory — invisible, no
+  * manifest references them — and `commitStagedChanges` publishes them as
+  * one version through the OCC commit loop ([[SnapshotTable.commitStaged]]:
+  * create mode refuses inside the CAS loop if a concurrent creator won).
+  * `abortStagedChanges` deletes the staged files, leaving no trace.
+  */
+private[graft] class StagedSnapshotTable(
+    spark: SparkSession, dir: String, identName: String,
+    declared: StructType, createOnly: Boolean)
+  extends StagedTable with SupportsWrite {
+
+  // staged state: entries written by insert(), and the schema they carry
+  // (the query's schema — authoritative over `declared`, which Spark
+  // derived from the same query plan)
+  @volatile private var staged: Seq[SnapshotTable.FileEntry] = Seq.empty
+  @volatile private var stagedSchema: StructType = declared
+
+  override def name(): String = identName
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS plans arrive as truncate+append; the staged commit IS a
+      // replace, so the truncate flag changes nothing
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+            staged = SnapshotTable.stageData(data.sparkSession, data, dir)
+            stagedSchema = data.schema
+          }
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    SnapshotTable.commitStaged(spark, dir, staged, stagedSchema.toDDL, createOnly)
+
+  override def abortStagedChanges(): Unit =
+    SnapshotTable.abortStaged(spark, dir, staged)
 }
 
 /** V1 source filters → Column predicates, for [[SupportsDelete]]. Total

@@ -448,6 +448,44 @@ object SnapshotTable {
     commitLoop(spark, dir, op = "write")(cur => Some((entries, txnOf(cur), Some(df.schema.toDDL)))).get
   }
 
+  /** Stage `df`'s data files WITHOUT publishing — the atomic-CTAS seam.
+    * Files land in a fresh per-commit subdirectory, invisible to every
+    * reader until a manifest lists them (the same invisibility every
+    * normal commit already relies on between write and publish); the
+    * caller later publishes via [[commitStaged]] or discards via
+    * [[abortStaged]].
+    */
+  private[graft] def stageData(spark: SparkSession, df: DataFrame, dir: String): Seq[FileEntry] =
+    writeData(spark, df, dir)
+
+  /** Publish previously staged entries. `createOnly` makes this the commit
+    * half of an atomic CREATE TABLE AS SELECT: it refuses (inside the CAS
+    * loop, so the check races nothing) when any version already exists —
+    * a concurrent creator won, and the staged files must be aborted, not
+    * stacked on top. With `createOnly = false` it is a replace commit
+    * (REPLACE TABLE AS SELECT), preserving txn markers like [[write]].
+    */
+  private[graft] def commitStaged(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry], schemaDdl: String, createOnly: Boolean): Long =
+    commitLoop(spark, dir, op = "write") { cur =>
+      if (createOnly && cur.isDefined) throw new IllegalStateException(
+        s"snapshot table at $dir was created concurrently; aborting staged create")
+      Some((entries, txnOf(cur), Some(schemaDdl)))
+    }.get
+
+  /** Delete staged-but-never-published files (CTAS abort): removes the
+    * per-commit directories the staged entries live in. Nothing else can
+    * reference them — no manifest was ever published for them.
+    */
+  private[graft] def abortStaged(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry]): Unit = {
+    val fs = fsFor(spark, dir)
+    entries.map(e => new Path(dir, e.path).getParent).distinct
+      .foreach(d => if (fs.exists(d)) fs.delete(d, true))
+    val root = new Path(dir)
+    if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, false)
+  }
+
   /** Append `df` as new files; every existing file is carried forward by
     * reference (zero data rewritten). Additive schema evolution: a batch
     * with new columns widens the table schema; older files read NULL for

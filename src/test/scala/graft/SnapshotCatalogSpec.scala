@@ -104,11 +104,13 @@ class SnapshotCatalogSpec extends SparkSpec {
     spark.range(0, 50).select(col("id"), (col("id") % 5).as("grp"))
       .createOrReplaceTempView("w_src")
 
-    // CTAS: empty v0 + populated v1 (non-atomic CTAS, two commits)
+    // CTAS is ATOMIC (StagingTableCatalog): exactly ONE published version
+    // holding the query result — no empty-v0 husk
     spark.sql("CREATE TABLE snap.w.ctas AS SELECT * FROM w_src")
     val dir = s"$root/w/ctas"
     assert(spark.sql("SELECT count(*) AS n FROM snap.w.ctas").head().getLong(0) == 50)
-    assert(SnapshotTable.versions(spark, dir).size == 2)
+    assert(SnapshotTable.versions(spark, dir) == Seq(1L),
+      "atomic CTAS must publish exactly one version")
 
     // INSERT INTO appends: prior files carried by reference (zero rewrites)
     val before = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
@@ -132,6 +134,33 @@ class SnapshotCatalogSpec extends SparkSpec {
     SnapshotTable.append(spark,
       spark.range(900, 910).select(col("id"), lit(9L).as("grp")), dir)
     assert(spark.sql("SELECT count(*) AS n FROM snap.w.ctas").head().getLong(0) == 20)
+
+    // REPLACE TABLE AS SELECT: atomic replace, one commit, history intact
+    val vPreReplace = SnapshotTable.versions(spark, dir).last
+    spark.sql("REPLACE TABLE snap.w.ctas AS SELECT id, grp FROM w_src WHERE grp = 2")
+    assert(spark.sql("SELECT count(*) AS n FROM snap.w.ctas").head().getLong(0) == 10)
+    assert(SnapshotTable.versions(spark, dir).last == vPreReplace + 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM snap.w.ctas VERSION AS OF $vPreReplace")
+      .head().getLong(0) == 20, "pre-replace snapshot must stay time-travelable")
+  }
+
+  test("a failing CTAS aborts atomically: no table, no leftover files") {
+    ensureCatalog()
+    spark.range(0, 50).toDF("id").createOrReplaceTempView("fail_src")
+    spark.udf.register("ctas_boom",
+      (i: Long) => if (i > 10) throw new RuntimeException("boom") else i)
+    val dir = s"$root/w/failed"
+    intercept[Exception](
+      spark.sql("CREATE TABLE snap.w.failed AS SELECT ctas_boom(id) AS id FROM fail_src"))
+    assert(!SnapshotTable.exists(spark, dir),
+      "a failed CTAS must not leave a table behind")
+    assert(!new java.io.File(dir).exists() ||
+      new java.io.File(dir).listFiles().forall(f =>
+        f.isDirectory && f.listFiles().forall(!_.getName.endsWith(".parquet"))),
+      "a failed CTAS must not leave published-looking data files behind")
+    // and the identifier is reusable afterwards
+    spark.sql("CREATE TABLE snap.w.failed AS SELECT id FROM fail_src WHERE id <= 10")
+    assert(spark.sql("SELECT count(*) AS n FROM snap.w.failed").head().getLong(0) == 11)
   }
 
   test("SQL DELETE FROM prunes by stats and rewrites copy-on-write; TRUNCATE empties with history intact") {
