@@ -45,26 +45,41 @@ object Tables {
   /** events with both the raw timestamp and a derived `dt` DateType column —
     * this table plays the reference's `ADS_DATA` fact role (FIXTURES.md §3).
     *
-    * The fixture's `ts` is TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default — read it as nanos-since-epoch Long and convert to a
-    * microsecond timestamp with integer division (`div`, not `/` — double
-    * division would lose precision above 2^53).
+    * Two fixture generations exist and both load to the SAME logical shape
+    * (`ts` TIMESTAMP µs, `ts_nanos` LONG nanos-since-epoch, `dt` DATE):
+    *  - TIMESTAMP(NANOS) files: Spark's reader rejects nanos by default —
+    *    read the underlying int64 via `nanosAsLong` and floor-divide to µs.
+    *  - TIMESTAMP(MICROS) files (current driver output): the stored column
+    *    IS the query-facing `ts` — kept raw (not re-derived) so time-range
+    *    predicates on `ts` reach the parquet scan as PushedFilters;
+    *    `ts_nanos` becomes the derived column instead. NTZ inference is
+    *    disabled so the column loads as TimestampType exactly like the
+    *    nanos path produced (UTC session tz makes the two readings agree).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      // keep the RAW nanos column: `ts`/`dt` are computed, so predicates on
-      // them can never reach the parquet scan — time-range queries filter
-      // ts_nanos (a pure rename of the stored column) and get PushedFilters
-      .withColumn("ts_nanos", col("ts"))
-      // FLOOR division, not `div` (which truncates toward zero): for
-      // pre-1970 instants a toward-zero truncation rounds nanos UP to the
-      // next microsecond, so `ts >= micros(lo) <=> ts_nanos >= lo·1000`
-      // would break within 1µs of a bound. (x − pmod(x,1000)) div 1000 is
-      // exact floor for any sign and stays in integer arithmetic (double
-      // division would lose precision above 2^53).
-      .withColumn("ts", timestamp_micros(expr("(ts_nanos - pmod(ts_nanos, 1000)) div 1000")))
-      .withColumn("dt", col("ts").cast("date"))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = load(spark, sfDir, "events")
+    val loaded = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // nanos fixture: keep the RAW nanos column — `ts`/`dt` are computed,
+        // so time-range queries filter ts_nanos (a pure rename of the stored
+        // column) and get PushedFilters.
+        raw.withColumn("ts_nanos", col("ts"))
+          // FLOOR division, not `div` (which truncates toward zero): for
+          // pre-1970 instants a toward-zero truncation rounds nanos UP to
+          // the next microsecond, so `ts >= micros(lo) <=> ts_nanos >=
+          // lo·1000` would break within 1µs of a bound. (x − pmod(x,1000))
+          // div 1000 is exact floor for any sign and stays in integer
+          // arithmetic (double division would lose precision above 2^53).
+          .withColumn("ts", timestamp_micros(expr("(ts_nanos - pmod(ts_nanos, 1000)) div 1000")))
+      case _ =>
+        // µs fixture: `ts` is stored — predicates on it push down; nanos
+        // view derived exactly (µs × 1000 cannot overflow a Long within
+        // the representable timestamp range)
+        raw.withColumn("ts_nanos", unix_micros(col("ts")) * 1000L)
+    }
+    loaded.withColumn("dt", col("ts").cast("date"))
   }
 
   def documents(spark: SparkSession, sfDir: String): DataFrame =

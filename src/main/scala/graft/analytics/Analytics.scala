@@ -70,14 +70,17 @@ object Analytics {
     if (loStr == null) return ev.filter(lit(false))
       .groupBy(col("user_id")).agg(dsum(col("value")).as("total_spend"))
     // dt >= lo  <=>  instant >= midnight(lo) IN THE SESSION TIMEZONE (dt is
-    // ts.cast(date), which is tz-dependent)  <=>  nanos >= midnight-epoch ms
-    // * 1e6 — exact for ANY epoch sign because Tables.events derives ts
-    // with true floor division (a toward-zero `div` would round pre-1970
-    // nanos up and misclassify rows within 1µs of the midnight boundary)
+    // ts.cast(date), which is tz-dependent)  <=>  ts >= midnight-epoch µs.
+    // The predicate targets `ts` (the STORED column in the current µs
+    // fixture, so it lands in PushedFilters); on the legacy nanos fixture
+    // ts is floor(ns/1000) µs, for which `ts >= micros(lo)` is still exact
+    // at any epoch sign (true floor division in Tables.events — a
+    // toward-zero `div` would round pre-1970 nanos up and misclassify rows
+    // within 1µs of the midnight boundary).
     val sessionTz = java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone"))
-    val loNanos = java.time.LocalDate.parse(loStr)
-      .atStartOfDay(sessionTz).toInstant.toEpochMilli * 1000000L
-    ev.filter(col("ts_nanos") >= loNanos)
+    val loMicros = java.time.LocalDate.parse(loStr)
+      .atStartOfDay(sessionTz).toInstant.toEpochMilli * 1000L
+    ev.filter(col("ts") >= timestamp_micros(lit(loMicros)))
       .groupBy(col("user_id"))
       .agg(dsum(col("value")).as("total_spend"))
       .orderBy(col("total_spend").desc, col("user_id"))
