@@ -1629,6 +1629,49 @@ object SparkEntry {
         "SELECT o_orderkey + 30000000, dt, o_totalprice FROM q129_base WHERE o_orderkey % 9 = 0")
       s.sql(s"DELETE FROM snap.`$tbl` WHERE o_totalprice > 300000.0")
       s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` ORDER BY o_orderkey, dt")
+    }),
+
+    // ---- SQL UPDATE through the row-level-operation (copy-on-write)
+    // path: the pmod predicate cannot translate to source filters, so this
+    // exercises the full ReplaceData rewrite — group-pruned scan, DSv2
+    // parquet batch write, OCC file swap — not the metadata-delete shortcut
+    // (graft.catalog.SnapshotRowLevel) ----
+    "q130_sql_update" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").as("dt"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q130").toString + "/t"
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      graft.catalog.SnapshotTable.write(s, o, tbl)
+      s.sql(s"UPDATE snap.`$tbl` SET o_totalprice = o_totalprice * 0.5 " +
+        "WHERE o_orderkey % 7 = 0")
+      s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` ORDER BY o_orderkey, dt")
+    }),
+
+    // ---- SQL MERGE INTO with the full clause set — matched-and DELETE,
+    // matched UPDATE, not-matched INSERT — resolved by Spark's merge
+    // rewrite into one copy-on-write ReplaceData commit. Source keys are
+    // unique (original keys for updates, +50M-shifted keys for inserts),
+    // as MERGE requires ----
+    "q131_sql_merge" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").as("dt"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q131").toString + "/t"
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      graft.catalog.SnapshotTable.write(s, o, tbl)
+      o.filter(pmod(col("o_orderkey"), lit(6)) === 0)
+        .select(col("o_orderkey"), col("dt"), (col("o_totalprice") * 1.1).as("p"))
+        .unionByName(o.filter(pmod(col("o_orderkey"), lit(11)) === 0)
+          .select((col("o_orderkey") + 50000000L).as("o_orderkey"), col("dt"),
+            col("o_totalprice").as("p")))
+        .createOrReplaceTempView("q131_src")
+      s.sql(
+        s"""MERGE INTO snap.`$tbl` t USING q131_src s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.p > 200000.0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, dt, o_totalprice)
+           |  VALUES (s.o_orderkey, s.dt, s.p)
+           |""".stripMargin)
+      s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` ORDER BY o_orderkey, dt")
     })
   )
 
@@ -2477,6 +2520,33 @@ object SparkEntry {
         |         FROM base WHERE o_orderkey % 9 = 0)
         |SELECT o_orderkey, dt, o_totalprice FROM allr
         |WHERE o_totalprice <= 300000.0
+        |ORDER BY o_orderkey, dt""".stripMargin,
+
+    // q130: UPDATE replayed as a CASE projection over the base table
+    "q130_sql_update" ->
+      """SELECT o_orderkey, o_orderdate AS dt,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 0.5
+        |       ELSE o_totalprice END AS o_totalprice
+        |FROM orders ORDER BY o_orderkey, dt""".stripMargin,
+
+    // q131: MERGE replayed as set algebra — survivors of the target (kept
+    // or updated, minus matched-and-deleted) plus source-only inserts.
+    // Double arithmetic (*1.1, the >200000 cut) is identical IEEE in both
+    // engines, so the branch decisions agree bit-for-bit
+    "q131_sql_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, dt, o_totalprice * 1.1 AS p FROM base WHERE o_orderkey % 6 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 50000000, dt, o_totalprice AS p FROM base WHERE o_orderkey % 11 = 0)
+        |SELECT t.o_orderkey, t.dt,
+        |  CASE WHEN s.o_orderkey IS NOT NULL THEN s.p ELSE t.o_totalprice END AS o_totalprice
+        |FROM base t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+        |WHERE s.o_orderkey IS NULL OR s.p <= 200000.0
+        |UNION ALL
+        |SELECT s.o_orderkey, s.dt, s.p AS o_totalprice
+        |FROM src s LEFT JOIN base t ON t.o_orderkey = s.o_orderkey
+        |WHERE t.o_orderkey IS NULL
         |ORDER BY o_orderkey, dt""".stripMargin,
 
     // q76: the bloom is invisible in the result — the oracle is the plain

@@ -6,10 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, StagedTable, StagingTableCatalog, SupportsDelete, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
+import org.apache.spark.sql.connector.catalog.{Column => V2Column, Identifier, MetadataColumn, StagedTable, StagingTableCatalog, SupportsDelete, SupportsMetadataColumns, SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableCatalog, TableChange, TableInfo}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
@@ -69,13 +69,16 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog {
   private def spark: SparkSession = SparkSession.active
 
   /** Catalog instances are cached by Spark's CatalogManager at first use,
-    * so an initialize-time `root` is frozen; fall back to the live session
-    * conf so `spark.conf.set("spark.sql.catalog.<name>.root", …)` works
-    * even after the catalog has been instantiated (e.g. first touched via
-    * an absolute-path identifier that needed no root).
+    * so an initialize-time `root` is frozen. The LIVE session conf wins:
+    * `spark.conf.set("spark.sql.catalog.<name>.root", …)` re-points the
+    * catalog even after it has been instantiated (whether its first touch
+    * was an absolute-path identifier needing no root, or a different root
+    * entirely — conf-driven behavior users expect from every Spark knob);
+    * the captured option only serves sessions that never set the conf key.
     */
   private def rootOpt: Option[String] =
-    root.orElse(scala.util.Try(spark.conf.get(s"spark.sql.catalog.$catalogName.root")).toOption)
+    scala.util.Try(spark.conf.get(s"spark.sql.catalog.$catalogName.root")).toOption
+      .orElse(root)
 
   private def dirFor(ident: Identifier): String =
     if (ident.namespace.isEmpty && ident.name.startsWith("/")) ident.name
@@ -203,7 +206,8 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog {
   */
 private[graft] class SnapshotV2Table(
     spark: SparkSession, dir: String, identName: String, pinnedVersion: Option[Long])
-  extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+  extends Table with SupportsRead with SupportsWrite with SupportsDelete
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   // resolved at load; current-version references are re-loaded per
   // execution by Spark's versioned-table refresh (see class doc)
@@ -231,12 +235,21 @@ private[graft] class SnapshotV2Table(
       "snapshot.numFiles" -> manifest.entries.size.toString,
       "snapshot.sizeBytes" -> manifest.entries.map(_.bytes).sum.toString).asJava
 
+  /** The `_file` metadata column (row → its data file's path): provenance
+    * for users, and the required metadata attribute of the row-level
+    * operation path ([[SnapshotCowOperation]]).
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(SnapshotMetadata.FileColumn)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // Spark's own parquet DSv2 builder over the manifest-backed index:
     // filter pushdown (file skip + row-group), column pruning, and
-    // manifest-accurate statistics come from the shared machinery
-    ParquetScanBuilder(spark, new SnapshotFileIndex(spark, dir, manifest),
-      tableSchema, tableSchema, options)
+    // manifest-accurate statistics come from the shared machinery; the
+    // FileAware wrapper additionally serves `_file` when referenced
+    new org.apache.spark.sql.graftbridge.FileAwareScanBuilder(spark,
+      new SnapshotFileIndex(spark, dir, manifest),
+      tableSchema, options, SnapshotMetadata.FileCol)
 
   private def refuseTimeTravelMutation(what: String): Unit =
     if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
@@ -266,6 +279,23 @@ private[graft] class SnapshotV2Table(
             else SnapshotTable.append(data.sparkSession, data, dir)
         }
       }
+    }
+  }
+
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` whose condition doesn't
+    * translate to source filters): Spark rewrites the command into a
+    * group-based `ReplaceData` plan over this operation — stats-pruned
+    * candidate files read whole, recomputed rows written by the DSv2
+    * parquet batch write, one OCC commit swapping the files. See
+    * [[SnapshotCowOperation]]. Filter-shaped `DELETE` still collapses to
+    * [[deleteWhere]] via Spark's metadata-only-delete optimization.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    refuseTimeTravelMutation(s"run ${info.command.toString.toLowerCase} on")
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new SnapshotCowOperation(spark, dir, info.command)
     }
   }
 

@@ -1,0 +1,294 @@
+package graft.catalog
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory, PartitionedFile, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** SQL `UPDATE` and `MERGE INTO` (and non-filter-shaped `DELETE`) on the
+  * snapshot table, through Spark's row-level-operation contract
+  * (`SupportsRowLevelOperations`): the analyzer rewrites the command into a
+  * group-based `ReplaceData` plan — read the affected groups, recompute
+  * their rows, write replacements — and this operation supplies the two
+  * halves Spark composes it from, GROUP = FILE:
+  *
+  *  - the SCAN ([[CowScanBuilder]]): Spark pushes the command's condition
+  *    for GROUP PRUNING only, so the candidate set is the manifest entries
+  *    whose per-file stats admit a matching row — the same
+  *    [[FileStats.mayMatch]] walk [[SnapshotTable.delete]] prunes with —
+  *    and the scan then reads ALL rows of those files (a row-level scan
+  *    must: unmatched rows of a replaced group survive only by being read
+  *    and rewritten). Files the stats exonerate are never read and move to
+  *    the new snapshot by reference. The scan also serves the [[FileCol]]
+  *    metadata column the operation requires (see below).
+  *  - the WRITE ([[CowBatchWrite]]): a real DSv2 parquet batch write —
+  *    executors stream `InternalRow`s through Spark's own parquet
+  *    `OutputWriterFactory` into a fresh per-commit subdirectory
+  *    (invisible until a manifest lists them), commit messages carry the
+  *    file names, and the driver publishes ONE version that atomically
+  *    swaps the scanned files for the rewritten ones through the OCC
+  *    commit loop. Raced appends rebase and land; a raced rewrite of any
+  *    scanned file is a [[SnapshotTable.SnapshotConflictException]]
+  *    surfaced to the SQL user (Delta's ConcurrentAppend/DeleteRead
+  *    discipline).
+  *
+  * The operation REQUIRES the `_file` metadata attribute
+  * ([[SnapshotMetadata]]) — not optional plumbing: Spark's group-based
+  * rewrite plan carries an operation-type column next to the data columns,
+  * and the executor write task only projects rows down to the declared
+  * write schema on the with-metadata path (`DataAndMetadataWritingSparkTask`
+  * — the same reason Iceberg's copy-on-write scans always request `_file`).
+  * Requiring `_file` keeps this engine on the contract Spark actually
+  * exercises, and gives SQL users row provenance for free
+  * (`SELECT _file, * FROM snap...`).
+  *
+  * Copy-on-write, not delta: merge-on-read delete vectors are a different
+  * format contract; COW keeps every published version a plain parquet file
+  * list, which the whole snapshot stack (time travel, change feed,
+  * streaming source, FileIndex) already understands.
+  *
+  * At 100 TB the candidate-pruning step is the difference between an
+  * `UPDATE … WHERE dt = yesterday` rewriting one day's files and rewriting
+  * the table; a MERGE whose ON condition carries no literal bounds
+  * rewrites every candidate file — the keyed Scala API
+  * ([[SnapshotTable.merge]]) remains the surgical path for key-addressed
+  * upserts.
+  *
+  * Extends the reference's full-table staging swap
+  * (`scripts/oracle_to_snowflake.py:89-99` replaces whole tables) with
+  * row-addressed SQL mutations the reference cannot express.
+  */
+private[graft] class SnapshotCowOperation(
+    val spark: SparkSession, val dir: String, cmd: Command)
+  extends RowLevelOperation {
+
+  /** What the scan pinned and planned; the write commits against exactly
+    * this. Set when Spark plans the scan (always before the write runs:
+    * scan planning is an optimizer step, the commit is the job's last act).
+    */
+  @volatile private[catalog] var planned: Option[PlannedRewrite] = None
+
+  override def command(): Command = cmd
+
+  override def description(): String =
+    s"snapshot copy-on-write ${cmd.toString.toLowerCase} at $dir"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(SnapshotMetadata.FileCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new CowScanBuilder(this, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val op = this
+    val schema = info.schema()
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def description(): String = op.description()
+        override def toBatch: BatchWrite = new CowBatchWrite(op, schema)
+      }
+    }
+  }
+}
+
+/** The snapshot table's metadata-column surface: `_file`, the absolute
+  * path of the data file each row lives in (Iceberg's column of the same
+  * name). Row-level operations require it (see [[SnapshotCowOperation]]);
+  * users get provenance queries.
+  */
+private[graft] object SnapshotMetadata {
+  val FileCol = "_file"
+
+  object FileColumn extends MetadataColumn {
+    override def name: String = FileCol
+    override def dataType: DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment: String = "absolute path of the data file the row lives in"
+  }
+}
+
+/** The manifest a row-level operation ran against, and the candidate
+  * (to-be-replaced) entries its scan planned.
+  */
+private[catalog] case class PlannedRewrite(
+    base: SnapshotTable.Manifest, rewrite: Seq[SnapshotTable.FileEntry])
+
+/** Scan half of the copy-on-write operation. Pushed filters are GROUP
+  * filters: they prune candidate FILES via manifest stats and are all
+  * reported back as residual, never applied row-wise — the scan returns
+  * every row of every candidate file, which the `ReplaceData` plan needs
+  * to carry unmatched rows into the replacement files. The data read
+  * itself is Spark's own parquet batch scan over a [[SnapshotFileIndex]]
+  * restricted to the candidates (plus the `_file` tag), so column pruning
+  * and vectorized-free row decode compose as in any other snapshot read.
+  */
+private[catalog] class CowScanBuilder(
+    op: SnapshotCowOperation, options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  // pin the snapshot NOW: everything downstream (candidate pruning, the
+  // read, the commit's conflict check) sees one manifest
+  private val manifest = SnapshotTable.manifestFor(op.spark, op.dir, None)
+  private val tableSchema: StructType =
+    StructType.fromDDL(manifest.schemaDdl.getOrElse(throw new IllegalStateException(
+      s"snapshot at ${op.dir} has no recorded schema; row-level SQL needs one")))
+
+  private var groupFilters: Array[Filter] = Array.empty
+  private var required: StructType =
+    tableSchema.add(SnapshotMetadata.FileCol, StringType, nullable = false)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    groupFilters = filters
+    filters // ALL residual: group pruning only, rows must not be dropped
+  }
+
+  // reported as "pushed" for EXPLAIN: the subset that can actually prune
+  override def pushedFilters(): Array[Filter] =
+    groupFilters.filter(f => V1FilterColumns.toColumn(f).isDefined)
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = {
+    val candidates = groupFilters.flatMap(V1FilterColumns.toColumn(_))
+      .reduceOption(_ && _) match {
+      case Some(pred) => SnapshotTable.pruneEntries(op.spark, manifest, pred)
+      case None => manifest.entries
+    }
+    op.planned = Some(PlannedRewrite(manifest, candidates))
+    val inner = new org.apache.spark.sql.graftbridge.FileAwareScanBuilder(op.spark,
+      new SnapshotFileIndex(op.spark, op.dir, manifest.copy(entries = candidates)),
+      tableSchema, options, SnapshotMetadata.FileCol)
+    inner.pruneColumns(required)
+    inner.build() // no data filters pushed: candidate files are read whole
+  }
+}
+
+/** Write half: executors write parquet, the driver swaps files in one OCC
+  * commit. A task that never receives a row opens no file (a fully-deleted
+  * candidate set publishes as pure removal); a zero-candidate no-match
+  * operation publishes nothing at all.
+  */
+private[catalog] class CowBatchWrite(op: SnapshotCowOperation, writeSchema: StructType)
+  extends BatchWrite {
+
+  private val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = op.spark
+    // prepareWrite wires the full parquet write path (ParquetWriteSupport
+    // schema + session compression/timestamp settings) into the job conf,
+    // exactly as Spark's own file writes do — executors only need that
+    // conf and the factory
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
+    val qualified = {
+      val p = new Path(op.dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
+    }
+    CowWriterFactory(factory, new SerializableConfiguration(job.getConfiguration),
+      qualified, commitName, writeSchema)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val planned = op.planned.getOrElse(throw new IllegalStateException(
+      "row-level write committed before its scan was planned"))
+    val added = messages.collect { case CowCommitMessage(Some(rel)) => rel }.toSeq
+    // candidate set empty AND nothing written (e.g. a MERGE whose inserts
+    // all filtered away): a true no-op, don't publish an empty version
+    if (planned.rewrite.isEmpty && added.isEmpty) return
+    val entries = SnapshotTable.entriesFromFooters(op.spark, op.dir, added, writeSchema)
+    val removed = planned.rewrite.map(_.path).toSet
+    SnapshotTable.commitRewrite(op.spark, op.dir,
+      op.command().toString.toLowerCase, planned.base, removed, removed, entries)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    // every file of this write lives under the per-commit directory and no
+    // manifest references it; drop the directory (stragglers an in-flight
+    // zombie re-creates are unreferenced junk vacuum collects)
+    val fs = SnapshotTable.fsFor(op.spark, op.dir)
+    val d = new Path(op.dir, commitName)
+    if (fs.exists(d)) fs.delete(d, true)
+  }
+}
+
+/** Serializable executor-side writer factory: Spark's parquet
+  * [[OutputWriterFactory]] + the job configuration it was prepared with.
+  * Top-level case class so no driver state rides along.
+  */
+private[catalog] case class CowWriterFactory(
+    factory: OutputWriterFactory, conf: SerializableConfiguration,
+    qualifiedDir: String, commitName: String, schema: StructType)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CowDataWriter(this, partitionId, taskId)
+}
+
+/** One task attempt's parquet writer. The file opens LAZILY on the first
+  * row — empty partitions leave nothing behind — and is named by
+  * (partitionId, taskId): taskId is attempt-unique, so a speculative twin
+  * writes a different file and only the attempt the commit coordinator
+  * blesses reports its file in a commit message (the loser's abort deletes
+  * its own; a crashed zombie's file stays unreferenced until vacuum).
+  */
+private[catalog] class CowDataWriter(f: CowWriterFactory, partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private var writer: OutputWriter = null
+  private var relPath: Option[String] = None
+  private var closed = false
+
+  private def ensureOpen(): Unit = if (writer == null) {
+    val attempt = new TaskAttemptContextImpl(f.conf.value,
+      new TaskAttemptID(new TaskID(new JobID(f.commitName, 0), TaskType.MAP, partitionId),
+        (taskId & 0x7fffffff).toInt))
+    val ext = f.factory.getFileExtension(attempt)
+    val rel = f"${f.commitName}/part-$partitionId%05d-$taskId$ext"
+    relPath = Some(rel)
+    writer = f.factory.newInstance(
+      new Path(f.qualifiedDir, rel).toString, f.schema, attempt)
+  }
+
+  override def write(row: InternalRow): Unit = { ensureOpen(); writer.write(row) }
+
+  private def closeWriter(): Unit = if (writer != null && !closed) {
+    writer.close(); closed = true
+  }
+
+  override def commit(): WriterCommitMessage = { closeWriter(); CowCommitMessage(relPath) }
+
+  override def abort(): Unit = {
+    try closeWriter() catch { case _: Exception => () }
+    relPath.foreach { rel =>
+      val p = new Path(f.qualifiedDir, rel)
+      val fs = p.getFileSystem(f.conf.value)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+
+  override def close(): Unit = closeWriter()
+}
+
+/** Path (relative to the table dir) of one committed task's output; None =
+  * the task saw no rows and wrote nothing.
+  */
+private[catalog] case class CowCommitMessage(relPath: Option[String])
+  extends WriterCommitMessage

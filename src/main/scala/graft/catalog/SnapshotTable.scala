@@ -771,26 +771,42 @@ object SnapshotTable {
     val commitDir = new Path(dir, commitName)
     df.write.parquet(commitDir.toString)
     val fs = fsFor(spark, dir)
-    val files = fs.listStatus(commitDir)
+    val rel = fs.listStatus(commitDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-    if (files.isEmpty) return Seq.empty
-    val statFields = df.schema.fields
+      .map(st => s"$commitName/${st.getPath.getName}").toSeq
+    entriesFromFooters(spark, dir, rel, df.schema)
+  }
+
+  /** [[FileEntry]]s (row counts + per-column stats from parquet FOOTERS)
+    * for already-written data files, `relPaths` relative to `dir`. Shared
+    * by [[writeData]] (DataFrame-writer commits) and the DSv2 row-level
+    * BatchWrite ([[SnapshotRowLevel]]), whose executors write files
+    * directly and report paths through commit messages. Empty part files
+    * (0 rows) carry nothing a snapshot needs: they stay unlisted and
+    * vacuum collects them.
+    */
+  private[catalog] def entriesFromFooters(spark: SparkSession, dir: String,
+      relPaths: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Seq[FileEntry] = {
+    if (relPaths.isEmpty) return Seq.empty
+    val statFields = schema.fields
       .filter(f => FileStats.eligible(f.dataType)).take(FileStats.MaxStatCols).toSeq
     val conf = spark.sparkContext.hadoopConfiguration
+    val fs = fsFor(spark, dir)
     // footer reads are independent metadata fetches: overlap them (matters
     // on object stores where each is a round trip, harmless locally)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.length))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, relPaths.length))
     try {
-      val futures = files.toSeq.map { st =>
+      val futures = relPaths.map { rel =>
         pool.submit(new java.util.concurrent.Callable[Option[FileEntry]] {
           def call(): Option[FileEntry] = {
-            val (rows, colStats) = FooterStats.collect(conf, st.getPath, statFields)
-            // empty part files (0 rows) carry nothing a snapshot needs:
-            // leave them unlisted and let vacuum collect them
+            val p = new Path(dir, rel)
+            val len = fs.getFileStatus(p).getLen
+            val (rows, colStats) = FooterStats.collect(conf, p, statFields)
             if (rows == 0L) None
             else {
               val dt = colStats.get("dt").filter(_.kind == "str")
-              Some(FileEntry(s"$commitName/${st.getPath.getName}", rows, st.getLen,
+              Some(FileEntry(rel, rows, len,
                 dt.flatMap(_.lo), dt.flatMap(_.hi),
                 if (colStats.isEmpty) None else Some(colStats)))
             }
@@ -800,6 +816,23 @@ object SnapshotTable {
       futures.flatMap(_.get())
     } finally pool.shutdown()
   }
+
+  /** Commit a copy-on-write rewrite computed against `base`: `removed`
+    * paths replaced by `added`, rebased onto whatever is current at
+    * publish time ([[rebasedEntries]] rules: raced appends land, a raced
+    * rewrite of any file this op `read` is a [[SnapshotConflictException]]).
+    * The seam [[delete]]/[[update]] commit through inline, exposed for the
+    * DSv2 row-level write whose retry is owned by the SQL user, not a
+    * [[retryingRewrite]] loop (Spark has already computed and written the
+    * new files; re-running the rewrite would need the whole query again).
+    */
+  private[catalog] def commitRewrite(spark: SparkSession, dir: String, op: String,
+      base: Manifest, read: Set[String], removed: Set[String],
+      added: Seq[FileEntry]): Option[Long] =
+    commitLoop(spark, dir, op) { cur =>
+      Some((rebasedEntries(dir, Some(base), cur, read, removed, added),
+        txnOf(cur), cur.flatMap(_.schemaDdl).orElse(base.schemaDdl)))
+    }
 
   private def txnOf(m: Option[Manifest]): Map[String, Long] =
     m.flatMap(_.txn).getOrElse(Map.empty)

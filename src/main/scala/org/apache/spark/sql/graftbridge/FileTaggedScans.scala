@@ -1,0 +1,142 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{FileSourceOptions, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection}
+import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.execution.datasources.{PartitionedFile, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A parquet ScanBuilder that additionally serves a FILE-PATH metadata
+  * column (Iceberg's `_file`): when the pruned schema references
+  * `fileColName`, the parquet scan is built without it and wrapped so each
+  * row carries its source file's path, spliced in at read time. All other
+  * capabilities — catalyst filter pushdown (which drives both parquet
+  * row-group filters and the FileIndex's manifest-stats file pruning),
+  * column pruning, aggregate pushdown — delegate verbatim to Spark's own
+  * [[ParquetScanBuilder]].
+  *
+  * Lives in the `org.apache.spark.sql` bridge package (see [[Bridge]])
+  * because full-fidelity filter delegation requires the `private[sql]`
+  * [[SupportsPushDownCatalystFilters]] seam — the public v1-Filter surface
+  * would silently drop the catalyst-expression pushdown the planner uses
+  * for file skipping. Nothing here copies Spark code; every call is a
+  * delegation.
+  *
+  * Why this exists: Spark's group-based row-level operations (SQL
+  * UPDATE/MERGE rewrites) only project executor rows down to the declared
+  * write schema on the with-metadata path, so a copy-on-write operation
+  * must request a metadata attribute its scan can serve — `_file` is also
+  * independently useful for provenance queries.
+  */
+class FileAwareScanBuilder(
+    sparkSession: SparkSession, index: PartitioningAwareFileIndex,
+    tableSchema: StructType, opts: CaseInsensitiveStringMap, fileColName: String)
+  extends ScanBuilder with SupportsPushDownCatalystFilters
+  with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  private val inner = ParquetScanBuilder(
+    sparkSession, index, tableSchema, tableSchema, opts)
+  private var filePos: Int = -1
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+    inner.pushFilters(filters)
+
+  override def pushedFilters: Array[Predicate] = inner.pushedFilters
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    filePos = requiredSchema.fieldNames.indexOf(fileColName)
+    inner.pruneColumns(
+      if (filePos < 0) requiredSchema
+      else StructType(requiredSchema.fields.filterNot(_.name == fileColName)))
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    inner.supportCompletePushDown(aggregation)
+
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    // an aggregate can never reference the (virtual) file column, and a
+    // query that referenced it wouldn't be offered for pushdown — safe to
+    // delegate unconditionally
+    inner.pushAggregation(aggregation)
+
+  override def build(): Scan = {
+    val scan = inner.build()
+    if (filePos < 0) scan
+    else new FileTaggedScan(scan, filePos, fileColName,
+      new FileSourceOptions(CaseInsensitiveMap(
+        scala.jdk.CollectionConverters.MapHasAsScala(opts).asScala.toMap)))
+  }
+}
+
+/** A file-source scan with the file-path column spliced in at `filePos`.
+  * Row-based reads only (the per-row projection has no columnar form) —
+  * acceptable where this scan appears: row-level rewrites and provenance
+  * queries, both IO-bound.
+  */
+class FileTaggedScan(delegate: Scan, filePos: Int, fileColName: String,
+    fileOptions: FileSourceOptions)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = {
+    val (before, after) = delegate.readSchema().fields.splitAt(filePos)
+    StructType((before :+ StructField(fileColName, StringType, nullable = false)) ++ after)
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    delegate.toBatch.planInputPartitions()
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    FileTaggingReaderFactory(
+      delegate.toBatch.createReaderFactory().asInstanceOf[FilePartitionReaderFactory],
+      delegate.readSchema(), filePos, fileOptions)
+
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+
+  override def description(): String = s"FileTagged(${delegate.description()})"
+}
+
+/** Wraps the parquet per-file readers so every row carries its source
+  * file's path: `buildReader` is the per-[[PartitionedFile]] seam inside
+  * Spark's own multi-file partition reader, so the path is a per-reader
+  * CONSTANT — one `UnsafeProjection` per file, zero per-row branching.
+  */
+case class FileTaggingReaderFactory(
+    delegate: FilePartitionReaderFactory, rowSchema: StructType, filePos: Int,
+    override val options: FileSourceOptions)
+  extends FilePartitionReaderFactory {
+
+  override def supportColumnarReads(partition: InputPartition): Boolean = false
+
+  override def buildReader(file: PartitionedFile): PartitionReader[InternalRow] = {
+    val inner = delegate.buildReader(file)
+    val path = UTF8String.fromString(file.filePath.toString)
+    val bound = rowSchema.fields.zipWithIndex.map {
+      case (f, i) => BoundReference(i, f.dataType, f.nullable): Expression
+    }
+    val (before, after) = bound.splitAt(filePos)
+    val proj = UnsafeProjection.create((before :+ (Literal(path, StringType): Expression)) ++ after)
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = proj(inner.get())
+      override def close(): Unit = inner.close()
+    }
+  }
+}
