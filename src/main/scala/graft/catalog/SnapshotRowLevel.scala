@@ -172,9 +172,24 @@ private[catalog] class CowScanBuilder(
       case None => manifest.entries
     }
     op.planned = Some(PlannedRewrite(manifest, candidates))
+    // runtime group filtering: Spark evaluates the command's MATCHING rows
+    // as a subquery over the table's normal (stats-pruned) scan, collects
+    // their distinct `_file` values, and narrows this scan to exactly those
+    // files before partition planning — the commit below then swaps ONLY
+    // files that truly contain matches (stats candidates without a single
+    // matching row are never rewritten). The narrowed set reaches the
+    // write through this callback re-pinning `op.planned`.
+    val qualified = {
+      val p = new Path(op.dir)
+      p.getFileSystem(op.spark.sparkContext.hadoopConfiguration).makeQualified(p)
+    }
+    val narrow: Set[String] => Unit = { keep =>
+      op.planned = Some(PlannedRewrite(manifest,
+        candidates.filter(e => keep.contains(new Path(qualified, e.path).toString))))
+    }
     val inner = new org.apache.spark.sql.graftbridge.FileAwareScanBuilder(op.spark,
       new SnapshotFileIndex(op.spark, op.dir, manifest.copy(entries = candidates)),
-      tableSchema, options, SnapshotMetadata.FileCol)
+      tableSchema, options, SnapshotMetadata.FileCol, Some(narrow))
     inner.pruneColumns(required)
     inner.build() // no data filters pushed: candidate files are read whole
   }

@@ -4,10 +4,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{FileSourceOptions, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection}
 import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+import org.apache.spark.sql.connector.expressions.{Expressions, LiteralValue, NamedReference}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.execution.datasources.{PartitionedFile, PartitioningAwareFileIndex}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile, PartitioningAwareFileIndex}
 import org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -39,7 +40,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class FileAwareScanBuilder(
     sparkSession: SparkSession, index: PartitioningAwareFileIndex,
-    tableSchema: StructType, opts: CaseInsensitiveStringMap, fileColName: String)
+    tableSchema: StructType, opts: CaseInsensitiveStringMap, fileColName: String,
+    onGroupFilter: Option[Set[String] => Unit] = None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -74,7 +76,8 @@ class FileAwareScanBuilder(
     if (filePos < 0) scan
     else new FileTaggedScan(scan, filePos, fileColName,
       new FileSourceOptions(CaseInsensitiveMap(
-        scala.jdk.CollectionConverters.MapHasAsScala(opts).asScala.toMap)))
+        scala.jdk.CollectionConverters.MapHasAsScala(opts).asScala.toMap)),
+      onGroupFilter)
   }
 }
 
@@ -82,10 +85,23 @@ class FileAwareScanBuilder(
   * Row-based reads only (the per-row projection has no columnar form) —
   * acceptable where this scan appears: row-level rewrites and provenance
   * queries, both IO-bound.
+  *
+  * Also a RUNTIME-FILTERABLE scan on the file column
+  * ([[SupportsRuntimeV2Filtering]]): Spark's row-level-operation group
+  * filtering evaluates the command's matching rows as a subquery, collects
+  * their distinct file paths, and hands them back here as an `IN`
+  * predicate BEFORE partitions are planned — the scan then reads only
+  * files that truly contain matches (and `onGroupFilter` tells the owner,
+  * so a copy-on-write commit replaces only those). An unrecognized
+  * predicate shape narrows nothing: correctness never depends on the
+  * runtime filter, it only removes needless rewrites.
   */
 class FileTaggedScan(delegate: Scan, filePos: Int, fileColName: String,
-    fileOptions: FileSourceOptions)
-  extends Scan with Batch with SupportsReportStatistics {
+    fileOptions: FileSourceOptions,
+    onGroupFilter: Option[Set[String] => Unit] = None)
+  extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeV2Filtering {
+
+  @volatile private var surviving: Option[Set[String]] = None
 
   override def readSchema(): StructType = {
     val (before, after) = delegate.readSchema().fields.splitAt(filePos)
@@ -94,8 +110,43 @@ class FileTaggedScan(delegate: Scan, filePos: Int, fileColName: String,
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] =
-    delegate.toBatch.planInputPartitions()
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(fileColName))
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.iterator.flatMap(inFileValues).nextOption().foreach { keep =>
+      surviving = Some(keep)
+      onGroupFilter.foreach(_(keep))
+    }
+
+  /** `IN(_file, v1..vn)` → the value set; None for any other shape (never
+    * narrow on a predicate we did not fully understand).
+    */
+  private def inFileValues(p: Predicate): Option[Set[String]] = {
+    if (p.name() != "IN" || p.children().isEmpty) return None
+    val onFileCol = p.children().head match {
+      case r: NamedReference => r.fieldNames.toSeq == Seq(fileColName)
+      case _ => false
+    }
+    if (!onFileCol) return None
+    val values = p.children().tail.map {
+      case l: LiteralValue[_] => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) None else Some(values.flatten.toSet)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = delegate.toBatch.planInputPartitions()
+    surviving match {
+      case None => parts
+      case Some(keep) =>
+        parts.iterator.collect { case fp: FilePartition =>
+          fp.files.filter(f => keep.contains(f.filePath.toString))
+        }.filter(_.nonEmpty).zipWithIndex
+          .map { case (fs, i) => FilePartition(i, fs): InputPartition }.toArray
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     FileTaggingReaderFactory(

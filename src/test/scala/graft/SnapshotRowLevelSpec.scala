@@ -147,6 +147,65 @@ class SnapshotRowLevelSpec extends SparkSpec {
     assert(cur.filter(col("v") < 0).count() == 100)
   }
 
+  test("runtime group filtering narrows an unprunable UPDATE to files with actual matches") {
+    val dir = freshDir()
+    // four disjoint id-range files; the pmod predicate is invisible to
+    // min/max stats, so only the RUNTIME matching-rows subquery can know
+    // that id=150 lives in exactly one file
+    (0 until 4).foreach { k =>
+      val part = spark.range(k * 100, k * 100 + 100)
+        .select(col("id"), lit("x").as("tag")).repartition(1)
+      if (k == 0) SnapshotTable.write(spark, part, dir)
+      else SnapshotTable.append(spark, part, dir)
+    }
+    val before = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    assert(before.size == 4, s"setup: expected 4 files, got $before")
+
+    spark.sql(s"UPDATE snap.`$dir` SET tag = 'hit' WHERE id % 1000 = 150")
+
+    val after = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    assert(before.count(after.contains) == 3,
+      s"runtime group filter must carry the 3 match-free files by reference: " +
+        s"before=$before after=$after")
+    assert(SnapshotTable.read(spark, dir).filter(col("tag") === "hit")
+      .collect().map(_.getLong(0)).toSeq == Seq(150L))
+    assert(SnapshotTable.read(spark, dir).count() == 400)
+  }
+
+  test("runtime group filtering narrows a MERGE to the files its source keys touch") {
+    val dir = freshDir()
+    (0 until 4).foreach { k =>
+      val part = spark.range(k * 100, k * 100 + 100)
+        .select(col("id"), col("id").cast("double").as("v")).repartition(1)
+      if (k == 0) SnapshotTable.write(spark, part, dir)
+      else SnapshotTable.append(spark, part, dir)
+    }
+    val before = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    // source keys all live in the 200..299 file
+    spark.range(250, 260).select(col("id"), lit(-1.0).as("sv"))
+      .createOrReplaceTempView("rl_rgf_src")
+    spark.sql(s"MERGE INTO snap.`$dir` t USING rl_rgf_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.sv")
+    val after = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    assert(before.count(after.contains) == 3,
+      s"merge must rewrite only the one file holding matched keys: before=$before after=$after")
+    assert(SnapshotTable.read(spark, dir).filter(col("v") < 0).count() == 10)
+    assert(SnapshotTable.read(spark, dir).count() == 400)
+  }
+
+  test("an unprunable UPDATE matching NOTHING publishes no version (runtime empty-set path)") {
+    val dir = freshDir()
+    SnapshotTable.write(spark,
+      spark.range(0, 100).select(col("id"), lit(1.0).as("v")), dir)
+    val vBefore = SnapshotTable.versions(spark, dir)
+    // stats cannot prune pmod, but no row satisfies it — the runtime
+    // matching subquery returns zero files and the commit must no-op
+    spark.sql(s"UPDATE snap.`$dir` SET v = 0.0 WHERE id % 7 = 100")
+    assert(SnapshotTable.versions(spark, dir) == vBefore,
+      "a no-match UPDATE must not churn a version")
+    assert(SnapshotTable.read(spark, dir).filter(col("v") =!= 1.0).count() == 0)
+  }
+
   test("_file metadata column: provenance queries resolve, values match the manifest") {
     val dir = freshDir()
     ensureCatalog()
