@@ -91,8 +91,37 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val dir = dirFor(ident)
-    if (!SnapshotTable.exists(spark, dir)) throw new NoSuchTableException(ident)
-    new SnapshotV2Table(spark, dir, ident.toString, None)
+    if (SnapshotTable.exists(spark, dir)) new SnapshotV2Table(spark, dir, ident.toString, None)
+    else metaTableFor(ident).getOrElse(throw new NoSuchTableException(ident))
+  }
+
+  /** Iceberg-style METADATA TABLES addressed as a child of the data table:
+    * `snap.ns.tbl.history` (one row per retained version — counts, bytes,
+    * commit deltas, txn watermarks, op kind) and `snap.ns.tbl.files` (the
+    * CURRENT manifest: per-file path, rows, bytes, dt bounds). Works for
+    * path tables too: ``snap.`/abs/path`.history``. Both are manifest-only
+    * reads served as a driver-local scan — at 100 TB a history query costs
+    * O(versions) manifest parses, never a data touch. A REAL table whose
+    * directory is literally named `history`/`files` shadows the metadata
+    * table (existence is checked first).
+    */
+  private def metaTableFor(ident: Identifier): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
+    if (kind != "history" && kind != "files") return None
+    val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+    val pdir = try dirFor(parent) catch { case _: IllegalArgumentException => return None }
+    if (!SnapshotTable.exists(spark, pdir)) return None
+    val df = kind match {
+      case "history" => SnapshotTable.history(spark, pdir)
+      case "files" =>
+        val m = SnapshotTable.currentManifest(spark, pdir).get
+        val s = spark
+        import s.implicits._
+        m.entries.map(e => (e.path, e.rows, e.bytes, e.minDt.orNull, e.maxDt.orNull))
+          .toDF("file", "n_rows", "n_bytes", "min_dt", "max_dt")
+    }
+    Some(new SnapshotMetaTable(df, ident.toString))
   }
 
   /** `VERSION AS OF <v>` — the DSv2 time-travel entry point. */
@@ -178,10 +207,33 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog {
     new StagedSnapshotTable(spark, dirFor(ident), ident.toString,
       CatalogShims.columnsToStructType(columns), createOnly = false)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported through the SQL catalog; snapshot schema evolves " +
-        "through the transactional writers (SnapshotTable.append/merge merge schemas)")
+  /** `ALTER TABLE … ADD COLUMNS`: additive evolution as a metadata-only
+    * commit ([[SnapshotTable.addColumns]] — zero data files touched,
+    * existing files read NULL for the new columns, exactly like an
+    * appending writer that brought them). Appended columns are always
+    * nullable top-level appends: positions (`FIRST`/`AFTER`), nested
+    * fields, and every non-additive change (drop/rename/retype) are
+    * refused loudly — the format's no-silent-coercion rule.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = dirFor(ident)
+    if (!SnapshotTable.exists(spark, dir)) throw new NoSuchTableException(ident)
+    val added = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"snapshot schemas are flat; cannot add nested field ${add.fieldNames.mkString(".")}")
+        require(add.position() == null,
+          "snapshot schema evolution always APPENDS; FIRST/AFTER positions are not supported")
+        val f = org.apache.spark.sql.types.StructField(
+          add.fieldNames.head, add.dataType, nullable = true)
+        Option(add.comment).map(f.withComment).getOrElse(f)
+      case other => throw new UnsupportedOperationException(
+        s"only ADD COLUMNS is supported through the SQL catalog (got ${other.getClass.getSimpleName}); " +
+          "non-additive schema changes are refused by the snapshot format")
+    }
+    SnapshotTable.addColumns(spark, dir, StructType(added.toArray))
+    new SnapshotV2Table(spark, dir, ident.toString, None)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
@@ -366,6 +418,33 @@ private[graft] class StagedSnapshotTable(
 
   override def abortStagedChanges(): Unit =
     SnapshotTable.abortStaged(spark, dir, staged)
+}
+
+/** A metadata table (`…tbl.history` / `…tbl.files`) served as a DSv2
+  * [[org.apache.spark.sql.connector.read.LocalScan]]: the frame is
+  * manifest-derived and metadata-sized, so it materializes on the driver
+  * at scan build — no executor job for a history lookup.
+  */
+private[graft] class SnapshotMetaTable(df: DataFrame, identName: String)
+  extends Table with SupportsRead {
+
+  private val tableSchema = df.schema
+
+  override def name(): String = identName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            org.apache.spark.sql.graftbridge.Bridge.collectInternal(df)
+          override def readSchema(): StructType = tableSchema
+          override def description(): String = s"SnapshotMetaTable($identName)"
+        }
+    }
 }
 
 /** V1 source filters → Column predicates, for [[SupportsDelete]]. Total

@@ -176,11 +176,12 @@ object SnapshotTable {
       (m.version, m.entries.length.toLong, m.entries.map(_.rows).sum,
         m.entries.map(_.bytes).sum,
         (cur -- prev).size.toLong, (prev -- cur).size.toLong,
-        m.txn.getOrElse(Map.empty).map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","))
+        m.txn.getOrElse(Map.empty).map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
+        m.op.getOrElse(""))
     }
     import spark.implicits._
     rows.toDF("version", "n_files", "n_rows", "n_bytes",
-      "files_added", "files_removed", "txn")
+      "files_added", "files_removed", "txn", "op")
   }
 
   /** Restore the table to the state of `version` by committing that
@@ -435,6 +436,30 @@ object SnapshotTable {
         .orElse(if (m.entries.nonEmpty) Some(readEntries(spark, dir, m.entries, None).schema)
         else None)
     }
+
+  /** Additive schema evolution as a METADATA-ONLY commit: append `cols`
+    * to the table schema; every existing file reads NULL for them (the
+    * same contract appends with new columns use — [[mergeSchemas]]).
+    * Purely a manifest rewrite: zero data files touched at any table
+    * size. Duplicate names are refused loudly (ALTER ADD means NEW
+    * columns; evolving an existing column's type is refused everywhere).
+    *
+    * @return the committed version
+    */
+  def addColumns(spark: SparkSession, dir: String,
+      cols: org.apache.spark.sql.types.StructType): Long =
+    commitLoop(spark, dir, op = "alter") { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException(
+        s"no snapshot table at $dir to alter"))
+      val prior = priorSchema(spark, dir, cur).getOrElse(throw new IllegalStateException(
+        s"snapshot at $dir has no recoverable schema; cannot alter"))
+      val dup = cols.fieldNames.filter(prior.fieldNames.contains)
+      require(dup.isEmpty,
+        s"ALTER TABLE ADD COLUMNS: column(s) already exist: ${dup.mkString(", ")}")
+      val merged = mergeSchemas(Some(prior),
+        org.apache.spark.sql.types.StructType(prior.fields ++ cols.fields))
+      Some((m.entries, txnOf(cur), Some(merged.toDDL)))
+    }.get
 
   /** Create or replace the table with `df` as a single new snapshot. Txn
     * markers are preserved: replacing contents must not make a streaming

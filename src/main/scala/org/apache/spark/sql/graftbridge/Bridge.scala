@@ -44,6 +44,13 @@ object Bridge {
       case _ => None
     }
 
+  /** Execute `df` and return its rows in Spark's INTERNAL representation —
+    * what a DSv2 `LocalScan` must serve. Metadata-sized frames only (the
+    * result materializes on the driver, which is the point of LocalScan).
+    */
+  def collectInternal(df: DataFrame): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan.executeCollect()
+
   /** Re-root a batch frame as a STREAMING logical plan (`LogicalRDD` with
     * isStreaming = true): what a DSv1 streaming Source must return from
     * `getBatch` — MicroBatchExecution asserts the plan is streaming. The

@@ -204,6 +204,65 @@ class SnapshotCatalogSpec extends SparkSpec {
       .head().getLong(0) == 400, "TRUNCATE must keep history readable")
   }
 
+  test("metadata tables: …tbl.history and …tbl.files answer from manifests in pure SQL") {
+    ensureCatalog()
+    val dir = s"$root/meta/t"
+    SnapshotTable.write(spark,
+      spark.range(0, 80).select(col("id"), lit("a").as("s")), dir)
+    SnapshotTable.append(spark,
+      spark.range(80, 100).select(col("id"), lit("b").as("s")), dir)
+
+    val hist = spark.sql(s"SELECT version, n_rows, files_removed, op FROM snap.meta.t.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(hist.map(_._1).toSeq == Seq(1L, 2L))
+    assert(hist.map(_._2).toSeq == Seq(80L, 100L), "history row counts per version")
+    assert(hist.map(_._4).toSeq == Seq("write", "append"), "op kinds recorded")
+
+    val files = spark.sql(s"SELECT file, n_rows FROM snap.meta.t.files")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    assert(files.map(_._1).toSet == m.entries.map(_.path).toSet)
+    assert(files.map(_._2).sum == 100L)
+
+    // path-addressed form works too, and an aggregate over history plans
+    assert(spark.sql(s"SELECT max(version) AS v FROM snap.`$dir`.history").head().getLong(0) == 2L)
+    // a nonexistent child name still fails loudly
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM snap.meta.t.nope"))
+    assert(e.getMessage.toLowerCase.contains("cannot be found") ||
+      e.getMessage.toLowerCase.contains("table_or_view_not_found"), e.getMessage)
+  }
+
+  test("ALTER TABLE ADD COLUMNS: metadata-only additive evolution, NULL backfill, inserts see the new schema") {
+    ensureCatalog()
+    val dir = s"$root/ddl/evolve"
+    SnapshotTable.write(spark,
+      spark.range(0, 30).select(col("id"), (col("id") * 2).as("v")), dir)
+    val filesBefore = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+
+    spark.sql(s"ALTER TABLE snap.`$dir` ADD COLUMNS (score DOUBLE, note STRING)")
+
+    // metadata-only: the data files are untouched, one new version
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    assert(m.entries.map(_.path).toSet == filesBefore,
+      "ALTER ADD COLUMNS must not rewrite any data file")
+    assert(m.op.contains("alter"))
+    // old rows read NULL for the appended columns
+    val read = spark.sql(s"SELECT id, v, score, note FROM snap.`$dir`")
+    assert(read.count() == 30)
+    assert(read.filter(col("score").isNotNull || col("note").isNotNull).count() == 0)
+    // inserts resolve against the evolved schema
+    spark.sql(s"INSERT INTO snap.`$dir` VALUES (100, 200, 0.5, 'n')")
+    assert(spark.sql(s"SELECT note FROM snap.`$dir` WHERE id = 100").head().getString(0) == "n")
+
+    // duplicates and non-additive changes are refused
+    val dup = intercept[Exception](
+      spark.sql(s"ALTER TABLE snap.`$dir` ADD COLUMNS (v BIGINT)"))
+    assert(dup.getMessage.contains("already exist"), dup.getMessage)
+    val drop = intercept[Exception](
+      spark.sql(s"ALTER TABLE snap.`$dir` DROP COLUMN note"))
+    assert(drop.getMessage.toLowerCase.contains("add columns"), drop.getMessage)
+  }
+
   test("DDL: CREATE TABLE provisions an empty v0 the transactional writers can append to; unsupported ops fail loudly") {
     ensureCatalog()
     spark.sql("CREATE TABLE snap.ddl.fresh (id BIGINT, name STRING)")
