@@ -278,7 +278,8 @@ private[graft] class SnapshotV2Table(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def properties(): util.Map[String, String] =
     Map(
@@ -329,6 +330,15 @@ private[graft] class SnapshotV2Table(
           override def insert(data: DataFrame, overwrite: Boolean): Unit =
             if (replace || overwrite) SnapshotTable.write(data.sparkSession, data, dir)
             else SnapshotTable.append(data.sparkSession, data, dir)
+        }
+        /** `writeStream.toTable("snap.…")`: exactly-once micro-batch
+          * appends (see [[SnapshotStreamingWrite]]). Append mode only.
+          */
+        override def toStreaming: org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          if (replace) throw new UnsupportedOperationException(
+            "snapshot tables stream in APPEND mode only; complete mode would replace " +
+              "the table every epoch (use foreachBatch + SnapshotTable.write for that)")
+          new SnapshotStreamingWrite(spark, dir, info.queryId(), info.schema())
         }
       }
     }

@@ -307,3 +307,71 @@ private[catalog] class CowDataWriter(f: CowWriterFactory, partitionId: Int, task
   */
 private[catalog] case class CowCommitMessage(relPath: Option[String])
   extends WriterCommitMessage
+
+/** DSv2 STREAMING write into the snapshot table —
+  * `df.writeStream.toTable("snap.…")` with EXACTLY-ONCE epochs: executors
+  * stream rows through the same parquet writer machinery as the row-level
+  * write (lazy open, attempt-unique names, per-epoch invisible commit
+  * directory), and each epoch commits through
+  * [[SnapshotTable.appendEntriesExactlyOnce]] — the manifest's
+  * (queryId → epochId) txn marker makes a crash-re-delivered micro-batch
+  * a structural no-op, checked inside the OCC commit loop so racing
+  * deliveries reduce to one commit. Readers see each micro-batch
+  * atomically; a crash between data write and commit leaves only
+  * unreferenced files for vacuum. Append output mode only: complete mode
+  * would replace the table every epoch (use foreachBatch +
+  * [[SnapshotTable.write]] if that is really wanted).
+  */
+private[catalog] class SnapshotStreamingWrite(
+    spark: SparkSession, dir: String, queryId: String, writeSchema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  // short stable id: epoch directories are derivable from (query, epoch)
+  // alone, so abort can clean up without any driver state
+  private val qid = queryId.replaceAll("[^0-9a-zA-Z]", "").take(12)
+
+  private def epochDirName(epochId: Long): String = s"c-str-$qid-e$epochId"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val job = Job.getInstance(spark.sessionState.newHadoopConf())
+    val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
+    val qualified = {
+      val p = new Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
+    }
+    SnapshotStreamWriterFactory(factory,
+      new SerializableConfiguration(job.getConfiguration), qualified, qid, writeSchema)
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.collect { case CowCommitMessage(Some(rel)) => rel }.toSeq
+    // empty epochs commit nothing: appends are idempotent, so not
+    // advancing the marker is harmless and saves a version per idle tick
+    if (added.isEmpty) return
+    val entries = SnapshotTable.entriesFromFooters(spark, dir, added, writeSchema)
+    SnapshotTable.appendEntriesExactlyOnce(
+      spark, dir, entries, writeSchema, appId = s"dsv2-$qid", batchId = epochId)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = SnapshotTable.fsFor(spark, dir)
+    val d = new Path(dir, epochDirName(epochId))
+    if (fs.exists(d)) fs.delete(d, true)
+  }
+}
+
+/** Executor-side factory for streaming epochs: same writers as the batch
+  * path, pointed at a per-(query, epoch) commit directory.
+  */
+private[catalog] case class SnapshotStreamWriterFactory(
+    factory: OutputWriterFactory, conf: SerializableConfiguration,
+    qualifiedDir: String, qid: String, schema: StructType)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new CowDataWriter(
+      CowWriterFactory(factory, conf, qualifiedDir, s"c-str-$qid-e$epochId", schema),
+      partitionId, taskId)
+}

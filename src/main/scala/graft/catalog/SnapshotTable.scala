@@ -559,6 +559,26 @@ object SnapshotTable {
     }
   }
 
+  /** [[appendExactlyOnce]] for callers whose data files are ALREADY
+    * written (the DSv2 streaming write: executors wrote parquet, commit
+    * messages carried the paths): append `entries` with the (appId →
+    * batchId) marker, a structural no-op when the marker is already
+    * recorded — the re-check runs inside the commit loop, so racing
+    * deliveries of one epoch reduce to one commit and orphaned files
+    * vacuum reclaims.
+    */
+  private[graft] def appendEntriesExactlyOnce(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry], schema: org.apache.spark.sql.types.StructType,
+      appId: String, batchId: Long): Boolean =
+    commitLoop(spark, dir, op = "append") { cur =>
+      if (txnOf(cur).get(appId).exists(_ >= batchId)) None
+      else {
+        val merged = mergeSchemas(priorSchema(spark, dir, cur), schema)
+        Some((cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
+          txnOf(cur) + (appId -> batchId), Some(merged.toDDL)))
+      }
+    }.isDefined
+
   /** CDC-style incremental read: the rows of files ADDED between
     * `fromVersion` (exclusive; 0 = before the first commit) and `toVersion`
     * (inclusive). For an append-only table this is exactly the appended
