@@ -1672,6 +1672,26 @@ object SparkEntry {
            |  VALUES (s.o_orderkey, s.dt, s.p)
            |""".stripMargin)
       s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` ORDER BY o_orderkey, dt")
+    }),
+
+    // ---- SQL ALTER TABLE ADD COLUMNS: metadata-only additive evolution —
+    // pre-evolution rows read NULL for the appended column (no file
+    // rewritten), and subsequent inserts resolve against the evolved
+    // schema. The oracle replays it as a NULL-extended projection plus the
+    // inserted subset ----
+    "q132_sql_alter" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").as("dt"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q132").toString + "/t"
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      graft.catalog.SnapshotTable.write(s, o, tbl)
+      o.createOrReplaceTempView("q132_base")
+      s.sql(s"ALTER TABLE snap.`$tbl` ADD COLUMNS (priority STRING)")
+      s.sql(s"INSERT INTO snap.`$tbl` " +
+        "SELECT o_orderkey + 70000000, dt, o_totalprice, 'late' " +
+        "FROM q132_base WHERE o_orderkey % 10 = 0")
+      s.sql(s"SELECT o_orderkey, dt, o_totalprice, priority FROM snap.`$tbl` " +
+        "ORDER BY o_orderkey, dt")
     })
   )
 
@@ -2547,6 +2567,16 @@ object SparkEntry {
         |SELECT s.o_orderkey, s.dt, s.p AS o_totalprice
         |FROM src s LEFT JOIN base t ON t.o_orderkey = s.o_orderkey
         |WHERE t.o_orderkey IS NULL
+        |ORDER BY o_orderkey, dt""".stripMargin,
+
+    // q132: ALTER ADD COLUMNS replayed as a NULL-extended projection of the
+    // base plus the evolved-schema inserts
+    "q132_sql_alter" ->
+      """WITH base AS (SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders)
+        |SELECT o_orderkey, dt, o_totalprice, CAST(NULL AS VARCHAR) AS priority FROM base
+        |UNION ALL
+        |SELECT o_orderkey + 70000000, dt, o_totalprice, 'late' AS priority
+        |FROM base WHERE o_orderkey % 10 = 0
         |ORDER BY o_orderkey, dt""".stripMargin,
 
     // q76: the bloom is invisible in the result — the oracle is the plain
