@@ -1692,6 +1692,22 @@ object SparkEntry {
         "FROM q132_base WHERE o_orderkey % 10 = 0")
       s.sql(s"SELECT o_orderkey, dt, o_totalprice, priority FROM snap.`$tbl` " +
         "ORDER BY o_orderkey, dt")
+    }),
+
+    // ---- SQL maintenance procedures (CALL): compact bin-packs the
+    // two-commit table, vacuum (grace 0) drops the expired version's
+    // files — and the surviving snapshot must still be EXACTLY the
+    // original multiset, which is what the oracle hash-checks ----
+    "q133_sql_maintenance" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").as("dt"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q133").toString + "/t"
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      graft.catalog.SnapshotTable.write(s, o.filter(pmod(col("o_orderkey"), lit(2)) === 0), tbl)
+      graft.catalog.SnapshotTable.append(s, o.filter(pmod(col("o_orderkey"), lit(2)) === 1), tbl)
+      s.sql(s"CALL snap.system.compact(table => '$tbl')")
+      s.sql(s"CALL snap.system.vacuum(table => '$tbl', keep_versions => 1, grace_ms => 0)")
+      s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` ORDER BY o_orderkey, dt")
     })
   )
 
@@ -2577,6 +2593,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT o_orderkey + 70000000, dt, o_totalprice, 'late' AS priority
         |FROM base WHERE o_orderkey % 10 = 0
+        |ORDER BY o_orderkey, dt""".stripMargin,
+
+    // q133: compaction + vacuum preserve the row multiset by contract, so
+    // the truth is simply the base projection
+    "q133_sql_maintenance" ->
+      """SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders
         |ORDER BY o_orderkey, dt""".stripMargin,
 
     // q76: the bloom is invisible in the result — the oracle is the plain

@@ -54,7 +54,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * commit protocol — SQL and Scala writers can race and both land.
   * MERGE/UPDATE and schema evolution stay Scala-API-only.
   */
-class SnapshotCatalog extends TableCatalog with StagingTableCatalog {
+class SnapshotCatalog extends TableCatalog with StagingTableCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: Option[String] = None
@@ -242,6 +243,30 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog {
 
   override def renameTable(old: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME TABLE is not supported for path-addressed snapshot tables")
+
+  /** Maintenance procedures (`CALL snap.system.compact/vacuum/rollback` —
+    * see [[SnapshotProcedures]]). The `table` argument takes an absolute
+    * path or a dot-separated identifier under the catalog root, resolved
+    * exactly like a read.
+    */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SnapshotProcedures.forName(ident.name.toLowerCase(java.util.Locale.ROOT), resolveTableArg)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"unknown procedure $catalogName.${ident.namespace.mkString(".")}.${ident.name}; " +
+          s"available: ${SnapshotProcedures.Names.mkString(", ")}"))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SnapshotProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
+
+  /** A procedure's `table` argument → directory: absolute path as-is,
+    * otherwise a dot-separated identifier under the root.
+    */
+  private def resolveTableArg(t: String): String =
+    if (t.startsWith("/")) t
+    else {
+      val parts = t.split('.')
+      dirFor(Identifier.of(parts.init, parts.last))
+    }
 }
 
 /** One snapshot (current or `VERSION AS OF`) as a DSv2 Table.

@@ -232,6 +232,49 @@ class SnapshotCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("table_or_view_not_found"), e.getMessage)
   }
 
+  test("CALL procedures: compact, rollback, and vacuum run the maintenance surface from pure SQL") {
+    ensureCatalog()
+    val dir = s"$root/proc/t"
+    // many small commits → many small files for compact to bin-pack
+    (0 until 5).foreach { k =>
+      val part = spark.range(k * 100, k * 100 + 100).select(col("id")).repartition(2)
+      if (k == 0) SnapshotTable.write(spark, part, dir)
+      else SnapshotTable.append(spark, part, dir)
+    }
+    val filesBefore = SnapshotTable.currentManifest(spark, dir).get.entries.size
+    assert(filesBefore == 10, s"setup: expected 10 files, got $filesBefore")
+
+    val c = spark.sql(s"CALL snap.system.compact(table => 'proc.t')").collect()
+    assert(c.length == 1 && c(0).getInt(0) == 10 && c(0).getInt(1) < 10,
+      s"compact must report the bin-pack: ${c.toSeq}")
+    assert(SnapshotTable.read(spark, dir).count() == 500, "compaction preserves rows")
+
+    // rollback to the pre-compact version (positional args work too)
+    val preCompactV = SnapshotTable.versions(spark, dir).init.last
+    val r = spark.sql(s"CALL snap.system.rollback('proc.t', $preCompactV)").collect()
+    assert(r(0).getLong(0) == preCompactV && r(0).getLong(1) > preCompactV,
+      s"rollback must publish a NEW version restoring $preCompactV: ${r.toSeq}")
+    assert(SnapshotTable.currentManifest(spark, dir).get.entries.size == 10,
+      "rolled-back snapshot lists the pre-compact files again")
+
+    // vacuum with grace_ms => 0 collects the expired versions' files; the
+    // absolute-path form of the table argument resolves too
+    val v = spark.sql(
+      s"CALL snap.system.vacuum(table => '$dir', keep_versions => 1, grace_ms => 0)").collect()
+    assert(v(0).getInt(0) > 0, s"vacuum must delete the dropped versions' files: ${v.toSeq}")
+    assert(SnapshotTable.read(spark, dir).count() == 500, "current snapshot survives vacuum")
+    assert(SnapshotTable.versions(spark, dir).size == 1)
+
+    // unknown procedures fail loudly (Spark wraps the catalog's message,
+    // which names the available procedures, as the cause)
+    val e = intercept[Exception](spark.sql("CALL snap.system.nope()"))
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(chain.contains("nope") &&
+      (chain.contains("compact, vacuum, rollback") || chain.contains("FAILED_TO_LOAD_ROUTINE")),
+      chain)
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only additive evolution, NULL backfill, inserts see the new schema") {
     ensureCatalog()
     val dir = s"$root/ddl/evolve"
