@@ -140,6 +140,18 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)]"), plan)
   }
 
+  test("events time-range predicates on ts reach the parquet scan (µs fixture keeps ts stored)") {
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val stored = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
+    assume(stored == org.apache.spark.sql.types.TimestampType,
+      "legacy nanos fixture: ts is derived there and pushes via ts_nanos instead")
+    val ev = Tables.events(spark, sfDir)
+    val plan = ev.filter(col("ts") >= java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,"),
+      s"ts range predicate must reach the scan, got:\n$plan")
+  }
+
   test("readTextCorpus: one doc per line, content-addressed ids, dedup-ready") {
     val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"),
