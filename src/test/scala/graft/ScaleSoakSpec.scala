@@ -243,6 +243,37 @@ class ScaleSoakSpec extends SparkSpec {
     assertScaling("snapshot_pipeline", m1, m4)
   }
 
+  test("soak: SQL row-level UPDATE (copy-on-write ReplaceData) scales near-linearly, no disk spill") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    import graft.catalog.SnapshotTable
+    spark.conf.set("spark.sql.catalog.snap",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    def build(factor: Int): String = {
+      val dir = s"$soakRoot/rowlevel_x${factor}_${System.nanoTime()}/t"
+      val big = scaledOrders(factor)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      // four commits → a multi-file table, like any incrementally-loaded one
+      SnapshotTable.write(spark, big.filter(pmod(col("k"), lit(4)) === 0), dir)
+      (1 to 3).foreach(r =>
+        SnapshotTable.append(spark, big.filter(pmod(col("k"), lit(4)) === r), dir))
+      dir
+    }
+    val (d1, d4) = (build(1), build(4))
+    // pmod predicate: invisible to stats, so the cost is the honest COW
+    // shape — runtime matching subquery over the table + rewrite of the
+    // files holding the ~0.1% matched rows (uniform keys → most files)
+    def update(dir: String): Unit =
+      spark.sql(s"UPDATE snap.`$dir` SET v = v + 1.0 WHERE k % 997 = 1")
+    val m1 = measure(() => update(d1))
+    val m4 = measure(() => update(d4))
+    def rewritten(dir: String): Long =
+      SnapshotTable.history(spark, dir).orderBy(col("version").desc)
+        .select("files_removed").head().getLong(0)
+    assertScaling("sql_rowlevel_update", m1, m4,
+      extra = Map("files_rewritten_last_commit_1x" -> rewritten(d1),
+        "files_rewritten_last_commit_4x" -> rewritten(d4)))
+  }
+
   test("soak: PageRank scales near-linearly in edges, no disk spill") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     def edges(factor: Int): DataFrame = {
