@@ -47,12 +47,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[StagingTableCatalog]]: data files stage invisibly in the target
   * directory and one manifest publish makes the whole result appear — a
   * failed CTAS leaves nothing behind), `DELETE FROM` runs the
-  * stats-pruned copy-on-write delete for filter-shaped conditions, and
-  * `TRUNCATE TABLE` empties the current version with history intact. All
-  * of them delegate to the transactional Scala writers
+  * stats-pruned copy-on-write delete for filter-shaped conditions (other
+  * shapes fall through to the row-level rewrite), `UPDATE` and `MERGE
+  * INTO` run as group-based copy-on-write row-level operations with
+  * runtime group filtering ([[SnapshotCowOperation]]), `TRUNCATE TABLE`
+  * empties the current version with history intact, and `ALTER TABLE …
+  * ADD COLUMNS` evolves the schema metadata-only. All of them delegate to
+  * the transactional Scala writers
   * ([[SnapshotTable.append]]/write/delete/commitStaged) which own the OCC
-  * commit protocol — SQL and Scala writers can race and both land.
-  * MERGE/UPDATE and schema evolution stay Scala-API-only.
+  * commit protocol — SQL and Scala writers can race and both land. Beyond
+  * tables: `snap.ns.tbl.history`/`.files` metadata tables, `CALL
+  * snap.system.compact/vacuum/rollback(…)` maintenance procedures
+  * ([[SnapshotProcedures]]), the `_file` provenance column on every read,
+  * and `writeStream.toTable` exactly-once streaming appends
+  * ([[SnapshotStreamingWrite]]).
   */
 class SnapshotCatalog extends TableCatalog with StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
