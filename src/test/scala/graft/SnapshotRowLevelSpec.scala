@@ -223,6 +223,29 @@ class SnapshotRowLevelSpec extends SparkSpec {
       .collect()(0).getLong(0) >= 2)
   }
 
+  test("row-level UPDATE composes with schema evolution: evolved column settable, NULL backfill preserved") {
+    val dir = freshDir()
+    ensureCatalog()
+    SnapshotTable.write(spark,
+      spark.range(0, 120).select(col("id"), (col("id") * 2).cast("double").as("v")), dir)
+    spark.sql(s"ALTER TABLE snap.`$dir` ADD COLUMNS (grade STRING)")
+    // pre-evolution rows read NULL for grade; the UPDATE both reads the
+    // evolved schema (rewritten survivors must keep grade NULL) and
+    // assigns the evolved column on matches
+    spark.sql(s"UPDATE snap.`$dir` SET grade = 'hot', v = -v WHERE id % 11 = 3")
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.filter(col("grade") === "hot").count() == 11,
+      "ids 3,14,...,113 of 0..119 satisfy id % 11 = 3")
+    assert(got.filter(col("grade").isNull).count() == 109,
+      "unmatched rows must keep the NULL backfill through the rewrite")
+    assert(got.filter(col("v") < 0).count() == 11)
+    // and the evolved column participates in a follow-up MERGE condition
+    spark.range(0, 120).select(col("id")).createOrReplaceTempView("rl_evo_src")
+    spark.sql(s"MERGE INTO snap.`$dir` t USING rl_evo_src s ON t.id = s.id " +
+      "WHEN MATCHED AND t.grade = 'hot' THEN UPDATE SET grade = 'cooled'")
+    assert(SnapshotTable.read(spark, dir).filter(col("grade") === "cooled").count() == 11)
+  }
+
   test("a raced append lands across a SQL UPDATE commit (rebase, no lost rows)") {
     val dir = freshDir()
     SnapshotTable.write(spark,
