@@ -99,9 +99,17 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     }
 
   override def loadTable(ident: Identifier): Table = {
-    val dir = dirFor(ident)
-    if (SnapshotTable.exists(spark, dir)) new SnapshotV2Table(spark, dir, ident.toString, None)
-    else metaTableFor(ident).getOrElse(throw new NoSuchTableException(ident))
+    // dirFor throws on a root-less catalog with a namespaced identifier —
+    // which is exactly what a path-addressed METADATA table looks like
+    // (snap.`/abs/path`.history has namespace [/abs/path]), so the data
+    // lookup failing for ANY reason must still fall through to
+    // metaTableFor before surfacing an error
+    val dirTry = scala.util.Try(dirFor(ident))
+    dirTry.toOption.filter(SnapshotTable.exists(spark, _)) match {
+      case Some(dir) => new SnapshotV2Table(spark, dir, ident.toString, None)
+      case None => metaTableFor(ident).getOrElse(
+        dirTry.fold(e => throw e, _ => throw new NoSuchTableException(ident)))
+    }
   }
 
   /** Iceberg-style METADATA TABLES addressed as a child of the data table:
@@ -233,6 +241,12 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
           s"snapshot schemas are flat; cannot add nested field ${add.fieldNames.mkString(".")}")
         require(add.position() == null,
           "snapshot schema evolution always APPENDS; FIRST/AFTER positions are not supported")
+        // every pre-evolution file reads NULL for the new column, so a NOT
+        // NULL constraint cannot be honored — refuse it loudly rather than
+        // silently recording the column nullable
+        require(add.isNullable,
+          s"cannot add NOT NULL column '${add.fieldNames.head}': existing rows " +
+            "read NULL for appended columns (the no-silent-coercion rule)")
         val f = org.apache.spark.sql.types.StructField(
           add.fieldNames.head, add.dataType, nullable = true)
         Option(add.comment).map(f.withComment).getOrElse(f)

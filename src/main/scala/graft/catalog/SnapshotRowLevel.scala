@@ -3,22 +3,19 @@ package graft.catalog
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, Literal, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.MetadataColumn
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics, Statistics}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.RowLevelOperation.Command
-import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory, PartitionedFile, PartitioningAwareFileIndex}
+import org.apache.spark.sql.execution.datasources.{OutputWriter, OutputWriterFactory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.FilePartitionReaderFactory
-import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder}
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.{DataType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 /** SQL `UPDATE` and `MERGE INTO` (and non-filter-shaped `DELETE`) on the
@@ -78,11 +75,36 @@ private[graft] class SnapshotCowOperation(
     val spark: SparkSession, val dir: String, cmd: Command)
   extends RowLevelOperation {
 
-  /** What the scan pinned and planned; the write commits against exactly
-    * this. Set when Spark plans the scan (always before the write runs:
-    * scan planning is an optimizer step, the commit is the job's last act).
+  /** The one manifest every half of this operation sees: pinned at the
+    * FIRST scan-builder construction and reused by any later builder Spark
+    * creates from the same operation (e.g. a runtime-group-filter
+    * subquery, a re-planned EXPLAIN) — two builds must never compute
+    * against different snapshots, or the commit could validate against a
+    * manifest the executed scan never read.
+    */
+  private[catalog] lazy val pinnedManifest: SnapshotTable.Manifest =
+    SnapshotTable.manifestFor(spark, dir, None)
+
+  /** What the scan planned; the write commits against exactly this. Set
+    * WRITE-ONCE by the first build (the ReplaceData scan — always planned
+    * before the write runs) and only ever NARROWED afterwards (the
+    * runtime group filter); later builds cannot clobber it.
     */
   @volatile private[catalog] var planned: Option[PlannedRewrite] = None
+
+  private[catalog] def pinPlanned(p: PlannedRewrite): Unit =
+    synchronized { if (planned.isEmpty) planned = Some(p) }
+
+  /** Narrow the rewrite set to entries whose (url-encoded, SparkPath-form)
+    * absolute path is in `keep` — the representation the `_file` column
+    * emits, so the comparison is exact even for paths with URI-escapable
+    * characters.
+    */
+  private[catalog] def narrowPlanned(keep: Set[String], qualifiedDir: Path): Unit =
+    synchronized {
+      planned = planned.map(p => p.copy(rewrite = p.rewrite.filter(e =>
+        keep.contains(SparkPath.fromPath(new Path(qualifiedDir, e.path)).toString))))
+    }
 
   override def command(): Command = cmd
 
@@ -142,9 +164,11 @@ private[catalog] class CowScanBuilder(
     op: SnapshotCowOperation, options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  // pin the snapshot NOW: everything downstream (candidate pruning, the
-  // read, the commit's conflict check) sees one manifest
-  private val manifest = SnapshotTable.manifestFor(op.spark, op.dir, None)
+  // the OPERATION-pinned snapshot: every builder Spark creates from this
+  // operation (main scan, runtime-filter subquery, EXPLAIN re-plans) sees
+  // the same manifest — candidate pruning, the read, and the commit's
+  // conflict check can never disagree about the base
+  private val manifest = op.pinnedManifest
   private val tableSchema: StructType =
     StructType.fromDDL(manifest.schemaDdl.getOrElse(throw new IllegalStateException(
       s"snapshot at ${op.dir} has no recorded schema; row-level SQL needs one")))
@@ -171,22 +195,20 @@ private[catalog] class CowScanBuilder(
       case Some(pred) => SnapshotTable.pruneEntries(op.spark, manifest, pred)
       case None => manifest.entries
     }
-    op.planned = Some(PlannedRewrite(manifest, candidates))
+    op.pinPlanned(PlannedRewrite(manifest, candidates))
     // runtime group filtering: Spark evaluates the command's MATCHING rows
     // as a subquery over the table's normal (stats-pruned) scan, collects
     // their distinct `_file` values, and narrows this scan to exactly those
     // files before partition planning — the commit below then swaps ONLY
     // files that truly contain matches (stats candidates without a single
     // matching row are never rewritten). The narrowed set reaches the
-    // write through this callback re-pinning `op.planned`.
+    // write through this callback, which can only NARROW the planned set
+    // (never re-pin it), in the SparkPath string form `_file` emits.
     val qualified = {
       val p = new Path(op.dir)
       p.getFileSystem(op.spark.sparkContext.hadoopConfiguration).makeQualified(p)
     }
-    val narrow: Set[String] => Unit = { keep =>
-      op.planned = Some(PlannedRewrite(manifest,
-        candidates.filter(e => keep.contains(new Path(qualified, e.path).toString))))
-    }
+    val narrow: Set[String] => Unit = keep => op.narrowPlanned(keep, qualified)
     val inner = new org.apache.spark.sql.graftbridge.FileAwareScanBuilder(op.spark,
       new SnapshotFileIndex(op.spark, op.dir, manifest.copy(entries = candidates)),
       tableSchema, options, SnapshotMetadata.FileCol, Some(narrow))
@@ -224,7 +246,7 @@ private[catalog] class CowBatchWrite(op: SnapshotCowOperation, writeSchema: Stru
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val planned = op.planned.getOrElse(throw new IllegalStateException(
       "row-level write committed before its scan was planned"))
-    val added = messages.collect { case CowCommitMessage(Some(rel)) => rel }.toSeq
+    val added = messages.collect { case CowCommitMessage(Some(rel), bytes) => (rel, bytes) }.toSeq
     // candidate set empty AND nothing written (e.g. a MERGE whose inserts
     // all filtered away): a true no-op, don't publish an empty version
     if (planned.rewrite.isEmpty && added.isEmpty) return
@@ -288,7 +310,16 @@ private[catalog] class CowDataWriter(f: CowWriterFactory, partitionId: Int, task
     writer.close(); closed = true
   }
 
-  override def commit(): WriterCommitMessage = { closeWriter(); CowCommitMessage(relPath) }
+  override def commit(): WriterCommitMessage = {
+    closeWriter()
+    // stat the just-written file HERE, executor-side and in parallel
+    // across tasks, so the driver's manifest build never re-stats files
+    val bytes = relPath.fold(0L) { rel =>
+      val p = new Path(f.qualifiedDir, rel)
+      p.getFileSystem(f.conf.value).getFileStatus(p).getLen
+    }
+    CowCommitMessage(relPath, bytes)
+  }
 
   override def abort(): Unit = {
     try closeWriter() catch { case _: Exception => () }
@@ -302,10 +333,10 @@ private[catalog] class CowDataWriter(f: CowWriterFactory, partitionId: Int, task
   override def close(): Unit = closeWriter()
 }
 
-/** Path (relative to the table dir) of one committed task's output; None =
-  * the task saw no rows and wrote nothing.
+/** Path (relative to the table dir) and size of one committed task's
+  * output; None = the task saw no rows and wrote nothing.
   */
-private[catalog] case class CowCommitMessage(relPath: Option[String])
+private[catalog] case class CowCommitMessage(relPath: Option[String], bytes: Long)
   extends WriterCommitMessage
 
 /** DSv2 STREAMING write into the snapshot table —
@@ -345,7 +376,7 @@ private[catalog] class SnapshotStreamingWrite(
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val added = messages.collect { case CowCommitMessage(Some(rel)) => rel }.toSeq
+    val added = messages.collect { case CowCommitMessage(Some(rel), bytes) => (rel, bytes) }.toSeq
     // empty epochs commit nothing: appends are idempotent, so not
     // advancing the marker is harmless and saves a version per idle tick
     if (added.isEmpty) return

@@ -818,35 +818,35 @@ object SnapshotTable {
     val fs = fsFor(spark, dir)
     val rel = fs.listStatus(commitDir)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => s"$commitName/${st.getPath.getName}").toSeq
+      .map(st => (s"$commitName/${st.getPath.getName}", st.getLen)).toSeq
     entriesFromFooters(spark, dir, rel, df.schema)
   }
 
   /** [[FileEntry]]s (row counts + per-column stats from parquet FOOTERS)
-    * for already-written data files, `relPaths` relative to `dir`. Shared
-    * by [[writeData]] (DataFrame-writer commits) and the DSv2 row-level
-    * BatchWrite ([[SnapshotRowLevel]]), whose executors write files
-    * directly and report paths through commit messages. Empty part files
+    * for already-written data files: `files` = (path relative to `dir`,
+    * length) — lengths come with the caller's listing or commit messages,
+    * so this never re-stats a file. Shared by [[writeData]]
+    * (DataFrame-writer commits) and the DSv2 row-level BatchWrite
+    * ([[SnapshotRowLevel]]), whose executors write files directly and
+    * report (path, length) through commit messages. Empty part files
     * (0 rows) carry nothing a snapshot needs: they stay unlisted and
     * vacuum collects them.
     */
   private[catalog] def entriesFromFooters(spark: SparkSession, dir: String,
-      relPaths: Seq[String],
+      files: Seq[(String, Long)],
       schema: org.apache.spark.sql.types.StructType): Seq[FileEntry] = {
-    if (relPaths.isEmpty) return Seq.empty
+    if (files.isEmpty) return Seq.empty
     val statFields = schema.fields
       .filter(f => FileStats.eligible(f.dataType)).take(FileStats.MaxStatCols).toSeq
     val conf = spark.sparkContext.hadoopConfiguration
-    val fs = fsFor(spark, dir)
     // footer reads are independent metadata fetches: overlap them (matters
     // on object stores where each is a round trip, harmless locally)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, relPaths.length))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, files.length))
     try {
-      val futures = relPaths.map { rel =>
+      val futures = files.map { case (rel, len) =>
         pool.submit(new java.util.concurrent.Callable[Option[FileEntry]] {
           def call(): Option[FileEntry] = {
             val p = new Path(dir, rel)
-            val len = fs.getFileStatus(p).getLen
             val (rows, colStats) = FooterStats.collect(conf, p, statFields)
             if (rows == 0L) None
             else {

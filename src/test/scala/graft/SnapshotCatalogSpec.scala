@@ -304,6 +304,11 @@ class SnapshotCatalogSpec extends SparkSpec {
     val drop = intercept[Exception](
       spark.sql(s"ALTER TABLE snap.`$dir` DROP COLUMN note"))
     assert(drop.getMessage.toLowerCase.contains("add columns"), drop.getMessage)
+    // NOT NULL cannot be honored (old rows read NULL) — refused, not
+    // silently recorded nullable
+    val nn = intercept[Exception](
+      spark.sql(s"ALTER TABLE snap.`$dir` ADD COLUMNS (strict INT NOT NULL)"))
+    assert(nn.getMessage.contains("NOT NULL"), nn.getMessage)
   }
 
   test("DDL: CREATE TABLE provisions an empty v0 the transactional writers can append to; unsupported ops fail loudly") {

@@ -206,6 +206,35 @@ class SnapshotRowLevelSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).filter(col("v") =!= 1.0).count() == 0)
   }
 
+  test("runtime-filtered UPDATE is exact on a table path with URI-escapable characters") {
+    // a space in the directory makes SparkPath's url-encoded form differ
+    // from Hadoop Path.toString — the narrow callback must compare in the
+    // same representation the _file column emits, or rewritten files'
+    // originals stay listed and every row duplicates
+    val dir = Files.createTempDirectory("graft row level").toString + "/t"
+    ensureCatalog()
+    SnapshotTable.write(spark,
+      spark.range(0, 200).select(col("id"), lit("x").as("tag")), dir)
+    spark.sql(s"UPDATE snap.`$dir` SET tag = 'hit' WHERE id % 1000 = 7")
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 200, "no row may be duplicated or lost through the rewrite")
+    assert(got.filter(col("tag") === "hit").collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("path-addressed metadata tables resolve on a ROOT-LESS catalog") {
+    val dir = freshDir()
+    spark.conf.set("spark.sql.catalog.snapnr", classOf[SnapshotCatalog].getName)
+    SnapshotTable.write(spark, spark.range(0, 10).select(col("id")), dir)
+    SnapshotTable.append(spark, spark.range(10, 25).select(col("id")), dir)
+    val h = spark.sql(s"SELECT version, n_rows FROM snapnr.`$dir`.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(h.toSeq == Seq((1L, 10L), (2L, 25L)),
+      s"history must resolve without a catalog root, got ${h.toSeq}")
+    // and a genuinely missing table still errors
+    val e = intercept[Exception](spark.sql(s"SELECT * FROM snapnr.`$dir-nope`"))
+    assert(e.getMessage.toLowerCase.contains("not") || e.getMessage.contains("TABLE"), e.getMessage)
+  }
+
   test("_file metadata column: provenance queries resolve, values match the manifest") {
     val dir = freshDir()
     ensureCatalog()
