@@ -1708,7 +1708,16 @@ object SparkEntry {
       s.sql(s"CALL snap.system.compact(table => '$tbl')")
       s.sql(s"CALL snap.system.vacuum(table => '$tbl', keep_versions => 1, grace_ms => 0)")
       s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` ORDER BY o_orderkey, dt")
-    })
+    }),
+
+    // ---- degree-oriented triangle count on the q116 customer/order-slot
+    // graph: the bounded-intermediate algorithm (orient edges low→high by
+    // (degree, id), wedge-join at the minimum vertex) against DuckDB's
+    // canonical three-way join truth ----
+    "q134_triangles" -> ((s, dir) =>
+      graft.ops.Graph.triangleCount(
+        Tables.orders(s, dir).select(col("o_custkey").as("src"),
+          pmod(col("o_orderkey"), lit(15000)).as("dst"))))
   )
 
   // ---------------------------------------------------------------- oracles
@@ -2600,6 +2609,17 @@ object SparkEntry {
     "q133_sql_maintenance" ->
       """SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders
         |ORDER BY o_orderkey, dt""".stripMargin,
+
+    // q134: the canonical triangle truth — u<v<w ordered three-way join
+    // over the deduped undirected edge set (orientation-free, so it checks
+    // the degree-oriented algorithm's result, not its method)
+    "q134_triangles" ->
+      """WITH raw AS (SELECT o_custkey AS a, o_orderkey % 15000 AS b FROM orders),
+        |e AS (SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v FROM raw WHERE a <> b)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v""".stripMargin,
 
     // q76: the bloom is invisible in the result — the oracle is the plain
     // semi join.

@@ -130,4 +130,55 @@ object Graph {
     releaseTracked(out, rankIds)
     out
   }
+
+  /** Global triangle count by DEGREE-ORIENTED wedge join — the standard
+    * bounded-intermediate algorithm. Naively self-joining the edge list
+    * three ways generates Σ deg(v)² wedges, which a single celebrity node
+    * (deg 10⁷ in a social graph) turns into 10¹⁴ intermediate rows; the
+    * classic fix orients every undirected edge from its lower-(degree, id)
+    * endpoint to its higher one, so every node's OUT-degree is bounded by
+    * ~√(2·|E|) regardless of its real degree, the wedge join generates
+    * Σ outdeg(v)² = O(|E|^1.5) rows worst-case, and every triangle is
+    * counted exactly once (its vertices form a total order under
+    * (degree, id), and both wedge edges leave the smallest one).
+    *
+    * Plain joins + aggregates: Catalyst plans the wedge join as a shuffle
+    * hash/sort-merge join on the wedge apex and AQE handles apex skew;
+    * nothing here centralizes adjacency.
+    *
+    * @param edges edge list (src, dst); direction, duplicates, and
+    *              self-loops are normalized away
+    * @return one row: (n_triangles LONG)
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    // undirected, deduped, loop-free canonical edges (u < v)
+    val und = edges
+      .select(col("src").cast("long").as("a"), col("dst").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+      .distinct()
+    // total order by (degree, id): orient u→v iff (deg(u), u) < (deg(v), v)
+    val deg = und.select(col("u").as("n")).union(und.select(col("v")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    // wedges from each apex s: (t1, t2) with t1 ≠ t2, closed by an oriented
+    // edge between the two tips (either direction — their relative order
+    // in the orientation is data-dependent)
+    val w = oriented.select(col("s"), col("t").as("t1"))
+      .join(oriented.select(col("s"), col("t").as("t2")), "s")
+      .filter(col("t1") < col("t2"))
+    val closed = w.join(
+      oriented.select(col("s").as("t1"), col("t").as("t2"))
+        .union(oriented.select(col("t").as("t1"), col("s").as("t2")))
+        .filter(col("t1") < col("t2")),
+      Seq("t1", "t2"))
+    closed.agg(count(lit(1)).as("n_triangles"))
+  }
 }

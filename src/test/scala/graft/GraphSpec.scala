@@ -53,4 +53,34 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+
+  test("triangleCount: cliques, triangle-free graphs, normalization, and random-graph parity") {
+    import spark.implicits._
+    def count(edges: Seq[(Long, Long)]): Long =
+      graft.ops.Graph.triangleCount(edges.toDF("src", "dst")).head().getLong(0)
+
+    // K4 has C(4,3) = 4 triangles; reversed duplicates and self-loops are
+    // normalized away before counting
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    assert(count(k4) == 4L)
+    assert(count(k4 ++ k4.map(_.swap) ++ Seq((1L, 1L), (3L, 3L))) == 4L,
+      "duplicates, reversed edges, and self-loops must not change the count")
+
+    // a path and a star are triangle-free
+    assert(count((1L to 9L).map(i => (i, i + 1))) == 0L)
+    assert(count((2L to 9L).map(i => (1L, i))) == 0L)
+
+    // random graphs vs a driver-side brute force over all vertex triples
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 24
+      val edges = (for { a <- 1L to n; b <- 1L to n
+        if a < b && rnd.nextDouble() < 0.25 } yield (a, b)).toSeq
+      val adj = edges.toSet
+      def has(a: Long, b: Long) = adj.contains((math.min(a, b), math.max(a, b)))
+      val brute = (for { x <- 1L to n; y <- x + 1 to n; z <- y + 1 to n
+        if has(x, y) && has(x, z) && has(y, z) } yield 1).size
+      assert(count(edges) == brute.toLong, s"mismatch vs brute force on $edges")
+    }
+  }
 }
