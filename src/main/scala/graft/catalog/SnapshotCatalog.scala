@@ -404,7 +404,10 @@ private[graft] class SnapshotV2Table(
     refuseTimeTravelMutation(s"run ${info.command.toString.toLowerCase} on")
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new SnapshotCowOperation(spark, dir, info.command)
+        // pass THIS table's manifest: the operation must run against the
+        // snapshot the command was ANALYZED on (a commit racing in between
+        // surfaces as an OCC conflict, never as a silent re-resolution)
+        new SnapshotCowOperation(spark, dir, info.command, manifest)
     }
   }
 
@@ -421,7 +424,11 @@ private[graft] class SnapshotV2Table(
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean = {
     refuseTimeTravelMutation("delete from")
-    filters.forall(V1FilterColumns.toColumn(_).isDefined)
+    // a `_file` reference cannot resolve against the data schema the
+    // metadata delete evaluates over — those conditions take the
+    // row-level path, where the scan serves the column
+    filters.forall(f => V1FilterColumns.toColumn(f).isDefined &&
+      !f.references.contains(SnapshotMetadata.FileCol))
   }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {

@@ -67,10 +67,18 @@ private[graft] object SnapshotProcedures {
     override def bind(inputType: StructType): BoundProcedure = this
     override def isDeterministic: Boolean = false
     protected def dirOf(row: InternalRow): String = {
-      val t = row.getUTF8String(0)
-      require(t != null, s"procedure $name requires a 'table' argument")
+      val t = if (row.isNullAt(0)) null else row.getUTF8String(0)
+      require(t != null, s"procedure $name requires a non-NULL 'table' argument")
       resolveDir(t.toString)
     }
+    /** Every argument is semantically required (defaults fill omission, not
+      * NULL): an explicit NULL must fail loudly, not decay to 0 — a NULL
+      * grace_ms silently becoming "no grace" would let vacuum race
+      * in-flight writers.
+      */
+    protected def requireSet(row: InternalRow, ordinal: Int, argName: String): Unit =
+      require(!row.isNullAt(ordinal),
+        s"procedure $name: argument '$argName' must not be NULL (omit it to use the default)")
   }
 
   private final class CompactProcedure(resolveDir: String => String)
@@ -82,6 +90,7 @@ private[graft] object SnapshotProcedures {
       param("table", StringType),
       paramWithDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString))
     override def call(input: InternalRow): JIterator[Scan] = {
+      requireSet(input, 1, "target_file_bytes")
       val (in, out) = SnapshotTable.compact(spark, dirOf(input), input.getLong(1))
       result(StructType.fromDDL("files_before INT, files_after INT"), in, out)
     }
@@ -97,6 +106,8 @@ private[graft] object SnapshotProcedures {
       paramWithDefault("keep_versions", IntegerType, "2"),
       paramWithDefault("grace_ms", LongType, SnapshotTable.DefaultVacuumGraceMs.toString))
     override def call(input: InternalRow): JIterator[Scan] = {
+      requireSet(input, 1, "keep_versions")
+      requireSet(input, 2, "grace_ms")
       val deleted = SnapshotTable.vacuum(spark, dirOf(input),
         input.getInt(1), input.getLong(2))
       result(StructType.fromDDL("files_deleted INT"), deleted)
@@ -112,6 +123,7 @@ private[graft] object SnapshotProcedures {
       param("table", StringType),
       param("version", LongType))
     override def call(input: InternalRow): JIterator[Scan] = {
+      requireSet(input, 1, "version")
       val newV = SnapshotTable.rollback(spark, dirOf(input), input.getLong(1))
       result(StructType.fromDDL("restored_version BIGINT, new_version BIGINT"),
         input.getLong(1), newV)

@@ -72,18 +72,17 @@ import org.apache.spark.util.SerializableConfiguration
   * row-addressed SQL mutations the reference cannot express.
   */
 private[graft] class SnapshotCowOperation(
-    val spark: SparkSession, val dir: String, cmd: Command)
+    val spark: SparkSession, val dir: String, cmd: Command,
+    /** The ANALYZED table's manifest — the exact snapshot the command was
+      * resolved against. Every half of this operation (candidate pruning,
+      * the scan, the commit's conflict base) uses this one manifest: a
+      * commit landing between analysis and scan planning must surface as
+      * an OCC rebase/conflict at commit time, never as the plan silently
+      * reading a different snapshot (or schema) than the one it was
+      * resolved for.
+      */
+    private[catalog] val pinnedManifest: SnapshotTable.Manifest)
   extends RowLevelOperation {
-
-  /** The one manifest every half of this operation sees: pinned at the
-    * FIRST scan-builder construction and reused by any later builder Spark
-    * creates from the same operation (e.g. a runtime-group-filter
-    * subquery, a re-planned EXPLAIN) — two builds must never compute
-    * against different snapshots, or the commit could validate against a
-    * manifest the executed scan never read.
-    */
-  private[catalog] lazy val pinnedManifest: SnapshotTable.Manifest =
-    SnapshotTable.manifestFor(spark, dir, None)
 
   /** What the scan planned; the write commits against exactly this. Set
     * WRITE-ONCE by the first build (the ReplaceData scan — always planned
@@ -190,10 +189,31 @@ private[catalog] class CowScanBuilder(
     required = requiredSchema
 
   override def build(): Scan = {
-    val candidates = groupFilters.flatMap(V1FilterColumns.toColumn(_))
+    val qualified = SnapshotTable.qualifiedDir(op.spark, op.dir)
+    // `_file` conditions address files DIRECTLY: equality/IN prune by path
+    // identity (the provenance-driven surgical rewrite), any other shape
+    // on `_file` prunes nothing; only data-column filters go through the
+    // stats walk — resolving a `_file` reference there would fail, the
+    // column exists in no data schema
+    val (fileFilters, dataFilters) =
+      groupFilters.partition(_.references.contains(SnapshotMetadata.FileCol))
+    val statCandidates = dataFilters.flatMap(V1FilterColumns.toColumn(_))
       .reduceOption(_ && _) match {
       case Some(pred) => SnapshotTable.pruneEntries(op.spark, manifest, pred)
       case None => manifest.entries
+    }
+    val candidates = fileFilters.foldLeft(statCandidates) { (cur, f) =>
+      import org.apache.spark.sql.sources.{EqualTo, In}
+      val wanted: Option[Set[String]] = f match {
+        case EqualTo(SnapshotMetadata.FileCol, v: String) => Some(Set(v))
+        case In(SnapshotMetadata.FileCol, vs) =>
+          Some(vs.collect { case s: String => s }.toSet)
+        case _ => None // unsupported _file shape: prune nothing, stay correct
+      }
+      wanted.fold(cur)(paths => cur.filter { e =>
+        val p = new Path(qualified, e.path)
+        paths.contains(SparkPath.fromPath(p).toString) || paths.contains(p.toString)
+      })
     }
     op.pinPlanned(PlannedRewrite(manifest, candidates))
     // runtime group filtering: Spark evaluates the command's MATCHING rows
@@ -204,10 +224,6 @@ private[catalog] class CowScanBuilder(
     // matching row are never rewritten). The narrowed set reaches the
     // write through this callback, which can only NARROW the planned set
     // (never re-pin it), in the SparkPath string form `_file` emits.
-    val qualified = {
-      val p = new Path(op.dir)
-      p.getFileSystem(op.spark.sparkContext.hadoopConfiguration).makeQualified(p)
-    }
     val narrow: Set[String] => Unit = keep => op.narrowPlanned(keep, qualified)
     val inner = new org.apache.spark.sql.graftbridge.FileAwareScanBuilder(op.spark,
       new SnapshotFileIndex(op.spark, op.dir, manifest.copy(entries = candidates)),
@@ -235,10 +251,7 @@ private[catalog] class CowBatchWrite(op: SnapshotCowOperation, writeSchema: Stru
     // conf and the factory
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
-    val qualified = {
-      val p = new Path(op.dir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
-    }
+    val qualified = SnapshotTable.qualifiedDir(spark, op.dir).toString
     CowWriterFactory(factory, new SerializableConfiguration(job.getConfiguration),
       qualified, commitName, writeSchema)
   }
@@ -252,8 +265,15 @@ private[catalog] class CowBatchWrite(op: SnapshotCowOperation, writeSchema: Stru
     if (planned.rewrite.isEmpty && added.isEmpty) return
     val entries = SnapshotTable.entriesFromFooters(op.spark, op.dir, added, writeSchema)
     val removed = planned.rewrite.map(_.path).toSet
+    // MERGE made insert-vs-update decisions against the pinned base: a
+    // concurrently ADDED file may hold a key this merge just inserted, so
+    // rebasing over it could commit duplicate keys — conflict instead (the
+    // same discipline SnapshotTable.merge applies, dt-scoped there).
+    // UPDATE/DELETE rebase safely: not touching concurrently appended rows
+    // is the valid "this command ran first" serialization.
     SnapshotTable.commitRewrite(op.spark, op.dir,
-      op.command().toString.toLowerCase, planned.base, removed, removed, entries)
+      op.command().toString.toLowerCase, planned.base, removed, removed, entries,
+      conflictOnAdds = op.command() == Command.MERGE)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -361,18 +381,13 @@ private[catalog] class SnapshotStreamingWrite(
   // alone, so abort can clean up without any driver state
   private val qid = queryId.replaceAll("[^0-9a-zA-Z]", "").take(12)
 
-  private def epochDirName(epochId: Long): String = s"c-str-$qid-e$epochId"
-
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
     val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
-    val qualified = {
-      val p = new Path(dir)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p).toString
-    }
     SnapshotStreamWriterFactory(factory,
-      new SerializableConfiguration(job.getConfiguration), qualified, qid, writeSchema)
+      new SerializableConfiguration(job.getConfiguration),
+      SnapshotTable.qualifiedDir(spark, dir).toString, qid, writeSchema)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -387,7 +402,7 @@ private[catalog] class SnapshotStreamingWrite(
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val fs = SnapshotTable.fsFor(spark, dir)
-    val d = new Path(dir, epochDirName(epochId))
+    val d = new Path(dir, SnapshotStreamWriterFactory.epochDirName(qid, epochId))
     if (fs.exists(d)) fs.delete(d, true)
   }
 }
@@ -403,6 +418,14 @@ private[catalog] case class SnapshotStreamWriterFactory(
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     new CowDataWriter(
-      CowWriterFactory(factory, conf, qualifiedDir, s"c-str-$qid-e$epochId", schema),
+      CowWriterFactory(factory, conf, qualifiedDir,
+        SnapshotStreamWriterFactory.epochDirName(qid, epochId), schema),
       partitionId, taskId)
+}
+
+private[catalog] object SnapshotStreamWriterFactory {
+  /** THE name of an epoch's commit directory — writers create it, abort
+    * deletes it; one definition so they can never diverge.
+    */
+  def epochDirName(qid: String, epochId: Long): String = s"c-str-$qid-e$epochId"
 }

@@ -870,14 +870,38 @@ object SnapshotTable {
     * DSv2 row-level write whose retry is owned by the SQL user, not a
     * [[retryingRewrite]] loop (Spark has already computed and written the
     * new files; re-running the rewrite would need the whole query again).
+    *
+    * `conflictOnAdds` is the MERGE discipline ([[merge]] enforces the
+    * dt-scoped version of it): a merge's insert-vs-update decisions were
+    * made against `base`, so a file ADDED since might hold a key the
+    * merge just inserted — rebasing over it would commit duplicate keys
+    * (both serial orders would have produced one row). With no predicate
+    * information at this layer, ANY concurrent add conflicts.
     */
   private[catalog] def commitRewrite(spark: SparkSession, dir: String, op: String,
       base: Manifest, read: Set[String], removed: Set[String],
-      added: Seq[FileEntry]): Option[Long] =
+      added: Seq[FileEntry], conflictOnAdds: Boolean = false): Option[Long] =
     commitLoop(spark, dir, op) { cur =>
+      if (conflictOnAdds) {
+        val addedSince = cur.map(_.entries.map(_.path).toSet).getOrElse(Set.empty) --
+          base.entries.map(_.path).toSet
+        if (addedSince.nonEmpty) throw new SnapshotConflictException(
+          s"concurrent commit at $dir added ${addedSince.size} file(s) this MERGE never " +
+            s"matched against (e.g. ${addedSince.take(3).mkString(", ")}); re-run the MERGE " +
+            "against the new snapshot")
+      }
       Some((rebasedEntries(dir, Some(base), cur, read, removed, added),
         txnOf(cur), cur.flatMap(_.schemaDdl).orElse(base.schemaDdl)))
     }
+
+  /** The filesystem-qualified table directory — the ONE form every
+    * `_file`-to-manifest-path comparison must agree on (the FileIndex, the
+    * row-level narrow callback, and the writers all derive paths from it).
+    */
+  private[graft] def qualifiedDir(spark: SparkSession, dir: String): Path = {
+    val p = new Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
+  }
 
   private def txnOf(m: Option[Manifest]): Map[String, Long] =
     m.flatMap(_.txn).getOrElse(Map.empty)

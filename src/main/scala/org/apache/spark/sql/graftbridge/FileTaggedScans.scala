@@ -141,8 +141,13 @@ class FileTaggedScan(delegate: Scan, filePos: Int, fileColName: String,
     surviving match {
       case None => parts
       case Some(keep) =>
-        parts.iterator.collect { case fp: FilePartition =>
-          fp.files.filter(f => keep.contains(f.filePath.toString))
+        parts.iterator.map {
+          case fp: FilePartition => fp.files.filter(f => keep.contains(f.filePath.toString))
+          // narrowing means DROPPING whole partitions; silently dropping a
+          // partition type we can't inspect would delete its rows from a
+          // rewrite — refuse loudly instead
+          case other => throw new IllegalStateException(
+            s"cannot runtime-narrow non-file partition ${other.getClass.getName}")
         }.filter(_.nonEmpty).zipWithIndex
           .map { case (fs, i) => FilePartition(i, fs): InputPartition }.toArray
     }
@@ -166,8 +171,12 @@ class FileTaggedScan(delegate: Scan, filePos: Int, fileColName: String,
 
 /** Wraps the parquet per-file readers so every row carries its source
   * file's path: `buildReader` is the per-[[PartitionedFile]] seam inside
-  * Spark's own multi-file partition reader, so the path is a per-reader
-  * CONSTANT — one `UnsafeProjection` per file, zero per-row branching.
+  * Spark's own multi-file partition reader, so the path rides as a
+  * per-reader constant single-field row joined to each data row. The
+  * projection references ONLY bound slots (data row + the joined path
+  * slot) — no per-file literal — so every file shares one canonical
+  * expression list and the codegen cache compiles it once per executor,
+  * not once per file.
   */
 case class FileTaggingReaderFactory(
     delegate: FilePartitionReaderFactory, rowSchema: StructType, filePos: Int,
@@ -178,15 +187,19 @@ case class FileTaggingReaderFactory(
 
   override def buildReader(file: PartitionedFile): PartitionReader[InternalRow] = {
     val inner = delegate.buildReader(file)
-    val path = UTF8String.fromString(file.filePath.toString)
     val bound = rowSchema.fields.zipWithIndex.map {
       case (f, i) => BoundReference(i, f.dataType, f.nullable): Expression
     }
+    val pathRef: Expression = BoundReference(rowSchema.length, StringType, nullable = false)
     val (before, after) = bound.splitAt(filePos)
-    val proj = UnsafeProjection.create((before :+ (Literal(path, StringType): Expression)) ++ after)
+    val proj = UnsafeProjection.create((before :+ pathRef) ++ after)
+    val pathRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(file.filePath.toString)))
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+    joined.withRight(pathRow)
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
-      override def get(): InternalRow = proj(inner.get())
+      override def get(): InternalRow = proj(joined.withLeft(inner.get()))
       override def close(): Unit = inner.close()
     }
   }
