@@ -63,7 +63,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ([[SnapshotStreamingWrite]]).
   */
 class SnapshotCatalog extends TableCatalog with StagingTableCatalog
-  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.internal.Logging {
 
   private var catalogName: String = _
   private var root: Option[String] = None
@@ -85,9 +86,20 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     * entirely — conf-driven behavior users expect from every Spark knob);
     * the captured option only serves sessions that never set the conf key.
     */
-  private def rootOpt: Option[String] =
-    scala.util.Try(spark.conf.get(s"spark.sql.catalog.$catalogName.root")).toOption
-      .orElse(root)
+  private def rootOpt: Option[String] = {
+    val live = scala.util.Try(spark.conf.get(s"spark.sql.catalog.$catalogName.root")).toOption
+    // the catalog instance is shared per CatalogManager while
+    // SparkSession.active varies — log when a live conf re-points
+    // identifiers away from the initialize-time root so cross-session
+    // re-pointing is observable rather than silent
+    for (l <- live; r <- root; if l != r && divergenceLogged.add(l)) {
+      logWarning(s"catalog $catalogName: live session conf root '$l' overrides " +
+        s"initialize-time root '$r' for this resolution")
+    }
+    live.orElse(root)
+  }
+
+  private val divergenceLogged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def dirFor(ident: Identifier): String =
     if (ident.namespace.isEmpty && ident.name.startsWith("/")) ident.name

@@ -318,7 +318,15 @@ private[catalog] class CowDataWriter(f: CowWriterFactory, partitionId: Int, task
       new TaskAttemptID(new TaskID(new JobID(f.commitName, 0), TaskType.MAP, partitionId),
         (taskId & 0x7fffffff).toInt))
     val ext = f.factory.getFileExtension(attempt)
-    val rel = f"${f.commitName}/part-$partitionId%05d-$taskId$ext"
+    // (partitionId, taskId) alone is NOT attempt-unique across SparkContexts:
+    // taskIds restart at 0 with a new context, so a micro-batch replayed
+    // after an unclean driver stop (abort never ran) would target the exact
+    // path of the crashed attempt's leftover — and parquet's CREATE mode
+    // refuses to overwrite, wedging the restarted query. A per-attempt
+    // random token makes the leftover unreferenced junk vacuum collects,
+    // while the epoch DIRECTORY stays deterministic for abort cleanup.
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"${f.commitName}/part-$partitionId%05d-$taskId-$token$ext"
     relPath = Some(rel)
     writer = f.factory.newInstance(
       new Path(f.qualifiedDir, rel).toString, f.schema, attempt)

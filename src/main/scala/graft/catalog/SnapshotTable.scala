@@ -456,6 +456,14 @@ object SnapshotTable {
       val dup = cols.fieldNames.filter(prior.fieldNames.contains)
       require(dup.isEmpty,
         s"ALTER TABLE ADD COLUMNS: column(s) already exist: ${dup.mkString(", ")}")
+      // the SQL path is shielded by Spark's analyzer, but a direct Scala
+      // call can pass duplicates WITHIN the added list — which would commit
+      // a manifest schema with duplicate names and break every later read.
+      // Case-insensitive, matching Spark's default resolution.
+      val dupWithin = cols.fieldNames.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+        .collect { case (_, vs) if vs.length > 1 => vs.head }
+      require(dupWithin.isEmpty,
+        s"ALTER TABLE ADD COLUMNS: duplicate column(s) in added list: ${dupWithin.mkString(", ")}")
       val merged = mergeSchemas(Some(prior),
         org.apache.spark.sql.types.StructType(prior.fields ++ cols.fields))
       Some((m.entries, txnOf(cur), Some(merged.toDDL)))

@@ -259,14 +259,20 @@ object Dedup {
     * (bit-agreement probability is 1 - θ/π for angle θ between token-count
     * vectors), so the verified output is reproducible in plain SQL.
     *
-    * Candidates: the 64-bit signature splits into 4 chunks of 16 bits; each
-    * doc emits every chunk value plus all 16 single-bit-flip probes of it
-    * (68 rows/doc). Two docs whose signatures differ by ≤ 11 bits have some
-    * chunk differing by ≤ 2 bits (pigeonhole), and radius-1 probing on BOTH
-    * sides bridges chunk-distance ≤ 2 — so recall is guaranteed for hamming
-    * ≤ 11 while a random pair collides with probability only
-    * ~4·(1+16+120)/2^16 ≈ 0.8% (vs ~57% for naive 13-chunk pigeonhole at the
-    * same radius). Docs below `minTokens` are excluded: SimHash over a
+    * Candidates: the 64-bit signature splits into 4 chunks of 16 bits. One
+    * join side carries each doc's 4 RAW chunk values; the other side
+    * carries every radius-≤2 probe of each chunk (137 flip masks × 4
+    * chunks = 548 rows/doc). Two docs whose signatures differ by ≤ 11 bits
+    * have some chunk differing by ≤ 2 bits (pigeonhole), and that chunk
+    * matches the probe side on EXACTLY ONE flip mask (the XOR of the two
+    * chunk values) — so recall is guaranteed for hamming ≤ 11 at join
+    * multiplicity ≤ 1 per chunk, while a random pair collides with
+    * probability only ~4·(1+16+120)/2^16 ≈ 0.8% (vs ~57% for naive
+    * 13-chunk pigeonhole at the same radius). The asymmetry is the r9 time
+    * fix: symmetric radius-1 probing covered the same distance but matched
+    * identical chunks on 17 probe combinations, multiplying the whole
+    * candidate band through the join (~49 duplicate rows per emitted pair,
+    * measured). Docs below `minTokens` are excluded: SimHash over a
     * handful of tokens doesn't concentrate (measured: hamming up to 17 for
     * near-identical short docs vs ≤ 9 for ≥50-token docs).
     *
@@ -284,11 +290,12 @@ object Dedup {
     * when groups can be large.
     *
     * `broadcastDocLimit` bounds the broadcast-hinted joins IN CODE: the
-    * probe table is ~68 slim rows/doc (~2.5 KB) and the term vectors ~one
-    * ~10 KB row/doc, so past ~10⁵ eligible docs the hints would exceed any
-    * sane broadcast budget — beyond the limit the exact same joins run as
-    * partitioned hash joins on (chunk, pval) / id with no other change
-    * (exercised by DedupSpec's no-hint path).
+    * candidate join's build side is 4 slim rows/doc (~160 B) but the
+    * verify join broadcasts the term vectors — one ~10 KB row/doc — so
+    * past ~10⁵ eligible docs the hints would exceed any sane broadcast
+    * budget; beyond the limit the exact same joins run as partitioned
+    * hash joins on (chunk, pval) / id with no other change (exercised by
+    * DedupSpec's no-hint path).
     *
     * `maxHamming` is the candidate cut — the output contract is exactly
     * "every pair with signature hamming ≤ maxHamming and verified cosine ≥
@@ -315,8 +322,21 @@ object Dedup {
     * at soak x1 — density is not the lever, the hamming cut is. At corpus
     * sizes where 16-bit chunk buckets hold millions of rows (≳10⁸ eligible
     * docs) the in-bucket quadratic does return; the scale path there is
-    * re-chunking (wider chunks / smaller radius for the same coverage via
-    * this same pigeonhole arithmetic), not per-bucket special-casing.
+    * re-chunking (wider chunks / larger one-sided probe radius for the
+    * same coverage via this same pigeonhole arithmetic), not per-bucket
+    * special-casing.
+    *
+    * CANDIDATE COUNT IS INTRINSIC, proven by measurement (r9,
+    * SimHashSoakProbe + the soak's in-run brute-force assert): the
+    * emitted candidate set EQUALS the exhaustive ground-truth
+    * hamming ≤ maxHamming band of the corpus, pair for pair — the scheme
+    * adds zero excess and recall-guaranteed generation cannot emit less.
+    * The soak fixture's 4× corpus grows that band 5.4× (its replicas are
+    * independent signature realizations whose band sizes vary ±46%:
+    * 555k / 927k / 483k / 1029k pairs), so superlinear CANDIDATE growth
+    * there is a property of the data, not the scheme; what the scheme
+    * controls — and what the asymmetric probe fixed — is join output per
+    * candidate (multiplicity ~49 → ≤ 4) and therefore time.
     */
   def simHashCosineNearDups(
       docs: DataFrame,
@@ -374,36 +394,51 @@ object Dedup {
     val chunks = 4
     val width = 16
     val mask = (1L << width) - 1
-    // Probe rows: for each of the 4 chunks, the chunk value itself (probe
-    // index 0) plus all 16 single-bit flips — 68 rows/doc, generated from a
-    // flat probe-index sequence with per-row bit arithmetic rather than a
-    // 68-literal struct array (whose generated code took janino longer to
-    // compile than the whole stage took to run).
-    //
-    // Rows carry the full signature so the join output can be cut to
+    // ASYMMETRIC multi-probe join (r9 redesign, from measured phase
+    // decomposition): the former scheme probed radius-1 on BOTH sides,
+    // which bridges chunk-distance <= 2 but matches an IDENTICAL chunk on
+    // 17 (probe_a, probe_b) combinations — near-identical signatures (the
+    // entire candidate band) joined at multiplicity ~49, so the x4 soak
+    // pushed 146M pre-cut rows into the dedup shuffle for 3.0M distinct
+    // candidates. Probing radius-2 on ONE side only covers the same
+    // chunk-distance (raw_a == probe_b(B) iff B == chunk_a XOR chunk_b, so
+    // distance <= 2 matches on EXACTLY ONE flip mask): multiplicity drops
+    // to <= 1 per chunk (<= 4 per pair), the same pigeonhole coverage for
+    // ~15x less join output. The build side is now 4 slim rows/doc (the
+    // raw chunk values) — the broadcast is ~17x smaller than before — and
+    // the 548 probe rows/doc stream map-side through one codegen stage
+    // (explode -> bit arithmetic -> hash lookup -> hamming cut) without
+    // ever being shuffled or broadcast on the broadcast path.
+    val rawSide = sigs
+      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .select(col("id"), col("sig"), col("chunk").cast("int").as("chunk"),
+        expr(s"shiftrightunsigned(sig, chunk * $width) & ${mask}L").as("pval"))
+    // All 137 flip masks of radius <= 2 per chunk (identity + 16 singles +
+    // 120 pairs), as ONE array literal (a single Literal node — no
+    // 137-element CreateArray for janino to chew through).
+    val flipMasks: Array[Long] = {
+      val singles = (0 until width).map(i => 1L << i)
+      val doubles = for (i <- 0 until width; j <- i + 1 until width) yield (1L << i) | (1L << j)
+      (0L +: (singles ++ doubles)).toArray
+    }
+    val nProbes = flipMasks.length // 137
+    val probeSide = sigs
+      .select(col("id").as("id_b"), col("sig").as("sig_b"),
+        explode(sequence(lit(0), lit(chunks * nProbes - 1))).as("pi"))
+      .select(col("id_b"), col("sig_b"),
+        expr(s"CAST(pi DIV $nProbes AS INT)").as("chunk"),
+        expr(s"CAST(pi % $nProbes AS INT)").as("pr"))
+      .select(col("id_b"), col("sig_b"), col("chunk"),
+        expr(s"shiftrightunsigned(sig_b, chunk * $width) & ${mask}L")
+          .bitwiseXOR(element_at(lit(flipMasks), col("pr") + 1)).as("pval"))
+    // Rows carry the full signature so the join output is cut to
     // hamming <= maxHamming by a codegen'd bit_count BEFORE the dedup
-    // shuffle and the verify join — docs here are correlated (shared
-    // vocabulary), so medium-similarity pairs collide on probes constantly
-    // and would otherwise flood verification.
-    val pw = width + 1
-    val probed = sigs
-      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(chunks * pw - 1))).as("pi"))
-      .select(col("id"), col("sig"),
-        expr(s"CAST(pi DIV $pw AS INT)").as("chunk"),
-        expr(s"pi % $pw").as("pr"))
-      .select(col("id"), col("sig"), col("chunk"),
-        expr(s"CASE WHEN pr = 0 THEN shiftrightunsigned(sig, chunk * $width) & ${mask}L " +
-          s"ELSE (shiftrightunsigned(sig, chunk * $width) & ${mask}L) ^ shiftleft(1L, CAST(pr - 1 AS INT)) END")
-          .as("pval"))
-    // Broadcasting one probe side turns this into a map-side hash join:
-    // colliding pair rows (heavily duplicated for near-identical
-    // signatures) are generated and ham-filtered inside one codegen stage
-    // instead of being shuffled to a sort-merge join (measured 25x faster
-    // at sf0.1). Guarded by maybeBroadcast — past broadcastDocLimit the
-    // partitioned hash join does the same thing per (chunk, pval) bucket.
-    val pairs = probed
-      .join(maybeBroadcast(probed.select(col("id").as("id_b"), col("sig").as("sig_b"),
-        col("chunk"), col("pval"))), Seq("chunk", "pval"))
+    // shuffle and the verify join. Guarded by maybeBroadcast — past
+    // broadcastDocLimit the same join runs partitioned on (chunk, pval);
+    // the probe side then shuffles 548 slim rows/doc, the price of the
+    // ~15x smaller join output that dominates at that scale.
+    val pairs = probeSide
+      .join(maybeBroadcast(rawSide), Seq("chunk", "pval"))
       .filter(col("id") < col("id_b") &&
         bit_count(col("sig").bitwiseXOR(col("sig_b"))) <= maxHamming)
       .select(col("id").as("id_a"), col("id_b"))

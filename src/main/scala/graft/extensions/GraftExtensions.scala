@@ -230,36 +230,35 @@ object GraftExtensions {
     */
   private def asDoubleArray(e: Expression): Expression = Cast(e, ArrayType(DoubleType))
 
-  /** Idempotent runtime registration on an existing session. */
+  private val runtimeFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> cosineSimBuilder,
+    "hyperplane_sig" -> hyperplaneSigBuilder,
+    "lang_id_ngram" -> langIdNgramBuilder,
+    "lang_stats" -> langStatsBuilder,
+    "shingle_strings" -> shingleStringsBuilder,
+    "shingle_hashes" -> shingleHashesBuilder,
+    "sparse_dot" -> sparseDotBuilder,
+    "ws_tokens" -> wsTokensBuilder,
+    "token_count" -> tokenCountBuilder,
+    "simhash64" -> simHash64Builder,
+    "bloom_filter_agg" -> bloomAggBuilder,
+    "might_contain" -> mightContainBuilder,
+    "zorder2" -> zorder2Builder,
+    "zorder" -> zorderNBuilder)
+
+  /** Idempotent runtime registration on an existing session. Registration is
+    * check-before-register: every builder here is deterministic (same name ⇒
+    * same expression), so an already-present function needs no replacement —
+    * and skipping it avoids the registry's replaced-a-previously-registered-
+    * function WARN on every pipeline entry point.
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", cosineSimBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_sig", hyperplaneSigBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lang_id_ngram", langIdNgramBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "lang_stats", langStatsBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_strings", shingleStringsBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", shingleHashesBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sparse_dot", sparseDotBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ws_tokens", wsTokensBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_count", tokenCountBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", simHash64Builder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "bloom_filter_agg", bloomAggBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "might_contain", mightContainBuilder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder2", zorder2Builder, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "zorder", zorderNBuilder, "built-in")
+    val registry = spark.sessionState.functionRegistry
+    runtimeFunctions.foreach { case (name, builder) =>
+      if (!registry.functionExists(new FunctionIdentifier(name))) {
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+    }
     // planner strategy + optimizer rule for the custom TopKPerKey operator
     // (idempotent)
     if (!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy)) {

@@ -113,11 +113,20 @@ class FileTaggedScan(delegate: Scan, filePos: Int, fileColName: String,
   override def filterAttributes(): Array[NamedReference] =
     Array(Expressions.column(fileColName))
 
-  override def filter(predicates: Array[Predicate]): Unit =
-    predicates.iterator.flatMap(inFileValues).nextOption().foreach { keep =>
+  /** Narrowing is monotone: every recognized `IN(_file, …)` predicate —
+    * within one call AND across calls — INTERSECTS into the surviving set
+    * (each describes a superset of the matching files, so their
+    * intersection is still a superset; taking only the first would forgo
+    * tightening when Spark passes several runtime filters).
+    */
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.iterator.flatMap(inFileValues).toSeq
+    if (sets.nonEmpty) {
+      val keep = (surviving.toSeq ++ sets).reduce(_ intersect _)
       surviving = Some(keep)
       onGroupFilter.foreach(_(keep))
     }
+  }
 
   /** `IN(_file, v1..vn)` → the value set; None for any other shape (never
     * narrow on a predicate we did not fully understand).

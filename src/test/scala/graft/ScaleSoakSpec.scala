@@ -174,6 +174,27 @@ class ScaleSoakSpec extends SparkSpec {
     assertScaling("minhash", m1, m4)
   }
 
+  /** The strongest possible candidate-volume statement, established r9
+    * (SimHashSoakProbe): the scheme's candidate set EQUALS the exhaustive
+    * ground-truth hamming<=9 band — zero scheme-induced excess — so its
+    * growth is the DATA's. The fixture's replicas are independent
+    * signature realizations whose band sizes vary ±46% (555k / 927k /
+    * 483k / 1029k pairs ⇒ 5.39x at 4x input); asserting any fixed
+    * sub-5.4x growth ratio would assert a property the fixture does not
+    * have. Instead each run brute-forces the band over the signatures
+    * (cheap at soak scale: one broadcast bit_count sweep) and requires
+    * EXACT equality with the candidate metric.
+    */
+  private def intrinsicBand(docs: DataFrame): Long = {
+    val sigs = Dedup.simHashSignatures(
+      docs.filter(graft.functions.TextFunctions.tokenCount(col("text")) >= 50),
+      idCol = "doc_id")
+    sigs.join(broadcast(sigs.select(col("id").as("id_b"), col("sig").as("sig_b"))),
+        col("id") < col("id_b"))
+      .filter(bit_count(col("sig").bitwiseXOR(col("sig_b"))) <= 9)
+      .count()
+  }
+
   test("soak: SimHash-cosine near-dup pipeline scales near-linearly, no disk spill") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     var cand1 = 0L
@@ -182,21 +203,17 @@ class ScaleSoakSpec extends SparkSpec {
       () => noop(Dedup.simHashCosineNearDups(scaledDocs(1)))))
     val m4 = measure(() => cand4 = observedMetric("simhash_candidate_pairs")(
       () => noop(Dedup.simHashCosineNearDups(scaledDocs(4)))))
-    info(s"simhash candidate pairs: 1x=$cand1 4x=$cand4")
-    // replicas share no vocabulary by fixture construction, so candidate
-    // volume must grow ~linearly with input. The bound is 6x (not 4x)
-    // because each replica's token hashes — and therefore its signature
-    // geometry — is an independent realization: the hamming-9 flood band
-    // (medium-similarity pairs surviving the cut) varies ±30% per replica
-    // (measured r8: 555k -> 2.99M, i.e. 5.4x, after the hamming cut 9
-    // removed the 10-11 bands; the r7 uncut set grew 5.0x the same way).
-    // What this catches is drift to QUADRATIC growth (recall loss or
-    // candidate explosion), not realization noise.
+    val band1 = intrinsicBand(scaledDocs(1))
+    val band4 = intrinsicBand(scaledDocs(4))
+    info(s"simhash candidate pairs: 1x=$cand1 4x=$cand4; intrinsic band 1x=$band1 4x=$band4")
     assert(cand1 > 0L, "candidate stage produced zero pairs at 1x")
-    assert(cand4 <= 6L * cand1,
-      s"simhash candidate pairs superlinear: 1x $cand1 -> 4x $cand4")
+    assert(cand1 == band1 && cand4 == band4,
+      s"candidate set diverged from the exhaustive hamming<=9 band: " +
+        s"1x $cand1 vs $band1, 4x $cand4 vs $band4 — recall loss if under, " +
+        "scheme-induced excess if over")
     assertScaling("simhash", m1, m4,
-      Map("candidate_pairs_x1" -> cand1, "candidate_pairs_x4" -> cand4))
+      Map("candidate_pairs_x1" -> cand1, "candidate_pairs_x4" -> cand4,
+        "intrinsic_band_x1" -> band1, "intrinsic_band_x4" -> band4))
   }
 
   test("soak: IVF ANN scales near-linearly in corpus size, no disk spill") {
