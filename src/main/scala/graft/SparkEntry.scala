@@ -1717,7 +1717,27 @@ object SparkEntry {
     "q134_triangles" -> ((s, dir) =>
       graft.ops.Graph.triangleCount(
         Tables.orders(s, dir).select(col("o_custkey").as("src"),
-          pmod(col("o_orderkey"), lit(15000)).as("dst"))))
+          pmod(col("o_orderkey"), lit(15000)).as("dst")))),
+
+    // ---- TIMESTAMP AS OF wall-clock time travel: write base orders (v1),
+    // append offset-key junk (v2); v1's monotonic commit stamp, formatted
+    // as a UTC SQL literal, resolves to exactly the v1 snapshot (v2's
+    // stamp is strictly later by the monotonic-correction invariant) ----
+    "q135_sql_timestamp_as_of" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderdate").as("dt"), col("o_totalprice"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q135").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, o, tbl) // v1
+      graft.catalog.SnapshotTable.append(s,
+        o.filter(pmod(col("o_orderkey"), lit(9)) === 0)
+          .select(col("o_orderkey") + 30000000L, col("dt"), col("o_totalprice")), tbl) // v2
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      val t1 = graft.catalog.SnapshotTable.commitTimes(s, tbl).head._2.get
+      val ts1 = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochMilli(t1))
+      s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` TIMESTAMP AS OF '$ts1' " +
+        "ORDER BY o_orderkey, dt")
+    })
   )
 
   // ---------------------------------------------------------------- oracles
@@ -1991,6 +2011,12 @@ object SparkEntry {
     // q125: VERSION AS OF pins the pre-append snapshot, so the truth is the
     // base orders projection — identical shape to q105's rollback truth
     "q125_sql_version_as_of" ->
+      """SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders
+        |ORDER BY o_orderkey, dt""".stripMargin,
+
+    // q135: TIMESTAMP AS OF at v1's commit stamp pins the pre-append
+    // snapshot — same truth as q125, reached through the wall clock
+    "q135_sql_timestamp_as_of" ->
       """SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders
         |ORDER BY o_orderkey, dt""".stripMargin,
 

@@ -164,14 +164,22 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     new SnapshotV2Table(spark, dir, ident.toString, Some(v))
   }
 
-  /** `TIMESTAMP AS OF` is unsupported: manifests record versions, not wall
-    * clocks (commit times are not part of the format's correctness
-    * contract), so a timestamp has no well-defined snapshot.
+  /** `TIMESTAMP AS OF <ts>` — resolves to the LATEST version whose
+    * monotonic-corrected commit stamp is <= `timestamp`
+    * ([[SnapshotTable.versionAtTimestamp]]), then pins the scan to that
+    * manifest exactly like `VERSION AS OF`. Spark hands the timestamp in
+    * MICROseconds since the epoch (the catalyst TimestampType value of the
+    * user's expression, session-timezone-resolved by the analyzer).
+    * Pre-history timestamps and stamp-less legacy histories are refused
+    * loudly rather than silently clamped to the first version — "the
+    * table before it existed" has no snapshot.
     */
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "snapshot tables time-travel by VERSION AS OF <n>; TIMESTAMP AS OF is not supported " +
-        "(manifest versions, not wall clocks, define snapshots)")
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirFor(ident)
+    if (!SnapshotTable.exists(spark, dir)) throw new NoSuchTableException(ident)
+    val v = SnapshotTable.versionAtTimestamp(spark, dir, Math.floorDiv(timestamp, 1000L))
+    new SnapshotV2Table(spark, dir, ident.toString, Some(v))
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val base = rootOpt match {

@@ -94,7 +94,14 @@ object SnapshotTable {
       // "compact" metadata-only, since compaction preserves the row
       // multiset by contract. Optional: pre-field manifests parse as None
       // and fall back to the keyed diff.
-      op: Option[String] = None)
+      op: Option[String] = None,
+      // commit wall-clock (epoch millis), MONOTONIC-corrected: stamped as
+      // max(now, predecessor + 1) inside the commit loop, so version order
+      // and time order agree even across writers with skewed clocks — the
+      // invariant TIMESTAMP AS OF resolution depends on. Optional:
+      // manifests written before the field existed resolve by VERSION AS
+      // OF only.
+      commitTimeMs: Option[Long] = None)
 
   private val LogDirName = "_log"
   private val ManifestRe = raw"manifest-(\d{8})\.json".r
@@ -159,6 +166,50 @@ object SnapshotTable {
   def versions(spark: SparkSession, dir: String): Seq[Long] =
     manifestVersions(fsFor(spark, dir), dir).map(_._1)
 
+  /** (version, commit wall-clock epoch-ms) per retained version, newest
+    * last — the commit stamps [[versionAtTimestamp]] resolves against.
+    * Versions committed before commit times existed carry None.
+    */
+  def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Option[Long])] = {
+    val fs = fsFor(spark, dir)
+    manifestVersions(fs, dir).map { case (v, p) => (v, readManifest(fs, p).commitTimeMs) }
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the LATEST retained version whose
+    * commit stamp is <= `tsMillis` — "the table as a reader at that
+    * instant saw it". Commit stamps are monotonic-corrected at commit
+    * ([[commitLoop]]), so "latest stamp <= ts" and "latest version with
+    * stamp <= ts" agree. Refuses loudly when `tsMillis` predates the
+    * earliest retained commit (pre-history — there WAS no table then, or
+    * the version has been vacuumed away) and when no retained manifest
+    * carries a stamp (tables whose whole history predates commit times
+    * travel by VERSION AS OF only).
+    */
+  def versionAtTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val stamps = commitTimes(spark, dir)
+    if (stamps.isEmpty) throw new IllegalStateException(s"no committed snapshot at $dir")
+    val stamped = stamps.collect { case (v, Some(t)) => (v, t) }
+    if (stamped.isEmpty) throw new IllegalStateException(
+      s"snapshot at $dir has no commit timestamps (history predates commit-time stamps); " +
+        "time-travel by VERSION AS OF instead")
+    val hit = stamped.filter(_._2 <= tsMillis)
+    if (hit.isEmpty) {
+      val (v0, t0) = stamped.head
+      throw new IllegalStateException(
+        s"TIMESTAMP AS OF ${java.time.Instant.ofEpochMilli(tsMillis)} predates the earliest " +
+          s"retained commit of $dir (version $v0 at ${java.time.Instant.ofEpochMilli(t0)}); " +
+          "earlier versions were never committed or have been expired by vacuum")
+    }
+    hit.last._1
+  }
+
+  /** Time travel by wall clock: the table as of `tsMillis`
+    * ([[versionAtTimestamp]] semantics), with that version's schema and
+    * the same planner-integrated pruning as [[readTable]].
+    */
+  def readAsOfTimestamp(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    readTable(spark, dir, Some(versionAtTimestamp(spark, dir, tsMillis)))
+
   /** Table history, one row per retained version (newest last): live file
     * count, row count, total bytes, the delta vs the previous retained
     * version (files added/removed — how much the commit physically
@@ -177,11 +228,12 @@ object SnapshotTable {
         m.entries.map(_.bytes).sum,
         (cur -- prev).size.toLong, (prev -- cur).size.toLong,
         m.txn.getOrElse(Map.empty).map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
-        m.op.getOrElse(""))
+        m.op.getOrElse(""),
+        m.commitTimeMs.map(t => new java.sql.Timestamp(t)).orNull)
     }
     import spark.implicits._
     rows.toDF("version", "n_files", "n_rows", "n_bytes",
-      "files_added", "files_removed", "txn", "op")
+      "files_added", "files_removed", "txn", "op", "commit_time")
   }
 
   /** Restore the table to the state of `version` by committing that
@@ -981,8 +1033,13 @@ object SnapshotTable {
       mk(cur) match {
         case None => return None
         case Some((entries, txn, schemaDdl)) =>
+          // monotonic-corrected commit clock: never behind the predecessor,
+          // so TIMESTAMP AS OF resolution (latest stamp <= ts) is sound
+          // even when a writer's wall clock lags the previous committer's
+          val stamp = math.max(System.currentTimeMillis(),
+            cur.flatMap(_.commitTimeMs).getOrElse(0L) + 1)
           val m = Manifest(version, entries, if (txn.isEmpty) None else Some(txn), schemaDdl,
-            op = Some(op))
+            op = Some(op), commitTimeMs = Some(stamp))
           if (tryPublish(fs, dir, m)) return Some(version)
       }
     }

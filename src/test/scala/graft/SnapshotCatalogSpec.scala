@@ -320,9 +320,48 @@ class SnapshotCatalogSpec extends SparkSpec {
     SnapshotTable.append(spark,
       spark.range(0, 10).select(col("id"), concat(lit("n"), col("id")).as("name")), dir)
     assert(spark.sql("SELECT * FROM snap.ddl.fresh").count() == 10)
-    assertThrows[UnsupportedOperationException](
-      spark.sql("SELECT * FROM snap.ddl.fresh TIMESTAMP AS OF '2026-01-01'").collect())
     val e = intercept[Exception](spark.sql("DROP TABLE snap.ddl.fresh"))
     assert(e.getMessage.contains("refused") || e.getCause != null)
+  }
+
+  test("TIMESTAMP AS OF resolves to the latest commit <= ts; pre-history is refused loudly") {
+    ensureCatalog()
+    val dir = s"$root/tt/clock"
+    SnapshotTable.write(spark, spark.range(0, 100).toDF("id"), dir) // v1
+    SnapshotTable.append(spark, spark.range(100, 250).toDF("id"), dir) // v2
+    SnapshotTable.append(spark, spark.range(250, 260).toDF("id"), dir) // v3
+    val stamps = SnapshotTable.commitTimes(spark, dir)
+    assert(stamps.forall(_._2.isDefined), "every commit carries a wall-clock stamp")
+    val ts = stamps.map(_._2.get)
+    // monotonic correction: version order == time order, strictly
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"commit stamps must strictly increase with version, got $ts")
+
+    def sqlLit(ms: Long): String = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(ms))
+
+    // exactly v2's stamp → v2; between v2 and v3 → still v2; at/after v3 → v3
+    val atV2 = spark.sql(
+      s"SELECT count(*) AS n FROM snap.tt.clock TIMESTAMP AS OF '${sqlLit(ts(1))}'")
+    assert(atV2.head().getLong(0) == 250, "TIMESTAMP AS OF at v2's stamp reads v2")
+    val afterV3 = spark.sql(
+      s"SELECT count(*) AS n FROM snap.tt.clock TIMESTAMP AS OF '${sqlLit(ts(2) + 60000)}'")
+    assert(afterV3.head().getLong(0) == 260, "a later timestamp reads the latest version")
+
+    // the Scala mirror resolves identically (and readAsOfTimestamp reads it)
+    val versions = SnapshotTable.versions(spark, dir)
+    assert(SnapshotTable.versionAtTimestamp(spark, dir, ts(1)) == versions(1))
+    if (ts(2) - ts(1) > 1) // between-commit instant exists only when stamps aren't adjacent
+      assert(SnapshotTable.versionAtTimestamp(spark, dir, ts(2) - 1) == versions(1))
+    assert(SnapshotTable.readAsOfTimestamp(spark, dir, ts.head).count() == 100)
+
+    // pre-history: refused by name, never clamped to v1
+    val pre = intercept[Exception](spark.sql(
+      s"SELECT * FROM snap.tt.clock TIMESTAMP AS OF '${sqlLit(ts.head - 3600000)}'").collect())
+    assert(pre.getMessage.contains("predates the earliest retained commit"), pre.getMessage)
+    val preScala = intercept[IllegalStateException](
+      SnapshotTable.versionAtTimestamp(spark, dir, ts.head - 1))
+    assert(preScala.getMessage.contains("predates"), preScala.getMessage)
   }
 }
