@@ -1737,6 +1737,31 @@ object SparkEntry {
         .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.ofEpochMilli(t1))
       s.sql(s"SELECT o_orderkey, dt, o_totalprice FROM snap.`$tbl` TIMESTAMP AS OF '$ts1' " +
         "ORDER BY o_orderkey, dt")
+    }),
+
+    // ---- safe type widening over a MIXED file history: half of lineitem
+    // lands with narrow types (int line numbers, decimal(5,2) quantities),
+    // the schema widens metadata-only (int->bigint, decimal(5,2)->(18,2)),
+    // the other half appends with native wide types — one SQL read spans
+    // both physical generations and must agree with the all-wide truth ----
+    "q136_widen_mixed_read" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber").cast("int").as("ln"),
+        col("l_quantity").cast("decimal(5,2)").as("qty"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q136").toString + "/t"
+      graft.catalog.SnapshotTable.write(s,
+        l.filter(pmod(col("l_orderkey"), lit(2)) === 0), tbl) // v1: narrow files
+      graft.catalog.SnapshotTable.alterColumnType(s, tbl, "ln",
+        org.apache.spark.sql.types.LongType)
+      graft.catalog.SnapshotTable.alterColumnType(s, tbl, "qty",
+        org.apache.spark.sql.types.DecimalType(18, 2))
+      graft.catalog.SnapshotTable.append(s,
+        l.filter(pmod(col("l_orderkey"), lit(2)) === 1)
+          .select(col("l_orderkey"), col("ln").cast("long"),
+            col("qty").cast("decimal(18,2)")), tbl) // v4: wide files
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.sql(s"SELECT l_orderkey, ln, CAST(qty AS DOUBLE) AS qty FROM snap.`$tbl` " +
+        "ORDER BY l_orderkey, ln")
     })
   )
 
@@ -2019,6 +2044,14 @@ object SparkEntry {
     "q135_sql_timestamp_as_of" ->
       """SELECT o_orderkey, o_orderdate AS dt, o_totalprice FROM orders
         |ORDER BY o_orderkey, dt""".stripMargin,
+
+    // q136: widening is invisible in the result — the truth is simply the
+    // whole table read at the WIDE types (int line numbers upcast exactly;
+    // decimal 5,2 -> 18,2 re-scales nothing at fixed scale)
+    "q136_widen_mixed_read" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
+        |FROM lineitem ORDER BY l_orderkey, ln""".stripMargin,
 
     // q126: the CDC truth is derivable from the base table alone — every
     // %7 key yields an update pre image (old price) + post image (negated),

@@ -255,7 +255,7 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val dir = dirFor(ident)
     if (!SnapshotTable.exists(spark, dir)) throw new NoSuchTableException(ident)
-    val added = changes.map {
+    val added = changes.collect {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
           s"snapshot schemas are flat; cannot add nested field ${add.fieldNames.mkString(".")}")
@@ -270,11 +270,23 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
         val f = org.apache.spark.sql.types.StructField(
           add.fieldNames.head, add.dataType, nullable = true)
         Option(add.comment).map(f.withComment).getOrElse(f)
-      case other => throw new UnsupportedOperationException(
-        s"only ADD COLUMNS is supported through the SQL catalog (got ${other.getClass.getSimpleName}); " +
-          "non-additive schema changes are refused by the snapshot format")
     }
-    SnapshotTable.addColumns(spark, dir, StructType(added.toArray))
+    val widened = changes.collect {
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames.length == 1,
+          s"snapshot schemas are flat; cannot alter nested field ${upd.fieldNames.mkString(".")}")
+        (upd.fieldNames.head, upd.newDataType)
+    }
+    val other = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] || c.isInstanceOf[TableChange.UpdateColumnType])
+    if (other.nonEmpty) throw new UnsupportedOperationException(
+      s"only ADD COLUMNS and ALTER COLUMN … TYPE (safe widening) are supported through the " +
+        s"SQL catalog (got ${other.head.getClass.getSimpleName}); other schema changes are " +
+        "refused by the snapshot format")
+    if (added.nonEmpty) SnapshotTable.addColumns(spark, dir, StructType(added.toArray))
+    // `ALTER COLUMN c TYPE t`: metadata-only safe widening; anything
+    // outside the safe set is refused by name inside alterColumnType
+    widened.foreach { case (name, to) => SnapshotTable.alterColumnType(spark, dir, name, to) }
     new SnapshotV2Table(spark, dir, ident.toString, None)
   }
 

@@ -521,6 +521,72 @@ object SnapshotTable {
       Some((m.entries, txnOf(cur), Some(merged.toDDL)))
     }.get
 
+  /** Is `from` → `to` a SAFE metadata-only widening — every value of
+    * `from` embeds exactly into `to`, and the parquet readers read files
+    * written with `from` directly under a `to` read schema (verified by
+    * TypeWideningSpec for every pair admitted here)? The Iceberg safe set:
+    * exact integral widening (byte → short → int → long), float → double,
+    * int-family → double (int32 is exact in a double), and decimal
+    * precision GROWTH at fixed scale. Explicitly refused: every narrowing,
+    * long → double (2^53 rounding), any scale change (re-rounds values),
+    * int → float (rounds past 2^24), and non-numeric changes.
+    */
+  private[graft] def isSafeWidening(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(dt: DataType): Int = dt match {
+      case ByteType => 1; case ShortType => 2; case IntegerType => 3; case LongType => 4
+      case _ => -1
+    }
+    (from, to) match {
+      case (f, t) if f == t => false // nothing to alter — refuse loudly, not a silent no-op
+      case (f, t) if rank(f) > 0 && rank(t) > 0 => rank(f) < rank(t)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) => f.scale == t.scale && f.precision < t.precision
+      case _ => false
+    }
+  }
+
+  /** Safe type WIDENING as a METADATA-ONLY commit: rewrite the recorded
+    * schema with `name`'s type widened to `to` ([[isSafeWidening]] set
+    * only — anything else is refused by name); zero data files are
+    * touched at any table size. Files written before the widening keep
+    * their narrow physical type and the parquet readers widen at read
+    * time; files written after carry the wide type natively — mixed
+    * histories read seamlessly.
+    *
+    * Old per-file stats need NO migration: "num" bounds are stored in the
+    * double domain regardless of the column's declared type
+    * ([[FileStats.aggsFor]]), so a predicate resolved against the widened
+    * schema compares against pre-widening bounds exactly as before.
+    *
+    * Column resolution is case-insensitive, matching Spark's default.
+    *
+    * @return the committed version
+    */
+  def alterColumnType(spark: SparkSession, dir: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long =
+    commitLoop(spark, dir, op = "alter") { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException(
+        s"no snapshot table at $dir to alter"))
+      val prior = priorSchema(spark, dir, cur).getOrElse(throw new IllegalStateException(
+        s"snapshot at $dir has no recoverable schema; cannot alter"))
+      val idx = prior.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"ALTER COLUMN TYPE: no such column '$name' " +
+        s"(have: ${prior.fieldNames.mkString(", ")})")
+      val from = prior.fields(idx).dataType
+      require(isSafeWidening(from, to),
+        s"ALTER COLUMN TYPE: ${from.catalogString} -> ${to.catalogString} is not a safe " +
+          "metadata-only widening; allowed: byte/short/int -> wider integral, " +
+          "float -> double, byte/short/int -> double, and decimal precision growth " +
+          "at fixed scale (narrowing and value-changing casts are refused — " +
+          "the no-silent-coercion rule)")
+      val widened = org.apache.spark.sql.types.StructType(
+        prior.fields.updated(idx, prior.fields(idx).copy(dataType = to)))
+      Some((m.entries, txnOf(cur), Some(widened.toDDL)))
+    }.get
+
   /** Create or replace the table with `df` as a single new snapshot. Txn
     * markers are preserved: replacing contents must not make a streaming
     * writer's committed batches look uncommitted.
