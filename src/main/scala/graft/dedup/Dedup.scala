@@ -345,11 +345,26 @@ object Dedup {
       minTokens: Int = 50,
       cosThreshold: Double = 0.95,
       broadcastDocLimit: Long = 100000L,
-      maxHamming: Int = 9): DataFrame = {
-    require(maxHamming <= 11,
-      s"maxHamming=$maxHamming exceeds the probe scheme's pigeonhole coverage (11): " +
-        "4 chunks of 16 bits with radius-1 probes on both sides bridge chunk-distance <= 2, " +
-        "which covers total hamming <= 3*4-1 only — a larger cut would make recall probabilistic")
+      maxHamming: Int = 9,
+      // corpus-size-aware RE-CHUNKING: past this many eligible docs the
+      // candidate join switches from 4×16-bit chunks (radius-2 probes) to
+      // 3 wider chunks of 21/21/22 bits (radius-3 probes). Same pigeonhole
+      // coverage — any cut <= 3·4−1 = 11 — so the OUTPUT is identical
+      // (SimHashRechunkSpec asserts pair-for-pair equality); what changes
+      // is the random-collision mass: a random pair collides with prob
+      // Σ C(wᵢ,<=r)/2^wᵢ ≈ 0.19% under the wide scheme vs ≈ 0.84% under
+      // the narrow one (4.4× fewer), while the probe side grows 548 →
+      // 4918 rows/doc. Collisions are quadratic in corpus size, probes
+      // linear — equating the two terms puts the crossover at ~1.4M
+      // eligible docs, which is where the default threshold sits. At
+      // ≳10⁸ docs (where 16-bit buckets hold millions of rows each) the
+      // wide scheme is the difference between a bounded candidate join
+      // and an in-bucket quadratic.
+      rechunkThreshold: Long = 1500000L,
+      // test/benchmark override: force a (chunk widths, probe radius)
+      // scheme instead of the size-based choice. Widths must sum to 64
+      // and cover maxHamming (chunks·(radius+1)−1 >= maxHamming).
+      forceScheme: Option[(Seq[Int], Int)] = None): DataFrame = {
     val spark = docs.sparkSession
     graft.extensions.GraftExtensions.register(spark)
 
@@ -391,54 +406,40 @@ object Dedup {
       if (nEligible <= broadcastDocLimit) broadcast(df) else df
     val sigs = docvec.select(col("id"), col("sig"))
 
-    val chunks = 4
-    val width = 16
-    val mask = (1L << width) - 1
     // ASYMMETRIC multi-probe join (r9 redesign, from measured phase
     // decomposition): the former scheme probed radius-1 on BOTH sides,
     // which bridges chunk-distance <= 2 but matches an IDENTICAL chunk on
     // 17 (probe_a, probe_b) combinations — near-identical signatures (the
     // entire candidate band) joined at multiplicity ~49, so the x4 soak
     // pushed 146M pre-cut rows into the dedup shuffle for 3.0M distinct
-    // candidates. Probing radius-2 on ONE side only covers the same
+    // candidates. Probing radius-r on ONE side only covers the same
     // chunk-distance (raw_a == probe_b(B) iff B == chunk_a XOR chunk_b, so
-    // distance <= 2 matches on EXACTLY ONE flip mask): multiplicity drops
-    // to <= 1 per chunk (<= 4 per pair), the same pigeonhole coverage for
-    // ~15x less join output. The build side is now 4 slim rows/doc (the
-    // raw chunk values) — the broadcast is ~17x smaller than before — and
-    // the 548 probe rows/doc stream map-side through one codegen stage
+    // distance <= r matches on EXACTLY ONE flip mask): multiplicity drops
+    // to <= 1 per chunk, the same pigeonhole coverage for ~15x less join
+    // output. The build side is `chunks` slim rows/doc (the raw chunk
+    // values) and the probe rows stream map-side through one codegen stage
     // (explode -> bit arithmetic -> hash lookup -> hamming cut) without
     // ever being shuffled or broadcast on the broadcast path.
-    val rawSide = sigs
-      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
-      .select(col("id"), col("sig"), col("chunk").cast("int").as("chunk"),
-        expr(s"shiftrightunsigned(sig, chunk * $width) & ${mask}L").as("pval"))
-    // All 137 flip masks of radius <= 2 per chunk (identity + 16 singles +
-    // 120 pairs), as ONE array literal (a single Literal node — no
-    // 137-element CreateArray for janino to chew through).
-    val flipMasks: Array[Long] = {
-      val singles = (0 until width).map(i => 1L << i)
-      val doubles = for (i <- 0 until width; j <- i + 1 until width) yield (1L << i) | (1L << j)
-      (0L +: (singles ++ doubles)).toArray
-    }
-    val nProbes = flipMasks.length // 137
-    val probeSide = sigs
-      .select(col("id").as("id_b"), col("sig").as("sig_b"),
-        explode(sequence(lit(0), lit(chunks * nProbes - 1))).as("pi"))
-      .select(col("id_b"), col("sig_b"),
-        expr(s"CAST(pi DIV $nProbes AS INT)").as("chunk"),
-        expr(s"CAST(pi % $nProbes AS INT)").as("pr"))
-      .select(col("id_b"), col("sig_b"), col("chunk"),
-        expr(s"shiftrightunsigned(sig_b, chunk * $width) & ${mask}L")
-          .bitwiseXOR(element_at(lit(flipMasks), col("pr") + 1)).as("pval"))
+    //
+    // The (widths, radius) CHUNK SCHEME is corpus-size-aware (see
+    // `rechunkThreshold`): both schemes cover any hamming cut <= 11 by the
+    // same pigeonhole (some chunk within `radius` whenever total hamming
+    // <= chunks·(radius+1)−1), so scheme choice never changes the output —
+    // only the probe-rows-vs-random-collisions trade.
+    val (widths, radius) = forceScheme.getOrElse(
+      if (nEligible > rechunkThreshold) (Seq(21, 21, 22), 3) else (Seq(16, 16, 16, 16), 2))
+    require(widths.length * (radius + 1) - 1 >= maxHamming,
+      s"maxHamming=$maxHamming exceeds the probe scheme's pigeonhole coverage " +
+        s"(${widths.length * (radius + 1) - 1}): ${widths.length} chunks with one-sided " +
+        s"radius-$radius probes bridge chunk-distance <= $radius only — a larger cut would " +
+        "make recall probabilistic")
     // Rows carry the full signature so the join output is cut to
     // hamming <= maxHamming by a codegen'd bit_count BEFORE the dedup
     // shuffle and the verify join. Guarded by maybeBroadcast — past
     // broadcastDocLimit the same join runs partitioned on (chunk, pval);
-    // the probe side then shuffles 548 slim rows/doc, the price of the
+    // the probe side then shuffles its slim rows/doc, the price of the
     // ~15x smaller join output that dominates at that scale.
-    val pairs = probeSide
-      .join(maybeBroadcast(rawSide), Seq("chunk", "pval"))
+    val pairs = simHashCandidateJoin(sigs, widths, radius, maybeBroadcast)
       .filter(col("id") < col("id_b") &&
         bit_count(col("sig").bitwiseXOR(col("sig_b"))) <= maxHamming)
       .select(col("id").as("id_a"), col("id_b"))
@@ -463,6 +464,70 @@ object Dedup {
       .filter(col("cos_raw") >= cosThreshold)
       .select(col("id_a"), col("id_b"), col("cos_raw").as("cos"))
     graft.util.Caching.materialize(out, docvec)
+  }
+
+  /** All XOR masks with <= `radius` bits set within `width` bits — the
+    * one-sided probe set bridging chunk-distance <= radius (the raw side
+    * matches probe `chunk_a XOR chunk_b` exactly once).
+    */
+  private[graft] def probeMasks(width: Int, radius: Int): Array[Long] = {
+    // depth-first over bit combinations; each mask is produced exactly
+    // once because bit positions strictly increase along a path
+    val out = scala.collection.mutable.ArrayBuffer[Long](0L)
+    def rec(start: Int, acc: Long, depth: Int): Unit = {
+      var i = start
+      while (i < width) {
+        val m = acc | (1L << i)
+        out += m
+        if (depth + 1 < radius) rec(i + 1, m, depth + 1)
+        i += 1
+      }
+    }
+    if (radius > 0) rec(0, 0L, 0)
+    out.toArray
+  }
+
+  /** The pre-cut SimHash bucket-collision join under a (chunk widths,
+    * one-sided probe radius) scheme: every (probe row of doc B) ⋈ (raw
+    * chunk of doc A) collision, carrying both full signatures. The caller
+    * applies the id-order + hamming cut; this seam exists so specs and
+    * soaks can COUNT the collision mass — the one term the chunk scheme
+    * controls (post-cut candidates are the corpus's intrinsic band) —
+    * without a non-codegen metrics node in the production hot path.
+    *
+    * Both sides' bit arithmetic reads per-chunk offset/mask/flip values
+    * from flat array LITERALS (single Literal nodes, janino-friendly);
+    * per-chunk probe counts differ when widths do, so a parallel
+    * chunk-index array maps flat probe index → chunk.
+    */
+  private[graft] def simHashCandidateJoin(sigs: DataFrame, widths: Seq[Int],
+      radius: Int, hint: DataFrame => DataFrame): DataFrame = {
+    require(widths.sum == 64, s"chunk widths must cover all 64 signature bits, got $widths")
+    require(widths.forall(w => w > 0 && w <= 62), s"chunk widths out of range: $widths")
+    val chunks = widths.length
+    val offsets: Array[Int] = widths.scanLeft(0)(_ + _).init.toArray
+    val widthMasks: Array[Long] = widths.map(w => (1L << w) - 1).toArray
+    val rawSide = sigs
+      .select(col("id"), col("sig"), explode(sequence(lit(0), lit(chunks - 1))).as("chunk"))
+      .select(col("id"), col("sig"), col("chunk").cast("int").as("chunk"),
+        call_function("shiftrightunsigned", col("sig"),
+            element_at(lit(offsets), col("chunk") + 1))
+          .bitwiseAND(element_at(lit(widthMasks), col("chunk") + 1)).as("pval"))
+    val perChunkMasks: Seq[Array[Long]] = widths.map(w => probeMasks(w, radius))
+    val flatFlips: Array[Long] = perChunkMasks.flatten.toArray
+    val flatChunk: Array[Int] = perChunkMasks.zipWithIndex
+      .flatMap { case (ms, i) => Array.fill(ms.length)(i) }.toArray
+    val nProbes = flatFlips.length // 548 narrow / 4918 wide
+    val chunkOfPi = element_at(lit(flatChunk), col("pi") + 1)
+    val probeSide = sigs
+      .select(col("id").as("id_b"), col("sig").as("sig_b"),
+        explode(sequence(lit(0), lit(nProbes - 1))).as("pi"))
+      .select(col("id_b"), col("sig_b"), chunkOfPi.as("chunk"),
+        call_function("shiftrightunsigned", col("sig_b"),
+            element_at(lit(offsets), chunkOfPi + 1))
+          .bitwiseAND(element_at(lit(widthMasks), chunkOfPi + 1))
+          .bitwiseXOR(element_at(lit(flatFlips), col("pi") + 1)).as("pval"))
+    probeSide.join(hint(rawSide), Seq("chunk", "pval"))
   }
 
   // ---------------------------------------------------- embedding near-dup
