@@ -1762,6 +1762,25 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
       s.sql(s"SELECT l_orderkey, ln, CAST(qty AS DOUBLE) AS qty FROM snap.`$tbl` " +
         "ORDER BY l_orderkey, ln")
+    }),
+
+    // ---- merge-on-read DELETE via deletion vectors: SQL DELETE under
+    // deleteMode=mor writes per-file position blobs (zero data rewritten —
+    // DeletionVectorSpec measures the write-amplification win); the SQL
+    // read then applies the vectors inside the scan. The oracle never sees
+    // any of that machinery: it is simply the rows that survive ----
+    "q137_mor_delete" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("ln"),
+        col("l_quantity").cast("double").as("qty"), col("l_returnflag"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q137").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, l, tbl)
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.conf.set("graft.snapshot.deleteMode", "mor")
+      try s.sql(s"DELETE FROM snap.`$tbl` WHERE l_returnflag = 'R'")
+      finally s.conf.unset("graft.snapshot.deleteMode")
+      s.sql(s"SELECT l_orderkey, ln, qty, l_returnflag FROM snap.`$tbl` " +
+        "ORDER BY l_orderkey, ln")
     })
   )
 
@@ -2052,6 +2071,15 @@ object SparkEntry {
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
         |  CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS qty
         |FROM lineitem ORDER BY l_orderkey, ln""".stripMargin,
+
+    // q137: deletion vectors are invisible in the result — the truth is
+    // the surviving rows (SQL DELETE semantics: NULL-predicate rows
+    // survive; l_returnflag is never NULL in TPC-H data)
+    "q137_mor_delete" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+        |  CAST(l_quantity AS DOUBLE) AS qty, l_returnflag
+        |FROM lineitem WHERE l_returnflag <> 'R'
+        |ORDER BY l_orderkey, ln""".stripMargin,
 
     // q126: the CDC truth is derivable from the base table alone — every
     // %7 key yields an update pre image (old price) + post image (negated),

@@ -89,11 +89,16 @@ object ChangeFeed {
       keys: Seq[String]): Option[DataFrame] = {
     if (m.op.contains("compact")) return None // row multiset unchanged by contract
     val prevEntries = prev.map(_.entries).getOrElse(Seq.empty)
+    val prevByPath = prevEntries.map(e => e.path -> e).toMap
     val curPaths = m.entries.map(_.path).toSet
-    val prevPaths = prevEntries.map(_.path).toSet
-    val added = m.entries.filterNot(e => prevPaths.contains(e.path))
+    val added = m.entries.filterNot(e => prevByPath.contains(e.path))
     val removed = prevEntries.filterNot(e => curPaths.contains(e.path))
-    if (added.isEmpty && removed.isEmpty) return None // pure-metadata commit
+    // merge-on-read commits mutate a file's VISIBLE rows without touching
+    // its path: a grown vector hides rows (MoR delete/update), a shrunk
+    // one (rollback to a less-deleted version) restores them
+    val dvChanged = m.entries.filter(e => prevByPath.get(e.path).exists(_.dv != e.dv))
+    if (added.isEmpty && removed.isEmpty && dvChanged.isEmpty)
+      return None // pure-metadata commit
 
     val schema = StructType.fromDDL(m.schemaDdl.getOrElse(throw new IllegalStateException(
       s"snapshot at $dir (version ${m.version}) has no recorded schema")))
@@ -109,18 +114,35 @@ object ChangeFeed {
       df.withColumn(ChangeTypeCol, lit(kind))
         .withColumn(CommitVersionCol, lit(m.version))
 
-    if (removed.isEmpty)
+    // PRE-state: live rows of removed files (their own vectors applied) +
+    // rows newly HIDDEN by vector growth. POST-state: rows of added files
+    // + rows RESTORED by vector shrink (a rollback across vectored
+    // versions). Diff cost stays O(rewritten + vector-diffed rows) — the
+    // carried clean files never enter any side.
+    def hidden = onSchema(SnapshotTable.rowsAtDvDiff(spark, dir,
+      dvChanged.map(e => (e, e.dv.map(_.path), prevByPath(e.path).dv.map(_.path))),
+      m.schemaDdl))
+    def restored = onSchema(SnapshotTable.rowsAtDvDiff(spark, dir,
+      dvChanged.map(e => (e, prevByPath(e.path).dv.map(_.path), e.dv.map(_.path))),
+      m.schemaDdl))
+
+    if (removed.isEmpty && dvChanged.isEmpty)
       return Some(withMeta(
         onSchema(SnapshotTable.readEntries(spark, dir, added, m.schemaDdl)), "insert"))
-    if (added.isEmpty)
+    if (added.isEmpty && dvChanged.isEmpty)
       return Some(withMeta(
         onSchema(SnapshotTable.readEntries(spark, dir, removed, m.schemaDdl)), "delete"))
+    if (added.isEmpty && removed.isEmpty)
+      // pure vector commit (MoR delete, or a vector-only rollback): the
+      // hidden rows ARE the deletes, the restored rows the inserts — no
+      // keyed matching needed (one commit never hides and restores the
+      // same position)
+      return Some(withMeta(hidden, "delete").unionByName(withMeta(restored, "insert")))
 
-    // rewrite commit: keyed diff of pre-state (removed files) vs post-state
-    // (added files). Aggregating each side to one struct per key both
-    // detects duplicate keys (loudly) and makes the full-outer join 1:1.
-    def keyed(entries: Seq[SnapshotTable.FileEntry], side: String): DataFrame = {
-      val df = onSchema(SnapshotTable.readEntries(spark, dir, entries, m.schemaDdl))
+    // rewrite commit: keyed diff of pre-state vs post-state. Aggregating
+    // each side to one struct per key both detects duplicate keys
+    // (loudly) and makes the full-outer join 1:1.
+    def keyed(df: DataFrame, side: String): DataFrame = {
       val payload =
         if (dataCols.isEmpty) struct(lit(1).as("__present")) // key-only schema
         else struct(dataCols.map(c => col(s"`$c`")): _*)
@@ -134,9 +156,16 @@ object ChangeFeed {
             .otherwise(element_at(col(s"${side}_rows"), 1)))
         .drop(s"${side}_rows")
     }
-    val old = keyed(removed, "old")
-    val neu = keyed(added, "new")
-    val joined = old.join(neu, keys.toSeq, "full_outer")
+    def sideUnion(entries: Seq[SnapshotTable.FileEntry], dvPart: => DataFrame): DataFrame = {
+      val filePart =
+        if (entries.nonEmpty)
+          Some(onSchema(SnapshotTable.readEntries(spark, dir, entries, m.schemaDdl)))
+        else None
+      val parts = filePart.toSeq ++ (if (dvChanged.nonEmpty) Seq(dvPart) else Seq.empty)
+      parts.reduce(_ unionByName _)
+    }
+    val joined = keyed(sideUnion(removed, hidden), "old")
+      .join(keyed(sideUnion(added, restored), "new"), keys.toSeq, "full_outer")
     Some(assembleChanges(joined, keys, dataCols, m.version))
   }
 

@@ -378,10 +378,12 @@ private[graft] class SnapshotV2Table(
     // Spark's own parquet DSv2 builder over the manifest-backed index:
     // filter pushdown (file skip + row-group), column pruning, and
     // manifest-accurate statistics come from the shared machinery; the
-    // FileAware wrapper additionally serves `_file` when referenced
+    // FileAware wrapper additionally serves `_file` when referenced and
+    // applies any merge-on-read deletion vectors inside the scan
     new org.apache.spark.sql.graftbridge.FileAwareScanBuilder(spark,
       new SnapshotFileIndex(spark, dir, manifest),
-      tableSchema, options, SnapshotMetadata.FileCol)
+      tableSchema, options, SnapshotMetadata.FileCol,
+      dvByPath = SnapshotTable.dvMap(spark, dir, manifest.entries), tableDir = dir)
 
   private def refuseTimeTravelMutation(what: String): Unit =
     if (pinnedVersion.isDefined) throw new UnsupportedOperationException(
@@ -467,7 +469,12 @@ private[graft] class SnapshotV2Table(
     refuseTimeTravelMutation("delete from")
     val pred = filters.flatMap(V1FilterColumns.toColumn(_))
       .reduceOption(_ && _).getOrElse(lit(true))
-    SnapshotTable.delete(spark, dir, pred)
+    // graft.snapshot.deleteMode=mor routes SQL DELETE to the merge-on-read
+    // tier (deletion-vector blobs, zero data rewritten); default stays
+    // copy-on-write, which keeps files clean
+    if (spark.conf.getOption("graft.snapshot.deleteMode").contains("mor"))
+      SnapshotTable.deleteMoR(spark, dir, pred)
+    else SnapshotTable.delete(spark, dir, pred)
   }
 }
 

@@ -98,7 +98,28 @@ private[graft] object SnapshotRelation {
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
-    org.apache.spark.sql.graftbridge.Bridge.ofRows(
+    val plain = org.apache.spark.sql.graftbridge.Bridge.ofRows(
       spark, LogicalRelation(rel, isStreaming = false))
+    val dvEntries = m.entries.filter(_.dv.isDefined)
+    if (dvEntries.isEmpty) plain
+    else {
+      // merge-on-read deletion vectors: an anti-join on the file source's
+      // native (file_path, row_index) metadata drops deleted positions.
+      // Data filters still push THROUGH the join to the scan (the join
+      // only consumes metadata columns), so planner-integrated pruning is
+      // unchanged; the build side is the deleted-position set — tiny
+      // relative to data, broadcast-hinted while it plausibly fits
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val dvFrame = SnapshotTable.dvPositions(spark, dir, dvEntries)
+      val totalDeleted = dvEntries.map(_.dv.get.deleted).sum
+      val build = if (totalDeleted <= 5000000L) broadcast(dvFrame) else dvFrame
+      val dataCols = plain.columns.map(c => col(s"`$c`"))
+      plain
+        .select(col("*"),
+          col("_metadata.file_path").as(SnapshotTable.PosFileCol),
+          col("_metadata.row_index").as(SnapshotTable.PosIdxCol))
+        .join(build, Seq(SnapshotTable.PosFileCol, SnapshotTable.PosIdxCol), "left_anti")
+        .select(dataCols.toSeq: _*)
+    }
   }
 }

@@ -227,7 +227,11 @@ private[catalog] class CowScanBuilder(
     val narrow: Set[String] => Unit = keep => op.narrowPlanned(keep, qualified)
     val inner = new org.apache.spark.sql.graftbridge.FileAwareScanBuilder(op.spark,
       new SnapshotFileIndex(op.spark, op.dir, manifest.copy(entries = candidates)),
-      tableSchema, options, SnapshotMetadata.FileCol, Some(narrow))
+      tableSchema, options, SnapshotMetadata.FileCol, Some(narrow),
+      // candidate files may carry merge-on-read deletion vectors: the
+      // rewrite must carry only LIVE rows into the replacement files —
+      // resurrection of DV-deleted rows is the classic MoR/COW mixing bug
+      dvByPath = SnapshotTable.dvMap(op.spark, op.dir, candidates), tableDir = op.dir)
     inner.pruneColumns(required)
     inner.build() // no data filters pushed: candidate files are read whole
   }

@@ -58,6 +58,12 @@ import graft.ingest.IncrementalLoader
   * skip whole files before any footer is opened, and a merge reads only
   * the files whose dt range intersects the batch — everything else is
   * carried forward by reference in the new manifest, never rewritten.
+  * COMMIT I/O is bounded the same way (Iceberg's manifest-list split, in
+  * miniature): entry lists live in immutable `_log/seg-*.json` segments
+  * that untouched commits reference by name, so each commit serializes
+  * O(touched segments + new files) bytes and each read parses each
+  * distinct segment once (JVM-cached), never the full 10⁶-entry listing
+  * per version (see [[Manifest.segments]], SegmentedManifestSpec).
   */
 object SnapshotTable {
 
@@ -75,7 +81,36 @@ object SnapshotTable {
     */
   case class FileEntry(path: String, rows: Long, bytes: Long,
       minDt: Option[String], maxDt: Option[String],
-      stats: Option[Map[String, FileStats.ColStat]] = None)
+      stats: Option[Map[String, FileStats.ColStat]] = None,
+      // DELETION VECTOR sidecar (merge-on-read tier): when set, `dv.path`
+      // is a blob (relative to the table dir) holding the sorted 0-based
+      // row positions of this file's DELETED rows — every reader drops
+      // them at scan time, so a row-level delete touching k rows of an
+      // 1 GB file writes a k-long blob instead of rewriting the gigabyte.
+      // `rows` stays the file's PHYSICAL row count; live rows =
+      // rows − dv.deleted. Compaction rewrites files clean and drops the
+      // reference; vacuum collects unreferenced blobs. None = no deletes
+      // (the common case, and every pre-DV manifest).
+      dv: Option[DvRef] = None)
+
+  /** One file's deletion-vector reference: `path` (table-relative) of the
+    * position blob, `deleted` = positions in it (cardinality, for live-row
+    * accounting without opening the blob).
+    */
+  case class DvRef(path: String, deleted: Long)
+
+  /** Live (reader-visible) rows of an entry: physical minus DV-deleted. */
+  def liveRows(e: FileEntry): Long = e.rows - e.dv.map(_.deleted).getOrElse(0L)
+
+  /** Deletion-vector map for a scan over `entries`: qualified data-file
+    * path → blob path (relative to `dir`). Empty for clean tables — the
+    * scan layers skip all DV machinery then.
+    */
+  private[graft] def dvMap(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry]): Map[String, String] = {
+    val q = qualifiedDir(spark, dir)
+    entries.flatMap(e => e.dv.map(d => new Path(q, e.path).toString -> d.path)).toMap
+  }
 
   /** `txn` carries exactly-once markers for streaming writers (appId → last
     * committed batch id, the Delta `txn` action in miniature); it is
@@ -101,7 +136,20 @@ object SnapshotTable {
       // invariant TIMESTAMP AS OF resolution depends on. Optional:
       // manifests written before the field existed resolve by VERSION AS
       // OF only.
-      commitTimeMs: Option[Long] = None)
+      commitTimeMs: Option[Long] = None,
+      // MANIFEST-LIST segmentation (Iceberg's manifest-file split, in
+      // miniature): on the WIRE, `entries` holds only the commit's inline
+      // tail and `segments` names immutable `_log/seg-*.json` files whose
+      // concatenated entries (in listed order) precede it. A commit
+      // carries every untouched segment BY NAME — O(touched + inline)
+      // bytes written per commit instead of re-serializing all 10⁶ file
+      // entries — and [[readManifest]] resolves the full list (cached per
+      // immutable segment), so every consumer above this line still sees
+      // plain `entries`. None = pre-segmentation manifest (fully inline).
+      segments: Option[Seq[String]] = None)
+
+  /** Wire form of one immutable manifest segment. */
+  private case class SegmentFile(entries: Seq[FileEntry])
 
   private val LogDirName = "_log"
   private val ManifestRe = raw"manifest-(\d{8})\.json".r
@@ -134,9 +182,95 @@ object SnapshotTable {
 
   private[catalog] def readManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
-    try org.json4s.jackson.Serialization.read[Manifest](
+    val raw = try org.json4s.jackson.Serialization.read[Manifest](
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
     finally in.close()
+    raw.segments match {
+      case None => raw
+      case Some(names) =>
+        // resolve: segment entries (listed order) precede the inline tail;
+        // `segments` stays populated so commit planning can carry-forward
+        val log = p.getParent
+        raw.copy(entries = names.flatMap(n => loadSegment(fs, new Path(log, n))) ++ raw.entries)
+    }
+  }
+
+  /** Segment files are immutable once referenced, so their parsed entries
+    * cache per qualified path for the life of the JVM (bounded: the cache
+    * clears wholesale past [[SegmentCacheMax]] — correctness never depends
+    * on a hit). Re-reading a 10⁶-file table's history costs one parse per
+    * DISTINCT segment, not per (version × segment).
+    */
+  private val SegmentCacheMax = 1024
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+
+  private def loadSegment(fs: FileSystem, p: Path): Seq[FileEntry] = {
+    val key = fs.makeQualified(p).toString
+    val hit = segmentCache.get(key)
+    if (hit != null) hit
+    else {
+      val in = fs.open(p)
+      val entries = try org.json4s.jackson.Serialization.read[SegmentFile](
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8)).entries
+      finally in.close()
+      if (segmentCache.size > SegmentCacheMax) segmentCache.clear()
+      segmentCache.put(key, entries)
+      entries
+    }
+  }
+
+  private def writeSegment(fs: FileSystem, log: Path, entries: Seq[FileEntry]): String = {
+    val name = s"seg-${java.util.UUID.randomUUID().toString.take(12)}.json"
+    val out = fs.create(new Path(log, name), false)
+    try out.write(org.json4s.jackson.Serialization.write(SegmentFile(entries))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    segmentCache.put(fs.makeQualified(new Path(log, name)).toString, entries)
+    name
+  }
+
+  /** Inline entries per manifest before the tail seals into a fresh
+    * segment. Tunable per session (`graft.snapshot.segmentSealThreshold`)
+    * so specs can exercise segmentation with small tables; 512 keeps
+    * segments big enough that a 10⁶-file table is ~2k segment names in
+    * the manifest list.
+    */
+  private def sealThreshold(spark: SparkSession): Int =
+    spark.conf.getOption("graft.snapshot.segmentSealThreshold").map(_.toInt).getOrElse(512)
+
+  /** Split a commit's FULL entry list into (inline tail, segment names):
+    * every segment of the superseded manifest whose members ALL survive
+    * unchanged (same path, same entry content — content can change when a
+    * sidecar attaches) is carried by name without touching its bytes;
+    * everything else — new files, survivors of partially-invalidated
+    * segments — pools into the inline tail, which seals into fresh
+    * segments in [[sealThreshold]]-sized slices. Commit I/O is therefore
+    * O(touched segments + inline), never O(live files).
+    */
+  private def planWire(fs: FileSystem, spark: SparkSession, dir: String,
+      cur: Option[Manifest], entries: Seq[FileEntry]): (Seq[FileEntry], Option[Seq[String]]) = {
+    val log = new Path(dir, LogDirName)
+    val byPath: Map[String, FileEntry] = entries.map(e => e.path -> e).toMap
+    var covered = Set.empty[String]
+    val carried = scala.collection.mutable.ArrayBuffer[String]()
+    for (name <- cur.flatMap(_.segments).getOrElse(Seq.empty)) {
+      val members = loadSegment(fs, new Path(log, name))
+      if (members.nonEmpty && members.forall(m => byPath.get(m.path).contains(m))) {
+        carried += name
+        covered ++= members.map(_.path)
+      }
+    }
+    var inline = entries.filterNot(e => covered(e.path))
+    val thr = math.max(2, sealThreshold(spark))
+    val sealedSegs = scala.collection.mutable.ArrayBuffer[String]()
+    while (inline.length >= thr) {
+      val (seg, rest) = inline.splitAt(thr)
+      sealedSegs += writeSegment(fs, log, seg)
+      inline = rest
+    }
+    val segs = (carried ++ sealedSegs).toSeq
+    (inline, if (segs.isEmpty) None else Some(segs))
   }
 
   /** The latest snapshot as a DataFrame — only the manifest's files, so a
@@ -224,7 +358,7 @@ object SnapshotTable {
       val prev: Set[String] =
         if (i == 0) Set.empty else ms(i - 1).entries.map(_.path).toSet
       val cur = m.entries.map(_.path).toSet
-      (m.version, m.entries.length.toLong, m.entries.map(_.rows).sum,
+      (m.version, m.entries.length.toLong, m.entries.map(liveRows).sum,
         m.entries.map(_.bytes).sum,
         (cur -- prev).size.toLong, (prev -- cur).size.toLong,
         m.txn.getOrElse(Map.empty).map { case (k, v) => s"$k=$v" }.toSeq.sorted.mkString(","),
@@ -255,7 +389,9 @@ object SnapshotTable {
       .getOrElse(throw new IllegalStateException(
         s"cannot roll back to version $version at $dir (never committed, or expired by vacuum)"))
     val m = readManifest(fs, p)
-    val missing = m.entries.filterNot(e => fs.exists(new Path(dir, e.path)))
+    val missing = m.entries.filterNot(e => fs.exists(new Path(dir, e.path))) ++
+      m.entries.flatMap(_.dv).filterNot(d => fs.exists(new Path(dir, d.path)))
+        .map(d => FileEntry(d.path, 0L, 0L, None, None))
     if (missing.nonEmpty) throw new IllegalStateException(
       s"cannot roll back to version $version at $dir: ${missing.length} data file(s) " +
         s"already vacuumed (e.g. ${missing.take(3).map(_.path).mkString(", ")})")
@@ -381,7 +517,9 @@ object SnapshotTable {
         val base = readEntries(spark, dir, rewrite, m.schemaDdl)
         val survivors = base.filter(!coalesce(pred, lit(false)))
         val entries = writeData(spark, survivors, dir)
-        val deleted = rewrite.map(_.rows).sum - entries.map(_.rows).sum
+        // live-row accounting: the base read already dropped DV-deleted
+        // rows, so the survivors compare against LIVE counts
+        val deleted = rewrite.map(liveRows).sum - entries.map(_.rows).sum
         if (deleted == 0L) 0L // nothing actually matched: don't churn files
         else {
           val removed = rewrite.map(_.path).toSet
@@ -446,11 +584,288 @@ object SnapshotTable {
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl.get))
     require(entries.nonEmpty,
       s"snapshot at $dir has no data files matching the requested range")
+    val plain = readEntriesPlain(spark, dir, entries, schemaDdl)
+    if (entries.forall(_.dv.isEmpty)) plain // the common case: plan untouched
+    else withPosAndDv(spark, dir, entries, schemaDdl).drop(PosFileCol, PosIdxCol)
+  }
+
+  private def readEntriesPlain(spark: SparkSession, dir: String, entries: Seq[FileEntry],
+      schemaDdl: Option[String]): DataFrame = {
     val reader = schemaDdl match {
       case Some(ddl) => spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
       case None => spark.read // legacy manifest: infer from footers
     }
     reader.parquet(entries.map(e => new Path(dir, e.path).toString): _*)
+  }
+
+  // ------------------------------------------------- deletion-vector tier
+
+  private[catalog] val PosFileCol = "__dv_file"
+  private[catalog] val PosIdxCol = "__dv_pos"
+
+  /** Entries read with per-row provenance — `__dv_file` (qualified file
+    * path) and `__dv_pos` (true 0-based row position, Spark's native
+    * parquet `_metadata.row_index`, correct under row-group skipping) —
+    * with every referenced deletion vector ALREADY APPLIED, so callers see
+    * only live rows. This is both the DV read path and the position source
+    * for the NEXT merge-on-read delete (whose positions are therefore
+    * always disjoint from the already-deleted set).
+    */
+  private def withPosAndDv(spark: SparkSession, dir: String, entries: Seq[FileEntry],
+      schemaDdl: Option[String]): DataFrame = {
+    val plain = readEntriesPlain(spark, dir, entries, schemaDdl)
+    val tagged = plain.select(col("*"),
+      col("_metadata.file_path").as(PosFileCol), col("_metadata.row_index").as(PosIdxCol))
+    val dvEntries = entries.filter(_.dv.isDefined)
+    if (dvEntries.isEmpty) tagged
+    else {
+      val dvFrame = dvPositions(spark, dir, dvEntries)
+      val totalDeleted = dvEntries.map(_.dv.get.deleted).sum
+      // deleted-position sets are usually tiny relative to data; broadcast
+      // the anti-join build side while it plausibly fits, shuffle past that
+      val build = if (totalDeleted <= 5000000L) broadcast(dvFrame) else dvFrame
+      tagged.join(build, Seq(PosFileCol, PosIdxCol), "left_anti")
+    }
+  }
+
+  /** (qualified file path, deleted position) rows of `dvEntries`' blobs —
+    * blob bytes load on EXECUTORS (one tiny sequential read per file's
+    * blob), never on the driver.
+    */
+  private[catalog] def dvPositions(spark: SparkSession, dir: String,
+      dvEntries: Seq[FileEntry]): DataFrame = {
+    val qualified = qualifiedDir(spark, dir)
+    val refs = dvEntries.map(e =>
+      (new Path(qualified, e.path).toString, e.dv.get.path))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirStr = dir
+    import spark.implicits._
+    spark.createDataset(refs)
+      .mapPartitions { it =>
+        lazy val fs = new Path(dirStr).getFileSystem(conf.value)
+        it.flatMap { case (f, rel) =>
+          readDvBlob(fs, new Path(dirStr, rel)).iterator.map(p => (f, p)) }
+      }
+      .toDF(PosFileCol, PosIdxCol)
+  }
+
+  /** The rows of `triples`' files at positions in (plus − minus), where
+    * plus/minus are deletion-vector blob paths (None = empty set) — the
+    * change-feed primitive: a MoR delete's newly-hidden rows are
+    * (curDv − prevDv), a rollback's restored rows are (prevDv − curDv).
+    * Reads the files PLAIN (no vector applied — the diffed rows are by
+    * definition hidden from a normal read on one side) and inner-joins the
+    * executor-loaded position diff; cost is O(diffed files) reads and
+    * O(diff) join rows.
+    */
+  private[catalog] def rowsAtDvDiff(spark: SparkSession, dir: String,
+      triples: Seq[(FileEntry, Option[String], Option[String])],
+      schemaDdl: Option[String]): DataFrame = {
+    val nonEmpty = triples.filter { case (_, plus, minus) => plus != minus }
+    if (nonEmpty.isEmpty)
+      return readEntries(spark, dir, Seq.empty, schemaDdl) // empty frame, right schema
+    val tagged = readEntriesPlain(spark, dir, nonEmpty.map(_._1), schemaDdl)
+      .select(col("*"),
+        col("_metadata.file_path").as(PosFileCol), col("_metadata.row_index").as(PosIdxCol))
+    val q = qualifiedDir(spark, dir)
+    val refs = nonEmpty.map { case (e, plus, minus) =>
+      (new Path(q, e.path).toString, plus, minus) }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirStr = dir
+    import spark.implicits._
+    val diff = spark.createDataset(refs)
+      .mapPartitions { it =>
+        lazy val fs = new Path(dirStr).getFileSystem(conf.value)
+        def posOf(rel: Option[String]): Set[Long] =
+          rel.map(r => readDvBlob(fs, new Path(dirStr, r)).toSet).getOrElse(Set.empty)
+        it.flatMap { case (f, plus, minus) =>
+          (posOf(plus) -- posOf(minus)).iterator.map(p => (f, p)) }
+      }
+      .toDF(PosFileCol, PosIdxCol)
+    tagged.join(broadcast(diff), Seq(PosFileCol, PosIdxCol))
+      .drop(PosFileCol, PosIdxCol)
+  }
+
+  /** Blob wire format: one signed big-endian int count, then that many
+    * big-endian longs (sorted ascending). Small, append-free, immutable.
+    */
+  private[catalog] def writeDvBlob(fs: FileSystem, p: Path, sorted: Array[Long]): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(fs.create(p, false)))
+    try { out.writeInt(sorted.length); sorted.foreach(out.writeLong) } finally out.close()
+  }
+
+  private[catalog] def readDvBlob(fs: FileSystem, p: Path): Array[Long] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
+    try { val n = in.readInt(); Array.fill(n)(in.readLong()) } finally in.close()
+  }
+
+  /** Row-level DELETE, MERGE-ON-READ: instead of rewriting every candidate
+    * file ([[delete]]'s copy-on-write), write one deletion-vector blob per
+    * TOUCHED file — the sorted positions of its newly-deleted rows, merged
+    * with any prior vector — and commit a manifest whose entries reference
+    * the new blobs; not one data byte is rewritten. Readers drop the
+    * positions at scan time (every read path: Scala, planner relation,
+    * SQL catalog). At 100 TB with frequent small deletes this is the
+    * write-amplification fix: a k-row delete costs O(k) sidecar bytes
+    * instead of rewriting each touched gigabyte; [[compact]] (or `CALL
+    * compact`) later rewrites files clean and drops the vectors.
+    *
+    * Same SQL semantics as [[delete]] (NULL-predicate rows survive) and
+    * the same serializability discipline: a concurrent rewrite OR
+    * concurrent deletion-vector commit on a touched file conflicts and
+    * re-runs — two racing MoR deletes must compose, not lose positions.
+    *
+    * @return number of rows deleted
+    */
+  def deleteMoR(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column): Long = retryingRewrite(dir) {
+    val m = snapshot(spark, dir)
+    val resolved = resolvePred(spark, m, pred)
+    val candidates = m.entries.filter(
+      e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
+    if (candidates.isEmpty) 0L
+    else {
+      val matched = withPosAndDv(spark, dir, candidates, m.schemaDdl)
+        .filter(coalesce(pred, lit(false)))
+        .select(col(PosFileCol), col(PosIdxCol))
+      val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
+      val touched = writeDvBlobs(spark, dir, commitName, matched, candidates)
+      if (touched.isEmpty) 0L
+      else {
+        val byPath = touched.map(t => t.path -> t).toMap
+        val newlyDeleted = touched.map(t =>
+          t.dv.deleted - byPath(t.path).priorDeleted).sum
+        commitLoop(spark, dir, op = "delete") { cur =>
+          val curEntries = cur.map(_.entries).getOrElse(Seq.empty)
+          val curByPath = curEntries.map(e => e.path -> e).toMap
+          // serializability: every touched file must still be live with the
+          // SAME vector this delete merged from — a winner that rewrote the
+          // file or attached its own vector invalidates this blob
+          byPath.values.foreach { t =>
+            val curE = curByPath.getOrElse(t.path, throw new SnapshotConflictException(
+              s"concurrent commit at $dir removed ${t.path} this MoR delete read; re-running"))
+            if (curE.dv.map(_.path) != t.priorDv) throw new SnapshotConflictException(
+              s"concurrent commit at $dir changed the deletion vector of ${t.path}; re-running")
+          }
+          Some((curEntries.map(e => byPath.get(e.path).fold(e)(t => e.copy(dv = Some(t.dv)))),
+            txnOf(cur), cur.flatMap(_.schemaDdl).orElse(m.schemaDdl)))
+        }
+        newlyDeleted
+      }
+    }
+  }
+
+  /** Row-level UPDATE, MERGE-ON-READ: the matched rows' positions become
+    * deletion vectors on their files (no data rewritten) and the updated
+    * row images append as new files — one atomic commit. The
+    * copy-on-write [[update]] remains the path that keeps files clean;
+    * this one wins when matches are sparse across big files.
+    *
+    * @return number of rows updated
+    */
+  def updateMoR(spark: SparkSession, dir: String,
+      pred: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column]): Long = retryingRewrite(dir) {
+    val m = snapshot(spark, dir)
+    val resolved = resolvePred(spark, m, pred)
+    val candidates = m.entries.filter(
+      e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
+    if (candidates.isEmpty) 0L
+    else {
+      val base = withPosAndDv(spark, dir, candidates, m.schemaDdl)
+      val dataCols = base.columns.filterNot(c => c == PosFileCol || c == PosIdxCol).toSeq
+      val unknown = set.keySet -- dataCols.toSet
+      require(unknown.isEmpty,
+        s"UPDATE assigns columns not in the table: ${unknown.mkString(", ")}")
+      val hit = base.filter(coalesce(pred, lit(false))).persist()
+      try {
+        val updated = hit.select(dataCols.map { c =>
+          set.get(c).map(_.as(c)).getOrElse(col(s"`$c`"))
+        }: _*)
+        // refuse type-changing assignments like the COW path does
+        val priorStruct = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl.getOrElse(
+          throw new IllegalStateException(s"snapshot at $dir has no recorded schema")))
+        priorStruct.fields.zip(updated.schema.fields).foreach { case (b, u) =>
+          require(b.dataType.catalogString == u.dataType.catalogString,
+            s"UPDATE cannot change column '${b.name}': " +
+              s"${b.dataType.catalogString} -> ${u.dataType.catalogString}")
+        }
+        val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
+        val touched = writeDvBlobs(spark, dir, commitName,
+          hit.select(col(PosFileCol), col(PosIdxCol)), candidates)
+        if (touched.isEmpty) 0L
+        else {
+          val nUpdated = touched.map(t => t.dv.deleted - t.priorDeleted).sum
+          val newEntries = writeData(spark, updated, dir)
+          val byPath = touched.map(t => t.path -> t).toMap
+          commitLoop(spark, dir, op = "update") { cur =>
+            val curEntries = cur.map(_.entries).getOrElse(Seq.empty)
+            val curByPath = curEntries.map(e => e.path -> e).toMap
+            byPath.values.foreach { t =>
+              val curE = curByPath.getOrElse(t.path, throw new SnapshotConflictException(
+                s"concurrent commit at $dir removed ${t.path} this MoR update read; re-running"))
+              if (curE.dv.map(_.path) != t.priorDv) throw new SnapshotConflictException(
+                s"concurrent commit at $dir changed the deletion vector of ${t.path}; re-running")
+            }
+            Some((curEntries.map(e => byPath.get(e.path).fold(e)(t => e.copy(dv = Some(t.dv))))
+              ++ newEntries,
+              txnOf(cur), cur.flatMap(_.schemaDdl).orElse(m.schemaDdl)))
+          }
+          nUpdated
+        }
+      } finally hit.unpersist()
+    }
+  }
+
+  /** One touched file of a MoR commit: its (new, merged) vector, plus what
+    * it merged FROM — the conflict check re-verifies the prior vector is
+    * still current at publish time.
+    */
+  private case class DvTouch(path: String, dv: DvRef,
+      priorDv: Option[String], priorDeleted: Long)
+
+  /** Group `matched` (qualified path, position) rows by file and write ONE
+    * merged blob per touched file into `commitName/` — executor-side:
+    * positions never centralize on the driver; only O(touched files)
+    * (path, blob, count) triples return. Prior vectors merge in on the
+    * executor (their positions are disjoint from the new ones by
+    * construction — the matching scan already applied them).
+    */
+  private def writeDvBlobs(spark: SparkSession, dir: String, commitName: String,
+      matched: DataFrame, candidates: Seq[FileEntry]): Seq[DvTouch] = {
+    val qualified = qualifiedDir(spark, dir)
+    val fullToEntry: Map[String, FileEntry] =
+      candidates.map(e => new Path(qualified, e.path).toString -> e).toMap
+    val priorByFull: Map[String, Option[String]] =
+      fullToEntry.map { case (f, e) => f -> e.dv.map(_.path) }
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirStr = dir
+    val priorB = spark.sparkContext.broadcast(priorByFull)
+    import spark.implicits._
+    val written = matched
+      .groupBy(col(PosFileCol)).agg(sort_array(collect_set(col(PosIdxCol))).as("ps"))
+      .as[(String, Seq[Long])]
+      .mapPartitions { it =>
+        lazy val fs = new Path(dirStr).getFileSystem(conf.value)
+        it.map { case (f, newPos) =>
+          val prior = priorB.value.getOrElse(f, None)
+            .map(rel => readDvBlob(fs, new Path(dirStr, rel))).getOrElse(Array.empty[Long])
+          val all = (prior ++ newPos).sorted
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString.take(16)
+          val rel = s"$commitName/dv-$digest.bin"
+          writeDvBlob(fs, new Path(dirStr, rel), all)
+          (f, rel, all.length.toLong)
+        }
+      }.collect().toSeq
+    written.map { case (f, rel, total) =>
+      val e = fullToEntry(f)
+      DvTouch(e.path, DvRef(rel, total), e.dv.map(_.path), e.dv.map(_.deleted).getOrElse(0L))
+    }
   }
 
   /** Additive schema merge: prior columns keep their order, genuinely new
@@ -901,9 +1316,10 @@ object SnapshotTable {
     val versions = manifestVersions(fs, dir)
     if (versions.isEmpty) return 0
     val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepVersions))
-    val live: Set[String] = kept.flatMap { case (_, p) =>
-      readManifest(fs, p).entries.map(_.path)
-    }.toSet
+    val keptManifests = kept.map { case (_, p) => readManifest(fs, p) }
+    val live: Set[String] = keptManifests.flatMap(m =>
+      m.entries.map(_.path) ++ m.entries.flatMap(_.dv.map(_.path))).toSet
+    val liveSegs: Set[String] = keptManifests.flatMap(_.segments.getOrElse(Seq.empty)).toSet
     val root = new Path(dir)
     var deleted = 0
     // data files live one level down, in per-commit subdirectories
@@ -921,11 +1337,17 @@ object SnapshotTable {
       }
     expired.foreach { case (_, p) => fs.delete(p, false) }
     // crash leftovers: unpublished temp manifests — same grace, a fresh
-    // .tmp may be a concurrent tryPublish between create and rename
+    // .tmp may be a concurrent tryPublish between create and rename —
+    // and manifest segments referenced by no RETAINED manifest (expired
+    // history, lost-CAS orphans); a fresh segment may belong to a commit
+    // between segment write and manifest publish, so the grace applies
     val log = new Path(dir, LogDirName)
     if (fs.exists(log)) fs.listStatus(log)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".tmp")
-        && st.getModificationTime <= cutoff)
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && st.getModificationTime <= cutoff &&
+          (n.endsWith(".tmp") || (n.startsWith("seg-") && n.endsWith(".json") && !liveSegs(n)))
+      }
       .foreach(st => fs.delete(st.getPath, false))
     deleted
   }
@@ -1104,8 +1526,13 @@ object SnapshotTable {
           // even when a writer's wall clock lags the previous committer's
           val stamp = math.max(System.currentTimeMillis(),
             cur.flatMap(_.commitTimeMs).getOrElse(0L) + 1)
-          val m = Manifest(version, entries, if (txn.isEmpty) None else Some(txn), schemaDdl,
-            op = Some(op), commitTimeMs = Some(stamp))
+          // wire split: unchanged segments carry by name, the rest inlines
+          // (sealing into fresh segments past the threshold) — a lost CAS
+          // re-plans against the winner and any just-written segments
+          // orphan harmlessly until vacuum
+          val (inline, segs) = planWire(fs, spark, dir, cur, entries)
+          val m = Manifest(version, inline, if (txn.isEmpty) None else Some(txn), schemaDdl,
+            op = Some(op), commitTimeMs = Some(stamp), segments = segs)
           if (tryPublish(fs, dir, m)) return Some(version)
       }
     }
@@ -1128,6 +1555,16 @@ object SnapshotTable {
     if (stale.nonEmpty) throw new SnapshotConflictException(
       s"concurrent commit at $dir rewrote ${stale.size} file(s) this operation read " +
         s"(e.g. ${stale.take(3).mkString(", ")}); re-running against the new snapshot")
+    // a concurrent MERGE-ON-READ commit mutates a file's visible rows
+    // WITHOUT touching its path: a read file whose deletion vector changed
+    // since `base` invalidates this rewrite exactly like a path rewrite
+    // would (its output was computed from rows a winner has since deleted)
+    val baseDv = base.map(_.entries.map(e => e.path -> e.dv).toMap).getOrElse(Map.empty)
+    val dvStale = cur.map(_.entries).getOrElse(Seq.empty)
+      .filter(e => read.contains(e.path) && baseDv.get(e.path).exists(_ != e.dv))
+    if (dvStale.nonEmpty) throw new SnapshotConflictException(
+      s"concurrent commit at $dir changed the deletion vector of ${dvStale.size} file(s) " +
+        s"this operation read (e.g. ${dvStale.take(3).map(_.path).mkString(", ")}); re-running")
     cur.map(_.entries).getOrElse(Seq.empty).filterNot(e => removed.contains(e.path)) ++ added
   }
 

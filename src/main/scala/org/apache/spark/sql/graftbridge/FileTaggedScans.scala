@@ -41,7 +41,11 @@ import org.apache.spark.unsafe.types.UTF8String
 class FileAwareScanBuilder(
     sparkSession: SparkSession, index: PartitioningAwareFileIndex,
     tableSchema: StructType, opts: CaseInsensitiveStringMap, fileColName: String,
-    onGroupFilter: Option[Set[String] => Unit] = None)
+    onGroupFilter: Option[Set[String] => Unit] = None,
+    // deletion vectors of the scanned snapshot: qualified data-file path →
+    // blob path relative to `tableDir` (empty = clean table, zero overhead)
+    dvByPath: Map[String, String] = Map.empty,
+    tableDir: String = "")
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -63,21 +67,33 @@ class FileAwareScanBuilder(
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    inner.supportCompletePushDown(aggregation)
+    dvByPath.isEmpty && inner.supportCompletePushDown(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     // an aggregate can never reference the (virtual) file column, and a
     // query that referenced it wouldn't be offered for pushdown — safe to
-    // delegate unconditionally
-    inner.pushAggregation(aggregation)
+    // delegate unconditionally. With DELETION VECTORS present, footer-stat
+    // aggregates would count deleted rows — refuse, rows stream instead
+    dvByPath.nonEmpty match {
+      case true => false
+      case false => inner.pushAggregation(aggregation)
+    }
 
   override def build(): Scan = {
-    val scan = inner.build()
+    val fileOptions = new FileSourceOptions(CaseInsensitiveMap(
+      scala.jdk.CollectionConverters.MapHasAsScala(opts).asScala.toMap))
+    val base = inner.build()
+    // deletion vectors apply INSIDE the scan (position filter per vectored
+    // file), beneath the optional `_file` splice — order matters: the tag
+    // wrapper's row arithmetic assumes its delegate emits exactly the
+    // declared schema, which DvScans' projection guarantees
+    val scan =
+      if (dvByPath.isEmpty) base
+      else DvScans.wrap(base, dvByPath, tableDir,
+        new org.apache.spark.util.SerializableConfiguration(
+          sparkSession.sparkContext.hadoopConfiguration), fileOptions)
     if (filePos < 0) scan
-    else new FileTaggedScan(scan, filePos, fileColName,
-      new FileSourceOptions(CaseInsensitiveMap(
-        scala.jdk.CollectionConverters.MapHasAsScala(opts).asScala.toMap)),
-      onGroupFilter)
+    else new FileTaggedScan(scan, filePos, fileColName, fileOptions, onGroupFilter)
   }
 }
 
