@@ -291,6 +291,56 @@ class ScaleSoakSpec extends SparkSpec {
         "files_rewritten_last_commit_4x" -> rewritten(d4)))
   }
 
+  test("soak: change-feed diff cost is O(rewritten rows), not O(table)") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    import graft.catalog.{ChangeFeed, SnapshotTable}
+    // the table grows with the factor (replica i's dt range shifts into a
+    // disjoint decade, file count scales so rows-per-file stays constant),
+    // but the merge always touches the SAME single base-dt slice with the
+    // SAME batch — so the feed's work (diff of the one rewritten file vs
+    // its replacements) must stay FLAT while the table quadruples. This is
+    // the measured form of the O(rewritten) claim: carried-by-reference
+    // files never enter the diff.
+    val base = Tables.orders(spark, sf01)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice"))
+    val d0 = base.agg(min(col("d"))).head().getDate(0).toString
+    def build(factor: Int): (String, Long, Long) = {
+      val dir = s"$soakRoot/cf_x${factor}_${System.nanoTime()}/t"
+      val o = (0 until factor).map { i =>
+        base.select((col("o_orderkey") + i * 100000000L).as("o_orderkey"),
+          date_add(col("d"), i * 5000).cast("string").as("dt"), col("o_totalprice"))
+      }.reduce(_ unionByName _)
+      SnapshotTable.write(spark, o.repartitionByRange(8 * factor, col("dt")), dir) // v1
+      val batch = base.filter(col("d") === lit(d0).cast("date"))
+        .select(col("o_orderkey"), col("d").cast("string").as("dt"),
+          (-col("o_totalprice")).as("o_totalprice"))
+      SnapshotTable.merge(spark, batch, dir, keys = Seq("o_orderkey", "dt")) // v2
+      val vs = SnapshotTable.versions(spark, dir)
+      (dir, vs.head, vs.last)
+    }
+    val (dir1, a1, b1) = build(1)
+    val (dir4, a4, b4) = build(4)
+    def feed(dir: String, from: Long, to: Long): Unit =
+      noop(ChangeFeed.rowChanges(spark, dir, from, to, keys = Seq("o_orderkey", "dt")))
+    val m1 = measure(() => feed(dir1, a1, b1))
+    val m4 = measure(() => feed(dir4, a4, b4))
+    def rewritten(dir: String): Long =
+      SnapshotTable.history(spark, dir).orderBy(col("version").desc)
+        .select("files_removed").head().getLong(0)
+    assertScaling("change_feed", m1, m4,
+      extra = Map("files_rewritten_1x" -> rewritten(dir1),
+        "files_rewritten_4x" -> rewritten(dir4)))
+    // the FLATNESS assertions — stronger than assertScaling's linearity
+    // bound: 4x the table, same rewrite slice, so cost must not follow
+    // the table (generous 2x headroom for version-listing overhead)
+    assert(m4.sec <= 2.0 * math.max(m1.sec, 0.5),
+      f"change-feed time follows the TABLE, not the rewrite: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
+    assert(m4.shuffleWriteBytes <= 2L * math.max(m1.shuffleWriteBytes, 1L << 20),
+      s"change-feed shuffle follows the TABLE, not the rewrite: " +
+        s"${m1.shuffleWriteBytes} -> ${m4.shuffleWriteBytes}")
+  }
+
   test("soak: PageRank scales near-linearly in edges, no disk spill") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     def edges(factor: Int): DataFrame = {
