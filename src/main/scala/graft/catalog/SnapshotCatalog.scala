@@ -76,6 +76,13 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
 
   override def name(): String = catalogName
 
+  /** CHECK constraints flow through the DSv2 ALTER path only when the
+    * catalog declares the capability.
+    */
+  override def capabilities(): java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
   private def spark: SparkSession = SparkSession.active
 
   /** Catalog instances are cached by Spark's CatalogManager at first use,
@@ -277,16 +284,40 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
           s"snapshot schemas are flat; cannot alter nested field ${upd.fieldNames.mkString(".")}")
         (upd.fieldNames.head, upd.newDataType)
     }
+    val addedConstraints = changes.collect {
+      case ac: TableChange.AddConstraint => ac.constraint() match {
+        case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          require(ck.enforced(),
+            s"CHECK constraint '${ck.name}': NOT ENFORCED is refused — the snapshot " +
+              "format records only constraints its writers actually hold")
+          (ck.name, ck.predicateSql())
+        case other2 => throw new UnsupportedOperationException(
+          s"only CHECK constraints are supported (got ${other2.getClass.getSimpleName}); " +
+            "PRIMARY KEY / UNIQUE / FOREIGN KEY are informational in most engines and " +
+            "refused here rather than recorded unenforced")
+      }
+    }
+    val droppedConstraints = changes.collect {
+      case dc: TableChange.DropConstraint => (dc.name(), dc.ifExists())
+    }
     val other = changes.filterNot(c =>
-      c.isInstanceOf[TableChange.AddColumn] || c.isInstanceOf[TableChange.UpdateColumnType])
+      c.isInstanceOf[TableChange.AddColumn] || c.isInstanceOf[TableChange.UpdateColumnType] ||
+        c.isInstanceOf[TableChange.AddConstraint] || c.isInstanceOf[TableChange.DropConstraint])
     if (other.nonEmpty) throw new UnsupportedOperationException(
-      s"only ADD COLUMNS and ALTER COLUMN … TYPE (safe widening) are supported through the " +
-        s"SQL catalog (got ${other.head.getClass.getSimpleName}); other schema changes are " +
-        "refused by the snapshot format")
+      s"only ADD COLUMNS, ALTER COLUMN … TYPE (safe widening), and ADD/DROP CHECK " +
+        s"constraints are supported through the SQL catalog (got " +
+        s"${other.head.getClass.getSimpleName}); other schema changes are refused by the " +
+        "snapshot format")
     if (added.nonEmpty) SnapshotTable.addColumns(spark, dir, StructType(added.toArray))
     // `ALTER COLUMN c TYPE t`: metadata-only safe widening; anything
     // outside the safe set is refused by name inside alterColumnType
     widened.foreach { case (name, to) => SnapshotTable.alterColumnType(spark, dir, name, to) }
+    addedConstraints.foreach { case (n, sql) =>
+      SnapshotTable.addCheckConstraint(spark, dir, n, sql) }
+    droppedConstraints.foreach { case (n, ifExists) =>
+      if (ifExists && !SnapshotTable.checkConstraints(spark, dir).contains(n)) ()
+      else SnapshotTable.dropCheckConstraint(spark, dir, n)
+    }
     new SnapshotV2Table(spark, dir, ident.toString, None)
   }
 
@@ -373,6 +404,21 @@ private[graft] class SnapshotV2Table(
     */
   override def metadataColumns(): Array[MetadataColumn] =
     Array(SnapshotMetadata.FileColumn)
+
+  /** The manifest's CHECK constraints surfaced through the DSv2 contract
+    * (`DESCRIBE` shows them; enforced = the engine refuses violating
+    * writes — which the transactional writers do; validated = existing
+    * data was scanned when each was added).
+    */
+  override def constraints(): Array[org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    manifest.constraints.getOrElse(Map.empty).toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql)
+        .enforced(true)
+        .validationStatus(
+          org.apache.spark.sql.connector.catalog.constraints.Constraint.ValidationStatus.VALID)
+        .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // Spark's own parquet DSv2 builder over the manifest-backed index:

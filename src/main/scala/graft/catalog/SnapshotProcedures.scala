@@ -85,13 +85,21 @@ private[graft] object SnapshotProcedures {
     extends SnapshotProcedure(resolveDir) {
     override def name(): String = "compact"
     override def description(): String =
-      "bin-pack the current snapshot's files toward target_file_bytes (one atomic commit)"
+      "bin-pack the current snapshot's files toward target_file_bytes (one atomic commit); " +
+        "only_files_below > 0 rewrites just the small/vectored tail (the 100 TB steady state)"
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
-      paramWithDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString))
+      paramWithDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString),
+      paramWithDefault("only_files_below", LongType, "-1"))
     override def call(input: InternalRow): JIterator[Scan] = {
       requireSet(input, 1, "target_file_bytes")
-      val (in, out) = SnapshotTable.compact(spark, dirOf(input), input.getLong(1))
+      requireSet(input, 2, "only_files_below")
+      val below = input.getLong(2) match {
+        case b if b > 0 => Some(b)
+        case _ => None
+      }
+      val (in, out) = SnapshotTable.compact(spark, dirOf(input), input.getLong(1),
+        onlyFilesBelow = below)
       result(StructType.fromDDL("files_before INT, files_after INT"), in, out)
     }
   }

@@ -146,7 +146,13 @@ object SnapshotTable {
       // entries — and [[readManifest]] resolves the full list (cached per
       // immutable segment), so every consumer above this line still sees
       // plain `entries`. None = pre-segmentation manifest (fully inline).
-      segments: Option[Seq[String]] = None)
+      segments: Option[Seq[String]] = None,
+      // CHECK constraints (name → boolean SQL predicate): carried verbatim
+      // across every commit like `txn`; every writer refuses a batch with
+      // a row where a predicate is FALSE (NULL passes — SQL CHECK
+      // semantics). Added only through [[addCheckConstraint]], which
+      // validates the EXISTING data first.
+      constraints: Option[Map[String, String]] = None)
 
   /** Wire form of one immutable manifest segment. */
   private case class SegmentFile(entries: Seq[FileEntry])
@@ -564,6 +570,7 @@ object SnapshotTable {
       val nUpdated = base.filter(hit).count()
       if (nUpdated == 0L) 0L
       else {
+        enforceOnBatch(spark, dir, Some(m), updated, s"UPDATE of $dir")
         val entries = writeData(spark, updated, dir)
         val removed = rewrite.map(_.path).toSet
         commitLoop(spark, dir, op = "update") { cur =>
@@ -792,6 +799,7 @@ object SnapshotTable {
             s"UPDATE cannot change column '${b.name}': " +
               s"${b.dataType.catalogString} -> ${u.dataType.catalogString}")
         }
+        enforceOnBatch(spark, dir, Some(m), updated, s"MoR UPDATE of $dir")
         val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
         val touched = writeDvBlobs(spark, dir, commitName,
           hit.select(col(PosFileCol), col(PosIdxCol)), candidates)
@@ -1002,11 +1010,98 @@ object SnapshotTable {
       Some((m.entries, txnOf(cur), Some(widened.toDDL)))
     }.get
 
+  // ------------------------------------------------- CHECK constraints
+
+  /** The CHECK constraints recorded at the current version. */
+  def checkConstraints(spark: SparkSession, dir: String): Map[String, String] =
+    currentManifest(spark, dir).flatMap(_.constraints).getOrElse(Map.empty)
+
+  /** Add a CHECK constraint (name → boolean SQL predicate) as a commit:
+    * from this version on, every write whose batch holds a row where the
+    * predicate is FALSE is refused by name (NULL passes — SQL CHECK
+    * semantics), across the Scala writers, SQL INSERT/UPDATE/MERGE, and
+    * the streaming sink. The EXISTING data is validated first (one scan):
+    * a table that already violates the predicate refuses the ALTER — a
+    * constraint that was never true is a lie, not metadata (Delta's ADD
+    * CONSTRAINT discipline). The predicate must analyze against the
+    * table's schema; resolution failures surface here, before any commit.
+    *
+    * @return the committed version
+    */
+  def addCheckConstraint(spark: SparkSession, dir: String,
+      name: String, predicateSql: String): Long = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint names are identifiers, got '$name'")
+    val m = snapshot(spark, dir)
+    // resolve loudly against the recorded schema (and pin boolean-ness —
+    // filter() rejects non-boolean conditions in analysis)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl.getOrElse(
+      throw new IllegalStateException(s"snapshot at $dir has no recorded schema")))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(expr(predicateSql)).queryExecution.assertAnalyzed()
+    // the existing rows must satisfy it (reads apply deletion vectors, so
+    // already-deleted rows cannot block a constraint)
+    enforceConstraints(spark,
+      readEntries(spark, dir, m.entries, m.schemaDdl), Map(name -> predicateSql),
+      s"existing data at $dir")
+    commitLoop(spark, dir, op = "alter", reviseConstraints = cur => {
+      val prior = cur.getOrElse(Map.empty)
+      require(!prior.contains(name),
+        s"CHECK constraint '$name' already exists on $dir (drop it first)")
+      Some(prior + (name -> predicateSql))
+    }) { cur =>
+      val base = cur.getOrElse(throw new IllegalStateException(
+        s"no snapshot table at $dir to alter"))
+      Some((base.entries, txnOf(cur), base.schemaDdl))
+    }.get
+  }
+
+  /** Drop a CHECK constraint by name (refuses unknown names loudly). */
+  def dropCheckConstraint(spark: SparkSession, dir: String, name: String): Long =
+    commitLoop(spark, dir, op = "alter", reviseConstraints = cur => {
+      val prior = cur.getOrElse(Map.empty)
+      require(prior.contains(name),
+        s"no CHECK constraint '$name' on $dir (have: ${prior.keys.toSeq.sorted.mkString(", ")})")
+      Some(prior - name)
+    }) { cur =>
+      val base = cur.getOrElse(throw new IllegalStateException(
+        s"no snapshot table at $dir to alter"))
+      Some((base.entries, txnOf(cur), base.schemaDdl))
+    }.get
+
+  /** Refuse `df` if any row violates any of `constraints` — ONE pass
+    * computing every violation count (predicate FALSE; NULL passes),
+    * reporting all violated constraints by name. No-op for the common
+    * empty set.
+    */
+  private[catalog] def enforceConstraints(spark: SparkSession, df: DataFrame,
+      constraints: Map[String, String], what: String): Unit = {
+    if (constraints.isEmpty) return
+    val names = constraints.keys.toSeq.sorted
+    val aggs = names.map(n =>
+      sum(when(!coalesce(expr(constraints(n)), lit(true)), 1L).otherwise(0L)).as(n))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val violated = names.zipWithIndex
+      .map { case (n, i) => n -> (if (row.isNullAt(i)) 0L else row.getLong(i)) }
+      .filter(_._2 > 0)
+    if (violated.nonEmpty) throw new IllegalArgumentException(
+      s"CHECK constraint violation in $what: " + violated.map { case (n, c) =>
+        s"'$n' (${constraints(n)}) fails for $c row(s)" }.mkString("; "))
+  }
+
+  /** [[enforceConstraints]] for the current table state against an
+    * incoming batch — the writer-side gate.
+    */
+  private def enforceOnBatch(spark: SparkSession, dir: String,
+      cur: Option[Manifest], df: DataFrame, what: String): Unit =
+    cur.flatMap(_.constraints).foreach(cs => enforceConstraints(spark, df, cs, what))
+
   /** Create or replace the table with `df` as a single new snapshot. Txn
     * markers are preserved: replacing contents must not make a streaming
     * writer's committed batches look uncommitted.
     */
   def write(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    enforceOnBatch(spark, dir, currentManifest(spark, dir), df, s"replace of $dir")
     val entries = writeData(spark, df, dir)
     // replace semantics: the new contents DEFINE the schema (no merge) and
     // a raced replace serializes last — txn markers are still taken from
@@ -1032,12 +1127,19 @@ object SnapshotTable {
     * (REPLACE TABLE AS SELECT), preserving txn markers like [[write]].
     */
   private[graft] def commitStaged(spark: SparkSession, dir: String,
-      entries: Seq[FileEntry], schemaDdl: String, createOnly: Boolean): Long =
+      entries: Seq[FileEntry], schemaDdl: String, createOnly: Boolean): Long = {
+    // RTAS keeps the table's constraints (they are durable table
+    // definition, like txn markers) — so the staged result must satisfy
+    // them; a refusal aborts to nothing, the staged files stay invisible
+    currentManifest(spark, dir).flatMap(_.constraints).foreach(cs =>
+      enforceConstraints(spark, readEntries(spark, dir, entries, Some(schemaDdl)),
+        cs, s"REPLACE TABLE AS SELECT of $dir"))
     commitLoop(spark, dir, op = "write") { cur =>
       if (createOnly && cur.isDefined) throw new IllegalStateException(
         s"snapshot table at $dir was created concurrently; aborting staged create")
       Some((entries, txnOf(cur), Some(schemaDdl)))
     }.get
+  }
 
   /** Delete staged-but-never-published files (CTAS abort): removes the
     * per-commit directories the staged entries live in. Nothing else can
@@ -1059,6 +1161,7 @@ object SnapshotTable {
     * NULL there.
     */
   def append(spark: SparkSession, df: DataFrame, dir: String): Long = {
+    enforceOnBatch(spark, dir, currentManifest(spark, dir), df, s"append to $dir")
     val entries = writeData(spark, df, dir)
     // an append conflicts with nothing: rebasing over ANY winner is just
     // re-listing its entries (and re-merging schema), so raced appends all
@@ -1084,6 +1187,8 @@ object SnapshotTable {
     // cheap pre-check: skip writing data files for a batch already recorded
     if (txnOf(currentManifest(spark, dir)).get(appId).exists(_ >= batchId)) false
     else {
+      enforceOnBatch(spark, dir, currentManifest(spark, dir), df,
+        s"exactly-once append of batch $batchId to $dir")
       val entries = writeData(spark, df, dir)
       // the watermark re-check runs INSIDE the commit loop, against the
       // manifest the CAS will publish over — two racing deliveries of the
@@ -1110,7 +1215,13 @@ object SnapshotTable {
     */
   private[graft] def appendEntriesExactlyOnce(spark: SparkSession, dir: String,
       entries: Seq[FileEntry], schema: org.apache.spark.sql.types.StructType,
-      appId: String, batchId: Long): Boolean =
+      appId: String, batchId: Long): Boolean = {
+    // the epoch's files are already on disk (executors wrote them) but
+    // unreferenced — validating by reading them back costs one pass over
+    // the BATCH, and a refusal leaves only vacuum-reclaimable orphans
+    currentManifest(spark, dir).flatMap(_.constraints).foreach(cs =>
+      enforceConstraints(spark, readEntries(spark, dir, entries, Some(schema.toDDL)),
+        cs, s"streaming epoch $batchId into $dir"))
     commitLoop(spark, dir, op = "append") { cur =>
       if (txnOf(cur).get(appId).exists(_ >= batchId)) None
       else {
@@ -1119,6 +1230,7 @@ object SnapshotTable {
           txnOf(cur) + (appId -> batchId), Some(merged.toDDL)))
       }
     }.isDefined
+  }
 
   /** CDC-style incremental read: the rows of files ADDED between
     * `fromVersion` (exclusive; 0 = before the first commit) and `toVersion`
@@ -1206,6 +1318,7 @@ object SnapshotTable {
             Some((entries, Map.empty[String, Long], Some(batch.schema.toDDL)))
           }.get
         case Some(m) =>
+          enforceOnBatch(spark, dir, Some(m), batch, s"merge into $dir")
           val touched = batch.select(col("dt").cast("string")).distinct()
             .collect().map(_.getString(0)).sorted
           val rewrite = m.entries.filter(e => (e.minDt, e.maxDt) match {
@@ -1267,24 +1380,42 @@ object SnapshotTable {
     */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      layout: Option[DataFrame => DataFrame] = None): (Int, Int) = {
+      layout: Option[DataFrame => DataFrame] = None,
+      // BINPACK mode (Delta's OPTIMIZE default, Iceberg's
+      // rewrite_data_files BIN_PACK): rewrite ONLY files smaller than this
+      // bound — plus any file carrying a deletion vector, which compaction
+      // exists to purge — and carry every already-well-sized clean file by
+      // reference. At 100 TB a full rewrite is a non-starter; the steady-
+      // state maintenance op touches the append-fragmented tail only, so
+      // its cost tracks the fragmentation, not the table. None = rewrite
+      // everything (the layout-clustering form).
+      onlyFilesBelow: Option[Long] = None): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    onlyFilesBelow.foreach(b => require(b > 0, s"onlyFilesBelow must be positive, got $b"))
     retryingRewrite(dir) {
       val m = snapshot(spark, dir)
-      val totalBytes = m.entries.map(_.bytes).sum
+      val (rewrite, carried) = onlyFilesBelow match {
+        case None => (m.entries, Seq.empty[FileEntry])
+        case Some(bound) => m.entries.partition(e => e.bytes < bound || e.dv.isDefined)
+      }
+      // nothing to gain: one clean candidate merges with nothing (a lone
+      // vectored file still rewrites — purging the vector IS the gain)
+      if (rewrite.isEmpty || (rewrite.length == 1 && rewrite.head.dv.isEmpty))
+        return (m.entries.length, m.entries.length)
+      val totalBytes = rewrite.map(_.bytes).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      val base = readEntries(spark, dir, m.entries, m.schemaDdl)
+      val base = readEntries(spark, dir, rewrite, m.schemaDdl)
       val arranged = layout.fold(base.repartition(nOut))(_.apply(base))
       val entries = writeData(spark, arranged, dir)
-      // a compaction reads EVERY base file, so any concurrent rewrite
-      // conflicts; concurrent appends rebase — their files ride along
-      // uncompacted until the next compact
-      val basePaths = m.entries.map(_.path).toSet
+      // a compaction reads every REWRITTEN file, so a concurrent rewrite of
+      // one conflicts; concurrent appends — and, in binpack mode, rewrites
+      // of CARRIED files — rebase, their files ride along until next time
+      val rewritePaths = rewrite.map(_.path).toSet
       commitLoop(spark, dir, op = "compact") { cur =>
-        Some((rebasedEntries(dir, Some(m), cur, basePaths, basePaths, entries),
+        Some((rebasedEntries(dir, Some(m), cur, rewritePaths, rewritePaths, entries),
           txnOf(cur), cur.flatMap(_.schemaDdl).orElse(m.schemaDdl)))
       }
-      (m.entries.length, entries.length)
+      (m.entries.length, carried.length + entries.length)
     }
   }
 
@@ -1428,7 +1559,14 @@ object SnapshotTable {
     */
   private[catalog] def commitRewrite(spark: SparkSession, dir: String, op: String,
       base: Manifest, read: Set[String], removed: Set[String],
-      added: Seq[FileEntry], conflictOnAdds: Boolean = false): Option[Long] =
+      added: Seq[FileEntry], conflictOnAdds: Boolean = false): Option[Long] = {
+    // SQL UPDATE/MERGE replacements were written by executors before any
+    // constraint could look at them — validate the written files (one
+    // pass over the REWRITE, not the table); refusal leaves invisible
+    // orphans for vacuum
+    base.constraints.foreach(cs =>
+      enforceConstraints(spark, readEntries(spark, dir, added, base.schemaDdl),
+        cs, s"row-level $op of $dir"))
     commitLoop(spark, dir, op) { cur =>
       if (conflictOnAdds) {
         val addedSince = cur.map(_.entries.map(_.path).toSet).getOrElse(Set.empty) --
@@ -1441,6 +1579,7 @@ object SnapshotTable {
       Some((rebasedEntries(dir, Some(base), cur, read, removed, added),
         txnOf(cur), cur.flatMap(_.schemaDdl).orElse(base.schemaDdl)))
     }
+  }
 
   /** The filesystem-qualified table directory — the ONE form every
     * `_file`-to-manifest-path comparison must agree on (the FileIndex, the
@@ -1506,7 +1645,11 @@ object SnapshotTable {
     * [[SnapshotConflictException]] from `mk` propagates to
     * [[retryingRewrite]]. Returns the committed version, None if abandoned.
     */
-  private def commitLoop(spark: SparkSession, dir: String, op: String)(
+  private def commitLoop(spark: SparkSession, dir: String, op: String,
+      // how this commit transforms the carried constraint set: identity
+      // for every DML commit (constraints ride along like txn markers);
+      // the ALTER paths pass an updater
+      reviseConstraints: Option[Map[String, String]] => Option[Map[String, String]] = identity)(
       mk: Option[Manifest] => Option[(Seq[FileEntry], Map[String, Long], Option[String])])
       : Option[Long] = {
     val fs = fsFor(spark, dir)
@@ -1532,7 +1675,9 @@ object SnapshotTable {
           // orphan harmlessly until vacuum
           val (inline, segs) = planWire(fs, spark, dir, cur, entries)
           val m = Manifest(version, inline, if (txn.isEmpty) None else Some(txn), schemaDdl,
-            op = Some(op), commitTimeMs = Some(stamp), segments = segs)
+            op = Some(op), commitTimeMs = Some(stamp), segments = segs,
+            constraints = reviseConstraints(cur.flatMap(_.constraints))
+              .filter(_.nonEmpty))
           if (tryPublish(fs, dir, m)) return Some(version)
       }
     }
