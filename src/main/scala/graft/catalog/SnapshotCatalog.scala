@@ -199,12 +199,33 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
       .map(f => Identifier.of(namespace, f.getName))
   }
 
+  /** `PARTITIONED BY (col, …)` → the snapshot format's identity partition
+    * spec. Only identity transforms are accepted; bucket/truncate/days are
+    * refused loudly rather than silently dropped — a user who asked for a
+    * layout must get it or an error, never an unpartitioned table wearing
+    * the DDL.
+    */
+  private def identityPartitionCols(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.map {
+      case t if t.name == "identity" && t.references.length == 1 =>
+        val fieldNames = t.references.head.fieldNames
+        require(fieldNames.length == 1,
+          s"snapshot schemas are flat; cannot partition by nested field " +
+            fieldNames.mkString("."))
+        fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"snapshot tables support IDENTITY partitioning only (got $other); " +
+          "bucket/truncate/time transforms are not implemented — partition on a " +
+          "materialized column instead")
+    }
+
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     val dir = dirFor(ident)
     if (SnapshotTable.exists(spark, dir)) throw new TableAlreadyExistsException(ident)
     val schema = CatalogShims.columnsToStructType(info.columns)
     SnapshotTable.write(spark, spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), dir)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), dir,
+      partitionCols = Some(identityPartitionCols(info.partitions)))
     new SnapshotV2Table(spark, dir, ident.toString, None)
   }
 
@@ -213,7 +234,8 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     val dir = dirFor(ident)
     if (SnapshotTable.exists(spark, dir)) throw new TableAlreadyExistsException(ident)
     SnapshotTable.write(spark, spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), dir)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), dir,
+      partitionCols = Some(identityPartitionCols(partitions)))
     new SnapshotV2Table(spark, dir, ident.toString, None)
   }
 
@@ -231,7 +253,8 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     val dir = dirFor(ident)
     if (SnapshotTable.exists(spark, dir)) throw new TableAlreadyExistsException(ident)
     new StagedSnapshotTable(spark, dir, ident.toString,
-      CatalogShims.columnsToStructType(columns), createOnly = true)
+      CatalogShims.columnsToStructType(columns), createOnly = true,
+      partitionCols = identityPartitionCols(partitions))
   }
 
   /** Atomic `REPLACE TABLE … AS SELECT`: old snapshot stays readable (and
@@ -243,13 +266,15 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     val dir = dirFor(ident)
     if (!SnapshotTable.exists(spark, dir)) throw new NoSuchTableException(ident)
     new StagedSnapshotTable(spark, dir, ident.toString,
-      CatalogShims.columnsToStructType(columns), createOnly = false)
+      CatalogShims.columnsToStructType(columns), createOnly = false,
+      partitionCols = identityPartitionCols(partitions))
   }
 
   override def stageCreateOrReplace(ident: Identifier, columns: Array[V2Column],
       partitions: Array[Transform], properties: util.Map[String, String]): StagedTable =
     new StagedSnapshotTable(spark, dirFor(ident), ident.toString,
-      CatalogShims.columnsToStructType(columns), createOnly = false)
+      CatalogShims.columnsToStructType(columns), createOnly = false,
+      partitionCols = identityPartitionCols(partitions))
 
   /** `ALTER TABLE … ADD COLUMNS`: additive evolution as a metadata-only
     * commit ([[SnapshotTable.addColumns]] — zero data files touched,
@@ -386,6 +411,14 @@ private[graft] class SnapshotV2Table(
 
   override def version(): String = manifest.version.toString
 
+  /** The manifest's identity partition spec, surfaced through the DSv2
+    * contract: `DESCRIBE` shows it, and `INSERT OVERWRITE … PARTITION
+    * (col = v)` resolves static partition values against it.
+    */
+  override def partitioning(): Array[Transform] =
+    manifest.partitionCols.getOrElse(Seq.empty)
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -396,7 +429,9 @@ private[graft] class SnapshotV2Table(
       "location" -> dir,
       "snapshot.version" -> manifest.version.toString,
       "snapshot.numFiles" -> manifest.entries.size.toString,
-      "snapshot.sizeBytes" -> manifest.entries.map(_.bytes).sum.toString).asJava
+      "snapshot.sizeBytes" -> manifest.entries.map(_.bytes).sum.toString,
+      "snapshot.partitionColumns" ->
+        manifest.partitionCols.getOrElse(Seq.empty).mkString(",")).asJava
 
   /** The `_file` metadata column (row → its data file's path): provenance
     * for users, and the required metadata attribute of the row-level
@@ -533,7 +568,8 @@ private[graft] class SnapshotV2Table(
   */
 private[graft] class StagedSnapshotTable(
     spark: SparkSession, dir: String, identName: String,
-    declared: StructType, createOnly: Boolean)
+    declared: StructType, createOnly: Boolean,
+    partitionCols: Seq[String] = Seq.empty)
   extends StagedTable with SupportsWrite {
 
   // staged state: entries written by insert(), and the schema they carry
@@ -555,7 +591,7 @@ private[graft] class StagedSnapshotTable(
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation = new InsertableRelation {
           override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-            staged = SnapshotTable.stageData(data.sparkSession, data, dir)
+            staged = SnapshotTable.stageData(data.sparkSession, data, dir, partitionCols)
             stagedSchema = data.schema
           }
         }
@@ -563,7 +599,8 @@ private[graft] class StagedSnapshotTable(
     }
 
   override def commitStagedChanges(): Unit =
-    SnapshotTable.commitStaged(spark, dir, staged, stagedSchema.toDDL, createOnly)
+    SnapshotTable.commitStaged(spark, dir, staged, stagedSchema.toDDL, createOnly,
+      partitionCols)
 
   override def abortStagedChanges(): Unit =
     SnapshotTable.abortStaged(spark, dir, staged)

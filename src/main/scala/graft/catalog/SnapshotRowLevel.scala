@@ -267,7 +267,12 @@ private[catalog] class CowBatchWrite(op: SnapshotCowOperation, writeSchema: Stru
     // candidate set empty AND nothing written (e.g. a MERGE whose inserts
     // all filtered away): a true no-op, don't publish an empty version
     if (planned.rewrite.isEmpty && added.isEmpty) return
-    val entries = SnapshotTable.entriesFromFooters(op.spark, op.dir, added, writeSchema)
+    // rewritten files land hash-clustered, not partition-routed (the
+    // executor-direct write has no dynamic routing); partition-column
+    // stats still bound them for pruning, and compaction restores the
+    // one-value-per-file layout
+    val entries = SnapshotTable.entriesFromFooters(op.spark, op.dir, added, writeSchema,
+      priority = op.pinnedManifest.partitionCols.getOrElse(Seq.empty))
     val removed = planned.rewrite.map(_.path).toSet
     // MERGE made insert-vs-update decisions against the pinned base: a
     // concurrently ADDED file may hold a key this merge just inserted, so
@@ -407,7 +412,8 @@ private[catalog] class SnapshotStreamingWrite(
     // empty epochs commit nothing: appends are idempotent, so not
     // advancing the marker is harmless and saves a version per idle tick
     if (added.isEmpty) return
-    val entries = SnapshotTable.entriesFromFooters(spark, dir, added, writeSchema)
+    val entries = SnapshotTable.entriesFromFooters(spark, dir, added, writeSchema,
+      priority = SnapshotTable.partitionColumns(spark, dir))
     SnapshotTable.appendEntriesExactlyOnce(
       spark, dir, entries, writeSchema, appId = s"dsv2-$qid", batchId = epochId)
   }

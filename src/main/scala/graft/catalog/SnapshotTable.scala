@@ -152,7 +152,17 @@ object SnapshotTable {
       // a row where a predicate is FALSE (NULL passes — SQL CHECK
       // semantics). Added only through [[addCheckConstraint]], which
       // validates the EXISTING data first.
-      constraints: Option[Map[String, String]] = None)
+      constraints: Option[Map[String, String]] = None,
+      // IDENTITY partition columns (Hive/Iceberg identity transform): every
+      // batch writer routes rows through a partitioned layout so each data
+      // file holds EXACTLY ONE value combination of these columns — which
+      // makes the footer min/max stats exact (lo == hi) and manifest-level
+      // pruning on partition predicates byte-precise, with zero reader
+      // changes (the columns stay IN the files; the directory layout is
+      // just routing). Carried verbatim across commits like `txn`; set at
+      // create/replace time only. None/empty = unpartitioned (every
+      // pre-field manifest).
+      partitionCols: Option[Seq[String]] = None)
 
   /** Wire form of one immutable manifest segment. */
   private case class SegmentFile(entries: Seq[FileEntry])
@@ -522,7 +532,7 @@ object SnapshotTable {
       else {
         val base = readEntries(spark, dir, rewrite, m.schemaDdl)
         val survivors = base.filter(!coalesce(pred, lit(false)))
-        val entries = writeData(spark, survivors, dir)
+        val entries = writeData(spark, survivors, dir, m.partitionCols.getOrElse(Seq.empty))
         // live-row accounting: the base read already dropped DV-deleted
         // rows, so the survivors compare against LIVE counts
         val deleted = rewrite.map(liveRows).sum - entries.map(_.rows).sum
@@ -571,7 +581,7 @@ object SnapshotTable {
       if (nUpdated == 0L) 0L
       else {
         enforceOnBatch(spark, dir, Some(m), updated, s"UPDATE of $dir")
-        val entries = writeData(spark, updated, dir)
+        val entries = writeData(spark, updated, dir, m.partitionCols.getOrElse(Seq.empty))
         val removed = rewrite.map(_.path).toSet
         commitLoop(spark, dir, op = "update") { cur =>
           Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
@@ -806,7 +816,7 @@ object SnapshotTable {
         if (touched.isEmpty) 0L
         else {
           val nUpdated = touched.map(t => t.dv.deleted - t.priorDeleted).sum
-          val newEntries = writeData(spark, updated, dir)
+          val newEntries = writeData(spark, updated, dir, m.partitionCols.getOrElse(Seq.empty))
           val byPath = touched.map(t => t.path -> t).toMap
           commitLoop(spark, dir, op = "update") { cur =>
             val curEntries = cur.map(_.entries).getOrElse(Seq.empty)
@@ -1100,13 +1110,23 @@ object SnapshotTable {
     * markers are preserved: replacing contents must not make a streaming
     * writer's committed batches look uncommitted.
     */
-  def write(spark: SparkSession, df: DataFrame, dir: String): Long = {
+  def write(spark: SparkSession, df: DataFrame, dir: String,
+      // Some(cols) (re)defines the identity partition spec — create and
+      // REPLACE TABLE set it exactly like they set the schema; None keeps
+      // whatever the table already has (Seq.empty inside Some =
+      // un-partition)
+      partitionCols: Option[Seq[String]] = None): Long = {
+    val pcols = partitionCols
+      .orElse(currentManifest(spark, dir).flatMap(_.partitionCols)).getOrElse(Seq.empty)
+    if (pcols.nonEmpty) validatePartitioning(df.schema, pcols, s"replace of $dir")
     enforceOnBatch(spark, dir, currentManifest(spark, dir), df, s"replace of $dir")
-    val entries = writeData(spark, df, dir)
+    val entries = writeData(spark, df, dir, pcols)
     // replace semantics: the new contents DEFINE the schema (no merge) and
     // a raced replace serializes last — txn markers are still taken from
     // the manifest current at publish time so no committed batch id is lost
-    commitLoop(spark, dir, op = "write")(cur => Some((entries, txnOf(cur), Some(df.schema.toDDL)))).get
+    commitLoop(spark, dir, op = "write",
+      revisePartitioning = _ => Some(pcols))(
+      cur => Some((entries, txnOf(cur), Some(df.schema.toDDL)))).get
   }
 
   /** Stage `df`'s data files WITHOUT publishing — the atomic-CTAS seam.
@@ -1116,8 +1136,9 @@ object SnapshotTable {
     * caller later publishes via [[commitStaged]] or discards via
     * [[abortStaged]].
     */
-  private[graft] def stageData(spark: SparkSession, df: DataFrame, dir: String): Seq[FileEntry] =
-    writeData(spark, df, dir)
+  private[graft] def stageData(spark: SparkSession, df: DataFrame, dir: String,
+      pcols: Seq[String] = Seq.empty): Seq[FileEntry] =
+    writeData(spark, df, dir, pcols)
 
   /** Publish previously staged entries. `createOnly` makes this the commit
     * half of an atomic CREATE TABLE AS SELECT: it refuses (inside the CAS
@@ -1127,14 +1148,17 @@ object SnapshotTable {
     * (REPLACE TABLE AS SELECT), preserving txn markers like [[write]].
     */
   private[graft] def commitStaged(spark: SparkSession, dir: String,
-      entries: Seq[FileEntry], schemaDdl: String, createOnly: Boolean): Long = {
+      entries: Seq[FileEntry], schemaDdl: String, createOnly: Boolean,
+      partitionCols: Seq[String] = Seq.empty): Long = {
     // RTAS keeps the table's constraints (they are durable table
     // definition, like txn markers) — so the staged result must satisfy
     // them; a refusal aborts to nothing, the staged files stay invisible
     currentManifest(spark, dir).flatMap(_.constraints).foreach(cs =>
       enforceConstraints(spark, readEntries(spark, dir, entries, Some(schemaDdl)),
         cs, s"REPLACE TABLE AS SELECT of $dir"))
-    commitLoop(spark, dir, op = "write") { cur =>
+    commitLoop(spark, dir, op = "write",
+      // CTAS/RTAS define the partition spec like they define the schema
+      revisePartitioning = _ => Some(partitionCols)) { cur =>
       if (createOnly && cur.isDefined) throw new IllegalStateException(
         s"snapshot table at $dir was created concurrently; aborting staged create")
       Some((entries, txnOf(cur), Some(schemaDdl)))
@@ -1148,7 +1172,9 @@ object SnapshotTable {
   private[graft] def abortStaged(spark: SparkSession, dir: String,
       entries: Seq[FileEntry]): Unit = {
     val fs = fsFor(spark, dir)
-    entries.map(e => new Path(dir, e.path).getParent).distinct
+    // delete the TOP-LEVEL per-commit directory (first path segment):
+    // partitioned stages nest files under value directories below it
+    entries.map(e => new Path(dir, e.path.split('/').head)).distinct
       .foreach(d => if (fs.exists(d)) fs.delete(d, true))
     val root = new Path(dir)
     if (fs.exists(root) && fs.listStatus(root).isEmpty) fs.delete(root, false)
@@ -1162,7 +1188,7 @@ object SnapshotTable {
     */
   def append(spark: SparkSession, df: DataFrame, dir: String): Long = {
     enforceOnBatch(spark, dir, currentManifest(spark, dir), df, s"append to $dir")
-    val entries = writeData(spark, df, dir)
+    val entries = writeData(spark, df, dir, partitionColumns(spark, dir))
     // an append conflicts with nothing: rebasing over ANY winner is just
     // re-listing its entries (and re-merging schema), so raced appends all
     // land — no lost update
@@ -1189,7 +1215,7 @@ object SnapshotTable {
     else {
       enforceOnBatch(spark, dir, currentManifest(spark, dir), df,
         s"exactly-once append of batch $batchId to $dir")
-      val entries = writeData(spark, df, dir)
+      val entries = writeData(spark, df, dir, partitionColumns(spark, dir))
       // the watermark re-check runs INSIDE the commit loop, against the
       // manifest the CAS will publish over — two racing deliveries of the
       // same batch reduce to one commit and one abandoned attempt whose
@@ -1334,7 +1360,7 @@ object SnapshotTable {
           // whose types a batch silently widened would poison every
           // subsequent read
           mergeSchemas(priorSchema(spark, dir, Some(m)), out.schema)
-          val entries = writeData(spark, out, dir)
+          val entries = writeData(spark, out, dir, m.partitionCols.getOrElse(Seq.empty))
           val removed = rewrite.map(_.path).toSet
           val basePaths = m.entries.map(_.path).toSet
           commitLoop(spark, dir, op = "merge") { cur =>
@@ -1406,7 +1432,9 @@ object SnapshotTable {
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
       val base = readEntries(spark, dir, rewrite, m.schemaDdl)
       val arranged = layout.fold(base.repartition(nOut))(_.apply(base))
-      val entries = writeData(spark, arranged, dir)
+      // partitioned tables re-route through the partition layout: binpack
+      // merging never mixes partition values into one file
+      val entries = writeData(spark, arranged, dir, m.partitionCols.getOrElse(Seq.empty))
       // a compaction reads every REWRITTEN file, so a concurrent rewrite of
       // one conflicts; concurrent appends — and, in binpack mode, rewrites
       // of CARRIED files — rebase, their files ride along until next time
@@ -1452,20 +1480,26 @@ object SnapshotTable {
       m.entries.map(_.path) ++ m.entries.flatMap(_.dv.map(_.path))).toSet
     val liveSegs: Set[String] = keptManifests.flatMap(_.segments.getOrElse(Seq.empty)).toSet
     val root = new Path(dir)
+    val rootUri = fs.makeQualified(root).toUri
     var deleted = 0
-    // data files live one level down, in per-commit subdirectories
-    fs.listStatus(root).filter(st => st.isDirectory && st.getPath.getName != LogDirName)
-      .foreach { d =>
-        val children = fs.listStatus(d.getPath)
-        children.foreach { f =>
-          val rel = s"${d.getPath.getName}/${f.getPath.getName}"
-          val isData = f.isFile && f.getPath.getName.endsWith(".parquet")
+    // data files live under per-commit subdirectories — NESTED below
+    // partition-value directories when the table is partitioned, so the
+    // walk is recursive and empty directories prune bottom-up after
+    def sweep(d: Path): Unit = {
+      fs.listStatus(d).foreach { f =>
+        if (f.isDirectory) sweep(f.getPath)
+        else {
+          val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+          val isData = f.getPath.getName.endsWith(".parquet")
           val aged = f.getModificationTime <= cutoff
           if (isData && !live.contains(rel) && aged) { fs.delete(f.getPath, false); deleted += 1 }
-          else if (f.isFile && !isData && !live.contains(rel) && aged) fs.delete(f.getPath, false)
+          else if (!isData && !live.contains(rel) && aged) fs.delete(f.getPath, false)
         }
-        if (fs.listStatus(d.getPath).isEmpty) fs.delete(d.getPath, false)
       }
+      if (fs.listStatus(d).isEmpty) fs.delete(d, false)
+    }
+    fs.listStatus(root).filter(st => st.isDirectory && st.getPath.getName != LogDirName)
+      .foreach(d => sweep(d.getPath))
     expired.foreach { case (_, p) => fs.delete(p, false) }
     // crash leftovers: unpublished temp manifests — same grace, a fresh
     // .tmp may be a concurrent tryPublish between create and rename —
@@ -1490,16 +1524,93 @@ object SnapshotTable {
     * sizes. Files are invisible to every reader until a manifest that
     * lists them is committed.
     */
-  private def writeData(spark: SparkSession, df: DataFrame, dir: String): Seq[FileEntry] = {
+  private def writeData(spark: SparkSession, df: DataFrame, dir: String,
+      pcols: Seq[String] = Seq.empty): Seq[FileEntry] = {
     val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
     val commitDir = new Path(dir, commitName)
-    df.write.parquet(commitDir.toString)
+    if (pcols.isEmpty) df.write.parquet(commitDir.toString)
+    else {
+      // identity partition routing: partitionBy on DUPLICATED columns
+      // (`__p_<col>`), so the originals stay IN the data files (readers
+      // never reconstruct values from paths) while the duplicates become
+      // the directory layout that guarantees one partition-value
+      // combination per file — making footer min/max stats exact and
+      // partition-predicate pruning byte-precise
+      validatePartitioning(df.schema, pcols, s"write into partitioned table at $dir")
+      val routed = pcols.foldLeft(df)((d, c) => d.withColumn(s"$PartDupPrefix$c", col(s"`$c`")))
+      routed.write.partitionBy(pcols.map(c => s"$PartDupPrefix$c"): _*)
+        .parquet(commitDir.toString)
+    }
     val fs = fsFor(spark, dir)
-    val rel = fs.listStatus(commitDir)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => (s"$commitName/${st.getPath.getName}", st.getLen)).toSeq
-    entriesFromFooters(spark, dir, rel, df.schema)
+    val rel = listDataFiles(fs, new Path(dir), commitDir)
+    entriesFromFooters(spark, dir, rel, df.schema, priority = pcols)
   }
+
+  /** Duplicate-column prefix the partition routing writes directories
+    * under (`c-…/__p_dt=2024-01-02/part-….parquet`). Never appears in any
+    * schema or file: purely a layout artifact.
+    */
+  private[catalog] val PartDupPrefix = "__p_"
+
+  /** All `.parquet` files under `commitDir` (recursively — partitioned
+    * writes nest them under value directories) as (path relative to
+    * `root`, length), deterministically ordered.
+    */
+  private def listDataFiles(fs: FileSystem, root: Path, commitDir: Path): Seq[(String, Long)] = {
+    if (!fs.exists(commitDir)) return Seq.empty
+    val rootUri = fs.makeQualified(root).toUri
+    val out = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val it = fs.listFiles(commitDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rel = rootUri.relativize(fs.makeQualified(st.getPath).toUri).getPath
+        out += ((rel, st.getLen))
+      }
+    }
+    out.sortBy(_._1).toSeq
+  }
+
+  /** Types an identity partition column may have: exactly the set where a
+    * file-level `lo == hi` bound PROVES every row holds that value —
+    * strings/dates compare as their stored form, integrals are exact in
+    * the double-stat domain below 2^53, booleans/timestamps likewise.
+    * Float/double/decimal are refused (rounding makes bounds ambiguous —
+    * and partitioning on continuous values is a layout smell anyway).
+    */
+  private def partitionableType(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.StringType | org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.BooleanType | org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  /** Refuse loudly when `pcols` don't all exist in `schema` with a
+    * partitionable type — a partitioned table's batches must always carry
+    * their partition columns (an appended batch can evolve OTHER columns,
+    * never drop the routing ones).
+    */
+  private[catalog] def validatePartitioning(schema: org.apache.spark.sql.types.StructType,
+      pcols: Seq[String], what: String): Unit = {
+    require(pcols.distinct.lengthCompare(pcols.length) == 0,
+      s"$what: duplicate partition columns in ${pcols.mkString(", ")}")
+    pcols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+        s"$what: partition column '$c' is missing from the batch schema " +
+          s"(${schema.fieldNames.mkString(", ")}) — every write into a partitioned table " +
+          "must carry its partition columns"))
+      require(partitionableType(f.dataType),
+        s"$what: partition column '$c' has type ${f.dataType.catalogString}; identity " +
+          "partitioning supports string/date/timestamp/boolean/integral columns only " +
+          "(float/double/decimal bounds round, so files could not be pruned exactly)")
+    }
+  }
+
+  /** The table's identity partition columns (empty = unpartitioned). */
+  def partitionColumns(spark: SparkSession, dir: String): Seq[String] =
+    currentManifest(spark, dir).flatMap(_.partitionCols).getOrElse(Seq.empty)
 
   /** [[FileEntry]]s (row counts + per-column stats from parquet FOOTERS)
     * for already-written data files: `files` = (path relative to `dir`,
@@ -1513,10 +1624,15 @@ object SnapshotTable {
     */
   private[catalog] def entriesFromFooters(spark: SparkSession, dir: String,
       files: Seq[(String, Long)],
-      schema: org.apache.spark.sql.types.StructType): Seq[FileEntry] = {
+      schema: org.apache.spark.sql.types.StructType,
+      // columns whose stats must survive the MaxStatCols cap regardless of
+      // schema position (partition columns: pruning correctness at the
+      // manifest level depends on their bounds being present)
+      priority: Seq[String] = Seq.empty): Seq[FileEntry] = {
     if (files.isEmpty) return Seq.empty
-    val statFields = schema.fields
-      .filter(f => FileStats.eligible(f.dataType)).take(FileStats.MaxStatCols).toSeq
+    val eligible = schema.fields.filter(f => FileStats.eligible(f.dataType)).toSeq
+    val (front, rest) = eligible.partition(f => priority.contains(f.name))
+    val statFields = (front ++ rest).take(FileStats.MaxStatCols)
     val conf = spark.sparkContext.hadoopConfiguration
     // footer reads are independent metadata fetches: overlap them (matters
     // on object stores where each is a round trip, harmless locally)
@@ -1649,7 +1765,11 @@ object SnapshotTable {
       // how this commit transforms the carried constraint set: identity
       // for every DML commit (constraints ride along like txn markers);
       // the ALTER paths pass an updater
-      reviseConstraints: Option[Map[String, String]] => Option[Map[String, String]] = identity)(
+      reviseConstraints: Option[Map[String, String]] => Option[Map[String, String]] = identity,
+      // how this commit transforms the partition spec: identity for every
+      // DML commit; create/replace pass a setter (RTAS re-defines
+      // partitioning exactly like it re-defines the schema)
+      revisePartitioning: Option[Seq[String]] => Option[Seq[String]] = identity)(
       mk: Option[Manifest] => Option[(Seq[FileEntry], Map[String, Long], Option[String])])
       : Option[Long] = {
     val fs = fsFor(spark, dir)
@@ -1677,6 +1797,8 @@ object SnapshotTable {
           val m = Manifest(version, inline, if (txn.isEmpty) None else Some(txn), schemaDdl,
             op = Some(op), commitTimeMs = Some(stamp), segments = segs,
             constraints = reviseConstraints(cur.flatMap(_.constraints))
+              .filter(_.nonEmpty),
+            partitionCols = revisePartitioning(cur.flatMap(_.partitionCols))
               .filter(_.nonEmpty))
           if (tryPublish(fs, dir, m)) return Some(version)
       }
