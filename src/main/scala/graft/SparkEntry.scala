@@ -1781,6 +1781,75 @@ object SparkEntry {
       finally s.conf.unset("graft.snapshot.deleteMode")
       s.sql(s"SELECT l_orderkey, ln, qty, l_returnflag FROM snap.`$tbl` " +
         "ORDER BY l_orderkey, ln")
+    }),
+
+    // ---- storage-partitioned join through pure SQL: customer and
+    // supplier co-partitioned by nation key; with v2 bucketing enabled
+    // both scans report KeyGroupedPartitioning over provable one-value-
+    // per-file layouts and the join plans with ZERO shuffles on either
+    // side (ManifestPlanningSpec asserts the plan shape; this gate
+    // asserts the rows) ----
+    "q138_spj_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nk"), col("c_acctbal"))
+      val sup = Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("nk"), col("s_acctbal"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q138").toString
+      graft.catalog.SnapshotTable.write(s, c, s"$base/c", partitionCols = Some(Seq("nk")))
+      graft.catalog.SnapshotTable.write(s, sup, s"$base/s", partitionCols = Some(Seq("nk")))
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(s"SELECT c.nk, c.c_custkey, sup.s_suppkey " +
+        s"FROM snap.`$base/c` c JOIN snap.`$base/s` sup ON c.nk = sup.nk " +
+        "WHERE c.c_custkey % 50 = 0 ORDER BY c.nk, c.c_custkey, sup.s_suppkey")
+    }),
+
+    // ---- manifest-answered aggregate: count(*)/count(col)/min/max over
+    // long, nullable-long, and date columns collapse to a LocalTableScan
+    // fed from the manifest — ZERO file reads, zero tasks (the Snowflake
+    // metadata-answer pattern; ManifestPlanningSpec asserts the plan).
+    // The oracle computes the same values the hard way ----
+    "q139_manifest_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("dt"),
+        when(pmod(col("o_orderkey"), lit(7)) =!= 0, col("o_custkey")).as("ck"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q139").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, o, tbl)
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.sql(s"SELECT count(*) AS cnt, count(ck) AS cntck, " +
+        "min(o_orderkey) AS mn, max(o_orderkey) AS mx, " +
+        s"min(dt) AS mind, max(dt) AS maxd FROM snap.`$tbl`")
+    }),
+
+    // ---- manifest aggregate GROUPED by the identity partition column:
+    // one-value-per-file routing makes per-group totals pure metadata —
+    // one local row per partition value, still zero file reads ----
+    "q140_manifest_agg_grouped" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .select(pmod(col("o_orderkey"), lit(8)).as("g"), col("o_orderkey"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q140").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, o, tbl, partitionCols = Some(Seq("g")))
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.sql(s"SELECT g, count(*) AS cnt, min(o_orderkey) AS mn, " +
+        s"max(o_orderkey) AS mx FROM snap.`$tbl` GROUP BY g ORDER BY g")
+    }),
+
+    // ---- runtime (DPP-style) file pruning: a selective dimension filter
+    // materializes at execution, lands on the partitioned fact scan as an
+    // IN predicate, and manifest stats drop every non-matching file
+    // before any task launches (ManifestPlanningSpec measures the file
+    // drop; this gate asserts result parity through that path) ----
+    "q141_runtime_prune_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("nk"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q141").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, c, tbl, partitionCols = Some(Seq("nk")))
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      Tables.nation(s, dir).createOrReplaceTempView("q141_nation")
+      s.sql(s"SELECT f.nk, count(*) AS cnt, min(f.c_custkey) AS mn, " +
+        s"max(f.c_custkey) AS mx FROM snap.`$tbl` f " +
+        "JOIN q141_nation d ON f.nk = d.n_nationkey WHERE d.n_regionkey = 1 " +
+        "GROUP BY f.nk ORDER BY f.nk")
     })
   )
 
@@ -2080,6 +2149,37 @@ object SparkEntry {
         |  CAST(l_quantity AS DOUBLE) AS qty, l_returnflag
         |FROM lineitem WHERE l_returnflag <> 'R'
         |ORDER BY l_orderkey, ln""".stripMargin,
+
+    // q138: the storage-partitioned join is pure plan shape — the rows are
+    // the plain nation-key equi-join
+    "q138_spj_join" ->
+      """SELECT c_nationkey AS nk, c_custkey, s_suppkey
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |WHERE c_custkey % 50 = 0
+        |ORDER BY nk, c_custkey, s_suppkey""".stripMargin,
+
+    // q139: the manifest answer must equal the scan-everything answer
+    "q139_manifest_agg" ->
+      """SELECT count(*) AS cnt,
+        |  count(CASE WHEN o_orderkey % 7 <> 0 THEN o_custkey END) AS cntck,
+        |  min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+        |  min(CAST(o_orderdate AS DATE)) AS mind,
+        |  max(CAST(o_orderdate AS DATE)) AS maxd
+        |FROM orders""".stripMargin,
+
+    "q140_manifest_agg_grouped" ->
+      """SELECT o_orderkey % 8 AS g, count(*) AS cnt,
+        |  min(o_orderkey) AS mn, max(o_orderkey) AS mx
+        |FROM orders GROUP BY 1 ORDER BY g""".stripMargin,
+
+    // q141: runtime pruning only drops files that cannot match — the
+    // result is the plain filtered star join
+    "q141_runtime_prune_join" ->
+      """SELECT c_nationkey AS nk, count(*) AS cnt,
+        |  min(c_custkey) AS mn, max(c_custkey) AS mx
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE n_regionkey = 1
+        |GROUP BY 1 ORDER BY nk""".stripMargin,
 
     // q126: the CDC truth is derivable from the base table alone — every
     // %7 key yields an update pre image (old price) + post image (negated),

@@ -455,6 +455,15 @@ private[graft] class SnapshotV2Table(
         .build(): org.apache.spark.sql.connector.catalog.constraints.Constraint
     }.toArray
 
+  // metadata-only planning capabilities, derived once per pinned manifest
+  // (see [[ManifestPlanning]]): runtime file pruning for DPP, the
+  // storage-partitioned-join layout when provable, and manifest-answered
+  // aggregates
+  private lazy val scanStatPrune =
+    ManifestPlanning.statPrune(spark, dir, manifest, tableSchema)
+  private lazy val scanKeyedLayout =
+    ManifestPlanning.keyedLayout(spark, dir, manifest, tableSchema)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     // Spark's own parquet DSv2 builder over the manifest-backed index:
     // filter pushdown (file skip + row-group), column pruning, and
@@ -464,7 +473,10 @@ private[graft] class SnapshotV2Table(
     new org.apache.spark.sql.graftbridge.FileAwareScanBuilder(spark,
       new SnapshotFileIndex(spark, dir, manifest),
       tableSchema, options, SnapshotMetadata.FileCol,
-      dvByPath = SnapshotTable.dvMap(spark, dir, manifest.entries), tableDir = dir)
+      dvByPath = SnapshotTable.dvMap(spark, dir, manifest.entries), tableDir = dir,
+      statPrune = Some(scanStatPrune),
+      keyed = scanKeyedLayout,
+      localAgg = ManifestPlanning.localAggregate(spark, dir, manifest, tableSchema, _))
 
   private def refuseTimeTravelMutation(what: String): Unit =
     if (pinnedVersion.isDefined) throw new UnsupportedOperationException(

@@ -45,7 +45,14 @@ class FileAwareScanBuilder(
     // deletion vectors of the scanned snapshot: qualified data-file path →
     // blob path relative to `tableDir` (empty = clean table, zero overhead)
     dvByPath: Map[String, String] = Map.empty,
-    tableDir: String = "")
+    tableDir: String = "",
+    // manifest-driven runtime file pruning (DPP target) — see [[StatPrune]]
+    statPrune: Option[StatPrune] = None,
+    // storage-partitioned-join layout when provable — see [[KeyedLayout]]
+    keyed: Option[KeyedLayout] = None,
+    // manifest-only aggregate answering: Some((schema, rows)) when the
+    // catalog can prove the aggregation exact from metadata alone
+    localAgg: Aggregation => Option[(StructType, Array[InternalRow])] = _ => None)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -53,9 +60,14 @@ class FileAwareScanBuilder(
   private val inner = ParquetScanBuilder(
     sparkSession, index, tableSchema, tableSchema, opts)
   private var filePos: Int = -1
+  private var sawDataFilters = false
+  private var innerAggPushed = false
+  private var localResult: Option[(StructType, Array[InternalRow])] = None
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    if (filters.nonEmpty) sawDataFilters = true
     inner.pushFilters(filters)
+  }
 
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
 
@@ -67,19 +79,35 @@ class FileAwareScanBuilder(
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    dvByPath.isEmpty && inner.supportCompletePushDown(aggregation)
+    // manifest-answerable aggregates are complete BY CONSTRUCTION (final
+    // exact values, zero tasks) — but only on an unfiltered scan: a pushed
+    // data filter means surviving rows are a subset the manifest totals
+    // don't describe
+    (!sawDataFilters && localAgg(aggregation).isDefined) ||
+      (dvByPath.isEmpty && inner.supportCompletePushDown(aggregation))
 
-  override def pushAggregation(aggregation: Aggregation): Boolean =
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
     // an aggregate can never reference the (virtual) file column, and a
     // query that referenced it wouldn't be offered for pushdown — safe to
-    // delegate unconditionally. With DELETION VECTORS present, footer-stat
-    // aggregates would count deleted rows — refuse, rows stream instead
-    dvByPath.nonEmpty match {
-      case true => false
-      case false => inner.pushAggregation(aggregation)
+    // delegate unconditionally. Preference order: (1) manifest metadata —
+    // zero tasks; (2) parquet footer stats — one footer read per file.
+    // With DELETION VECTORS present the manifest answerer handles what
+    // stays exact (live-row count(*)) and footer-stat aggregates would
+    // count deleted rows — refuse the delegate then, rows stream instead
+    if (!sawDataFilters) localResult = localAgg(aggregation)
+    if (localResult.isDefined) true
+    else if (dvByPath.nonEmpty) false
+    else {
+      innerAggPushed = inner.pushAggregation(aggregation)
+      innerAggPushed
     }
+  }
 
   override def build(): Scan = {
+    localResult match {
+      case Some((schema, rows)) => return new ManifestAggScan(schema, rows)
+      case None => ()
+    }
     val fileOptions = new FileSourceOptions(CaseInsensitiveMap(
       scala.jdk.CollectionConverters.MapHasAsScala(opts).asScala.toMap))
     val base = inner.build()
@@ -92,8 +120,15 @@ class FileAwareScanBuilder(
       else DvScans.wrap(base, dvByPath, tableDir,
         new org.apache.spark.util.SerializableConfiguration(
           sparkSession.sparkContext.hadoopConfiguration), fileOptions)
-    if (filePos < 0) scan
-    else new FileTaggedScan(scan, filePos, fileColName, fileOptions, onGroupFilter)
+    if (filePos >= 0)
+      // the row-level-operation path: `_file` splicing + IN(_file) runtime
+      // narrowing; stats narrowing/key grouping stay out of its way (the
+      // command drives its own file addressing)
+      new FileTaggedScan(scan, filePos, fileColName, fileOptions, onGroupFilter)
+    else if (innerAggPushed || statPrune.isEmpty)
+      // footer-aggregate partitions are not file-shaped rows — never wrap
+      scan
+    else new StatsNarrowedScan(sparkSession, scan, statPrune.get, keyed)
   }
 }
 

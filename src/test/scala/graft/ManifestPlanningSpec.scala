@@ -1,0 +1,278 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{SnapshotCatalog, SnapshotTable}
+
+/** Metadata-only planning over the snapshot catalog's SQL reads:
+  * storage-partitioned joins (co-partitioned tables join with ZERO
+  * shuffles), manifest-answered aggregates (`count(*)`/`min`/`max` as a
+  * LocalTableScan — no tasks, no file reads), and runtime (DPP-style)
+  * file pruning from manifest stats. Every capability is also asserted to
+  * DEGRADE soundly: unprovable layouts fall back to shuffling plans,
+  * inexact bounds fall back to scanning, and results stay identical
+  * either way.
+  */
+class ManifestPlanningSpec extends SparkSpec {
+
+  private lazy val root: String = Files.createTempDirectory("graft-mplan").toString
+
+  private def ensureCatalog(): Unit = {
+    spark.conf.set("spark.sql.catalog.snap", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snap.root", root)
+  }
+
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** Collect across AQE boundaries: QueryStageExec and reused exchanges
+    * hide their materialized plans from a plain `collect`.
+    */
+  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+    val nested = p.collect {
+      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectAll(q.plan)(pf)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        collectAll(r.child)(pf)
+    }.flatten
+    p.collect(pf) ++ nested
+  }
+
+  private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+    collectAll(p) { case s: ShuffleExchangeExec => s }
+
+  private def scannedFiles(p: SparkPlan): Set[String] =
+    // via the executed RDD, not `inputPartitions`: runtime (DPP) filters
+    // re-plan partitions AFTER the original listing, and only the RDD
+    // carries what was actually read
+    collectAll(p) { case b: BatchScanExec => b }
+      .flatMap(_.inputRDD.partitions).flatMap {
+        case d: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          d.inputPartitions
+        case _ => Seq.empty
+      }.flatMap {
+        case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+          f.files.map(_.filePath.toString)
+        case _ => Seq.empty
+      }.toSet
+
+  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
+    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  // ---------------------------------------------- storage-partitioned join
+
+  test("co-partitioned snapshot tables join with zero shuffles (SPJ), result-identical") {
+    ensureCatalog()
+    val left = spark.range(0, 2000)
+      .select((col("id") % 16).as("nk"), col("id").as("lval"))
+    val right = spark.range(0, 300)
+      .select((col("id") % 16).as("nk"), (col("id") * 10).as("rval"))
+    spark.sql("DROP TABLE IF EXISTS snap.spj.l")
+    spark.sql("DROP TABLE IF EXISTS snap.spj.r")
+    left.createOrReplaceTempView("spj_l_src")
+    right.createOrReplaceTempView("spj_r_src")
+    spark.sql("CREATE TABLE snap.spj.l PARTITIONED BY (nk) AS SELECT * FROM spj_l_src")
+    spark.sql("CREATE TABLE snap.spj.r PARTITIONED BY (nk) AS SELECT * FROM spj_r_src")
+
+    val q = "SELECT l.nk, l.lval, r.rval FROM snap.spj.l l JOIN snap.spj.r r ON l.nk = r.nk"
+    val expected = left.join(right, "nk").select(col("nk"), col("lval"), col("rval"))
+
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = executed(spark.sql(q))
+      assert(shuffles(plan).isEmpty,
+        s"expected a shuffle-free storage-partitioned join, got:\n$plan")
+      val got = spark.sql(q)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    }
+
+    // same join with SPJ off: shuffles appear, result identical — the
+    // layout is an optimization, never a semantics change
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = executed(spark.sql(q))
+      assert(shuffles(plan).nonEmpty)
+      val got = spark.sql(q)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    }
+  }
+
+  test("SPJ degrades to a shuffling plan when a file cannot prove a single partition value") {
+    ensureCatalog()
+    // an UNPARTITIONED table never derives a keyed layout
+    val a = spark.range(0, 500).select((col("id") % 8).as("k"), col("id").as("v"))
+    spark.sql("DROP TABLE IF EXISTS snap.spj.flat_a")
+    spark.sql("DROP TABLE IF EXISTS snap.spj.flat_b")
+    a.createOrReplaceTempView("spj_flat_src")
+    spark.sql("CREATE TABLE snap.spj.flat_a AS SELECT * FROM spj_flat_src")
+    spark.sql("CREATE TABLE snap.spj.flat_b AS SELECT * FROM spj_flat_src")
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = "SELECT x.k, count(*) AS c FROM snap.spj.flat_a x " +
+        "JOIN snap.spj.flat_b y ON x.k = y.k GROUP BY x.k"
+      val plan = executed(spark.sql(q))
+      assert(shuffles(plan).nonEmpty, "unpartitioned tables must still shuffle")
+      assert(spark.sql(q).count() == 8)
+    }
+  }
+
+  test("grouping by the partition column over a keyed layout skips the aggregate shuffle") {
+    ensureCatalog()
+    val src = spark.range(0, 4000)
+      .select((col("id") % 10).as("g"), col("id").as("v"),
+        // a second column so the aggregate is not manifest-answerable
+        (col("id") * 3 % 7).as("w"))
+    spark.sql("DROP TABLE IF EXISTS snap.spj.agg")
+    src.createOrReplaceTempView("spj_agg_src")
+    spark.sql("CREATE TABLE snap.spj.agg PARTITIONED BY (g) AS SELECT * FROM spj_agg_src")
+    withConf("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val q = "SELECT g, sum(v * w) AS s FROM snap.spj.agg GROUP BY g"
+      val plan = executed(spark.sql(q))
+      assert(shuffles(plan).isEmpty,
+        s"group-by on the partition key should reuse the storage clustering:\n$plan")
+      val got = spark.sql(q)
+      val expected = src.groupBy("g").agg(sum(col("v") * col("w")).as("s"))
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    }
+  }
+
+  // ---------------------------------------------- manifest-only aggregates
+
+  private def isLocalOnly(p: SparkPlan): Boolean =
+    collectAll(p) { case b: BatchScanExec => b }.isEmpty &&
+      collectAll(p) {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l
+      }.nonEmpty
+
+  test("count(*)/count(col)/min/max answer from the manifest with zero file reads") {
+    ensureCatalog()
+    val src = spark.range(0, 5000).select(
+      col("id"),
+      when(col("id") % 7 =!= 0, col("id") % 100).as("v"), // nulls every 7th
+      (col("id") % 13).cast("int").as("small"))
+    spark.sql("DROP TABLE IF EXISTS snap.agg.t")
+    src.createOrReplaceTempView("magg_src")
+    spark.sql("CREATE TABLE snap.agg.t AS SELECT * FROM magg_src")
+
+    val q = "SELECT count(*) AS cnt, count(v) AS cntv, min(id) AS mn, max(id) AS mx, " +
+      "min(small) AS smn, max(small) AS smx FROM snap.agg.t"
+    val plan = executed(spark.sql(q))
+    assert(isLocalOnly(plan), s"expected a manifest-local aggregate plan:\n$plan")
+    val row = spark.sql(q).collect().head
+    assert(row.getLong(0) == 5000)
+    assert(row.getLong(1) == src.where(col("v").isNotNull).count())
+    assert(row.getLong(2) == 0 && row.getLong(3) == 4999)
+    assert(row.getInt(4) == 0 && row.getInt(5) == 12)
+  }
+
+  test("manifest aggregate grouped by the partition column: one local row per value") {
+    ensureCatalog()
+    val src = spark.range(0, 3000).select((col("id") % 6).as("p"), col("id").as("v"))
+    spark.sql("DROP TABLE IF EXISTS snap.agg.byp")
+    src.createOrReplaceTempView("magg_byp_src")
+    spark.sql("CREATE TABLE snap.agg.byp PARTITIONED BY (p) AS SELECT * FROM magg_byp_src")
+    val q = "SELECT p, count(*) AS c, max(v) AS mx FROM snap.agg.byp GROUP BY p"
+    val plan = executed(spark.sql(q))
+    assert(isLocalOnly(plan), s"expected a manifest-local grouped aggregate:\n$plan")
+    val got = spark.sql(q)
+    val expected = src.groupBy("p").agg(count(lit(1)).as("c"), max("v").as("mx"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("manifest aggregates REFUSE what they cannot prove: filters, huge longs, doubles, DVs") {
+    ensureCatalog()
+    // (a) a WHERE clause → rows must stream (scan present), result exact
+    val src = spark.range(0, 1000).select(col("id"), (col("id") % 9).as("g"))
+    spark.sql("DROP TABLE IF EXISTS snap.agg.ref1")
+    src.createOrReplaceTempView("magg_ref1")
+    spark.sql("CREATE TABLE snap.agg.ref1 AS SELECT * FROM magg_ref1")
+    val fq = "SELECT count(*) AS c FROM snap.agg.ref1 WHERE g = 3"
+    val fplan = executed(spark.sql(fq))
+    assert(!isLocalOnly(fplan), "a filtered aggregate must not answer from totals")
+    assert(spark.sql(fq).collect().head.getLong(0) == src.where(col("g") === 3).count())
+
+    // (b) longs at/above 2^53 ride the manifest as doubles → min/max refused
+    val big = spark.range(0, 10).select((col("id") + (1L << 53)).as("h"))
+    spark.sql("DROP TABLE IF EXISTS snap.agg.ref2")
+    big.createOrReplaceTempView("magg_ref2")
+    spark.sql("CREATE TABLE snap.agg.ref2 AS SELECT * FROM magg_ref2")
+    val bq = "SELECT min(h) AS mn, max(h) AS mx FROM snap.agg.ref2"
+    assert(!isLocalOnly(executed(spark.sql(bq))),
+      "2^53-range long bounds are double-rounded and must not be trusted")
+    val brow = spark.sql(bq).collect().head
+    assert(brow.getLong(0) == (1L << 53) && brow.getLong(1) == (1L << 53) + 9)
+
+    // (c) float/double min/max: bounds may exclude NaN → refused
+    val dbl = spark.range(0, 100).select(col("id").cast("double").as("d"))
+    spark.sql("DROP TABLE IF EXISTS snap.agg.ref3")
+    dbl.createOrReplaceTempView("magg_ref3")
+    spark.sql("CREATE TABLE snap.agg.ref3 AS SELECT * FROM magg_ref3")
+    assert(!isLocalOnly(executed(spark.sql("SELECT max(d) AS mx FROM snap.agg.ref3"))))
+
+    // (d) deletion vectors: count(*) stays manifest-local (live rows are
+    // exact metadata), min/max falls back to scanning
+    val dvDir = s"$root/agg/dvt"
+    SnapshotTable.write(spark,
+      spark.range(0, 2000).select(col("id"), (col("id") % 4).as("q")), dvDir)
+    SnapshotTable.deleteMoR(spark, dvDir, col("q") === 1L)
+    val cq = s"SELECT count(*) AS c FROM snap.`$dvDir`"
+    val cplan = executed(spark.sql(cq))
+    assert(isLocalOnly(cplan), s"live-row count(*) is exact under DVs:\n$cplan")
+    assert(spark.sql(cq).collect().head.getLong(0) == 1500)
+    val mq = s"SELECT min(id) AS mn FROM snap.`$dvDir`"
+    assert(!isLocalOnly(executed(spark.sql(mq))),
+      "a DV may have deleted the bound row; min must re-scan")
+    assert(spark.sql(mq).collect().head.getLong(0) == 0)
+  }
+
+  // ---------------------------------------------- runtime (DPP) pruning
+
+  test("a selective dimension filter runtime-prunes the partitioned fact's files") {
+    ensureCatalog()
+    val fact = spark.range(0, 20000)
+      .select((col("id") % 20).as("pk"), col("id").as("m"))
+    val dim = spark.range(0, 20)
+      .select(col("id").as("dk"), concat(lit("n"), col("id")).as("name"))
+    spark.sql("DROP TABLE IF EXISTS snap.dpp.fact")
+    fact.createOrReplaceTempView("dpp_fact_src")
+    spark.sql("CREATE TABLE snap.dpp.fact PARTITIONED BY (pk) AS SELECT * FROM dpp_fact_src")
+    dim.createOrReplaceTempView("dpp_dim")
+
+    val all = scannedFiles(executed(spark.sql("SELECT * FROM snap.dpp.fact")))
+    assert(all.size >= 20, s"expected >=20 routed files, got ${all.size}")
+
+    val q = "SELECT f.pk, sum(f.m) AS s FROM snap.dpp.fact f " +
+      "JOIN dpp_dim d ON f.pk = d.dk WHERE d.name IN ('n3', 'n7') GROUP BY f.pk"
+    val plan = executed(spark.sql(q))
+    val read = scannedFiles(plan)
+    assert(read.size < all.size / 2,
+      s"runtime pruning should drop most files: read ${read.size} of ${all.size}\n$plan")
+    val got = spark.sql(q)
+    val expected = fact.join(dim, col("pk") === col("dk"))
+      .where(col("name").isin("n3", "n7"))
+      .groupBy("pk").agg(sum("m").as("s"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+}
