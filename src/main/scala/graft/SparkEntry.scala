@@ -1790,7 +1790,11 @@ object SparkEntry {
     // side (ManifestPlanningSpec asserts the plan shape; this gate
     // asserts the rows) ----
     "q138_spj_join" -> ((s, dir) => {
+      // the %50 customer slice is part of the fixture (pre-filtered so the
+      // gate's cost is the join under test, not bulk table writes); the
+      // oracle applies the same slice
       val c = Tables.customer(s, dir)
+        .filter(pmod(col("c_custkey"), lit(50)) === 0)
         .select(col("c_custkey"), col("c_nationkey").as("nk"), col("c_acctbal"))
       val sup = Tables.supplier(s, dir)
         .select(col("s_suppkey"), col("s_nationkey").as("nk"), col("s_acctbal"))
@@ -1801,7 +1805,7 @@ object SparkEntry {
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       s.sql(s"SELECT c.nk, c.c_custkey, sup.s_suppkey " +
         s"FROM snap.`$base/c` c JOIN snap.`$base/s` sup ON c.nk = sup.nk " +
-        "WHERE c.c_custkey % 50 = 0 ORDER BY c.nk, c.c_custkey, sup.s_suppkey")
+        "ORDER BY c.nk, c.c_custkey, sup.s_suppkey")
     }),
 
     // ---- manifest-answered aggregate: count(*)/count(col)/min/max over
@@ -1850,6 +1854,44 @@ object SparkEntry {
         s"max(f.c_custkey) AS mx FROM snap.`$tbl` f " +
         "JOIN q141_nation d ON f.nk = d.n_nationkey WHERE d.n_regionkey = 1 " +
         "GROUP BY f.nk ORDER BY f.nk")
+    }),
+
+    // ---- BUCKET-transform storage-partitioned join: orders and customer
+    // bucketed 16 ways on the customer key (the co-located layout for a
+    // join key with millions of values, where identity partitioning would
+    // explode); with v2 bucketing on, the join plans shuffle-free on both
+    // sides — BucketPartitionSpec asserts the plan and the routing; this
+    // gate asserts the rows through that exact path ----
+    "q142_bucket_spj" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).filter(pmod(col("o_orderkey"), lit(20)) === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val base = java.nio.file.Files.createTempDirectory("graft-q142").toString
+      graft.catalog.SnapshotTable.write(s, o, s"$base/o",
+        partitionCols = Some(Seq("bucket(16,o_custkey)")))
+      graft.catalog.SnapshotTable.write(s, c, s"$base/c",
+        partitionCols = Some(Seq("bucket(16,c_custkey)")))
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.sql(s"SELECT o.o_orderkey, o.o_custkey, c.c_nationkey, o.o_totalprice " +
+        s"FROM snap.`$base/o` o JOIN snap.`$base/c` c ON o.o_custkey = c.c_custkey " +
+        "ORDER BY o.o_orderkey")
+    }),
+
+    // ---- bucket point-lookup pruning: an IN-list on the bucketed key
+    // reads only the admissible buckets' files (guaranteed 1/n, no value
+    // ranges needed — BucketPartitionSpec measures the file cut); the
+    // gate asserts no surviving row was lost to the pruning ----
+    "q143_bucket_pointlookup" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("ln"), col("l_partkey"),
+        col("l_quantity").cast("double").as("qty"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q143").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, l, tbl,
+        partitionCols = Some(Seq("bucket(32,l_partkey)")))
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.sql(s"SELECT l_orderkey, ln, l_partkey, qty FROM snap.`$tbl` " +
+        "WHERE l_partkey IN (1, 500, 999) ORDER BY l_orderkey, ln")
     })
   )
 
@@ -2180,6 +2222,21 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WHERE n_regionkey = 1
         |GROUP BY 1 ORDER BY nk""".stripMargin,
+
+    // q142: the bucket layout is pure plan shape — the rows are the plain
+    // customer-key equi-join over the %20 order slice
+    "q142_bucket_spj" ->
+      """SELECT o_orderkey, o_custkey, c_nationkey, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // q143: bucket pruning must lose no surviving row
+    "q143_bucket_pointlookup" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln, l_partkey,
+        |  CAST(l_quantity AS DOUBLE) AS qty
+        |FROM lineitem WHERE l_partkey IN (1, 500, 999)
+        |ORDER BY l_orderkey, ln""".stripMargin,
 
     // q126: the CDC truth is derivable from the base table alone — every
     // %7 key yields an update pre image (old price) + post image (negated),

@@ -46,26 +46,40 @@ object ManifestPlanning {
   }
 
   /** The storage-partitioned-join layout, when provable: Some iff the
-    * table has identity partition columns AND every live file's value for
-    * every partition column is exactly recoverable from its stats
-    * (lo == hi, type-exact, all-null files count as a null value). A
-    * single unprovable file — e.g. a hash-clustered streaming epoch that
-    * mixed values — disables the layout for the whole snapshot; the next
+    * table has partition fields AND every live file's value for every
+    * field is exactly recoverable — identity fields from stats (lo == hi,
+    * type-exact, all-null files count as a null value), bucket fields
+    * from their routing directory (`__pb_<col>=<id>`). A single
+    * unprovable file — e.g. a hash-clustered streaming epoch or row-level
+    * rewrite — disables the layout for the whole snapshot; the next
     * compaction re-routes it and the layout comes back.
     */
   def keyedLayout(spark: SparkSession, dir: String,
       m: SnapshotTable.Manifest, schema: StructType): Option[KeyedLayout] = {
     val pcols = m.partitionCols.getOrElse(Seq.empty)
     if (pcols.isEmpty || m.entries.isEmpty) return None
-    val fields = pcols.map(c => schema.fields.find(_.name.equalsIgnoreCase(c))
-      .getOrElse(return None))
+    val fields: Seq[(PartitionFields.Field, StructField)] =
+      PartitionFields.parseAll(pcols).map(pf =>
+        pf -> schema.fields.find(_.name.equalsIgnoreCase(pf.col)).getOrElse(return None))
+    val keys = fields.map {
+      case (_: PartitionFields.Identity, f) =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(f.name):
+          org.apache.spark.sql.connector.expressions.Expression
+      case (b: PartitionFields.Bucket, f) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(b.n, f.name):
+          org.apache.spark.sql.connector.expressions.Expression
+    }
     val qdir = qualified(spark, dir)
     val byPath = m.entries.map { e =>
-      val values = fields.map(f => fileValue(e, f).getOrElse(return None))
+      val values = fields.map {
+        case (_: PartitionFields.Identity, f) => fileValue(e, f).getOrElse(return None)
+        case (b: PartitionFields.Bucket, _) =>
+          PartitionFields.bucketIdFromPath(e.path, b).getOrElse(return None): Any
+      }
       new Path(qdir, e.path).toString ->
         (new GenericInternalRow(values.toArray): InternalRow)
     }.toMap
-    Some(KeyedLayout(pcols, byPath))
+    Some(KeyedLayout(keys, byPath))
   }
 
   /** One file's single value for `f`, when provable: None kills the
@@ -127,10 +141,13 @@ object ManifestPlanning {
         case _ => None
       }
 
-    // grouping: identity partition columns with provable per-file values
-    val pcols = m.partitionCols.getOrElse(Seq.empty)
+    // grouping: IDENTITY partition columns with provable per-file values
+    // (a bucket id is not a SQL-visible value, so bucket fields never
+    // serve a GROUP BY)
+    val idCols = PartitionFields.parseAll(m.partitionCols.getOrElse(Seq.empty))
+      .collect { case PartitionFields.Identity(c) => c }
     val groupFields = agg.groupByExpressions.toSeq.map(e =>
-      fieldOf(e).filter(f => pcols.exists(_.equalsIgnoreCase(f.name)))
+      fieldOf(e).filter(f => idCols.exists(_.equalsIgnoreCase(f.name)))
         .getOrElse(return None))
 
     def statOf(e: SnapshotTable.FileEntry, f: StructField): Option[FileStats.ColStat] =

@@ -64,6 +64,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class SnapshotCatalog extends TableCatalog with StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog
   with org.apache.spark.internal.Logging {
 
   private var catalogName: String = _
@@ -133,18 +134,21 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
 
   /** Iceberg-style METADATA TABLES addressed as a child of the data table:
     * `snap.ns.tbl.history` (one row per retained version — counts, bytes,
-    * commit deltas, txn watermarks, op kind) and `snap.ns.tbl.files` (the
-    * CURRENT manifest: per-file path, rows, bytes, dt bounds). Works for
-    * path tables too: ``snap.`/abs/path`.history``. Both are manifest-only
+    * commit deltas, txn watermarks, op kind), `snap.ns.tbl.files` (the
+    * CURRENT manifest: per-file path, partition placement, rows,
+    * DV-deleted rows, bytes, dt bounds), and `snap.ns.tbl.partitions`
+    * (per provable partition tuple: files, physical + live rows, bytes —
+    * with an `<unprovable>` bucket so totals always reconcile). Works for
+    * path tables too: ``snap.`/abs/path`.history``. All are manifest-only
     * reads served as a driver-local scan — at 100 TB a history query costs
     * O(versions) manifest parses, never a data touch. A REAL table whose
-    * directory is literally named `history`/`files` shadows the metadata
-    * table (existence is checked first).
+    * directory is literally named `history`/`files`/`partitions` shadows
+    * the metadata table (existence is checked first).
     */
   private def metaTableFor(ident: Identifier): Option[Table] = {
     if (ident.namespace.isEmpty) return None
     val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
-    if (kind != "history" && kind != "files") return None
+    if (kind != "history" && kind != "files" && kind != "partitions") return None
     val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
     val pdir = try dirFor(parent) catch { case _: IllegalArgumentException => return None }
     if (!SnapshotTable.exists(spark, pdir)) return None
@@ -154,10 +158,52 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
         val m = SnapshotTable.currentManifest(spark, pdir).get
         val s = spark
         import s.implicits._
-        m.entries.map(e => (e.path, e.rows, e.bytes, e.minDt.orNull, e.maxDt.orNull))
-          .toDF("file", "n_rows", "n_bytes", "min_dt", "max_dt")
+        m.entries.map(e => (e.path, partitionLabel(m, e).orNull, e.rows,
+            e.dv.map(_.deleted).getOrElse(0L), e.bytes, e.minDt.orNull, e.maxDt.orNull))
+          .toDF("file", "partition", "n_rows", "dv_deleted", "n_bytes", "min_dt", "max_dt")
+      case "partitions" =>
+        // Iceberg's `.partitions` in miniature: one row per provable
+        // partition tuple of the CURRENT manifest — files, physical and
+        // live rows, bytes — plus one `<unprovable>` row aggregating files
+        // the layout cannot place (hash-clustered rewrites pre-compaction),
+        // so totals always reconcile with the table
+        val m = SnapshotTable.currentManifest(spark, pdir).get
+        val s = spark
+        import s.implicits._
+        // an UNPARTITIONED table has no placement to summarize — empty,
+        // not one all-of-the-table "<unprovable>" row
+        val entries = if (m.partitionCols.exists(_.nonEmpty)) m.entries
+          else Seq.empty[SnapshotTable.FileEntry]
+        entries.groupBy(e => partitionLabel(m, e).getOrElse("<unprovable>")).toSeq
+          .map { case (label, es) =>
+            (label, es.size.toLong, es.map(_.rows).sum,
+              es.map(SnapshotTable.liveRows).sum, es.map(_.bytes).sum)
+          }.sortBy(_._1)
+          .toDF("partition", "n_files", "n_rows", "live_rows", "n_bytes")
     }
     Some(new SnapshotMetaTable(df, ident.toString))
+  }
+
+  /** A file's partition tuple rendered `col=v/col_bucket=id`; None when
+    * the table is unpartitioned or the file's placement is not provable.
+    */
+  private def partitionLabel(m: SnapshotTable.Manifest,
+      e: SnapshotTable.FileEntry): Option[String] = {
+    val fields = PartitionFields.parseAll(m.partitionCols.getOrElse(Seq.empty))
+    if (fields.isEmpty) return None
+    val parts = fields.map {
+      case PartitionFields.Identity(c) =>
+        e.stats.flatMap(_.get(c)).flatMap { st =>
+          (st.lo, st.hi) match {
+            case (None, None) if st.nulls == e.rows => Some(s"$c=null")
+            case (Some(lo), Some(hi)) if st.nulls == 0 && lo == hi => Some(s"$c=$lo")
+            case _ => None
+          }
+        }
+      case b: PartitionFields.Bucket =>
+        PartitionFields.bucketIdFromPath(e.path, b).map(id => s"${b.col}_bucket=$id")
+    }
+    if (parts.exists(_.isEmpty)) None else Some(parts.flatten.mkString("/"))
   }
 
   /** `VERSION AS OF <v>` — the DSv2 time-travel entry point. */
@@ -199,11 +245,11 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
       .map(f => Identifier.of(namespace, f.getName))
   }
 
-  /** `PARTITIONED BY (col, …)` → the snapshot format's identity partition
-    * spec. Only identity transforms are accepted; bucket/truncate/days are
-    * refused loudly rather than silently dropped — a user who asked for a
-    * layout must get it or an error, never an unpartitioned table wearing
-    * the DDL.
+  /** `PARTITIONED BY (col | bucket(n, col), …)` → the snapshot format's
+    * encoded partition spec ([[PartitionFields]]). Identity and bucket
+    * transforms are accepted; truncate/days/etc. are refused loudly
+    * rather than silently dropped — a user who asked for a layout must
+    * get it or an error, never an unpartitioned table wearing the DDL.
     */
   private def identityPartitionCols(partitions: Array[Transform]): Seq[String] =
     partitions.toSeq.map {
@@ -213,9 +259,21 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
           s"snapshot schemas are flat; cannot partition by nested field " +
             fieldNames.mkString("."))
         fieldNames.head
+      case t if t.name == "bucket" =>
+        val ns = t.arguments.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.dataType == org.apache.spark.sql.types.IntegerType =>
+            l.value.asInstanceOf[Number].intValue
+        }
+        val refs = t.arguments.collect {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference => r
+        }
+        require(ns.length == 1 && refs.length == 1 && refs.head.fieldNames.length == 1,
+          s"snapshot bucket partitioning takes exactly bucket(n, flatColumn) (got $t)")
+        PartitionFields.Bucket(ns.head, refs.head.fieldNames.head).encoded
       case other => throw new UnsupportedOperationException(
-        s"snapshot tables support IDENTITY partitioning only (got $other); " +
-          "bucket/truncate/time transforms are not implemented — partition on a " +
+        s"snapshot tables support identity and bucket(n, col) partitioning (got $other); " +
+          "truncate/time transforms are not implemented — partition on a " +
           "materialized column instead")
     }
 
@@ -368,6 +426,20 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     SnapshotProcedures.Names.map(n => Identifier.of(Array("system"), n)).toArray
 
+  /** The catalog's V2 functions — currently exactly `bucket`, which is
+    * what lets Spark's storage-partitioned-join machinery resolve a
+    * reported `bucket(n, col)` transform to a catalyst expression (both
+    * co-partitioned sides bind the SAME function, so their clusterings
+    * compare equal) and, under `v2.bucketing.shuffle.enabled`, hash the
+    * un-partitioned side of a join INTO our bucket domain.
+    */
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) SnapshotFunctions.BucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket")) else Array.empty
+
   /** A procedure's `table` argument → directory: absolute path as-is,
     * otherwise a dot-separated identifier under the root.
     */
@@ -416,8 +488,12 @@ private[graft] class SnapshotV2Table(
     * (col = v)` resolves static partition values against it.
     */
   override def partitioning(): Array[Transform] =
-    manifest.partitionCols.getOrElse(Seq.empty)
-      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+    manifest.partitionCols.getOrElse(Seq.empty).map(PartitionFields.parse).map {
+      case PartitionFields.Identity(c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.identity(c)
+      case PartitionFields.Bucket(n, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+    }.toArray
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

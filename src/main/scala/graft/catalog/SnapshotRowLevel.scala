@@ -272,7 +272,7 @@ private[catalog] class CowBatchWrite(op: SnapshotCowOperation, writeSchema: Stru
     // stats still bound them for pruning, and compaction restores the
     // one-value-per-file layout
     val entries = SnapshotTable.entriesFromFooters(op.spark, op.dir, added, writeSchema,
-      priority = op.pinnedManifest.partitionCols.getOrElse(Seq.empty))
+      priority = PartitionFields.cols(op.pinnedManifest.partitionCols.getOrElse(Seq.empty)))
     val removed = planned.rewrite.map(_.path).toSet
     // MERGE made insert-vs-update decisions against the pinned base: a
     // concurrently ADDED file may hold a key this merge just inserted, so
@@ -413,7 +413,7 @@ private[catalog] class SnapshotStreamingWrite(
     // advancing the marker is harmless and saves a version per idle tick
     if (added.isEmpty) return
     val entries = SnapshotTable.entriesFromFooters(spark, dir, added, writeSchema,
-      priority = SnapshotTable.partitionColumns(spark, dir))
+      priority = PartitionFields.cols(SnapshotTable.partitionColumns(spark, dir)))
     SnapshotTable.appendEntriesExactlyOnce(
       spark, dir, entries, writeSchema, appId = s"dsv2-$qid", batchId = epochId)
   }

@@ -468,7 +468,70 @@ object SnapshotTable {
     */
   private[graft] def pruneForFilters(m: Manifest, filters: Seq[Expression]): Seq[FileEntry] = {
     val norm = filters.map(FileStats.normalize)
-    m.entries.filter(e => norm.forall(f => e.stats.forall(FileStats.mayMatch(f, _, e.rows))))
+    val byStats =
+      m.entries.filter(e => norm.forall(f => e.stats.forall(FileStats.mayMatch(f, _, e.rows))))
+    bucketPrune(m, byStats, norm)
+  }
+
+  /** BUCKET pruning on top of the stats pass: a point predicate on a
+    * bucket-partition column admits exactly one bucket id, so every file
+    * whose routing directory proves a DIFFERENT id cannot match — the
+    * guaranteed 1/n scan for key lookups on bucket-partitioned tables.
+    * Conservative like [[FileStats.mayMatch]]: un-routed files (no
+    * `__pb_` directory), cast-wrapped attributes, type-mismatched
+    * literals, and any predicate shape beyond =/IN keep the file.
+    */
+  private def bucketPrune(m: Manifest, entries: Seq[FileEntry],
+      norm: Seq[Expression]): Seq[FileEntry] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val buckets = PartitionFields.parseAll(m.partitionCols.getOrElse(Seq.empty))
+      .collect { case b: PartitionFields.Bucket => b }
+    if (buckets.isEmpty || norm.isEmpty) return entries
+    // the hash input type must be the column's STORED type — resolve it
+    // from the manifest schema; absent schema (legacy manifest) → no prune
+    val schema = m.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL).getOrElse {
+      return entries
+    }
+
+    def bare(e: Expression): Option[String] = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
+      case _ => None // a cast changes the hash input — never prune through it
+    }
+
+    def admits(pred: Expression, b: PartitionFields.Bucket,
+        dt: org.apache.spark.sql.types.DataType, fileBucket: Int): Boolean = pred match {
+      case And(l, r) => admits(l, b, dt, fileBucket) && admits(r, b, dt, fileBucket)
+      case Or(l, r) => admits(l, b, dt, fileBucket) || admits(r, b, dt, fileBucket)
+      case EqualTo(a, l: Literal) if bare(a).exists(_.equalsIgnoreCase(b.col)) &&
+          l.dataType == dt && l.value != null =>
+        PartitionFields.bucketId(l.value, dt, b.n) == fileBucket
+      case EqualTo(l: Literal, a) => admits(EqualTo(a, l), b, dt, fileBucket)
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        admits(EqualTo(a, l), b, dt, fileBucket)
+      case In(a, vs) if bare(a).exists(_.equalsIgnoreCase(b.col)) &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists { case l: Literal =>
+          l.value == null || l.dataType != dt ||
+            PartitionFields.bucketId(l.value, dt, b.n) == fileBucket
+        }
+      case InSet(a, vs) if bare(a).exists(_.equalsIgnoreCase(b.col)) && a.resolved &&
+          a.dataType == dt =>
+        vs.exists(v => v == null || PartitionFields.bucketId(v, dt, b.n) == fileBucket)
+      case _ => true
+    }
+
+    entries.filter { e =>
+      buckets.forall { b =>
+        schema.fields.find(_.name.equalsIgnoreCase(b.col)) match {
+          case None => true
+          case Some(f) => PartitionFields.bucketIdFromPath(e.path, b) match {
+            case None => true // un-routed file: may hold any bucket
+            case Some(id) => norm.forall(p => admits(p, b, f.dataType, id))
+          }
+        }
+      }
+    }
   }
 
   /** The manifest at `version` (None = current), for the relation layer. */
@@ -1530,20 +1593,31 @@ object SnapshotTable {
     val commitDir = new Path(dir, commitName)
     if (pcols.isEmpty) df.write.parquet(commitDir.toString)
     else {
-      // identity partition routing: partitionBy on DUPLICATED columns
-      // (`__p_<col>`), so the originals stay IN the data files (readers
-      // never reconstruct values from paths) while the duplicates become
-      // the directory layout that guarantees one partition-value
-      // combination per file — making footer min/max stats exact and
-      // partition-predicate pruning byte-precise
+      // partition routing on COMPUTED columns, so the originals stay IN
+      // the data files (readers never reconstruct values from paths):
+      // identity fields duplicate the value (`__p_<col>=v` — one raw value
+      // per file, footer min/max exact, manifest pruning byte-precise),
+      // bucket fields compute `pmod(xxhash64(col), n)` (`__pb_<col>=id` —
+      // one bucket per file, the co-located-join layout for
+      // high-cardinality keys plus guaranteed 1/n point-lookup pruning)
       validatePartitioning(df.schema, pcols, s"write into partitioned table at $dir")
-      val routed = pcols.foldLeft(df)((d, c) => d.withColumn(s"$PartDupPrefix$c", col(s"`$c`")))
-      routed.write.partitionBy(pcols.map(c => s"$PartDupPrefix$c"): _*)
+      val fields = PartitionFields.parseAll(pcols)
+      val routed = fields.foldLeft(df)((d, f) =>
+        d.withColumn(f.dirCol, PartitionFields.routeColumn(f)))
+      // WRITE ALIGNMENT: without it, partitionBy makes every task open a
+      // writer per value it sees — O(tasks × values) small files per
+      // commit, the classic dynamic-partition explosion. A REBALANCE on
+      // the routing columns (Iceberg's hash write-distribution, with
+      // AQE's oversized-group splitting keeping huge values parallel)
+      // clusters each value into few tasks → O(values) right-sized files
+      val aligned = routed.hint("rebalance", fields.map(f => col(f.dirCol)): _*)
+      aligned.write.partitionBy(fields.map(_.dirCol): _*)
         .parquet(commitDir.toString)
     }
     val fs = fsFor(spark, dir)
     val rel = listDataFiles(fs, new Path(dir), commitDir)
-    entriesFromFooters(spark, dir, rel, df.schema, priority = pcols)
+    entriesFromFooters(spark, dir, rel, df.schema,
+      priority = PartitionFields.cols(pcols))
   }
 
   /** Duplicate-column prefix the partition routing writes directories
@@ -1587,22 +1661,28 @@ object SnapshotTable {
     case _ => false
   }
 
-  /** Refuse loudly when `pcols` don't all exist in `schema` with a
-    * partitionable type — a partitioned table's batches must always carry
-    * their partition columns (an appended batch can evolve OTHER columns,
-    * never drop the routing ones).
+  /** Refuse loudly when the spec's underlying columns don't all exist in
+    * `schema` with a partitionable type — a partitioned table's batches
+    * must always carry their partition columns (an appended batch can
+    * evolve OTHER columns, never drop the routing ones). `pcols` are
+    * ENCODED fields ([[PartitionFields]]): identity column names and
+    * `bucket(n,col)` entries; bucket fields restrict to the same type set
+    * (the hash is deterministic on exactly those types, and float/double
+    * NaN/-0.0 aliasing would make point-lookup bucket pruning ambiguous).
     */
   private[catalog] def validatePartitioning(schema: org.apache.spark.sql.types.StructType,
       pcols: Seq[String], what: String): Unit = {
-    require(pcols.distinct.lengthCompare(pcols.length) == 0,
+    val fields = PartitionFields.parseAll(pcols)
+    val cols = fields.map(_.col)
+    require(cols.distinct.lengthCompare(cols.length) == 0,
       s"$what: duplicate partition columns in ${pcols.mkString(", ")}")
-    pcols.foreach { c =>
-      val f = schema.fields.find(_.name == c).getOrElse(throw new IllegalArgumentException(
-        s"$what: partition column '$c' is missing from the batch schema " +
+    fields.foreach { pf =>
+      val f = schema.fields.find(_.name == pf.col).getOrElse(throw new IllegalArgumentException(
+        s"$what: partition column '${pf.col}' is missing from the batch schema " +
           s"(${schema.fieldNames.mkString(", ")}) — every write into a partitioned table " +
           "must carry its partition columns"))
       require(partitionableType(f.dataType),
-        s"$what: partition column '$c' has type ${f.dataType.catalogString}; identity " +
+        s"$what: partition column '${pf.col}' has type ${f.dataType.catalogString}; " +
           "partitioning supports string/date/timestamp/boolean/integral columns only " +
           "(float/double/decimal bounds round, so files could not be pruned exactly)")
     }

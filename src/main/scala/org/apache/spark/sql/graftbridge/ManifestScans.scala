@@ -22,15 +22,20 @@ import org.apache.spark.sql.types.StructType
   */
 case class StatPrune(cols: Array[String], prune: Seq[Expression] => Set[String])
 
-/** The storage layout of an identity-partitioned snapshot whose every data
-  * file provably holds exactly one partition-value combination:
-  * `keyByPath` maps each qualified data-file path to its partition value
-  * as an [[InternalRow]] in `partCols` order. Derived from manifest stats
-  * (lo == hi, exactness-checked per type) by the catalog layer; when any
-  * file's value cannot be proven, no layout is derived and the scan stays
-  * unkeyed — correctness never depends on this, it only removes shuffles.
+/** The storage layout of a partitioned snapshot whose every data file
+  * provably holds exactly one partition-value combination: `keys` are the
+  * V2 clustering expressions (identity transforms for identity fields,
+  * `bucket(n, col)` for bucket fields) and `keyByPath` maps each
+  * qualified data-file path to its partition value as an [[InternalRow]]
+  * in `keys` order (raw values for identity fields, bucket ids for
+  * bucket fields). Derived from manifest stats / routing directories by
+  * the catalog layer; when any file's value cannot be proven, no layout
+  * is derived and the scan stays unkeyed — correctness never depends on
+  * this, it only removes shuffles.
   */
-case class KeyedLayout(partCols: Seq[String], keyByPath: Map[String, InternalRow]) {
+case class KeyedLayout(
+    keys: Seq[org.apache.spark.sql.connector.expressions.Expression],
+    keyByPath: Map[String, InternalRow]) {
   lazy val numKeys: Int = keyByPath.values.toSet.size
 }
 
@@ -82,9 +87,7 @@ class StatsNarrowedScan(spark: SparkSession, delegate: Scan,
     delegate.columnarSupportMode()
 
   override def outputPartitioning(): Partitioning = keyed match {
-    case Some(k) => new KeyGroupedPartitioning(
-      k.partCols.map(c => Expressions.identity(c):
-        org.apache.spark.sql.connector.expressions.Expression).toArray, k.numKeys)
+    case Some(k) => new KeyGroupedPartitioning(k.keys.toArray, k.numKeys)
     case None => new UnknownPartitioning(0)
   }
 

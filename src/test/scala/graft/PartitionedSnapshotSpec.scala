@@ -113,7 +113,7 @@ class PartitionedSnapshotSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       SnapshotTable.write(spark, d, dir, partitionCols = Some(Seq("score")))
     }
-    assert(e.getMessage.contains("identity partitioning supports"))
+    assert(e.getMessage.contains("partitioning supports"))
   }
 
   test("vacuum reclaims nested partition files and their value directories") {
@@ -169,13 +169,15 @@ class PartitionedSnapshotSpec extends SparkSpec {
     spark.sql("DROP VIEW src_part_ctas")
   }
 
-  test("SQL: non-identity transforms are refused loudly, not silently dropped") {
+  test("SQL: unsupported transforms are refused loudly, not silently dropped") {
     ensureCatalog()
+    // bucket is a SUPPORTED transform now (BucketPartitionSpec);
+    // truncate/time transforms remain refusals
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE snap.part.bucketed (id BIGINT, dt STRING) " +
-        "PARTITIONED BY (bucket(8, id))")
+      spark.sql("CREATE TABLE snap.part.truncated (id BIGINT, dt STRING) " +
+        "PARTITIONED BY (truncate(4, dt))")
     }
-    assert(e.getMessage.contains("IDENTITY partitioning only"),
+    assert(e.getMessage.contains("identity and bucket"),
       s"wrong refusal: ${e.getMessage}")
   }
 

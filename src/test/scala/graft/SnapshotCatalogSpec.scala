@@ -232,6 +232,31 @@ class SnapshotCatalogSpec extends SparkSpec {
       e.getMessage.toLowerCase.contains("table_or_view_not_found"), e.getMessage)
   }
 
+  test("metadata tables: …tbl.partitions summarizes provable placement, reconciling totals") {
+    ensureCatalog()
+    val dir = s"$root/meta/pt"
+    SnapshotTable.write(spark,
+      spark.range(0, 90).select((col("id") % 3).as("g"), col("id").as("v")), dir,
+      partitionCols = Some(Seq("g", "bucket(4,v)")))
+    val rows = spark.sql(
+      s"SELECT partition, n_files, n_rows, live_rows, n_bytes FROM snap.`$dir`.partitions")
+      .collect()
+    assert(rows.map(_.getLong(2)).sum == 90L, "partition rows reconcile with the table")
+    assert(rows.forall(r => r.getString(0).matches("g=\\d+\\.0/v_bucket=\\d+") ||
+      r.getString(0).matches("g=\\d+/v_bucket=\\d+")),
+      s"labels render col=value/col_bucket=id: ${rows.map(_.getString(0)).mkString(", ")}")
+    assert(rows.forall(r => r.getLong(1) >= 1 && r.getLong(4) > 0))
+    // an UPDATE's hash-clustered rewrite surfaces as <unprovable>, totals intact
+    spark.sql(s"UPDATE snap.`$dir` SET v = v + 1000 WHERE g = 1")
+    val after = spark.sql(s"SELECT partition, n_rows FROM snap.`$dir`.partitions").collect()
+    assert(after.map(_.getLong(1)).sum == 90L)
+    assert(after.exists(_.getString(0) == "<unprovable>"),
+      "un-routed rewrites must be visible, not hidden")
+    // unpartitioned table: empty summary, not an error
+    SnapshotTable.write(spark, spark.range(0, 5).toDF("id"), s"$root/meta/flat")
+    assert(spark.sql(s"SELECT * FROM snap.`$root/meta/flat`.partitions").count() == 0)
+  }
+
   test("CALL procedures: compact, rollback, and vacuum run the maintenance surface from pure SQL") {
     ensureCatalog()
     val dir = s"$root/proc/t"
