@@ -1892,6 +1892,42 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
       s.sql(s"SELECT l_orderkey, ln, l_partkey, qty FROM snap.`$tbl` " +
         "WHERE l_partkey IN (1, 500, 999) ORDER BY l_orderkey, ln")
+    }),
+
+    // ---- HIDDEN temporal partitioning (Iceberg's months transform): the
+    // table is laid out by months(l_shipdate) — ~84 directories, the 100 TB
+    // time-series layout — while the QUERY filters on the raw date column;
+    // the monotone transform maps the range predicate to a directory
+    // ordinal range, so only ~12 months of files are read
+    // (TemporalPartitionSpec measures the cut); the gate asserts the
+    // pruned read loses no row ----
+    "q144_temporal_hidden" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_shipdate"), col("l_returnflag"),
+        col("l_quantity").cast("double").as("qty"),
+        col("l_extendedprice").cast("double").as("price"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q144").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, l, tbl,
+        partitionCols = Some(Seq("months(l_shipdate)")))
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.sql(s"SELECT l_returnflag, count(*) AS n, round(sum(qty), 2) AS sum_qty, " +
+        s"round(sum(price), 2) AS sum_price FROM snap.`$tbl` " +
+        "WHERE l_shipdate >= DATE'1995-01-01' AND l_shipdate < DATE'1996-01-01' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag")
+    }),
+
+    // ---- truncate-transform range pruning: orders laid out by
+    // truncate(256, o_custkey) (fixed-width key bands — the layout when
+    // ranges matter but identity would explode); a BETWEEN on the raw key
+    // reads only the overlapping bands ----
+    "q145_truncate_range" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q145").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, o, tbl,
+        partitionCols = Some(Seq("truncate(256,o_custkey)")))
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.sql(s"SELECT o_custkey, o_orderkey, price FROM snap.`$tbl` " +
+        "WHERE o_custkey BETWEEN 300 AND 700 ORDER BY o_orderkey")
     })
   )
 
@@ -2237,6 +2273,23 @@ object SparkEntry {
         |  CAST(l_quantity AS DOUBLE) AS qty
         |FROM lineitem WHERE l_partkey IN (1, 500, 999)
         |ORDER BY l_orderkey, ln""".stripMargin,
+
+    // q144: months(l_shipdate) pruning must lose no row of the raw-column
+    // range — the truth is the same aggregate over the unpartitioned scan
+    "q144_temporal_hidden" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(CAST(l_quantity AS DOUBLE)), 2) AS sum_qty,
+        |  round(sum(CAST(l_extendedprice AS DOUBLE)), 2) AS sum_price
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1996-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // q145: truncate-band pruning must lose no row of the key range
+    "q145_truncate_range" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+        |FROM orders WHERE o_custkey BETWEEN 300 AND 700
+        |ORDER BY o_orderkey""".stripMargin,
 
     // q126: the CDC truth is derivable from the base table alone — every
     // %7 key yields an update pre image (old price) + post image (negated),

@@ -68,6 +68,15 @@ object ManifestPlanning {
       case (b: PartitionFields.Bucket, f) =>
         org.apache.spark.sql.connector.expressions.Expressions.bucket(b.n, f.name):
           org.apache.spark.sql.connector.expressions.Expression
+      case (t: PartitionFields.Temporal, f) =>
+        org.apache.spark.sql.connector.expressions.Expressions.apply(t.unit,
+          org.apache.spark.sql.connector.expressions.Expressions.column(f.name)):
+          org.apache.spark.sql.connector.expressions.Expression
+      case (t: PartitionFields.Truncate, f) =>
+        org.apache.spark.sql.connector.expressions.Expressions.apply("truncate",
+          org.apache.spark.sql.connector.expressions.Expressions.literal(t.w),
+          org.apache.spark.sql.connector.expressions.Expressions.column(f.name)):
+          org.apache.spark.sql.connector.expressions.Expression
     }
     val qdir = qualified(spark, dir)
     val byPath = m.entries.map { e =>
@@ -75,6 +84,10 @@ object ManifestPlanning {
         case (_: PartitionFields.Identity, f) => fileValue(e, f).getOrElse(return None)
         case (b: PartitionFields.Bucket, _) =>
           PartitionFields.bucketIdFromPath(e.path, b).getOrElse(return None): Any
+        case (t: PartitionFields.Temporal, _) =>
+          PartitionFields.valueFromPath(e.path, t).getOrElse(return None): Any
+        case (t: PartitionFields.Truncate, f) =>
+          PartitionFields.truncValueFromPath(e.path, t, f.dataType).getOrElse(return None): Any
       }
       new Path(qdir, e.path).toString ->
         (new GenericInternalRow(values.toArray): InternalRow)

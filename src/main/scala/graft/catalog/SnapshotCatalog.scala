@@ -202,6 +202,13 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
         }
       case b: PartitionFields.Bucket =>
         PartitionFields.bucketIdFromPath(e.path, b).map(id => s"${b.col}_bucket=$id")
+      case t @ PartitionFields.Temporal(unit, c) =>
+        PartitionFields.valueFromPath(e.path, t).map(v => s"${c}_$unit=$v")
+      case t @ PartitionFields.Truncate(w, c) =>
+        val dt = m.schemaDdl.map(StructType.fromDDL)
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(c))).map(_.dataType)
+        dt.flatMap(PartitionFields.truncValueFromPath(e.path, t, _))
+          .map(v => s"${c}_trunc$w=$v")
     }
     if (parts.exists(_.isEmpty)) None else Some(parts.flatten.mkString("/"))
   }
@@ -271,10 +278,31 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
         require(ns.length == 1 && refs.length == 1 && refs.head.fieldNames.length == 1,
           s"snapshot bucket partitioning takes exactly bucket(n, flatColumn) (got $t)")
         PartitionFields.Bucket(ns.head, refs.head.fieldNames.head).encoded
+      case t if PartitionFields.TemporalUnits.contains(t.name) && t.references.length == 1 =>
+        val fieldNames = t.references.head.fieldNames
+        require(fieldNames.length == 1,
+          s"snapshot schemas are flat; cannot partition by nested field " +
+            fieldNames.mkString("."))
+        PartitionFields.Temporal(t.name, fieldNames.head).encoded
+      // SQL spells the singular (`day(ts)`); DSv2 names the plural
+      case t if PartitionFields.TemporalUnits.map(_.dropRight(1)).contains(t.name) &&
+          t.references.length == 1 && t.references.head.fieldNames.length == 1 =>
+        PartitionFields.Temporal(t.name + "s", t.references.head.fieldNames.head).encoded
+      case t if t.name == "truncate" =>
+        val ws = t.arguments.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.dataType == org.apache.spark.sql.types.IntegerType =>
+            l.value.asInstanceOf[Number].intValue
+        }
+        val refs = t.arguments.collect {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference => r
+        }
+        require(ws.length == 1 && refs.length == 1 && refs.head.fieldNames.length == 1,
+          s"snapshot truncate partitioning takes exactly truncate(w, flatColumn) (got $t)")
+        PartitionFields.Truncate(ws.head, refs.head.fieldNames.head).encoded
       case other => throw new UnsupportedOperationException(
-        s"snapshot tables support identity and bucket(n, col) partitioning (got $other); " +
-          "truncate/time transforms are not implemented — partition on a " +
-          "materialized column instead")
+        s"snapshot tables support identity, bucket(n, col), years/months/days/hours(col), " +
+          s"and truncate(w, col) partitioning (got $other)")
     }
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
@@ -434,11 +462,12 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     * un-partitioned side of a join INTO our bucket domain.
     */
   override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
-    if (ident.name.equalsIgnoreCase("bucket")) SnapshotFunctions.BucketUnbound
-    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+    SnapshotFunctions.forName(ident.name)
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket")) else Array.empty
+    if (namespace.isEmpty) SnapshotFunctions.Names.map(Identifier.of(Array.empty[String], _)).toArray
+    else Array.empty
 
   /** A procedure's `table` argument → directory: absolute path as-is,
     * otherwise a dot-separated identifier under the root.
@@ -493,6 +522,13 @@ private[graft] class SnapshotV2Table(
         org.apache.spark.sql.connector.expressions.Expressions.identity(c)
       case PartitionFields.Bucket(n, c) =>
         org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)
+      case PartitionFields.Temporal(unit, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.apply(unit,
+          org.apache.spark.sql.connector.expressions.Expressions.column(c))
+      case PartitionFields.Truncate(w, c) =>
+        org.apache.spark.sql.connector.expressions.Expressions.apply("truncate",
+          org.apache.spark.sql.connector.expressions.Expressions.literal(w),
+          org.apache.spark.sql.connector.expressions.Expressions.column(c))
     }.toArray
 
   override def capabilities(): util.Set[TableCapability] =

@@ -470,25 +470,38 @@ object SnapshotTable {
     val norm = filters.map(FileStats.normalize)
     val byStats =
       m.entries.filter(e => norm.forall(f => e.stats.forall(FileStats.mayMatch(f, _, e.rows))))
-    bucketPrune(m, byStats, norm)
+    transformPrune(m, byStats, norm)
   }
 
-  /** BUCKET pruning on top of the stats pass: a point predicate on a
-    * bucket-partition column admits exactly one bucket id, so every file
-    * whose routing directory proves a DIFFERENT id cannot match — the
-    * guaranteed 1/n scan for key lookups on bucket-partitioned tables.
+  /** TRANSFORM pruning on top of the stats pass, for every non-identity
+    * partition field whose routing directory survives in the file's path:
+    *
+    *  - BUCKET: a point predicate admits exactly one bucket id, so a file
+    *    routed to a DIFFERENT id cannot match — the guaranteed 1/n scan
+    *    for key lookups (hashes are not ordered: range predicates never
+    *    prune buckets);
+    *  - TEMPORAL / TRUNCATE: both transforms are MONOTONE in the source
+    *    value, so `col ⊙ lit` maps to `T(col) ⊙ T(lit)` — equality, IN,
+    *    and RANGE predicates on the RAW column prune by the file's
+    *    transform ordinal (Iceberg's hidden partitioning: the user never
+    *    mentions the transform); a routed file also provably holds no
+    *    NULLs in the source column (nulls route to the default
+    *    partition), so `IS NULL` prunes it outright.
+    *
     * Conservative like [[FileStats.mayMatch]]: un-routed files (no
-    * `__pb_` directory), cast-wrapped attributes, type-mismatched
-    * literals, and any predicate shape beyond =/IN keep the file.
+    * routing directory — streaming epochs, row-level rewrites),
+    * cast-wrapped attributes, type-mismatched literals, escaped string
+    * directory values, and unhandled predicate shapes keep the file.
     */
-  private def bucketPrune(m: Manifest, entries: Seq[FileEntry],
+  private def transformPrune(m: Manifest, entries: Seq[FileEntry],
       norm: Seq[Expression]): Seq[FileEntry] = {
     import org.apache.spark.sql.catalyst.expressions._
-    val buckets = PartitionFields.parseAll(m.partitionCols.getOrElse(Seq.empty))
-      .collect { case b: PartitionFields.Bucket => b }
-    if (buckets.isEmpty || norm.isEmpty) return entries
-    // the hash input type must be the column's STORED type — resolve it
-    // from the manifest schema; absent schema (legacy manifest) → no prune
+    val fields = PartitionFields.parseAll(m.partitionCols.getOrElse(Seq.empty))
+      .filterNot(_.isInstanceOf[PartitionFields.Identity])
+    if (fields.isEmpty || norm.isEmpty) return entries
+    // the transform input type must be the column's STORED type — resolve
+    // it from the manifest schema; absent schema (legacy manifest) → no
+    // prune
     val schema = m.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL).getOrElse {
       return entries
     }
@@ -496,38 +509,73 @@ object SnapshotTable {
     def bare(e: Expression): Option[String] = e match {
       case a: AttributeReference => Some(a.name)
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute => Some(u.name)
-      case _ => None // a cast changes the hash input — never prune through it
+      case _ => None // a cast changes the transform input — never prune through it
     }
 
-    def admits(pred: Expression, b: PartitionFields.Bucket,
-        dt: org.apache.spark.sql.types.DataType, fileBucket: Int): Boolean = pred match {
-      case And(l, r) => admits(l, b, dt, fileBucket) && admits(r, b, dt, fileBucket)
-      case Or(l, r) => admits(l, b, dt, fileBucket) || admits(r, b, dt, fileBucket)
-      case EqualTo(a, l: Literal) if bare(a).exists(_.equalsIgnoreCase(b.col)) &&
-          l.dataType == dt && l.value != null =>
-        PartitionFields.bucketId(l.value, dt, b.n) == fileBucket
-      case EqualTo(l: Literal, a) => admits(EqualTo(a, l), b, dt, fileBucket)
-      case EqualNullSafe(a, l: Literal) if l.value != null =>
-        admits(EqualTo(a, l), b, dt, fileBucket)
-      case In(a, vs) if bare(a).exists(_.equalsIgnoreCase(b.col)) &&
-          vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists { case l: Literal =>
-          l.value == null || l.dataType != dt ||
-            PartitionFields.bucketId(l.value, dt, b.n) == fileBucket
-        }
-      case InSet(a, vs) if bare(a).exists(_.equalsIgnoreCase(b.col)) && a.resolved &&
-          a.dataType == dt =>
-        vs.exists(v => v == null || PartitionFields.bucketId(v, dt, b.n) == fileBucket)
-      case _ => true
+    // the file's recovered transform value, the literal-side transform,
+    // and whether order comparisons are meaningful for this field
+    def fileValue(f: PartitionFields.Field, dt: org.apache.spark.sql.types.DataType,
+        path: String): Option[Any] = f match {
+      case b: PartitionFields.Bucket => PartitionFields.bucketIdFromPath(path, b)
+      case t: PartitionFields.Truncate => PartitionFields.truncValueFromPath(path, t, dt)
+      case _ => PartitionFields.valueFromPath(path, f)
+    }
+    def litValue(f: PartitionFields.Field, dt: org.apache.spark.sql.types.DataType,
+        v: Any): Option[Any] = f match {
+      case b: PartitionFields.Bucket => Some(PartitionFields.bucketId(v, dt, b.n))
+      case _ => PartitionFields.transformValue(v, dt, f)
+    }
+    def ordered(f: PartitionFields.Field): Boolean = !f.isInstanceOf[PartitionFields.Bucket]
+    def cmp(a: Any, b: Any): Int = (a, b) match {
+      case (x: Int, y: Int) => Integer.compare(x, y)
+      case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+      case (x: org.apache.spark.unsafe.types.UTF8String,
+            y: org.apache.spark.unsafe.types.UTF8String) => x.binaryCompare(y)
+      case _ => 0 // same-field values share a domain; unreachable
+    }
+
+    def admits(pred: Expression, f: PartitionFields.Field,
+        dt: org.apache.spark.sql.types.DataType, fv: Any): Boolean = {
+      def isCol(a: Expression): Boolean = bare(a).exists(_.equalsIgnoreCase(f.col))
+      def rel(l: Literal)(test: Int => Boolean): Boolean =
+        l.dataType != dt || l.value == null ||
+          litValue(f, dt, l.value).forall(v => test(cmp(fv, v)))
+      pred match {
+        case And(l, r) => admits(l, f, dt, fv) && admits(r, f, dt, fv)
+        case Or(l, r) => admits(l, f, dt, fv) || admits(r, f, dt, fv)
+        case EqualTo(a, l: Literal) if isCol(a) && l.dataType == dt && l.value != null =>
+          litValue(f, dt, l.value).forall(v => cmp(fv, v) == 0)
+        case EqualTo(l: Literal, a) => admits(EqualTo(a, l), f, dt, fv)
+        case EqualNullSafe(a, l: Literal) if l.value != null =>
+          admits(EqualTo(a, l), f, dt, fv)
+        case In(a, vs) if isCol(a) && vs.forall(_.isInstanceOf[Literal]) =>
+          vs.exists { case l: Literal =>
+            l.value == null || l.dataType != dt ||
+              litValue(f, dt, l.value).forall(v => cmp(fv, v) == 0)
+          }
+        case InSet(a, vs) if isCol(a) && a.resolved && a.dataType == dt =>
+          vs.exists(v => v == null || litValue(f, dt, v).forall(cmp(fv, _) == 0))
+        case GreaterThan(a, l: Literal) if ordered(f) && isCol(a) => rel(l)(_ >= 0)
+        case GreaterThanOrEqual(a, l: Literal) if ordered(f) && isCol(a) => rel(l)(_ >= 0)
+        case LessThan(a, l: Literal) if ordered(f) && isCol(a) => rel(l)(_ <= 0)
+        case LessThanOrEqual(a, l: Literal) if ordered(f) && isCol(a) => rel(l)(_ <= 0)
+        // literal-first comparisons flip the relation
+        case GreaterThan(l: Literal, a) => admits(LessThan(a, l), f, dt, fv)
+        case GreaterThanOrEqual(l: Literal, a) => admits(LessThanOrEqual(a, l), f, dt, fv)
+        case LessThan(l: Literal, a) => admits(GreaterThan(a, l), f, dt, fv)
+        case LessThanOrEqual(l: Literal, a) => admits(GreaterThanOrEqual(a, l), f, dt, fv)
+        case IsNull(a) if isCol(a) && ordered(f) => false // routed ⇒ no nulls
+        case _ => true
+      }
     }
 
     entries.filter { e =>
-      buckets.forall { b =>
-        schema.fields.find(_.name.equalsIgnoreCase(b.col)) match {
+      fields.forall { f =>
+        schema.fields.find(_.name.equalsIgnoreCase(f.col)) match {
           case None => true
-          case Some(f) => PartitionFields.bucketIdFromPath(e.path, b) match {
-            case None => true // un-routed file: may hold any bucket
-            case Some(id) => norm.forall(p => admits(p, b, f.dataType, id))
+          case Some(sf) => fileValue(f, sf.dataType, e.path) match {
+            case None => true // un-routed file: may hold anything
+            case Some(fv) => norm.forall(p => admits(p, f, sf.dataType, fv))
           }
         }
       }
@@ -1602,8 +1650,10 @@ object SnapshotTable {
       // high-cardinality keys plus guaranteed 1/n point-lookup pruning)
       validatePartitioning(df.schema, pcols, s"write into partitioned table at $dir")
       val fields = PartitionFields.parseAll(pcols)
+      def dtOf(f: PartitionFields.Field): org.apache.spark.sql.types.DataType =
+        df.schema.fields.find(_.name.equalsIgnoreCase(f.col)).get.dataType
       val routed = fields.foldLeft(df)((d, f) =>
-        d.withColumn(f.dirCol, PartitionFields.routeColumn(f)))
+        d.withColumn(f.dirCol, PartitionFields.routeColumn(f, dtOf(f))))
       // WRITE ALIGNMENT: without it, partitionBy makes every task open a
       // writer per value it sees — O(tasks × values) small files per
       // commit, the classic dynamic-partition explosion. A REBALANCE on
@@ -1685,6 +1735,20 @@ object SnapshotTable {
         s"$what: partition column '${pf.col}' has type ${f.dataType.catalogString}; " +
           "partitioning supports string/date/timestamp/boolean/integral columns only " +
           "(float/double/decimal bounds round, so files could not be pruned exactly)")
+      pf match {
+        case PartitionFields.Temporal(unit, c) =>
+          require(PartitionFields.temporalAccepts(unit, f.dataType),
+            s"$what: $unit($c) needs a ${if (unit == "hours") "timestamp" else "date/timestamp"} " +
+              s"column; got ${f.dataType.catalogString}" +
+              (if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+                " (timestamp_ntz is refused: unix_micros would shift it through the session zone)"
+              else ""))
+        case PartitionFields.Truncate(_, c) =>
+          require(PartitionFields.truncateAccepts(f.dataType),
+            s"$what: truncate(w,$c) needs a string/integral column; got " +
+              f.dataType.catalogString)
+        case _ =>
+      }
     }
   }
 
