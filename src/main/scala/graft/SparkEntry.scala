@@ -1928,6 +1928,28 @@ object SparkEntry {
       s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
       s.sql(s"SELECT o_custkey, o_orderkey, price FROM snap.`$tbl` " +
         "WHERE o_custkey BETWEEN 300 AND 700 ORDER BY o_orderkey")
+    }),
+
+    // ---- PARTITION EVOLUTION: the table starts identity-partitioned,
+    // evolves to months(o_orderdate) as a METADATA-ONLY commit, then takes
+    // an append that routes by the new spec — the query reads the MIXED
+    // layout (old files conservative, new files month-pruned) and must
+    // lose no row; PartitionEvolutionSpec asserts the layout mechanics,
+    // this gate asserts end-to-end result fidelity ----
+    "q146_partition_evolution" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderpriority"), col("o_orderdate"),
+        col("o_totalprice").cast("double").as("price"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q146").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, o.filter(col("o_orderkey") % 3 =!= 0), tbl,
+        partitionCols = Some(Seq("o_orderpriority")))
+      graft.catalog.SnapshotTable.setPartitionSpec(s, tbl, Seq("months(o_orderdate)"))
+      graft.catalog.SnapshotTable.append(s, o.filter(col("o_orderkey") % 3 === 0), tbl)
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.sql(s"SELECT o_orderpriority, count(*) AS n, round(sum(price), 2) AS sum_price " +
+        s"FROM snap.`$tbl` " +
+        "WHERE o_orderdate >= DATE'1994-01-01' AND o_orderdate < DATE'1995-01-01' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority")
     })
   )
 
@@ -2290,6 +2312,16 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
         |FROM orders WHERE o_custkey BETWEEN 300 AND 700
         |ORDER BY o_orderkey""".stripMargin,
+
+    // q146: the two write generations partition the full orders table
+    // (%3 split), so the mixed-layout read must equal the plain aggregate
+    "q146_partition_evolution" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price
+        |FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '1994-01-01'
+        |  AND CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     // q126: the CDC truth is derivable from the base table alone — every
     // %7 key yields an update pre image (old price) + post image (negated),

@@ -49,7 +49,7 @@ object ManifestPlanning {
     * table has partition fields AND every live file's value for every
     * field is exactly recoverable — identity fields from stats (lo == hi,
     * type-exact, all-null files count as a null value), bucket fields
-    * from their routing directory (`__pb_<col>=<id>`). A single
+    * from their routing directory (`__pb_<n>_<col>=<id>`). A single
     * unprovable file — e.g. a hash-clustered streaming epoch or row-level
     * rewrite — disables the layout for the whole snapshot; the next
     * compaction re-routes it and the layout comes back.

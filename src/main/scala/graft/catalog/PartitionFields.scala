@@ -61,7 +61,10 @@ private[graft] object PartitionFields {
 
   final case class Bucket(n: Int, col: String) extends Field {
     def encoded: String = s"bucket($n,$col)"
-    def dirCol: String = BucketDirPrefix + col
+    // n is part of the marker: under PARTITION EVOLUTION a file routed as
+    // bucket(8,k) must never be read back as a bucket(16,k) id — a bare
+    // `__pb_k=` marker would alias the two and prune wrong files
+    def dirCol: String = s"$BucketDirPrefix${n}_$col"
   }
 
   /** `unit` ∈ years | months | days | hours; ordinals since the epoch
@@ -77,7 +80,7 @@ private[graft] object PartitionFields {
     def dirCol: String = s"$TruncateDirPrefix${w}_$col"
   }
 
-  /** Bucket routing directories: `c-…/__pb_<col>=<id>/part-….parquet`. */
+  /** Bucket routing directories: `c-…/__pb_<n>_<col>=<id>/part-….parquet`. */
   private[catalog] val BucketDirPrefix = "__pb_"
   /** Temporal routing directories: `c-…/__pt_days_<col>=<ord>/…`. */
   private[catalog] val TemporalDirPrefix = "__pt_"
@@ -104,6 +107,23 @@ private[graft] object PartitionFields {
   }
 
   def parseAll(pcols: Seq[String]): Seq[Field] = pcols.map(parse)
+
+  /** Split a user-facing spec string (`"days(ts), bucket(8,k)"`) into
+    * encoded fields — commas INSIDE a transform's parens don't split.
+    */
+  def splitSpec(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur += c
+    }
+    out += cur.toString.trim
+    out.filter(_.nonEmpty).toSeq
+  }
 
   /** The underlying data columns of an encoded spec (for stats priority,
     * validation, and schema presence checks).

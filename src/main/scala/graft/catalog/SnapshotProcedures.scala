@@ -35,13 +35,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[graft] object SnapshotProcedures {
 
-  val Names: Seq[String] = Seq("compact", "vacuum", "rollback")
+  val Names: Seq[String] = Seq("compact", "vacuum", "rollback", "set_partition_spec")
 
   def forName(name: String, resolveDir: String => String): Option[UnboundProcedure] =
     name match {
       case "compact" => Some(new CompactProcedure(resolveDir))
       case "vacuum" => Some(new VacuumProcedure(resolveDir))
       case "rollback" => Some(new RollbackProcedure(resolveDir))
+      case "set_partition_spec" => Some(new SetPartitionSpecProcedure(resolveDir))
       case _ => None
     }
 
@@ -135,6 +136,30 @@ private[graft] object SnapshotProcedures {
       val newV = SnapshotTable.rollback(spark, dirOf(input), input.getLong(1))
       result(StructType.fromDDL("restored_version BIGINT, new_version BIGINT"),
         input.getLong(1), newV)
+    }
+  }
+
+  /** PARTITION EVOLUTION: `CALL snap.system.set_partition_spec(table =>
+    * …, spec => 'days(ts),bucket(8,k)')` — a metadata-only commit
+    * ([[SnapshotTable.setPartitionSpec]]); `spec => ''` un-partitions.
+    * Existing files keep their old layout (read conservatively) until the
+    * next compaction re-routes them; new writes route by the new spec.
+    */
+  private final class SetPartitionSpecProcedure(resolveDir: String => String)
+    extends SnapshotProcedure(resolveDir) {
+    override def name(): String = "set_partition_spec"
+    override def description(): String =
+      "change the table's partition spec in place (metadata-only; '' un-partitions); " +
+        "old files stay valid and the next compact re-routes them into the new layout"
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("spec", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      requireSet(input, 1, "spec")
+      val spec = PartitionFields.splitSpec(input.getUTF8String(1).toString)
+      val v = SnapshotTable.setPartitionSpec(spark, dirOf(input), spec)
+      result(StructType.fromDDL("new_version BIGINT, spec STRING"),
+        v, org.apache.spark.unsafe.types.UTF8String.fromString(spec.mkString(",")))
     }
   }
 }

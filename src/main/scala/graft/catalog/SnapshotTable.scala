@@ -1065,6 +1065,31 @@ object SnapshotTable {
       Some((m.entries, txnOf(cur), Some(merged.toDDL)))
     }.get
 
+  /** PARTITION EVOLUTION (Iceberg's `REPLACE PARTITION FIELD` shape) as
+    * a METADATA-ONLY commit: the manifest's partition spec changes, every
+    * data file is carried untouched. Correctness never depends on layout:
+    * files written under the OLD spec simply lack the new spec's routing
+    * directories, so [[transformPrune]] and [[ManifestPlanning.keyedLayout]]
+    * treat them conservatively (may-match-anything / layout disabled) —
+    * exactly the degradation contract row-level rewrites already exercise
+    * — while every SUBSEQUENT write routes by the new spec and the next
+    * [[compact]] rewrites history into it, restoring full pruning and the
+    * storage-partitioned-join layout. This is how a 100 TB table outgrows
+    * its layout in place: `months(ts)` → `days(ts)` when months get too
+    * fat, or identity → `bucket(n,k)` when a dimension key's cardinality
+    * explodes — no table rewrite, no downtime, no read-path flag.
+    */
+  def setPartitionSpec(spark: SparkSession, dir: String, pcols: Seq[String]): Long =
+    commitLoop(spark, dir, op = "set-partition-spec",
+      revisePartitioning = _ => Some(pcols)) { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException(
+        s"no snapshot table at $dir to re-partition"))
+      val prior = priorSchema(spark, dir, cur).getOrElse(throw new IllegalStateException(
+        s"snapshot at $dir has no recoverable schema; cannot change its partition spec"))
+      if (pcols.nonEmpty) validatePartitioning(prior, pcols, s"set partition spec of $dir")
+      Some((m.entries, txnOf(cur), m.schemaDdl))
+    }.get
+
   /** Is `from` → `to` a SAFE metadata-only widening — every value of
     * `from` embeds exactly into `to`, and the parquet readers read files
     * written with `from` directly under a `to` read schema (verified by
@@ -1645,7 +1670,7 @@ object SnapshotTable {
       // the data files (readers never reconstruct values from paths):
       // identity fields duplicate the value (`__p_<col>=v` — one raw value
       // per file, footer min/max exact, manifest pruning byte-precise),
-      // bucket fields compute `pmod(xxhash64(col), n)` (`__pb_<col>=id` —
+      // bucket fields compute `pmod(xxhash64(col), n)` (`__pb_<n>_<col>=id` —
       // one bucket per file, the co-located-join layout for
       // high-cardinality keys plus guaranteed 1/n point-lookup pruning)
       validatePartitioning(df.schema, pcols, s"write into partitioned table at $dir")

@@ -15,7 +15,7 @@ import graft.catalog.{PartitionFields, SnapshotCatalog, SnapshotTable}
   * the co-located-join layout for HIGH-CARDINALITY keys where identity
   * partitioning would explode into one directory per key:
   *
-  *  - routing: every data file lands under `__pb_<col>=<id>` with id =
+  *  - routing: every data file lands under `__pb_<n>_<col>=<id>` with id =
   *    pmod(xxhash64(col), n), verified row-by-row against the file's
   *    directory;
   *  - storage-partitioned joins: two tables bucketed the same way join
@@ -90,7 +90,7 @@ class BucketPartitionSpec extends SparkSpec {
     val mismatches = spark.sql(
       s"SELECT k, _file FROM snap.`$dir`")
       .withColumn("dirId",
-        regexp_extract(col("_file"), "__pb_k=(\\d+)/", 1).cast("int"))
+        regexp_extract(col("_file"), "__pb_8_k=(\\d+)/", 1).cast("int"))
       .withColumn("computed", pmod(xxhash64(col("k")), lit(8L)).cast("int"))
       .filter(col("dirId") =!= col("computed"))
     assert(mismatches.count() == 0)
@@ -150,7 +150,7 @@ class BucketPartitionSpec extends SparkSpec {
     val oneFiles = scannedFiles(one)
     val expectedBucket = PartitionFields.bucketId(12345L,
       org.apache.spark.sql.types.LongType, 16)
-    assert(oneFiles.nonEmpty && oneFiles.forall(_.contains(s"__pb_ck=$expectedBucket/")),
+    assert(oneFiles.nonEmpty && oneFiles.forall(_.contains(s"__pb_16_ck=$expectedBucket/")),
       s"a point lookup must stay inside bucket $expectedBucket: $oneFiles")
     assert(spark.sql(s"SELECT v FROM snap.`$dir` WHERE ck = 12345")
       .collect().map(_.getLong(0)).toSeq == Seq(12345L * 3))
@@ -160,7 +160,7 @@ class BucketPartitionSpec extends SparkSpec {
     val admissible = Seq(1L, 2L, 3L)
       .map(v => PartitionFields.bucketId(v, org.apache.spark.sql.types.LongType, 16)).toSet
     assert(inFiles.nonEmpty &&
-      inFiles.forall(f => admissible.exists(b => f.contains(s"__pb_ck=$b/"))),
+      inFiles.forall(f => admissible.exists(b => f.contains(s"__pb_16_ck=$b/"))),
       s"an IN-list must stay inside buckets $admissible: $inFiles")
     assert(spark.sql(s"SELECT count(*) AS c FROM snap.`$dir` WHERE ck IN (1, 2, 3)")
       .collect().head.getLong(0) == 3)

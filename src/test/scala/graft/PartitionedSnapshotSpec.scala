@@ -171,14 +171,15 @@ class PartitionedSnapshotSpec extends SparkSpec {
 
   test("SQL: unsupported transforms are refused loudly, not silently dropped") {
     ensureCatalog()
-    // bucket is a SUPPORTED transform now (BucketPartitionSpec);
-    // truncate/time transforms remain refusals
+    // the whole transform family is supported now (BucketPartitionSpec,
+    // TemporalPartitionSpec); a TYPE-invalid transform must still refuse
+    // at DDL/write, never silently produce an unpartitioned table
     val e = intercept[Exception] {
-      spark.sql("CREATE TABLE snap.part.truncated (id BIGINT, dt STRING) " +
-        "PARTITIONED BY (truncate(4, dt))")
+      spark.sql("CREATE TABLE snap.part.badtemporal (id BIGINT, dt STRING) " +
+        "PARTITIONED BY (days(id))")
+      spark.sql("INSERT INTO snap.part.badtemporal VALUES (1, 'x')")
     }
-    assert(e.getMessage.contains("identity and bucket"),
-      s"wrong refusal: ${e.getMessage}")
+    assert(e.getMessage.contains("days"), s"wrong refusal: ${e.getMessage}")
   }
 
   test("SQL row-level UPDATE on a partitioned table stays correct; compact restores layout") {
