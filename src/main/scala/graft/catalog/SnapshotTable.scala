@@ -353,6 +353,26 @@ object SnapshotTable {
     hit.last._1
   }
 
+  /** The FIRST version whose commit stamp is >= `tsMillis` — the
+    * streaming `startingTimestamp` anchor (Delta semantics: deliver
+    * changes committed AT or AFTER the timestamp). A timestamp past the
+    * newest commit returns (current + 1): the stream starts empty and
+    * surfaces only future commits. A timestamp before the earliest
+    * RETAINED commit resolves to that earliest version — the full
+    * backfill an uncapped stream would deliver anyway; data expired by
+    * vacuum cannot be conjured back, and starting empty would silently
+    * DROP retained history the caller asked for.
+    */
+  def versionSinceTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val stamps = commitTimes(spark, dir)
+    if (stamps.isEmpty) throw new IllegalStateException(s"no committed snapshot at $dir")
+    val stamped = stamps.collect { case (v, Some(t)) => (v, t) }
+    if (stamped.isEmpty) throw new IllegalStateException(
+      s"snapshot at $dir has no commit timestamps (history predates commit-time stamps); " +
+        "start the stream by startingVersion instead")
+    stamped.find(_._2 >= tsMillis).map(_._1).getOrElse(stamped.last._1 + 1)
+  }
+
   /** Time travel by wall clock: the table as of `tsMillis`
     * ([[versionAtTimestamp]] semantics), with that version's schema and
     * the same planner-integrated pruning as [[readTable]].

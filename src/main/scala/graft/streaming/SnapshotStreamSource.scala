@@ -53,6 +53,9 @@ import graft.catalog.{ChangeFeed, SnapshotTable}
   * (one version can carry arbitrarily many files — Delta's
   * maxFilesPerTrigger idea). Both caps always let at least one version
   * through, so an oversized commit surfaces alone instead of stalling.
+  * `startingVersion` / `startingTimestamp` (mutually exclusive) skip the
+  * older backfill on a FRESH query — checkpointed restarts keep their
+  * recovered offsets, exactly like Delta.
   *
   * CHANGE-FEED MODE (`.option("readChangeFeed", "true")` +
   * `.option("changeFeedKeys", "k1,k2")` — Delta's streaming CDF analog):
@@ -69,11 +72,19 @@ import graft.catalog.{ChangeFeed, SnapshotTable}
 class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
     maxVersionsPerBatch: Option[Long] = None,
     maxFilesPerBatch: Option[Long] = None,
-    changeFeedKeys: Option[Seq[String]] = None) extends Source {
+    changeFeedKeys: Option[Seq[String]] = None,
+    // deliver changes from this VERSION onward (skip the older backfill);
+    // resolved from startingTimestamp by the provider. Only a FRESH query
+    // consults it — on checkpoint restart the engine drives getBatch with
+    // the recovered offsets, exactly like Delta ignores startingVersion
+    // once a checkpoint exists.
+    startingVersion: Option[Long] = None) extends Source {
   require(maxVersionsPerBatch.forall(_ >= 1L),
     s"maxVersionsPerBatch must be >= 1, got $maxVersionsPerBatch")
   require(maxFilesPerBatch.forall(_ >= 1L),
     s"maxFilesPerBatch must be >= 1, got $maxFilesPerBatch")
+  require(startingVersion.forall(_ >= 1L),
+    s"startingVersion must be >= 1, got $startingVersion")
 
   require(changeFeedKeys.forall(_.nonEmpty),
     "changeFeedKeys must name at least one key column")
@@ -112,8 +123,12 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
   // without rate limiting (offset = current) would have worked. The first
   // capped batch then starts from the oldest history that still exists,
   // exactly what the uncapped backfill delivers.
-  private var surfaced: Long =
-    SnapshotTable.versions(spark, dir).headOption.map(_ - 1L).getOrElse(0L)
+  // a fresh query's first batch window opens at (startingVersion - 1):
+  // versions <= the anchor are never delivered
+  private val initialFrom: Long = startingVersion.map(_ - 1L).getOrElse(0L)
+
+  private var surfaced: Long = math.max(initialFrom,
+    SnapshotTable.versions(spark, dir).headOption.map(_ - 1L).getOrElse(0L))
 
   override def schema: StructType = declared
 
@@ -135,7 +150,7 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
   private def version(o: Offset): Long = o.json.trim.toLong
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(version).getOrElse(0L)
+    val from = start.map(version).getOrElse(initialFrom)
     val to = version(end)
     synchronized { surfaced = math.max(surfaced, to) }
     val batch = (from >= to, changeFeedKeys) match {
@@ -201,11 +216,39 @@ class SnapshotSourceProvider extends StreamSourceProvider {
       new SnapshotStreamSource(sqlContext, dirOf(parameters),
         changeFeedKeys = keysOf(parameters)).schema)
 
+  /** `startingVersion` / `startingTimestamp` (mutually exclusive) skip
+    * the older backfill: deliver changes from that version on, or from
+    * the first commit stamped at-or-after the timestamp
+    * ([[SnapshotTable.versionSinceTimestamp]]). Timestamps parse as epoch
+    * millis, an ISO-8601 instant (`2024-01-01T00:00:00Z`), or
+    * `yyyy-MM-dd HH:mm:ss` read as UTC — never the JVM default zone,
+    * which would make the same checkpoint resolve differently per driver.
+    */
+  private def startOf(sqlContext: SQLContext,
+      parameters: Map[String, String]): Option[Long] = {
+    val sv = parameters.get("startingVersion").map(_.toLong)
+    val st = parameters.get("startingTimestamp")
+    require(sv.isEmpty || st.isEmpty,
+      "startingVersion and startingTimestamp are mutually exclusive")
+    sv.orElse(st.map { s =>
+      SnapshotTable.versionSinceTimestamp(sqlContext.sparkSession,
+        dirOf(parameters), parseTsMillis(s))
+    })
+  }
+
+  private def parseTsMillis(s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else scala.util.Try(java.time.Instant.parse(s).toEpochMilli).getOrElse {
+      java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source =
     new SnapshotStreamSource(sqlContext, dirOf(parameters),
       parameters.get("maxVersionsPerBatch").map(_.toLong),
       parameters.get("maxFilesPerBatch").map(_.toLong),
-      keysOf(parameters))
+      keysOf(parameters),
+      startOf(sqlContext, parameters))
 }

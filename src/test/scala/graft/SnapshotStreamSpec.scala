@@ -380,4 +380,66 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).filter(col("v") === -1).count() == 3,
       "ids 5, 52, 99 of 0..99 satisfy id % 47 = 5")
   }
+
+  test("startingVersion / startingTimestamp skip the older backfill; checkpoint restarts ignore them") {
+    val dir = Files.createTempDirectory("graft-stream-startat").toString
+    def rows(a: Int, b: Int) = (a until b).toDF("id").select(
+      col("id").cast("long").as("id"))
+
+    SnapshotTable.write(spark, rows(0, 50), dir) // v1
+    SnapshotTable.append(spark, rows(50, 80), dir) // v2
+    val tsBeforeV3 = SnapshotTable.commitTimes(spark, dir).last._2.get + 1
+    SnapshotTable.append(spark, rows(80, 100), dir) // v3
+
+    def drain(extra: (String, String)*): Seq[Long] = {
+      val received = new ConcurrentLinkedQueue[Long]()
+      val reader = spark.readStream
+        .format(classOf[SnapshotSourceProvider].getName)
+        .option("path", dir)
+      extra.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load().writeStream
+        .option("checkpointLocation", Files.createTempDirectory("graft-sv-ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => received.add(r.getLong(0)))
+        }.start()
+      q.processAllAvailable(); q.stop()
+      import scala.jdk.CollectionConverters._
+      received.asScala.toSeq.sorted
+    }
+
+    // version anchor: deliver v2 onward, never v1's rows
+    assert(drain("startingVersion" -> "2") == (50L until 100L))
+    // timestamp anchor: the first commit stamped at-or-after ts is v3
+    assert(drain("startingTimestamp" -> tsBeforeV3.toString) == (80L until 100L))
+    // a pre-history timestamp = the full retained backfill, not an error
+    assert(drain("startingTimestamp" -> "0") == (0L until 100L))
+    // past the newest commit: starts empty, surfaces only future commits
+    val late = SnapshotTable.commitTimes(spark, dir).last._2.get + 60000
+    assert(drain("startingTimestamp" -> late.toString).isEmpty)
+
+    // a checkpointed restart keeps its recovered offsets — the anchor
+    // only shapes a FRESH query
+    val ckpt = Files.createTempDirectory("graft-sv-restart").toString
+    val received = new ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", dir).option("startingVersion", "3")
+      .load().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id").collect().foreach(r => received.add(r.getLong(0)))
+      }.start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    SnapshotTable.append(spark, rows(100, 120), dir) // v4
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(received.asScala.toSeq.sorted == (80L until 120L),
+      "restart resumes from the checkpoint: v3's rows once, then v4's — no v1/v2 replay")
+
+    // refusals: both anchors, or a version below 1
+    intercept[Exception] {
+      drain("startingVersion" -> "2", "startingTimestamp" -> "0")
+    }
+    intercept[Exception] { drain("startingVersion" -> "0") }
+  }
 }
