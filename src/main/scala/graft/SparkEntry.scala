@@ -1950,6 +1950,25 @@ object SparkEntry {
         s"FROM snap.`$tbl` " +
         "WHERE o_orderdate >= DATE'1994-01-01' AND o_orderdate < DATE'1995-01-01' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority")
+    }),
+
+    // ---- Z-ORDERED COMPACTION (OPTIMIZE ZORDER): the rewrite Morton-
+    // clusters (l_partkey, l_suppkey) so point/range predicates on EITHER
+    // column prune files (ZOrderCompactionSpec measures the file cut); the
+    // gate asserts the clustered rewrite is a pure reordering — the
+    // filtered read equals the raw-table truth ----
+    "q147_zorder_compact" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity").cast("double").as("qty"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q147").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, l.repartition(8), tbl)
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      val bytes = graft.catalog.SnapshotTable.currentManifest(s, tbl).get.entries.map(_.bytes).sum
+      s.sql(s"CALL snap.system.compact(table => '$tbl', " +
+        s"target_file_bytes => ${math.max(1L, bytes / 8)}, zorder_by => 'l_partkey,l_suppkey')")
+      s.sql(s"SELECT l_orderkey, l_partkey, l_suppkey, qty FROM snap.`$tbl` " +
+        "WHERE l_partkey BETWEEN 100 AND 120 AND l_suppkey BETWEEN 10 AND 60 " +
+        "ORDER BY l_orderkey, l_partkey, l_suppkey, qty")
     })
   )
 
@@ -2312,6 +2331,15 @@ object SparkEntry {
       """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
         |FROM orders WHERE o_custkey BETWEEN 300 AND 700
         |ORDER BY o_orderkey""".stripMargin,
+
+    // q147: the z-ordered rewrite is a pure reordering — the filtered
+    // read must equal the raw-table truth
+    "q147_zorder_compact" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey,
+        |  CAST(l_quantity AS DOUBLE) AS qty
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 120 AND l_suppkey BETWEEN 10 AND 60
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, qty""".stripMargin,
 
     // q146: the two write generations partition the full orders table
     // (%3 split), so the mixed-layout read must equal the plain aggregate

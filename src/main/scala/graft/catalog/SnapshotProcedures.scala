@@ -87,20 +87,25 @@ private[graft] object SnapshotProcedures {
     override def name(): String = "compact"
     override def description(): String =
       "bin-pack the current snapshot's files toward target_file_bytes (one atomic commit); " +
-        "only_files_below > 0 rewrites just the small/vectored tail (the 100 TB steady state)"
+        "only_files_below > 0 rewrites just the small/vectored tail (the 100 TB steady state); " +
+        "zorder_by => 'a,b' additionally clusters the rewrite (OPTIMIZE ZORDER)"
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
       paramWithDefault("target_file_bytes", LongType, (128L * 1024 * 1024).toString),
-      paramWithDefault("only_files_below", LongType, "-1"))
+      paramWithDefault("only_files_below", LongType, "-1"),
+      paramWithDefault("zorder_by", StringType, "''"))
     override def call(input: InternalRow): JIterator[Scan] = {
       requireSet(input, 1, "target_file_bytes")
       requireSet(input, 2, "only_files_below")
+      requireSet(input, 3, "zorder_by")
       val below = input.getLong(2) match {
         case b if b > 0 => Some(b)
         case _ => None
       }
+      val zcols = input.getUTF8String(3).toString
+        .split(',').map(_.trim).filter(_.nonEmpty).toSeq
       val (in, out) = SnapshotTable.compact(spark, dirOf(input), input.getLong(1),
-        onlyFilesBelow = below)
+        onlyFilesBelow = below, zorderBy = zcols)
       result(StructType.fromDDL("files_before INT, files_after INT"), in, out)
     }
   }

@@ -1571,11 +1571,26 @@ object SnapshotTable {
       // state maintenance op touches the append-fragmented tail only, so
       // its cost tracks the fragmentation, not the table. None = rewrite
       // everything (the layout-clustering form).
-      onlyFilesBelow: Option[Long] = None): (Int, Int) = {
+      onlyFilesBelow: Option[Long] = None,
+      // Z-ORDERED compaction (Delta's OPTIMIZE ZORDER BY, Iceberg's
+      // rewrite sort): one column range-sorts, 2-8 columns cluster by the
+      // N-column Morton value — every written file covers a small
+      // hyper-rectangle of the key domain, so manifest/footer min-max
+      // stats prune on ANY clustered column. On a PARTITIONED table the
+      // ordering applies WITHIN the partition routing (the bare `layout`
+      // hook can't do that: writeData's rebalance reshuffles after it).
+      zorderBy: Seq[String] = Seq.empty): (Int, Int) = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     onlyFilesBelow.foreach(b => require(b > 0, s"onlyFilesBelow must be positive, got $b"))
+    require(zorderBy.isEmpty || layout.isEmpty,
+      "zorderBy and a custom layout are mutually exclusive")
     retryingRewrite(dir) {
       val m = snapshot(spark, dir)
+      zorderBy.foreach { c =>
+        val known = m.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+          .forall(_.fieldNames.exists(_.equalsIgnoreCase(c)))
+        require(known, s"zorder column '$c' is not in the table schema at $dir")
+      }
       val (rewrite, carried) = onlyFilesBelow match {
         case None => (m.entries, Seq.empty[FileEntry])
         case Some(bound) => m.entries.partition(e => e.bytes < bound || e.dv.isDefined)
@@ -1587,10 +1602,24 @@ object SnapshotTable {
       val totalBytes = rewrite.map(_.bytes).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
       val base = readEntries(spark, dir, rewrite, m.schemaDdl)
-      val arranged = layout.fold(base.repartition(nOut))(_.apply(base))
+      val pcols = m.partitionCols.getOrElse(Seq.empty)
+      // z-order sort key: the raw column for one, the Morton value for 2-8
+      def zKey: org.apache.spark.sql.Column =
+        if (zorderBy.size == 1) org.apache.spark.sql.functions.col(s"`${zorderBy.head}`")
+        else graft.ops.Layout.zValueN(spark,
+          zorderBy.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
+      val arranged =
+        if (zorderBy.isEmpty) layout.fold(base.repartition(nOut))(_.apply(base))
+        else if (pcols.nonEmpty) base // ordered inside writeData, post-routing
+        else base.withColumn("__zk", zKey)
+          .repartitionByRange(nOut, org.apache.spark.sql.functions.col("__zk"))
+          .sortWithinPartitions(org.apache.spark.sql.functions.col("__zk"))
+          .drop("__zk")
       // partitioned tables re-route through the partition layout: binpack
       // merging never mixes partition values into one file
-      val entries = writeData(spark, arranged, dir, m.partitionCols.getOrElse(Seq.empty))
+      val entries = writeData(spark, arranged, dir, pcols,
+        sortBy = if (zorderBy.nonEmpty && pcols.nonEmpty) Seq(zKey) else Seq.empty,
+        sortParts = Some(nOut))
       // a compaction reads every REWRITTEN file, so a concurrent rewrite of
       // one conflicts; concurrent appends — and, in binpack mode, rewrites
       // of CARRIED files — rebase, their files ride along until next time
@@ -1681,7 +1710,14 @@ object SnapshotTable {
     * lists them is committed.
     */
   private def writeData(spark: SparkSession, df: DataFrame, dir: String,
-      pcols: Seq[String] = Seq.empty): Seq[FileEntry] = {
+      pcols: Seq[String] = Seq.empty,
+      // intra-file ordering for z-ordered compaction of partitioned
+      // tables: rows RANGE-partition on (routing dirs, sortBy) into
+      // `sortParts` tasks and sort within — each written file then holds a
+      // contiguous sort-key range inside its partition directory, so
+      // sibling files' footer min-max spans are disjoint and prune
+      sortBy: Seq[org.apache.spark.sql.Column] = Seq.empty,
+      sortParts: Option[Int] = None): Seq[FileEntry] = {
     val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
     val commitDir = new Path(dir, commitName)
     if (pcols.isEmpty) df.write.parquet(commitDir.toString)
@@ -1705,8 +1741,15 @@ object SnapshotTable {
       // the routing columns (Iceberg's hash write-distribution, with
       // AQE's oversized-group splitting keeping huge values parallel)
       // clusters each value into few tasks → O(values) right-sized files
-      val aligned = routed.hint("rebalance", fields.map(f => col(f.dirCol)): _*)
-      aligned.write.partitionBy(fields.map(_.dirCol): _*)
+      val ordered =
+        if (sortBy.isEmpty) routed.hint("rebalance", fields.map(f => col(f.dirCol)): _*)
+        else {
+          val keys = fields.map(f => col(f.dirCol)) ++ sortBy
+          val n = sortParts.getOrElse(
+            spark.sessionState.conf.numShufflePartitions)
+          routed.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
+        }
+      ordered.write.partitionBy(fields.map(_.dirCol): _*)
         .parquet(commitDir.toString)
     }
     val fs = fsFor(spark, dir)
