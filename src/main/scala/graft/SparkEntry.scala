@@ -1969,6 +1969,26 @@ object SparkEntry {
       s.sql(s"SELECT l_orderkey, l_partkey, l_suppkey, qty FROM snap.`$tbl` " +
         "WHERE l_partkey BETWEEN 100 AND 120 AND l_suppkey BETWEEN 10 AND 60 " +
         "ORDER BY l_orderkey, l_partkey, l_suppkey, qty")
+    }),
+
+    // ---- DROP COLUMN as metadata-only narrowing: the table starts with a
+    // junk column, drops it (files untouched — readers stop asking for
+    // it), then takes a post-drop append lacking it; the mixed read must
+    // equal the never-had-it truth (DropColumnSpec asserts the tombstone/
+    // resurrection mechanics) ----
+    "q148_drop_column" -> ((s, dir) => {
+      val o = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("price"),
+        (col("o_orderkey") * 7).as("junk"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q148").toString + "/t"
+      graft.catalog.SnapshotTable.write(s, o.filter(col("o_orderkey") % 2 === 0), tbl)
+      s.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+      s.sql(s"ALTER TABLE snap.`$tbl` DROP COLUMN junk")
+      graft.catalog.SnapshotTable.append(s,
+        o.drop("junk").filter(col("o_orderkey") % 2 =!= 0), tbl)
+      s.sql(s"SELECT o_custkey, count(*) AS n, round(sum(price), 2) AS sum_price " +
+        s"FROM snap.`$tbl` WHERE o_custkey BETWEEN 1 AND 200 " +
+        "GROUP BY o_custkey ORDER BY o_custkey")
     })
   )
 
@@ -2340,6 +2360,14 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 120 AND l_suppkey BETWEEN 10 AND 60
         |ORDER BY l_orderkey, l_partkey, l_suppkey, qty""".stripMargin,
+
+    // q148: the %2 write generations cover the full orders table; the
+    // dropped junk column never influences the aggregate
+    "q148_drop_column" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  round(sum(CAST(o_totalprice AS DOUBLE)), 2) AS sum_price
+        |FROM orders WHERE o_custkey BETWEEN 1 AND 200
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // q146: the two write generations partition the full orders table
     // (%3 split), so the mixed-layout read must equal the plain aggregate

@@ -411,15 +411,27 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     val droppedConstraints = changes.collect {
       case dc: TableChange.DropConstraint => (dc.name(), dc.ifExists())
     }
+    val dropped = changes.collect {
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"snapshot schemas are flat; cannot drop nested field ${del.fieldNames.mkString(".")}")
+        (del.fieldNames.head, del.ifExists())
+    }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] || c.isInstanceOf[TableChange.UpdateColumnType] ||
-        c.isInstanceOf[TableChange.AddConstraint] || c.isInstanceOf[TableChange.DropConstraint])
+        c.isInstanceOf[TableChange.AddConstraint] || c.isInstanceOf[TableChange.DropConstraint] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
     if (other.nonEmpty) throw new UnsupportedOperationException(
-      s"only ADD COLUMNS, ALTER COLUMN … TYPE (safe widening), and ADD/DROP CHECK " +
-        s"constraints are supported through the SQL catalog (got " +
+      s"only ADD COLUMNS, DROP COLUMN, ALTER COLUMN … TYPE (safe widening), and ADD/DROP " +
+        s"CHECK constraints are supported through the SQL catalog (got " +
         s"${other.head.getClass.getSimpleName}); other schema changes are refused by the " +
         "snapshot format")
     if (added.nonEmpty) SnapshotTable.addColumns(spark, dir, StructType(added.toArray))
+    dropped.foreach { case (name, ifExists) =>
+      val have = SnapshotTable.currentManifest(spark, dir).flatMap(_.schemaDdl)
+        .map(StructType.fromDDL).exists(_.fieldNames.exists(_.equalsIgnoreCase(name)))
+      if (ifExists && !have) () else SnapshotTable.dropColumn(spark, dir, name)
+    }
     // `ALTER COLUMN c TYPE t`: metadata-only safe widening; anything
     // outside the safe set is refused by name inside alterColumnType
     widened.foreach { case (name, to) => SnapshotTable.alterColumnType(spark, dir, name, to) }

@@ -162,7 +162,14 @@ object SnapshotTable {
       // just routing). Carried verbatim across commits like `txn`; set at
       // create/replace time only. None/empty = unpartitioned (every
       // pre-field manifest).
-      partitionCols: Option[Seq[String]] = None)
+      partitionCols: Option[Seq[String]] = None,
+      // TOMBSTONES of dropped column names: the format reads parquet BY
+      // NAME (no Iceberg field ids), so re-adding a dropped name would
+      // RESURRECT stale values from every pre-drop file still listed —
+      // [[addColumns]] refuses tombstoned names. Carried verbatim across
+      // commits; a full REPLACE clears them (all files are new, nothing
+      // to resurrect from). None/empty = nothing ever dropped.
+      droppedCols: Option[Seq[String]] = None)
 
   /** Wire form of one immutable manifest segment. */
   private case class SegmentFile(entries: Seq[FileEntry])
@@ -1080,9 +1087,58 @@ object SnapshotTable {
         .collect { case (_, vs) if vs.length > 1 => vs.head }
       require(dupWithin.isEmpty,
         s"ALTER TABLE ADD COLUMNS: duplicate column(s) in added list: ${dupWithin.mkString(", ")}")
+      // RESURRECTION GUARD: the format reads parquet by NAME, so re-adding
+      // a dropped name would read the dropped column's stale values out of
+      // every pre-drop file still listed in the manifest
+      val tomb = cur.flatMap(_.droppedCols).getOrElse(Seq.empty)
+      val resurrected = cols.fieldNames.filter(n =>
+        tomb.exists(_.equalsIgnoreCase(n)))
+      require(resurrected.isEmpty,
+        s"ALTER TABLE ADD COLUMNS: column(s) ${resurrected.mkString(", ")} were previously " +
+          "DROPPED; re-adding the name would resurrect stale values from pre-drop files " +
+          "(reads are name-based). Pick a new name, or REPLACE the table to clear tombstones")
       val merged = mergeSchemas(Some(prior),
         org.apache.spark.sql.types.StructType(prior.fields ++ cols.fields))
       Some((m.entries, txnOf(cur), Some(merged.toDDL)))
+    }.get
+
+  /** `ALTER TABLE … DROP COLUMN` as a METADATA-ONLY commit: the schema
+    * narrows, every data file is carried untouched (readers project by
+    * name, so pre-drop files simply stop being asked for the column —
+    * the exact inverse of [[addColumns]]'s read-NULL contract; row-level
+    * rewrites and compactions physically shed it over time). The name is
+    * TOMBSTONED: [[addColumns]] refuses it forever after (resurrection
+    * guard), until a full REPLACE renews the file set. Refused loudly:
+    * partition-spec columns (the routing would dangle), columns a CHECK
+    * constraint mentions (the predicate would no longer resolve), and
+    * the last remaining column.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long =
+    commitLoop(spark, dir, op = "alter",
+      reviseDropped = prev => Some(prev.getOrElse(Seq.empty) :+ name)) { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException(
+        s"no snapshot table at $dir to alter"))
+      val prior = priorSchema(spark, dir, cur).getOrElse(throw new IllegalStateException(
+        s"snapshot at $dir has no recoverable schema; cannot alter"))
+      val field = prior.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"ALTER TABLE DROP COLUMN: no column '$name' in " +
+            prior.fieldNames.mkString("(", ", ", ")")))
+      require(prior.fields.length > 1,
+        s"ALTER TABLE DROP COLUMN: cannot drop the last column '$name'")
+      val pcols = PartitionFields.cols(m.partitionCols.getOrElse(Seq.empty))
+      require(!pcols.exists(_.equalsIgnoreCase(name)),
+        s"ALTER TABLE DROP COLUMN: '$name' is a partition column; change the partition " +
+          "spec first (set_partition_spec)")
+      val mentioned = m.constraints.getOrElse(Map.empty).filter { case (_, sql) =>
+        s"(?i)\\b${java.util.regex.Pattern.quote(name)}\\b".r.findFirstIn(sql).isDefined
+      }
+      require(mentioned.isEmpty,
+        s"ALTER TABLE DROP COLUMN: '$name' is referenced by CHECK constraint(s) " +
+          s"${mentioned.keys.mkString(", ")}; drop them first")
+      val narrowed = org.apache.spark.sql.types.StructType(
+        prior.fields.filterNot(_.name.equalsIgnoreCase(field.name)))
+      Some((m.entries, txnOf(cur), Some(narrowed.toDDL)))
     }.get
 
   /** PARTITION EVOLUTION (Iceberg's `REPLACE PARTITION FIELD` shape) as
@@ -1281,7 +1337,9 @@ object SnapshotTable {
     // a raced replace serializes last — txn markers are still taken from
     // the manifest current at publish time so no committed batch id is lost
     commitLoop(spark, dir, op = "write",
-      revisePartitioning = _ => Some(pcols))(
+      revisePartitioning = _ => Some(pcols),
+      // a replace lists only new files: nothing to resurrect from
+      reviseDropped = _ => None)(
       cur => Some((entries, txnOf(cur), Some(df.schema.toDDL)))).get
   }
 
@@ -1313,8 +1371,10 @@ object SnapshotTable {
       enforceConstraints(spark, readEntries(spark, dir, entries, Some(schemaDdl)),
         cs, s"REPLACE TABLE AS SELECT of $dir"))
     commitLoop(spark, dir, op = "write",
-      // CTAS/RTAS define the partition spec like they define the schema
-      revisePartitioning = _ => Some(partitionCols)) { cur =>
+      // CTAS/RTAS define the partition spec like they define the schema;
+      // all files are new, so dropped-name tombstones clear
+      revisePartitioning = _ => Some(partitionCols),
+      reviseDropped = _ => None) { cur =>
       if (createOnly && cur.isDefined) throw new IllegalStateException(
         s"snapshot table at $dir was created concurrently; aborting staged create")
       Some((entries, txnOf(cur), Some(schemaDdl)))
@@ -2001,7 +2061,10 @@ object SnapshotTable {
       // how this commit transforms the partition spec: identity for every
       // DML commit; create/replace pass a setter (RTAS re-defines
       // partitioning exactly like it re-defines the schema)
-      revisePartitioning: Option[Seq[String]] => Option[Seq[String]] = identity)(
+      revisePartitioning: Option[Seq[String]] => Option[Seq[String]] = identity,
+      // how this commit transforms the dropped-column tombstones: identity
+      // everywhere except DROP COLUMN (appends) and replace (clears)
+      reviseDropped: Option[Seq[String]] => Option[Seq[String]] = identity)(
       mk: Option[Manifest] => Option[(Seq[FileEntry], Map[String, Long], Option[String])])
       : Option[Long] = {
     val fs = fsFor(spark, dir)
@@ -2031,6 +2094,8 @@ object SnapshotTable {
             constraints = reviseConstraints(cur.flatMap(_.constraints))
               .filter(_.nonEmpty),
             partitionCols = revisePartitioning(cur.flatMap(_.partitionCols))
+              .filter(_.nonEmpty),
+            droppedCols = reviseDropped(cur.flatMap(_.droppedCols))
               .filter(_.nonEmpty))
           if (tryPublish(fs, dir, m)) return Some(version)
       }

@@ -326,9 +326,12 @@ class SnapshotCatalogSpec extends SparkSpec {
     val dup = intercept[Exception](
       spark.sql(s"ALTER TABLE snap.`$dir` ADD COLUMNS (v BIGINT)"))
     assert(dup.getMessage.contains("already exist"), dup.getMessage)
-    val drop = intercept[Exception](
-      spark.sql(s"ALTER TABLE snap.`$dir` DROP COLUMN note"))
-    assert(drop.getMessage.toLowerCase.contains("add columns"), drop.getMessage)
+    // DROP COLUMN is supported now (DropColumnSpec); RENAME stays refused
+    // (name-based reads: a rename would orphan every existing file's data)
+    val ren = intercept[Exception](
+      spark.sql(s"ALTER TABLE snap.`$dir` RENAME COLUMN note TO note2"))
+    assert(ren.getMessage.toLowerCase.contains("refused") ||
+      ren.getMessage.contains("RenameColumn"), ren.getMessage)
     // NOT NULL cannot be honored (old rows read NULL) — refused, not
     // silently recorded nullable
     val nn = intercept[Exception](
