@@ -124,8 +124,26 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
   // capped batch then starts from the oldest history that still exists,
   // exactly what the uncapped backfill delivers.
   // a fresh query's first batch window opens at (startingVersion - 1):
-  // versions <= the anchor are never delivered
-  private val initialFrom: Long = startingVersion.map(_ - 1L).getOrElse(0L)
+  // versions <= the anchor are never delivered.
+  //
+  // VACUUM COUPLING: the anchor's BASE manifest is (startingVersion - 1),
+  // and changesBetween refuses any non-zero version vacuum expired. On a
+  // vacuumed table, startingVersion == the earliest RETAINED version (or
+  // a startingTimestamp predating retained history, which
+  // versionSinceTimestamp resolves to it) would make the first getBatch
+  // reference an expired base and permanently fail the stream — so a
+  // pre-earliest anchor resolves to base 0 (the empty set): the first
+  // batch is the full retained backfill, exactly what
+  // versionSinceTimestamp's fallback contract documents ("starting empty
+  // would silently DROP retained history"). Retained versions are a
+  // contiguous suffix (vacuum expires a prefix), so "expired" is exactly
+  // "below the earliest retained version"; an anchor AT or ABOVE it
+  // stays as requested, and a future anchor just starts the stream empty.
+  private val initialFrom: Long = {
+    val raw = startingVersion.map(_ - 1L).getOrElse(0L)
+    if (raw > 0L && SnapshotTable.versions(spark, dir).headOption.exists(raw < _)) 0L
+    else raw
+  }
 
   private var surfaced: Long = math.max(initialFrom,
     SnapshotTable.versions(spark, dir).headOption.map(_ - 1L).getOrElse(0L))

@@ -442,4 +442,45 @@ class SnapshotStreamSpec extends SparkSpec {
     }
     intercept[Exception] { drain("startingVersion" -> "0") }
   }
+
+  test("anchors whose base version was vacuumed deliver the full retained backfill, not a dead stream") {
+    val dir = Files.createTempDirectory("graft-stream-anchor-vac").toString
+    def rows(a: Int, b: Int) = (a until b).toDF("id").select(col("id").cast("long").as("id"))
+    SnapshotTable.write(spark, rows(0, 10), dir) // v1
+    (1 until 5).foreach(k => SnapshotTable.append(spark, rows(k * 10, k * 10 + 10), dir)) // v2..v5
+    val tsBeforeV2 = SnapshotTable.commitTimes(spark, dir)(1)._2.get - 1
+    // expire v1..v3: the earliest retained version is 4, whose BASE
+    // manifest (3) no longer exists
+    SnapshotTable.vacuum(spark, dir, keepVersions = 2, minUnreferencedAgeMs = 0L)
+    assert(SnapshotTable.versions(spark, dir) == Seq(4L, 5L))
+
+    def drain(extra: (String, String)*): Seq[Long] = {
+      val received = new ConcurrentLinkedQueue[Long]()
+      val reader = spark.readStream
+        .format(classOf[SnapshotSourceProvider].getName)
+        .option("path", dir)
+      extra.foreach { case (k, v) => reader.option(k, v) }
+      val q = reader.load().writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-anchor-vac-ckpt").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.select("id").collect().foreach(r => received.add(r.getLong(0)))
+        }.start()
+      q.processAllAvailable(); q.stop()
+      import scala.jdk.CollectionConverters._
+      received.asScala.toSeq.sorted
+    }
+
+    // startingVersion == the earliest retained version: its base (v3) is
+    // expired, so the anchor resolves to the full retained backfill —
+    // every row live at v5 — instead of permanently failing on a missing
+    // manifest
+    assert(drain("startingVersion" -> "4") == (0L until 50L))
+    // a startingTimestamp predating retained history resolves (via
+    // versionSinceTimestamp) to the earliest retained version — same path
+    assert(drain("startingTimestamp" -> tsBeforeV2.toString) == (0L until 50L))
+    // an anchor INSIDE the retained window is honored exactly: base v4 is
+    // retained, so only v5's files are delivered
+    assert(drain("startingVersion" -> "5") == (40L until 50L))
+  }
 }
