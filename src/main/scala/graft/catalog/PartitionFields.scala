@@ -63,8 +63,20 @@ private[graft] object PartitionFields {
     def encoded: String = s"bucket($n,$col)"
     // n is part of the marker: under PARTITION EVOLUTION a file routed as
     // bucket(8,k) must never be read back as a bucket(16,k) id — a bare
-    // `__pb_k=` marker would alias the two and prune wrong files
+    // `__pb_k=` marker would alias the two and prune wrong files.
+    //
+    // MIGRATION NOTE: directories written by builds that predate the
+    // n-in-marker format carry the legacy `__pb_<col>=` marker, which
+    // this reader deliberately does NOT recognize — the legacy path does
+    // not record its write-time bucket count, so after a spec evolution
+    // its id would be read back in the wrong domain (exactly the
+    // aliasing the new marker closes). Legacy files therefore degrade to
+    // may-match-anything (pruning and the SPJ layout disable for them —
+    // correctness never at stake) until a `compact()` rewrites them
+    // under current-format markers; [[legacyBucketMarker]] makes the
+    // degradation visible with a one-time WARN naming that migration.
     def dirCol: String = s"$BucketDirPrefix${n}_$col"
+    private[catalog] def legacyMarker: String = s"$BucketDirPrefix$col="
   }
 
   /** `unit` ∈ years | months | days | hours; ordinals since the epoch
@@ -302,9 +314,22 @@ private[graft] object PartitionFields {
   }
 
   /** A routed file's bucket id recovered from its directory path
-    * (`__pb_<col>=<id>/`); None for files that did not route through the
-    * bucket layout — callers must treat those as may-match-anything.
+    * (`__pb_<n>_<col>=<id>/`); None for files that did not route through
+    * the bucket layout — callers must treat those as may-match-anything.
+    * Legacy `__pb_<col>=` directories (pre-n-in-marker builds) stay
+    * unrecognized by design (see [[Bucket.dirCol]]'s migration note) but
+    * surface once per JVM as a WARN pointing at the compact() migration.
     */
-  def bucketIdFromPath(path: String, f: Bucket): Option[Int] =
-    valueFromPath(path, f).map(_.asInstanceOf[Int])
+  def bucketIdFromPath(path: String, f: Bucket): Option[Int] = {
+    val id = valueFromPath(path, f).map(_.asInstanceOf[Int])
+    if (id.isEmpty && path.contains(f.legacyMarker) && legacyWarned.add(f.col))
+      log.warn(s"bucket-routed file '$path' carries the legacy '${f.legacyMarker}' marker " +
+        s"(pre-evolution format): bucket pruning and the storage-partitioned-join layout " +
+        s"are disabled for such files until compact() rewrites them under the " +
+        s"'${f.dirCol}=' format")
+    id
+  }
+
+  private val legacyWarned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 }
