@@ -15,6 +15,83 @@ object Layout {
     call_function("zorder2", x.cast("long"), y.cast("long"))
   }
 
+  /** MONOTONE 63-bit long surrogate of one z-order key column — what the
+    * multi-column clustering interleave actually consumes. Exact for the
+    * discrete orderable types: integrals/booleans map directly, dates to
+    * their epoch day, timestamps to `unix_micros` (zone-free physical
+    * value), strings to their first-7-byte big-endian UTF-8 prefix
+    * (order-preserving; coarse past 7 bytes, which is what clustering
+    * needs — not equality). Float/double/decimal are REFUSED by name:
+    * continuous keys round, so "cluster by price" silently degrades —
+    * cluster by a bucketed/integerized derivative instead (the same
+    * refusal rationale as partition-spec validation).
+    */
+  def zSurrogate(name: String, dt: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types._
+    val c = col(s"`$name`")
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType => c.cast("long")
+      case DateType => datediff(c, to_date(lit("1970-01-01"))).cast("long")
+      case TimestampType => unix_micros(c)
+      case StringType =>
+        // right-pad to exactly 7 bytes so "b" (0x62) sorts after "ab"
+        // (0x6162…) the way string order does; 14 hex digits < 2^56 keeps
+        // conv's unsigned parse inside the positive long domain
+        conv(hex(rpad(encode(c, "UTF-8"), 7, Array[Byte](0))), 16, 10).cast("long")
+      case other => throw new IllegalArgumentException(
+        s"z-order column '$name' has type ${other.catalogString}; multi-column " +
+          "clustering supports integral/boolean/date/timestamp/string keys only " +
+          "(float/double/decimal round — cluster on a bucketed or integerized " +
+          "derivative instead)")
+    }
+  }
+
+  /** The n-column clustering key for a compaction rewrite: each column's
+    * [[zSurrogate]] is RANGE-NORMALIZED into the interleave's uniform
+    * ⌊63/n⌋-bit budget before the Morton shuffle — [[zValueN]] masks LOW
+    * bits, so an un-normalized wide domain (ids in the billions, micros
+    * timestamps) would alias high bits away and destroy the clustering.
+    * Normalization is one skinny min/max aggregate over exactly the key
+    * columns (column-pruned scan — noise next to the full rewrite that
+    * follows) and a per-column monotone
+    * `((v >> excess) − (min >> excess)) << uplift`: the excess shift fits
+    * a WIDE span into the budget, the uplift TOP-ALIGNS a narrow span in
+    * it — without the uplift a 10-bit column interleaved against a
+    * 31-bit one contributes only sub-file-granularity bits and gets no
+    * clustering at all (equal budgets need equal EFFECTIVE resolution —
+    * the equi-width form of Delta's OPTIMIZE ZORDER range-id
+    * normalization, in exact integer arithmetic).
+    */
+  def zClusterKey(df: DataFrame, cols: Seq[String]): Column = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"multi-column z-order takes 2 to 8 columns, got ${cols.size}")
+    val fields = cols.map(n => df.schema.fields.find(_.name.equalsIgnoreCase(n))
+      .getOrElse(throw new IllegalArgumentException(
+        s"z-order column '$n' is not in the schema " +
+          df.schema.fieldNames.mkString("(", ", ", ")"))))
+    val surrogates = fields.map(f => zSurrogate(f.name, f.dataType))
+    val budget = 63 / cols.size
+    val aggs = surrogates.zipWithIndex.flatMap { case (s, i) =>
+      Seq(min(s).as(s"__zlo$i"), max(s).as(s"__zhi$i")) }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val normalized = surrogates.zipWithIndex.map { case (s, i) =>
+      if (row.isNullAt(2 * i)) s // all-NULL column: nothing to normalize
+      else {
+        val lo = row.getLong(2 * i)
+        val hi = row.getLong(2 * i + 1)
+        // smallest arithmetic shift under which the span fits the budget
+        // — BigInt sidesteps (hi - lo) overflow on full-range domains
+        var excess = math.max(0, (BigInt(hi) - BigInt(lo)).bitLength - budget)
+        while (((hi >> excess) - (lo >> excess)) >= (1L << budget)) excess += 1
+        val span = (hi >> excess) - (lo >> excess)
+        val spanBits = 64 - java.lang.Long.numberOfLeadingZeros(span) // 0 for span 0
+        val uplift = budget - spanBits // ≥ 0: the span already fits
+        shiftleft(shiftright(s, excess) - lit(lo >> excess), uplift)
+      }
+    }
+    zValueN(df.sparkSession, normalized: _*)
+  }
+
   /** The n-column z-value (see [[graft.expressions.ZOrderN]]): uniform
     * ⌊63/n⌋-bit budget per column, 2 ≤ n ≤ 8.
     */

@@ -176,4 +176,23 @@ class LayoutSpec extends SparkSpec {
     assert(meanArea < global / 2.0,
       s"mean partition bounding box $meanArea vs global domain $global — no locality gained")
   }
+
+  test("zSurrogate is monotone per type: string prefix order == string order, dates/timestamps exact") {
+    import spark.implicits._
+    val strings = Seq("", "a", "ab", "abc", "abcdefgh", "abcdefghZ", "b", "ba",
+      "zzzzzzzzzzzz", "Z", "0", "~")
+    val sGot = strings.toDF("s")
+      .select(col("s"), Layout.zSurrogate("s", org.apache.spark.sql.types.StringType).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (a <- strings; b <- strings if a < b)
+      assert(sGot(a) <= sGot(b),
+        s"string surrogate order broke: '$a' (${sGot(a)}) vs '$b' (${sGot(b)})")
+    // distinct within the 7-byte prefix resolution
+    assert(sGot("a") < sGot("ab") && sGot("ab") < sGot("b"))
+
+    val dates = Seq("1969-12-31", "1970-01-01", "2024-02-29", "2038-01-19").map(java.sql.Date.valueOf)
+    val dGot = dates.toDF("d")
+      .select(Layout.zSurrogate("d", org.apache.spark.sql.types.DateType)).as[Long].collect()
+    assert(dGot.toSeq == dates.map(_.toLocalDate.toEpochDay), "date surrogate must be the epoch day")
+  }
 }
