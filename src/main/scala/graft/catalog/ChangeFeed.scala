@@ -121,17 +121,19 @@ object ChangeFeed {
     // carried clean files never enter any side.
     def hidden = onSchema(SnapshotTable.rowsAtDvDiff(spark, dir,
       dvChanged.map(e => (e, e.dv.map(_.path), prevByPath(e.path).dv.map(_.path))),
-      m.schemaDdl))
+      m.schemaDdl, SnapshotTable.mappingOf(Some(m))))
     def restored = onSchema(SnapshotTable.rowsAtDvDiff(spark, dir,
       dvChanged.map(e => (e, prevByPath(e.path).dv.map(_.path), e.dv.map(_.path))),
-      m.schemaDdl))
+      m.schemaDdl, SnapshotTable.mappingOf(Some(m))))
 
     if (removed.isEmpty && dvChanged.isEmpty)
       return Some(withMeta(
-        onSchema(SnapshotTable.readEntries(spark, dir, added, m.schemaDdl)), "insert"))
+        onSchema(SnapshotTable.readEntries(spark, dir, added, m.schemaDdl,
+          SnapshotTable.mappingOf(Some(m)))), "insert"))
     if (added.isEmpty && dvChanged.isEmpty)
       return Some(withMeta(
-        onSchema(SnapshotTable.readEntries(spark, dir, removed, m.schemaDdl)), "delete"))
+        onSchema(SnapshotTable.readEntries(spark, dir, removed, m.schemaDdl,
+          SnapshotTable.mappingOf(Some(m)))), "delete"))
     if (added.isEmpty && removed.isEmpty)
       // pure vector commit (MoR delete, or a vector-only rollback): the
       // hidden rows ARE the deletes, the restored rows the inserts — no
@@ -159,7 +161,8 @@ object ChangeFeed {
     def sideUnion(entries: Seq[SnapshotTable.FileEntry], dvPart: => DataFrame): DataFrame = {
       val filePart =
         if (entries.nonEmpty)
-          Some(onSchema(SnapshotTable.readEntries(spark, dir, entries, m.schemaDdl)))
+          Some(onSchema(SnapshotTable.readEntries(spark, dir, entries, m.schemaDdl,
+            SnapshotTable.mappingOf(Some(m)))))
         else None
       val parts = filePart.toSeq ++ (if (dvChanged.nonEmpty) Seq(dvPart) else Seq.empty)
       parts.reduce(_ unionByName _)

@@ -417,13 +417,19 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
           s"snapshot schemas are flat; cannot drop nested field ${del.fieldNames.mkString(".")}")
         (del.fieldNames.head, del.ifExists())
     }
+    val renamed = changes.collect {
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"snapshot schemas are flat; cannot rename nested field ${rn.fieldNames.mkString(".")}")
+        (rn.fieldNames.head, rn.newName)
+    }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] || c.isInstanceOf[TableChange.UpdateColumnType] ||
         c.isInstanceOf[TableChange.AddConstraint] || c.isInstanceOf[TableChange.DropConstraint] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] || c.isInstanceOf[TableChange.RenameColumn])
     if (other.nonEmpty) throw new UnsupportedOperationException(
-      s"only ADD COLUMNS, DROP COLUMN, ALTER COLUMN … TYPE (safe widening), and ADD/DROP " +
-        s"CHECK constraints are supported through the SQL catalog (got " +
+      s"only ADD COLUMNS, DROP COLUMN, RENAME COLUMN, ALTER COLUMN … TYPE (safe widening), " +
+        s"and ADD/DROP CHECK constraints are supported through the SQL catalog (got " +
         s"${other.head.getClass.getSimpleName}); other schema changes are refused by the " +
         "snapshot format")
     if (added.nonEmpty) SnapshotTable.addColumns(spark, dir, StructType(added.toArray))
@@ -435,6 +441,9 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     // `ALTER COLUMN c TYPE t`: metadata-only safe widening; anything
     // outside the safe set is refused by name inside alterColumnType
     widened.foreach { case (name, to) => SnapshotTable.alterColumnType(spark, dir, name, to) }
+    // `RENAME COLUMN a TO b`: metadata-only through the column mapping —
+    // the physical (stored) name never moves; refusals live inside
+    renamed.foreach { case (from, to) => SnapshotTable.renameColumn(spark, dir, from, to) }
     addedConstraints.foreach { case (n, sql) =>
       SnapshotTable.addCheckConstraint(spark, dir, n, sql) }
     droppedConstraints.foreach { case (n, ifExists) =>
@@ -588,19 +597,29 @@ private[graft] class SnapshotV2Table(
   private lazy val scanKeyedLayout =
     ManifestPlanning.keyedLayout(spark, dir, manifest, tableSchema)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Spark's own parquet DSv2 builder over the manifest-backed index:
     // filter pushdown (file skip + row-group), column pruning, and
     // manifest-accurate statistics come from the shared machinery; the
     // FileAware wrapper additionally serves `_file` when referenced and
-    // applies any merge-on-read deletion vectors inside the scan
+    // applies any merge-on-read deletion vectors inside the scan.
+    // RENAMED tables (non-empty column mapping) read through the same
+    // builder with name translation at its boundaries; the three
+    // metadata-planning delegates — whose stat lookups are keyed by the
+    // names the AGGREGATION/JOIN expressions carry — stay off for them
+    // (conservative plans, identical results)
+    val mapping = SnapshotTable.mappingOf(Some(manifest))
     new org.apache.spark.sql.graftbridge.FileAwareScanBuilder(spark,
       new SnapshotFileIndex(spark, dir, manifest),
       tableSchema, options, SnapshotMetadata.FileCol,
       dvByPath = SnapshotTable.dvMap(spark, dir, manifest.entries), tableDir = dir,
-      statPrune = Some(scanStatPrune),
-      keyed = scanKeyedLayout,
-      localAgg = ManifestPlanning.localAggregate(spark, dir, manifest, tableSchema, _))
+      statPrune = if (mapping.isEmpty) Some(scanStatPrune) else None,
+      keyed = if (mapping.isEmpty) scanKeyedLayout else None,
+      localAgg =
+        if (mapping.isEmpty) ManifestPlanning.localAggregate(spark, dir, manifest, tableSchema, _)
+        else _ => None,
+      mapping = mapping)
+  }
 
   private def refuseTimeTravelMutation(what: String): Unit =
     if (pinnedVersion.isDefined) throw new UnsupportedOperationException(

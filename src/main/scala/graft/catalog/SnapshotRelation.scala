@@ -87,6 +87,12 @@ private[graft] object SnapshotRelation {
     val m = SnapshotTable.manifestFor(spark, dir, version)
     val schema = StructType.fromDDL(m.schemaDdl.getOrElse(throw new IllegalStateException(
       s"snapshot at $dir has no recorded schema; use SnapshotTable.read")))
+    // the FILE relation reads under PHYSICAL names (what renamed columns
+    // are stored as — [[SnapshotTable.Manifest.columnMapping]]); one
+    // final aliasing Project restores the logical names, and filters /
+    // column pruning push straight through it to the scan
+    val mapping = SnapshotTable.mappingOf(Some(m))
+    val physical = SnapshotTable.physicalSchema(schema, mapping)
     val rel = HadoopFsRelation(
       new SnapshotFileIndex(spark, dir, m),
       partitionSchema = new StructType(),
@@ -94,14 +100,20 @@ private[graft] object SnapshotRelation {
       // file source (manifests written before mergeSchemas nullable-ized
       // appended columns would otherwise hide pre-evolution NULLs);
       // top-level is enough — snapshot schemas are flat
-      dataSchema = StructType(schema.fields.map(_.copy(nullable = true))),
+      dataSchema = StructType(physical.fields.map(_.copy(nullable = true))),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     val plain = org.apache.spark.sql.graftbridge.Bridge.ofRows(
       spark, LogicalRelation(rel, isStreaming = false))
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // physical → logical by position (mapping renames, never reorders)
+    def logicalized(df: DataFrame): DataFrame =
+      if (mapping.isEmpty) df
+      else df.select(physical.fields.zip(schema.fields).map { case (p, l) =>
+        col(s"`${p.name}`").as(l.name) }.toSeq: _*)
     val dvEntries = m.entries.filter(_.dv.isDefined)
-    if (dvEntries.isEmpty) plain
+    if (dvEntries.isEmpty) logicalized(plain)
     else {
       // merge-on-read deletion vectors: an anti-join on the file source's
       // native (file_path, row_index) metadata drops deleted positions.
@@ -109,17 +121,15 @@ private[graft] object SnapshotRelation {
       // only consumes metadata columns), so planner-integrated pruning is
       // unchanged; the build side is the deleted-position set — tiny
       // relative to data, broadcast-hinted while it plausibly fits
-      import org.apache.spark.sql.functions.{broadcast, col}
       val dvFrame = SnapshotTable.dvPositions(spark, dir, dvEntries)
       val totalDeleted = dvEntries.map(_.dv.get.deleted).sum
       val build = if (totalDeleted <= 5000000L) broadcast(dvFrame) else dvFrame
-      val dataCols = plain.columns.map(c => col(s"`$c`"))
-      plain
+      logicalized(plain
         .select(col("*"),
           col("_metadata.file_path").as(SnapshotTable.PosFileCol),
           col("_metadata.row_index").as(SnapshotTable.PosIdxCol))
         .join(build, Seq(SnapshotTable.PosFileCol, SnapshotTable.PosIdxCol), "left_anti")
-        .select(dataCols.toSeq: _*)
+        .select(physical.fieldNames.map(c => col(s"`$c`")).toSeq: _*))
     }
   }
 }

@@ -231,7 +231,9 @@ private[catalog] class CowScanBuilder(
       // candidate files may carry merge-on-read deletion vectors: the
       // rewrite must carry only LIVE rows into the replacement files —
       // resurrection of DV-deleted rows is the classic MoR/COW mixing bug
-      dvByPath = SnapshotTable.dvMap(op.spark, op.dir, candidates), tableDir = op.dir)
+      dvByPath = SnapshotTable.dvMap(op.spark, op.dir, candidates), tableDir = op.dir,
+      // renamed columns read under their physical (stored) names
+      mapping = SnapshotTable.mappingOf(Some(manifest)))
     inner.pruneColumns(required)
     inner.build() // no data filters pushed: candidate files are read whole
   }
@@ -247,6 +249,12 @@ private[catalog] class CowBatchWrite(op: SnapshotCowOperation, writeSchema: Stru
 
   private val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
 
+  // the table's column mapping: executors write parquet under PHYSICAL
+  // names (rows are positional — only the schema handed to the writer
+  // changes), keeping every file in the table physical-named
+  private val physicalWriteSchema: StructType = SnapshotTable.physicalSchema(
+    writeSchema, SnapshotTable.mappingOf(Some(op.pinnedManifest)))
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = op.spark
     // prepareWrite wires the full parquet write path (ParquetWriteSupport
@@ -254,10 +262,11 @@ private[catalog] class CowBatchWrite(op: SnapshotCowOperation, writeSchema: Stru
     // exactly as Spark's own file writes do — executors only need that
     // conf and the factory
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
+    val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty,
+      physicalWriteSchema)
     val qualified = SnapshotTable.qualifiedDir(spark, op.dir).toString
     CowWriterFactory(factory, new SerializableConfiguration(job.getConfiguration),
-      qualified, commitName, writeSchema)
+      qualified, commitName, physicalWriteSchema)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -271,7 +280,8 @@ private[catalog] class CowBatchWrite(op: SnapshotCowOperation, writeSchema: Stru
     // executor-direct write has no dynamic routing); partition-column
     // stats still bound them for pruning, and compaction restores the
     // one-value-per-file layout
-    val entries = SnapshotTable.entriesFromFooters(op.spark, op.dir, added, writeSchema,
+    val entries = SnapshotTable.entriesFromFooters(op.spark, op.dir, added,
+      physicalWriteSchema,
       priority = PartitionFields.cols(op.pinnedManifest.partitionCols.getOrElse(Seq.empty)))
     val removed = planned.rewrite.map(_.path).toSet
     // MERGE made insert-vs-update decisions against the pinned base: a
@@ -398,13 +408,22 @@ private[catalog] class SnapshotStreamingWrite(
   // alone, so abort can clean up without any driver state
   private val qid = queryId.replaceAll("[^0-9a-zA-Z]", "").take(12)
 
+  // PHYSICAL write schema (see CowBatchWrite): the mapping is captured at
+  // factory creation; a rename committing mid-epoch changes no physical
+  // name of an existing column, so the epoch's files stay correct — and
+  // an epoch carrying the rename's OLD logical name as a "new" column is
+  // refused by the commit's reserved-physical guard, never silently bound
+  private def physicalOf(s: StructType): StructType = SnapshotTable.physicalSchema(
+    s, SnapshotTable.mappingOf(SnapshotTable.currentManifest(spark, dir)))
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val physical = physicalOf(writeSchema)
     val job = Job.getInstance(spark.sessionState.newHadoopConf())
-    val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, writeSchema)
+    val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, physical)
     SnapshotStreamWriterFactory(factory,
       new SerializableConfiguration(job.getConfiguration),
-      SnapshotTable.qualifiedDir(spark, dir).toString, qid, writeSchema)
+      SnapshotTable.qualifiedDir(spark, dir).toString, qid, physical)
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -412,7 +431,7 @@ private[catalog] class SnapshotStreamingWrite(
     // empty epochs commit nothing: appends are idempotent, so not
     // advancing the marker is harmless and saves a version per idle tick
     if (added.isEmpty) return
-    val entries = SnapshotTable.entriesFromFooters(spark, dir, added, writeSchema,
+    val entries = SnapshotTable.entriesFromFooters(spark, dir, added, physicalOf(writeSchema),
       priority = PartitionFields.cols(SnapshotTable.partitionColumns(spark, dir)))
     SnapshotTable.appendEntriesExactlyOnce(
       spark, dir, entries, writeSchema, appId = s"dsv2-$qid", batchId = epochId)

@@ -169,7 +169,21 @@ object SnapshotTable {
       // [[addColumns]] refuses tombstoned names. Carried verbatim across
       // commits; a full REPLACE clears them (all files are new, nothing
       // to resurrect from). None/empty = nothing ever dropped.
-      droppedCols: Option[Seq[String]] = None)
+      droppedCols: Option[Seq[String]] = None,
+      // COLUMN MAPPING (Delta's columnMapping.mode=name, in miniature):
+      // LOGICAL column name → the PHYSICAL name its data is stored under
+      // in every parquet file. Sparse — only columns whose two names
+      // differ appear; None/missing key = identity (every pre-mapping
+      // manifest). `schemaDdl` is always the LOGICAL schema; data files
+      // always carry PHYSICAL names, which NEVER change once written —
+      // so `ALTER TABLE … RENAME COLUMN` is a pure metadata commit (the
+      // logical name moves, the physical stays), and because renames
+      // change names only (never types or positions) the row layout is
+      // identical under both schemas — readers translate names at the
+      // scan boundary and rows pass through untouched. Carried verbatim
+      // across commits like `txn`; a full REPLACE clears it (all files
+      // are new and written under their logical names).
+      columnMapping: Option[Map[String, String]] = None)
 
   /** Wire form of one immutable manifest segment. */
   private case class SegmentFile(entries: Seq[FileEntry])
@@ -302,7 +316,7 @@ object SnapshotTable {
     */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val m = snapshot(spark, dir)
-    readEntries(spark, dir, m.entries, m.schemaDdl)
+    readEntries(spark, dir, m.entries, m.schemaDdl, mappingOf(Some(m)))
   }
 
   /** Time travel: the table exactly as committed at `version` — including
@@ -316,7 +330,7 @@ object SnapshotTable {
       .getOrElse(throw new IllegalStateException(
         s"version $version not available at $dir (never committed, or expired by vacuum)"))
     val m = readManifest(fs, p)
-    readEntries(spark, dir, m.entries, m.schemaDdl)
+    readEntries(spark, dir, m.entries, m.schemaDdl, mappingOf(Some(m)))
   }
 
   /** Committed versions still readable (newest last). */
@@ -454,7 +468,7 @@ object SnapshotTable {
       case (Some(mn), Some(mx)) => mn <= hi && mx >= lo
       case _ => true
     })
-    readEntries(spark, dir, hit, m.schemaDdl)
+    readEntries(spark, dir, hit, m.schemaDdl, mappingOf(Some(m)))
   }
 
   private def snapshot(spark: SparkSession, dir: String): Manifest =
@@ -466,6 +480,8 @@ object SnapshotTable {
     * Catalyst tree [[FileStats.mayMatch]] walks. None (→ no pruning) for
     * legacy manifests without a schema. A predicate that doesn't analyze
     * (wrong column name, type error) fails here, loudly, before any I/O.
+    * Attribute names translate LOGICAL → PHYSICAL afterwards: footer
+    * stats are keyed by the names files store.
     */
   private def resolvePred(spark: SparkSession, m: Manifest,
       pred: org.apache.spark.sql.Column): Option[Expression] =
@@ -475,6 +491,7 @@ object SnapshotTable {
         org.apache.spark.sql.types.StructType.fromDDL(ddl))
       org.apache.spark.sql.graftbridge.Bridge.analyzedFilterCondition(empty.filter(pred))
         .map(FileStats.normalize)
+        .map(toPhysicalExpr(_, mappingOf(Some(m))))
     }
 
   /** The manifest entries that MAY hold a row matching `pred`, judged from
@@ -561,9 +578,16 @@ object SnapshotTable {
       case _ => 0 // same-field values share a domain; unreachable
     }
 
+    // filters from the relation layers carry PHYSICAL attribute names; a
+    // partition column is normally unrenamed (both names coincide), but a
+    // spec set on a previously-renamed column matches through its
+    // physical name too
+    val mapping = mappingOf(Some(m))
+
     def admits(pred: Expression, f: PartitionFields.Field,
         dt: org.apache.spark.sql.types.DataType, fv: Any): Boolean = {
-      def isCol(a: Expression): Boolean = bare(a).exists(_.equalsIgnoreCase(f.col))
+      def isCol(a: Expression): Boolean = bare(a).exists(n =>
+        n.equalsIgnoreCase(f.col) || n.equalsIgnoreCase(physicalName(mapping, f.col)))
       def rel(l: Literal)(test: Int => Boolean): Boolean =
         l.dataType != dt || l.value == null ||
           litValue(f, dt, l.value).forall(v => test(cmp(fv, v)))
@@ -572,7 +596,7 @@ object SnapshotTable {
         case Or(l, r) => admits(l, f, dt, fv) || admits(r, f, dt, fv)
         case EqualTo(a, l: Literal) if isCol(a) && l.dataType == dt && l.value != null =>
           litValue(f, dt, l.value).forall(v => cmp(fv, v) == 0)
-        case EqualTo(l: Literal, a) => admits(EqualTo(a, l), f, dt, fv)
+        case EqualTo(l: Literal, a) if isCol(a) => admits(EqualTo(a, l), f, dt, fv)
         case EqualNullSafe(a, l: Literal) if l.value != null =>
           admits(EqualTo(a, l), f, dt, fv)
         case In(a, vs) if isCol(a) && vs.forall(_.isInstanceOf[Literal]) =>
@@ -586,11 +610,17 @@ object SnapshotTable {
         case GreaterThanOrEqual(a, l: Literal) if ordered(f) && isCol(a) => rel(l)(_ >= 0)
         case LessThan(a, l: Literal) if ordered(f) && isCol(a) => rel(l)(_ <= 0)
         case LessThanOrEqual(a, l: Literal) if ordered(f) && isCol(a) => rel(l)(_ <= 0)
-        // literal-first comparisons flip the relation
-        case GreaterThan(l: Literal, a) => admits(LessThan(a, l), f, dt, fv)
-        case GreaterThanOrEqual(l: Literal, a) => admits(LessThanOrEqual(a, l), f, dt, fv)
-        case LessThan(l: Literal, a) => admits(GreaterThan(a, l), f, dt, fv)
-        case LessThanOrEqual(l: Literal, a) => admits(GreaterThanOrEqual(a, l), f, dt, fv)
+        // literal-first comparisons flip the relation — guarded on the
+        // other operand being the field's attribute: an un-folded
+        // literal-vs-literal comparison would otherwise ping-pong between
+        // the flipped forms forever (it falls to the conservative default
+        // instead). Same guard on EqualTo's flip for uniformity.
+        case GreaterThan(l: Literal, a) if isCol(a) => admits(LessThan(a, l), f, dt, fv)
+        case GreaterThanOrEqual(l: Literal, a) if isCol(a) =>
+          admits(LessThanOrEqual(a, l), f, dt, fv)
+        case LessThan(l: Literal, a) if isCol(a) => admits(GreaterThan(a, l), f, dt, fv)
+        case LessThanOrEqual(l: Literal, a) if isCol(a) =>
+          admits(GreaterThanOrEqual(a, l), f, dt, fv)
         case IsNull(a) if isCol(a) && ordered(f) => false // routed ⇒ no nulls
         case _ => true
       }
@@ -645,7 +675,8 @@ object SnapshotTable {
     */
   def readWhere(spark: SparkSession, dir: String, pred: org.apache.spark.sql.Column): DataFrame = {
     val m = snapshot(spark, dir)
-    readEntries(spark, dir, pruneEntries(spark, m, pred), m.schemaDdl).filter(pred)
+    readEntries(spark, dir, pruneEntries(spark, m, pred), m.schemaDdl, mappingOf(Some(m)))
+      .filter(pred)
   }
 
   /** Row-level DELETE, copy-on-write: rewrite ONLY the files whose stats
@@ -668,9 +699,10 @@ object SnapshotTable {
         e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
       if (rewrite.isEmpty) 0L
       else {
-        val base = readEntries(spark, dir, rewrite, m.schemaDdl)
+        val base = readEntries(spark, dir, rewrite, m.schemaDdl, mappingOf(Some(m)))
         val survivors = base.filter(!coalesce(pred, lit(false)))
-        val entries = writeData(spark, survivors, dir, m.partitionCols.getOrElse(Seq.empty))
+        val entries = writeData(spark, survivors, dir, m.partitionCols.getOrElse(Seq.empty),
+          mapping = mappingOf(Some(m)))
         // live-row accounting: the base read already dropped DV-deleted
         // rows, so the survivors compare against LIVE counts
         val deleted = rewrite.map(liveRows).sum - entries.map(_.rows).sum
@@ -703,7 +735,7 @@ object SnapshotTable {
       e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
     if (rewrite.isEmpty) 0L
     else {
-      val base = readEntries(spark, dir, rewrite, m.schemaDdl)
+      val base = readEntries(spark, dir, rewrite, m.schemaDdl, mappingOf(Some(m)))
       val unknown = set.keySet -- base.columns.toSet
       require(unknown.isEmpty, s"UPDATE assigns columns not in the table: ${unknown.mkString(", ")}")
       val hit = coalesce(pred, lit(false))
@@ -719,7 +751,8 @@ object SnapshotTable {
       if (nUpdated == 0L) 0L
       else {
         enforceOnBatch(spark, dir, Some(m), updated, s"UPDATE of $dir")
-        val entries = writeData(spark, updated, dir, m.partitionCols.getOrElse(Seq.empty))
+        val entries = writeData(spark, updated, dir, m.partitionCols.getOrElse(Seq.empty),
+          mapping = mappingOf(Some(m)))
         val removed = rewrite.map(_.path).toSet
         commitLoop(spark, dir, op = "update") { cur =>
           Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
@@ -731,27 +764,46 @@ object SnapshotTable {
   }
 
   private[catalog] def readEntries(spark: SparkSession, dir: String, entries: Seq[FileEntry],
-      schemaDdl: Option[String]): DataFrame = {
+      schemaDdl: Option[String], mapping: Map[String, String] = Map.empty): DataFrame = {
     if (entries.isEmpty && schemaDdl.isDefined)
       // a fully-pruned (or fully-deleted) snapshot with a recorded schema is
-      // an ordinary empty table, not an error
+      // an ordinary empty table, not an error (the LOGICAL schema — users
+      // never see physical names)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schemaDdl.get))
     require(entries.nonEmpty,
       s"snapshot at $dir has no data files matching the requested range")
-    val plain = readEntriesPlain(spark, dir, entries, schemaDdl)
-    if (entries.forall(_.dv.isEmpty)) plain // the common case: plan untouched
-    else withPosAndDv(spark, dir, entries, schemaDdl).drop(PosFileCol, PosIdxCol)
+    if (entries.forall(_.dv.isEmpty)) // the common case: plan untouched
+      logicalize(readEntriesPlain(spark, dir, entries, schemaDdl, mapping), mapping)
+    else withPosAndDv(spark, dir, entries, schemaDdl, mapping).drop(PosFileCol, PosIdxCol)
   }
 
+  /** Read the raw files under the PHYSICAL schema — what the parquet
+    * footers actually store; [[logicalize]] renames the frame back for
+    * every consumer above this line.
+    */
   private def readEntriesPlain(spark: SparkSession, dir: String, entries: Seq[FileEntry],
-      schemaDdl: Option[String]): DataFrame = {
+      schemaDdl: Option[String], mapping: Map[String, String] = Map.empty): DataFrame = {
     val reader = schemaDdl match {
-      case Some(ddl) => spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+      case Some(ddl) => spark.read.schema(physicalSchema(
+        org.apache.spark.sql.types.StructType.fromDDL(ddl), mapping))
       case None => spark.read // legacy manifest: infer from footers
     }
     reader.parquet(entries.map(e => new Path(dir, e.path).toString): _*)
   }
+
+  /** Rename a physical-named frame's columns back to their logical names
+    * (non-mapped columns — including scan-internal position tags — pass
+    * through). A pure positional rename: the plan gains one Project that
+    * filters and pruning push straight through.
+    */
+  private def logicalize(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else {
+      val reverse = mapping.map(_.swap) // physical → logical; injective by construction
+      df.select(df.columns.map(c =>
+        reverse.get(c).map(l => col(s"`$c`").as(l)).getOrElse(col(s"`$c`"))).toSeq: _*)
+    }
 
   // ------------------------------------------------- deletion-vector tier
 
@@ -767,10 +819,13 @@ object SnapshotTable {
     * always disjoint from the already-deleted set).
     */
   private def withPosAndDv(spark: SparkSession, dir: String, entries: Seq[FileEntry],
-      schemaDdl: Option[String]): DataFrame = {
-    val plain = readEntriesPlain(spark, dir, entries, schemaDdl)
-    val tagged = plain.select(col("*"),
-      col("_metadata.file_path").as(PosFileCol), col("_metadata.row_index").as(PosIdxCol))
+      schemaDdl: Option[String], mapping: Map[String, String] = Map.empty): DataFrame = {
+    val plain = readEntriesPlain(spark, dir, entries, schemaDdl, mapping)
+    // metadata tagging happens on the raw file frame (metadata columns
+    // resolve against the relation); the logical rename projects on top
+    val tagged = logicalize(plain.select(col("*"),
+      col("_metadata.file_path").as(PosFileCol), col("_metadata.row_index").as(PosIdxCol)),
+      mapping)
     val dvEntries = entries.filter(_.dv.isDefined)
     if (dvEntries.isEmpty) tagged
     else {
@@ -816,13 +871,14 @@ object SnapshotTable {
     */
   private[catalog] def rowsAtDvDiff(spark: SparkSession, dir: String,
       triples: Seq[(FileEntry, Option[String], Option[String])],
-      schemaDdl: Option[String]): DataFrame = {
+      schemaDdl: Option[String], mapping: Map[String, String] = Map.empty): DataFrame = {
     val nonEmpty = triples.filter { case (_, plus, minus) => plus != minus }
     if (nonEmpty.isEmpty)
       return readEntries(spark, dir, Seq.empty, schemaDdl) // empty frame, right schema
-    val tagged = readEntriesPlain(spark, dir, nonEmpty.map(_._1), schemaDdl)
+    val tagged = logicalize(readEntriesPlain(spark, dir, nonEmpty.map(_._1), schemaDdl, mapping)
       .select(col("*"),
-        col("_metadata.file_path").as(PosFileCol), col("_metadata.row_index").as(PosIdxCol))
+        col("_metadata.file_path").as(PosFileCol), col("_metadata.row_index").as(PosIdxCol)),
+      mapping)
     val q = qualifiedDir(spark, dir)
     val refs = nonEmpty.map { case (e, plus, minus) =>
       (new Path(q, e.path).toString, plus, minus) }
@@ -882,7 +938,7 @@ object SnapshotTable {
       e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
     if (candidates.isEmpty) 0L
     else {
-      val matched = withPosAndDv(spark, dir, candidates, m.schemaDdl)
+      val matched = withPosAndDv(spark, dir, candidates, m.schemaDdl, mappingOf(Some(m)))
         .filter(coalesce(pred, lit(false)))
         .select(col(PosFileCol), col(PosIdxCol))
       val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
@@ -929,7 +985,7 @@ object SnapshotTable {
       e => resolved.forall(r => e.stats.forall(FileStats.mayMatch(r, _, e.rows))))
     if (candidates.isEmpty) 0L
     else {
-      val base = withPosAndDv(spark, dir, candidates, m.schemaDdl)
+      val base = withPosAndDv(spark, dir, candidates, m.schemaDdl, mappingOf(Some(m)))
       val dataCols = base.columns.filterNot(c => c == PosFileCol || c == PosIdxCol).toSeq
       val unknown = set.keySet -- dataCols.toSet
       require(unknown.isEmpty,
@@ -954,7 +1010,8 @@ object SnapshotTable {
         if (touched.isEmpty) 0L
         else {
           val nUpdated = touched.map(t => t.dv.deleted - t.priorDeleted).sum
-          val newEntries = writeData(spark, updated, dir, m.partitionCols.getOrElse(Seq.empty))
+          val newEntries = writeData(spark, updated, dir, m.partitionCols.getOrElse(Seq.empty),
+            mapping = mappingOf(Some(m)))
           val byPath = touched.map(t => t.path -> t).toMap
           commitLoop(spark, dir, op = "update") { cur =>
             val curEntries = cur.map(_.entries).getOrElse(Seq.empty)
@@ -1027,9 +1084,20 @@ object SnapshotTable {
   /** Additive schema merge: prior columns keep their order, genuinely new
     * columns append; changing an existing column's type is refused loudly
     * (silent coercion at 100 TB is how tables rot).
+    *
+    * `reserved` are PHYSICAL names still occupied in retained data files
+    * without a logical owner of that name — DROPPED column tombstones and
+    * the storage names behind RENAMEs ([[reservedPhysicals]]): a batch
+    * whose schema would ADD one of those names is refused on EVERY
+    * widening path (append, exactly-once append, the streaming sink's
+    * epoch commit, merge), not just ALTER TABLE ADD COLUMNS — new columns
+    * store under their own name, so the collision would resurrect stale
+    * values out of every pre-drop/pre-rename file still listed in the
+    * manifest.
     */
   private[graft] def mergeSchemas(prior: Option[org.apache.spark.sql.types.StructType],
-      next: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+      next: org.apache.spark.sql.types.StructType,
+      reserved: Set[String] = Set.empty): org.apache.spark.sql.types.StructType =
     prior match {
       case None => next
       case Some(p) =>
@@ -1040,14 +1108,137 @@ object SnapshotTable {
                 s"${pf.dataType.catalogString} -> ${f.dataType.catalogString}")
           }
         }
+        val added = next.fields.filterNot(f => p.fieldNames.contains(f.name))
+        val resurrected = added.map(_.name)
+          .filter(n => reserved.exists(_.equalsIgnoreCase(n)))
+        require(resurrected.isEmpty,
+          s"schema evolution cannot add column(s) ${resurrected.mkString(", ")}: the name " +
+            "is still occupied in retained data files (a previously DROPPED column's " +
+            "bytes, or the storage name behind a RENAME) — widening the schema with it " +
+            "would resurrect stale values (reads are name-based). Drop it from the " +
+            "batch or pick another name; REPLACE the table to renew the file set")
         // appended columns MUST record as nullable regardless of the
         // batch's nullability: every pre-evolution file reads NULL for
         // them, and a non-nullable attribute would let the planner
         // constant-fold `IS NULL` over those rows to false
         org.apache.spark.sql.types.StructType(
-          p.fields ++ next.fields.filterNot(f => p.fieldNames.contains(f.name))
-            .map(_.copy(nullable = true)))
+          p.fields ++ added.map(_.copy(nullable = true)))
     }
+
+  /** The DROP COLUMN tombstones carried at a manifest (empty when nothing
+    * was ever dropped) — what every schema-widening path must refuse to
+    * re-add. Recorded as PHYSICAL names ([[dropColumn]]): the tombstone
+    * protects against a new column aliasing bytes that still sit in
+    * retained files, and files store physical names — for a never-renamed
+    * column the two coincide, so the recorded name is also the one users
+    * recognize in refusal messages.
+    */
+  private def droppedOf(m: Option[Manifest]): Seq[String] =
+    m.flatMap(_.droppedCols).getOrElse(Seq.empty)
+
+  // ------------------------------------------------- column mapping
+
+  /** The logical→physical column mapping at a manifest (empty = identity,
+    * which is every table never touched by RENAME COLUMN).
+    */
+  private[graft] def mappingOf(m: Option[Manifest]): Map[String, String] =
+    m.flatMap(_.columnMapping).getOrElse(Map.empty)
+
+  /** The PHYSICAL (file-stored) name of a logical column — identity for
+    * unmapped names. Case-insensitive on the logical side, matching
+    * Spark's default resolution.
+    */
+  private[graft] def physicalName(mapping: Map[String, String], col: String): String =
+    mapping.getOrElse(col,
+      mapping.collectFirst { case (l, p) if l.equalsIgnoreCase(col) => p }.getOrElse(col))
+
+  /** `schema` with every field renamed to its physical name (type, order,
+    * nullability untouched — mapping renames, never restructures).
+    */
+  private[graft] def physicalSchema(schema: org.apache.spark.sql.types.StructType,
+      mapping: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (mapping.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => f.copy(name = physicalName(mapping, f.name))))
+
+  /** Project `df`'s (logical-named) columns to their physical names for
+    * writing — a pure rename, row layout identical.
+    */
+  private def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    if (mapping.isEmpty) df
+    else df.select(df.columns.map(c => col(s"`$c`").as(physicalName(mapping, c))).toSeq: _*)
+
+  /** Rewrite a resolved predicate's attribute references from logical to
+    * physical names, so [[FileStats.mayMatch]] walks the names the footer
+    * stats are keyed by.
+    */
+  private def toPhysicalExpr(e: Expression, mapping: Map[String, String]): Expression =
+    if (mapping.isEmpty) e
+    else e.transform {
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+        a.withName(physicalName(mapping, a.name))
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(
+          physicalName(mapping, u.name))
+    }
+
+  /** PHYSICAL names a new (logical) column must avoid: names still stored
+    * in retained data files under a DIFFERENT (or no) logical owner —
+    * every mapping target plus every drop tombstone. A new column whose
+    * physical collided with one of these would read the old bytes back
+    * out of pre-rename/pre-drop files.
+    */
+  private def reservedPhysicals(m: Option[Manifest]): Set[String] =
+    (mappingOf(m).values ++ droppedOf(m)).toSet
+
+  /** `ALTER TABLE … RENAME COLUMN from TO to` as a METADATA-ONLY commit:
+    * the LOGICAL name moves, the PHYSICAL name (what every data file
+    * stores — pre- and post-rename alike) stays, so zero files are
+    * touched at any table size and the whole read/write stack keeps
+    * working through the recorded [[Manifest.columnMapping]]. Time travel
+    * to a pre-rename version still resolves the old name (each manifest
+    * carries its own schema and mapping). Refused loudly: unknown source,
+    * existing target (case-insensitive), partition-spec columns (the
+    * routing references the name), columns a CHECK constraint mentions
+    * (the predicate would no longer resolve), and self-renames.
+    *
+    * @return the committed version
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Long =
+    commitLoop(spark, dir, op = "alter",
+      reviseMapping = { prev =>
+        val mapping = prev.getOrElse(Map.empty)
+        val phys = physicalName(mapping, from)
+        // normalize sparsely: an entry whose logical equals its physical
+        // is identity and drops out (rename a→b→a restores a clean map)
+        Some((mapping.filterNot(_._1.equalsIgnoreCase(from)) + (to -> phys))
+          .filterNot { case (l, p) => l == p })
+      }) { cur =>
+      val m = cur.getOrElse(throw new IllegalStateException(
+        s"no snapshot table at $dir to alter"))
+      val prior = priorSchema(spark, dir, cur).getOrElse(throw new IllegalStateException(
+        s"snapshot at $dir has no recoverable schema; cannot alter"))
+      val idx = prior.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+      require(idx >= 0, s"ALTER TABLE RENAME COLUMN: no column '$from' in " +
+        prior.fieldNames.mkString("(", ", ", ")"))
+      require(!prior.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"ALTER TABLE RENAME COLUMN: target name '$to' already exists")
+      require(!from.equalsIgnoreCase(to),
+        s"ALTER TABLE RENAME COLUMN: '$from' and '$to' are the same name")
+      val pcols = PartitionFields.cols(m.partitionCols.getOrElse(Seq.empty))
+      require(!pcols.exists(_.equalsIgnoreCase(from)),
+        s"ALTER TABLE RENAME COLUMN: '$from' is a partition column; change the " +
+          "partition spec first (set_partition_spec)")
+      val mentioned = m.constraints.getOrElse(Map.empty).filter { case (_, sql) =>
+        s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b".r.findFirstIn(sql).isDefined
+      }
+      require(mentioned.isEmpty,
+        s"ALTER TABLE RENAME COLUMN: '$from' is referenced by CHECK constraint(s) " +
+          s"${mentioned.keys.mkString(", ")}; drop them first")
+      val renamed = org.apache.spark.sql.types.StructType(
+        prior.fields.updated(idx, prior.fields(idx).copy(name = to)))
+      Some((m.entries, txnOf(cur), Some(renamed.toDDL)))
+    }.get
 
   /** The schema recorded at the current version; legacy manifests fall back
     * to one footer-inference read.
@@ -1087,16 +1278,19 @@ object SnapshotTable {
         .collect { case (_, vs) if vs.length > 1 => vs.head }
       require(dupWithin.isEmpty,
         s"ALTER TABLE ADD COLUMNS: duplicate column(s) in added list: ${dupWithin.mkString(", ")}")
-      // RESURRECTION GUARD: the format reads parquet by NAME, so re-adding
-      // a dropped name would read the dropped column's stale values out of
-      // every pre-drop file still listed in the manifest
-      val tomb = cur.flatMap(_.droppedCols).getOrElse(Seq.empty)
+      // RESURRECTION GUARD: a new column stores under its own name, and
+      // the format reads parquet by NAME — so a name still occupied in
+      // retained files (a DROPPED column's tombstone, or the physical
+      // name behind a RENAME) would read stale values out of every
+      // pre-drop/pre-rename file still listed in the manifest
+      val reserved = reservedPhysicals(cur)
       val resurrected = cols.fieldNames.filter(n =>
-        tomb.exists(_.equalsIgnoreCase(n)))
+        reserved.exists(_.equalsIgnoreCase(n)))
       require(resurrected.isEmpty,
         s"ALTER TABLE ADD COLUMNS: column(s) ${resurrected.mkString(", ")} were previously " +
-          "DROPPED; re-adding the name would resurrect stale values from pre-drop files " +
-          "(reads are name-based). Pick a new name, or REPLACE the table to clear tombstones")
+          "DROPPED (or are the storage name behind a RENAME); adding the name would " +
+          "resurrect stale values from files still listed in the manifest (reads are " +
+          "name-based). Pick a new name, or REPLACE the table to renew the file set")
       val merged = mergeSchemas(Some(prior),
         org.apache.spark.sql.types.StructType(prior.fields ++ cols.fields))
       Some((m.entries, txnOf(cur), Some(merged.toDDL)))
@@ -1115,7 +1309,17 @@ object SnapshotTable {
     */
   def dropColumn(spark: SparkSession, dir: String, name: String): Long =
     commitLoop(spark, dir, op = "alter",
-      reviseDropped = prev => Some(prev.getOrElse(Seq.empty) :+ name)) { cur =>
+      // the tombstone records the PHYSICAL name — that is what lingers in
+      // retained files — and the dropped logical sheds its mapping entry.
+      // The mapping consulted here is re-read from the log per attempt:
+      // if it disagrees with the loop's `cur` a commit must have landed in
+      // between, which also fails the version CAS — the retry re-reads
+      // both consistently, so the recorded physical is always `cur`'s
+      reviseDropped = prev => Some(prev.getOrElse(Seq.empty) :+
+        physicalName(currentManifest(spark, dir).flatMap(_.columnMapping)
+          .getOrElse(Map.empty), name)),
+      reviseMapping = prev =>
+        Some(prev.getOrElse(Map.empty).filterNot(_._1.equalsIgnoreCase(name)))) { cur =>
       val m = cur.getOrElse(throw new IllegalStateException(
         s"no snapshot table at $dir to alter"))
       val prior = priorSchema(spark, dir, cur).getOrElse(throw new IllegalStateException(
@@ -1264,7 +1468,8 @@ object SnapshotTable {
     // the existing rows must satisfy it (reads apply deletion vectors, so
     // already-deleted rows cannot block a constraint)
     enforceConstraints(spark,
-      readEntries(spark, dir, m.entries, m.schemaDdl), Map(name -> predicateSql),
+      readEntries(spark, dir, m.entries, m.schemaDdl, mappingOf(Some(m))),
+      Map(name -> predicateSql),
       s"existing data at $dir")
     commitLoop(spark, dir, op = "alter", reviseConstraints = cur => {
       val prior = cur.getOrElse(Map.empty)
@@ -1338,8 +1543,10 @@ object SnapshotTable {
     // the manifest current at publish time so no committed batch id is lost
     commitLoop(spark, dir, op = "write",
       revisePartitioning = _ => Some(pcols),
-      // a replace lists only new files: nothing to resurrect from
-      reviseDropped = _ => None)(
+      // a replace lists only new files: nothing to resurrect from, and
+      // every file is written under its logical name — mapping clears
+      reviseDropped = _ => None,
+      reviseMapping = _ => None)(
       cur => Some((entries, txnOf(cur), Some(df.schema.toDDL)))).get
   }
 
@@ -1372,9 +1579,11 @@ object SnapshotTable {
         cs, s"REPLACE TABLE AS SELECT of $dir"))
     commitLoop(spark, dir, op = "write",
       // CTAS/RTAS define the partition spec like they define the schema;
-      // all files are new, so dropped-name tombstones clear
+      // all files are new, so dropped-name tombstones and the column
+      // mapping clear
       revisePartitioning = _ => Some(partitionCols),
-      reviseDropped = _ => None) { cur =>
+      reviseDropped = _ => None,
+      reviseMapping = _ => None) { cur =>
       if (createOnly && cur.isDefined) throw new IllegalStateException(
         s"snapshot table at $dir was created concurrently; aborting staged create")
       Some((entries, txnOf(cur), Some(schemaDdl)))
@@ -1403,13 +1612,15 @@ object SnapshotTable {
     * NULL there.
     */
   def append(spark: SparkSession, df: DataFrame, dir: String): Long = {
-    enforceOnBatch(spark, dir, currentManifest(spark, dir), df, s"append to $dir")
-    val entries = writeData(spark, df, dir, partitionColumns(spark, dir))
+    val cur0 = currentManifest(spark, dir)
+    enforceOnBatch(spark, dir, cur0, df, s"append to $dir")
+    val entries = writeData(spark, df, dir, cur0.flatMap(_.partitionCols).getOrElse(Seq.empty),
+      mapping = mappingOf(cur0))
     // an append conflicts with nothing: rebasing over ANY winner is just
     // re-listing its entries (and re-merging schema), so raced appends all
     // land — no lost update
     commitLoop(spark, dir, op = "append") { cur =>
-      val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema)
+      val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema, reservedPhysicals(cur))
       Some((cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
         txnOf(cur), Some(merged.toDDL)))
     }.get
@@ -1429,9 +1640,11 @@ object SnapshotTable {
     // cheap pre-check: skip writing data files for a batch already recorded
     if (txnOf(currentManifest(spark, dir)).get(appId).exists(_ >= batchId)) false
     else {
-      enforceOnBatch(spark, dir, currentManifest(spark, dir), df,
+      val cur0 = currentManifest(spark, dir)
+      enforceOnBatch(spark, dir, cur0, df,
         s"exactly-once append of batch $batchId to $dir")
-      val entries = writeData(spark, df, dir, partitionColumns(spark, dir))
+      val entries = writeData(spark, df, dir,
+        cur0.flatMap(_.partitionCols).getOrElse(Seq.empty), mapping = mappingOf(cur0))
       // the watermark re-check runs INSIDE the commit loop, against the
       // manifest the CAS will publish over — two racing deliveries of the
       // same batch reduce to one commit and one abandoned attempt whose
@@ -1439,7 +1652,7 @@ object SnapshotTable {
       commitLoop(spark, dir, op = "append") { cur =>
         if (txnOf(cur).get(appId).exists(_ >= batchId)) None
         else {
-          val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema)
+          val merged = mergeSchemas(priorSchema(spark, dir, cur), df.schema, reservedPhysicals(cur))
           Some((cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
             txnOf(cur) + (appId -> batchId), Some(merged.toDDL)))
         }
@@ -1462,12 +1675,13 @@ object SnapshotTable {
     // unreferenced — validating by reading them back costs one pass over
     // the BATCH, and a refusal leaves only vacuum-reclaimable orphans
     currentManifest(spark, dir).flatMap(_.constraints).foreach(cs =>
-      enforceConstraints(spark, readEntries(spark, dir, entries, Some(schema.toDDL)),
+      enforceConstraints(spark, readEntries(spark, dir, entries, Some(schema.toDDL),
+        mappingOf(currentManifest(spark, dir))),
         cs, s"streaming epoch $batchId into $dir"))
     commitLoop(spark, dir, op = "append") { cur =>
       if (txnOf(cur).get(appId).exists(_ >= batchId)) None
       else {
-        val merged = mergeSchemas(priorSchema(spark, dir, cur), schema)
+        val merged = mergeSchemas(priorSchema(spark, dir, cur), schema, reservedPhysicals(cur))
         Some((cur.map(_.entries).getOrElse(Seq.empty) ++ entries,
           txnOf(cur) + (appId -> batchId), Some(merged.toDDL)))
       }
@@ -1498,8 +1712,9 @@ object SnapshotTable {
     val before = manifestAt(fromVersion).map(_.entries).getOrElse(Seq.empty).map(_.path).toSet
     val to = manifestAt(toVersion).get
     val added = to.entries.filterNot(e => before.contains(e.path))
-    if (added.nonEmpty) readEntries(spark, dir, added, to.schemaDdl)
-    else readEntries(spark, dir, to.entries, to.schemaDdl).limit(0) // no new files: empty frame, right schema
+    if (added.nonEmpty) readEntries(spark, dir, added, to.schemaDdl, mappingOf(Some(to)))
+    else readEntries(spark, dir, to.entries, to.schemaDdl, mappingOf(Some(to)))
+      .limit(0) // no new files: empty frame, right schema
   }
 
   /** The largest retained version `v` in (`fromVersion`, `toVersion`] whose
@@ -1569,14 +1784,15 @@ object SnapshotTable {
           })
           val base =
             if (rewrite.isEmpty) batch.limit(0)
-            else readEntries(spark, dir, rewrite, m.schemaDdl)
+            else readEntries(spark, dir, rewrite, m.schemaDdl, mappingOf(Some(m)))
           val out = IncrementalLoader.upsert(base, batch, keys)
           // refuse type-changing batches BEFORE the rewrite, and record the
           // (additively) merged schema — committing the old DDL over files
           // whose types a batch silently widened would poison every
           // subsequent read
-          mergeSchemas(priorSchema(spark, dir, Some(m)), out.schema)
-          val entries = writeData(spark, out, dir, m.partitionCols.getOrElse(Seq.empty))
+          mergeSchemas(priorSchema(spark, dir, Some(m)), out.schema, reservedPhysicals(Some(m)))
+          val entries = writeData(spark, out, dir, m.partitionCols.getOrElse(Seq.empty),
+            mapping = mappingOf(Some(m)))
           val removed = rewrite.map(_.path).toSet
           val basePaths = m.entries.map(_.path).toSet
           commitLoop(spark, dir, op = "merge") { cur =>
@@ -1598,7 +1814,7 @@ object SnapshotTable {
               s"concurrent commit at $dir added ${overlap.length} file(s) intersecting this " +
                 s"merge's dt range (e.g. ${overlap.take(3).map(_.path).mkString(", ")}); " +
                 "re-running the merge against the new snapshot")
-            val merged = mergeSchemas(priorSchema(spark, dir, cur), out.schema)
+            val merged = mergeSchemas(priorSchema(spark, dir, cur), out.schema, reservedPhysicals(cur))
             Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
               txnOf(cur), Some(merged.toDDL)))
           }.get
@@ -1661,13 +1877,16 @@ object SnapshotTable {
         return (m.entries.length, m.entries.length)
       val totalBytes = rewrite.map(_.bytes).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      val base = readEntries(spark, dir, rewrite, m.schemaDdl)
+      val base = readEntries(spark, dir, rewrite, m.schemaDdl, mappingOf(Some(m)))
       val pcols = m.partitionCols.getOrElse(Seq.empty)
-      // z-order sort key: the raw column for one, the Morton value for 2-8
-      def zKey: org.apache.spark.sql.Column =
+      // z-order sort key: the raw column for one (repartitionByRange
+      // handles any orderable type), the range-normalized Morton value
+      // for 2-8 ([[graft.ops.Layout.zClusterKey]] — validates key types
+      // and fits each domain into the interleave's bit budget; evaluated
+      // ONCE against the base, its one skinny min/max agg never re-runs)
+      lazy val zKey: org.apache.spark.sql.Column =
         if (zorderBy.size == 1) org.apache.spark.sql.functions.col(s"`${zorderBy.head}`")
-        else graft.ops.Layout.zValueN(spark,
-          zorderBy.map(c => org.apache.spark.sql.functions.col(s"`$c`")): _*)
+        else graft.ops.Layout.zClusterKey(base, zorderBy)
       val arranged =
         if (zorderBy.isEmpty) layout.fold(base.repartition(nOut))(_.apply(base))
         else if (pcols.nonEmpty) base // ordered inside writeData, post-routing
@@ -1679,7 +1898,7 @@ object SnapshotTable {
       // merging never mixes partition values into one file
       val entries = writeData(spark, arranged, dir, pcols,
         sortBy = if (zorderBy.nonEmpty && pcols.nonEmpty) Seq(zKey) else Seq.empty,
-        sortParts = Some(nOut))
+        sortParts = Some(nOut), mapping = mappingOf(Some(m)))
       // a compaction reads every REWRITTEN file, so a concurrent rewrite of
       // one conflicts; concurrent appends — and, in binpack mode, rewrites
       // of CARRIED files — rebase, their files ride along until next time
@@ -1777,10 +1996,16 @@ object SnapshotTable {
       // contiguous sort-key range inside its partition directory, so
       // sibling files' footer min-max spans are disjoint and prune
       sortBy: Seq[org.apache.spark.sql.Column] = Seq.empty,
-      sortParts: Option[Int] = None): Seq[FileEntry] = {
+      sortParts: Option[Int] = None,
+      // the table's column mapping: files always store PHYSICAL names, so
+      // the (logical-named) frame renames just before the write — AFTER
+      // routing and sorting, whose Columns reference logical names
+      // (partition columns are refused from rename, so their two names
+      // coincide and the routing directories are unaffected)
+      mapping: Map[String, String] = Map.empty): Seq[FileEntry] = {
     val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
     val commitDir = new Path(dir, commitName)
-    if (pcols.isEmpty) df.write.parquet(commitDir.toString)
+    if (pcols.isEmpty) toPhysical(df, mapping).write.parquet(commitDir.toString)
     else {
       // partition routing on COMPUTED columns, so the originals stay IN
       // the data files (readers never reconstruct values from paths):
@@ -1809,12 +2034,14 @@ object SnapshotTable {
             spark.sessionState.conf.numShufflePartitions)
           routed.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*)
         }
-      ordered.write.partitionBy(fields.map(_.dirCol): _*)
+      toPhysical(ordered, mapping).write.partitionBy(fields.map(_.dirCol): _*)
         .parquet(commitDir.toString)
     }
     val fs = fsFor(spark, dir)
     val rel = listDataFiles(fs, new Path(dir), commitDir)
-    entriesFromFooters(spark, dir, rel, df.schema,
+    // footer stats key by the PHYSICAL names the files store; partition
+    // columns are never renamed, so the priority list needs no translation
+    entriesFromFooters(spark, dir, rel, physicalSchema(df.schema, mapping),
       priority = PartitionFields.cols(pcols))
   }
 
@@ -1973,7 +2200,8 @@ object SnapshotTable {
     // pass over the REWRITE, not the table); refusal leaves invisible
     // orphans for vacuum
     base.constraints.foreach(cs =>
-      enforceConstraints(spark, readEntries(spark, dir, added, base.schemaDdl),
+      enforceConstraints(spark,
+        readEntries(spark, dir, added, base.schemaDdl, mappingOf(Some(base))),
         cs, s"row-level $op of $dir"))
     commitLoop(spark, dir, op) { cur =>
       if (conflictOnAdds) {
@@ -2064,7 +2292,12 @@ object SnapshotTable {
       revisePartitioning: Option[Seq[String]] => Option[Seq[String]] = identity,
       // how this commit transforms the dropped-column tombstones: identity
       // everywhere except DROP COLUMN (appends) and replace (clears)
-      reviseDropped: Option[Seq[String]] => Option[Seq[String]] = identity)(
+      reviseDropped: Option[Seq[String]] => Option[Seq[String]] = identity,
+      // how this commit transforms the logical→physical column mapping:
+      // identity everywhere except RENAME COLUMN (moves a logical name),
+      // DROP COLUMN (sheds the dropped logical's entry), and replace
+      // (clears — all files are new, written under their logical names)
+      reviseMapping: Option[Map[String, String]] => Option[Map[String, String]] = identity)(
       mk: Option[Manifest] => Option[(Seq[FileEntry], Map[String, Long], Option[String])])
       : Option[Long] = {
     val fs = fsFor(spark, dir)
@@ -2096,6 +2329,8 @@ object SnapshotTable {
             partitionCols = revisePartitioning(cur.flatMap(_.partitionCols))
               .filter(_.nonEmpty),
             droppedCols = reviseDropped(cur.flatMap(_.droppedCols))
+              .filter(_.nonEmpty),
+            columnMapping = reviseMapping(cur.flatMap(_.columnMapping))
               .filter(_.nonEmpty))
           if (tryPublish(fs, dir, m)) return Some(version)
       }

@@ -52,39 +52,76 @@ class FileAwareScanBuilder(
     keyed: Option[KeyedLayout] = None,
     // manifest-only aggregate answering: Some((schema, rows)) when the
     // catalog can prove the aggregation exact from metadata alone
-    localAgg: Aggregation => Option[(StructType, Array[InternalRow])] = _ => None)
+    localAgg: Aggregation => Option[(StructType, Array[InternalRow])] = _ => None,
+    // logical → physical column mapping of the scanned snapshot (empty =
+    // identity, every never-renamed table): the inner parquet machinery
+    // runs entirely on PHYSICAL names (what the files store), and since a
+    // rename changes names only — never types or positions — the row
+    // layout is identical and only the name boundaries translate: pushed
+    // expressions go in physical (residuals restored by exprId on the
+    // way back), the pruned schema goes in physical, and the innermost
+    // scan renames its readSchema back so Spark above sees logical names
+    mapping: Map[String, String] = Map.empty)
   extends ScanBuilder with SupportsPushDownCatalystFilters
   with SupportsPushDownRequiredColumns
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
+  private def physName(c: String): String =
+    mapping.getOrElse(c,
+      mapping.collectFirst { case (l, p) if l.equalsIgnoreCase(c) => p }.getOrElse(c))
+
+  private def physSchema(s: StructType): StructType =
+    if (mapping.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = physName(f.name))))
+
   private val inner = ParquetScanBuilder(
-    sparkSession, index, tableSchema, tableSchema, opts)
+    sparkSession, index, physSchema(tableSchema), physSchema(tableSchema), opts)
   private var filePos: Int = -1
   private var sawDataFilters = false
   private var innerAggPushed = false
   private var localResult: Option[(StructType, Array[InternalRow])] = None
+  // the LOGICAL pruned data schema (file column excluded) — what the
+  // rename-back wrapper reports upward
+  private var prunedLogical: StructType = tableSchema
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     if (filters.nonEmpty) sawDataFilters = true
-    inner.pushFilters(filters)
+    if (mapping.isEmpty) inner.pushFilters(filters)
+    else {
+      // hand the parquet builder physical-named copies (same exprIds);
+      // restore the residuals it returns so the plan above never sees a
+      // physical name
+      import org.apache.spark.sql.catalyst.expressions.AttributeReference
+      val originals = filters.flatMap(_.collect {
+        case a: AttributeReference => a.exprId -> a }).toMap
+      val translated = filters.map(_.transform {
+        case a: AttributeReference => a.withName(physName(a.name)) })
+      inner.pushFilters(translated).map(_.transform {
+        case a: AttributeReference => originals.getOrElse(a.exprId, a) })
+    }
   }
 
   override def pushedFilters: Array[Predicate] = inner.pushedFilters
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     filePos = requiredSchema.fieldNames.indexOf(fileColName)
-    inner.pruneColumns(
+    val data =
       if (filePos < 0) requiredSchema
-      else StructType(requiredSchema.fields.filterNot(_.name == fileColName)))
+      else StructType(requiredSchema.fields.filterNot(_.name == fileColName))
+    prunedLogical = data
+    inner.pruneColumns(physSchema(data))
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     // manifest-answerable aggregates are complete BY CONSTRUCTION (final
     // exact values, zero tasks) — but only on an unfiltered scan: a pushed
     // data filter means surviving rows are a subset the manifest totals
-    // don't describe
-    (!sawDataFilters && localAgg(aggregation).isDefined) ||
-      (dvByPath.isEmpty && inner.supportCompletePushDown(aggregation))
+    // don't describe. On a MAPPED (renamed) table both delegates are
+    // skipped: the aggregation references logical names while footer
+    // stats and manifest keys are physical — rows stream instead
+    // (conservative, never wrong)
+    mapping.isEmpty && ((!sawDataFilters && localAgg(aggregation).isDefined) ||
+      (dvByPath.isEmpty && inner.supportCompletePushDown(aggregation)))
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     // an aggregate can never reference the (virtual) file column, and a
@@ -93,7 +130,9 @@ class FileAwareScanBuilder(
     // zero tasks; (2) parquet footer stats — one footer read per file.
     // With DELETION VECTORS present the manifest answerer handles what
     // stays exact (live-row count(*)) and footer-stat aggregates would
-    // count deleted rows — refuse the delegate then, rows stream instead
+    // count deleted rows — refuse the delegate then, rows stream instead.
+    // Mapped tables refuse both (see supportCompletePushDown).
+    if (mapping.nonEmpty) return false
     if (!sawDataFilters) localResult = localAgg(aggregation)
     if (localResult.isDefined) true
     else if (dvByPath.nonEmpty) false
@@ -110,7 +149,12 @@ class FileAwareScanBuilder(
     }
     val fileOptions = new FileSourceOptions(CaseInsensitiveMap(
       scala.jdk.CollectionConverters.MapHasAsScala(opts).asScala.toMap))
-    val base = inner.build()
+    val built = inner.build()
+    // rename-back seam: the parquet scan's readSchema carries physical
+    // names; report the pruned LOGICAL names upward (a pure positional
+    // rename — partitions and reader factories delegate untouched), so
+    // every wrapper above and Spark's output attributes see logical names
+    val base = if (mapping.isEmpty) built else new RenamedScan(built, prunedLogical)
     // deletion vectors apply INSIDE the scan (position filter per vectored
     // file), beneath the optional `_file` splice — order matters: the tag
     // wrapper's row arithmetic assumes its delegate emits exactly the
@@ -261,6 +305,40 @@ case class FileTaggingReaderFactory(
       override def next(): Boolean = inner.next()
       override def get(): InternalRow = proj(joined.withLeft(inner.get()))
       override def close(): Unit = inner.close()
+    }
+  }
+}
+
+/** A scan identical to `delegate` except that [[readSchema]] reports the
+  * pruned LOGICAL column names — the read-side boundary of the snapshot
+  * table's column mapping. A rename changes names only (never types,
+  * order, or nullability semantics), so rows are positionally identical
+  * and partitions/reader factories delegate untouched: the physical
+  * parquet machinery below never learns logical names, the plan above
+  * never sees physical ones.
+  */
+class RenamedScan(delegate: Scan, logical: StructType)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = {
+    val phys = delegate.readSchema()
+    require(phys.length == logical.length,
+      s"column-mapping rename-back: physical schema has ${phys.length} fields, " +
+        s"logical ${logical.length} — pruning must have diverged")
+    StructType(phys.fields.zip(logical.fields).map { case (p, l) => p.copy(name = l.name) })
+  }
+
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    delegate.toBatch.planInputPartitions()
+  override def createReaderFactory(): PartitionReaderFactory =
+    delegate.toBatch.createReaderFactory()
+  override def description(): String = delegate.description()
+  override def estimateStatistics(): Statistics = delegate match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
     }
   }
 }

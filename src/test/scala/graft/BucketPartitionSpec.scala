@@ -259,4 +259,33 @@ class BucketPartitionSpec extends SparkSpec {
         s"compaction re-routes, so the join must be shuffle-free again:\n$restored")
     }
   }
+
+  test("un-folded literal-vs-literal predicates fall to the conservative default, never recurse") {
+    ensureCatalog()
+    val dir = s"$root/litlit/t"
+    SnapshotTable.write(spark,
+      spark.range(0, 1000).select(col("id").as("k"), (col("id") * 2).as("v")),
+      dir, partitionCols = Some(Seq("bucket(4,k)")))
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    // the optimizer normally constant-folds these away; handed to the
+    // transform pruner raw, each flipped form must terminate (no
+    // ping-pong between literal-first rewrites) and keep every file
+    val shapes: Seq[Expression] = Seq(
+      GreaterThan(Literal(1L, LongType), Literal(2L, LongType)),
+      GreaterThanOrEqual(Literal(1L, LongType), Literal(2L, LongType)),
+      LessThan(Literal(3L, LongType), Literal(2L, LongType)),
+      LessThanOrEqual(Literal(3L, LongType), Literal(2L, LongType)),
+      EqualTo(Literal(1L, LongType), Literal(2L, LongType)),
+      EqualNullSafe(Literal(1L, LongType), Literal(2L, LongType)))
+    shapes.foreach { p =>
+      assert(SnapshotTable.pruneForFilters(m, Seq(p)).size == m.entries.size,
+        s"$p must be kept conservatively (no pruning, no crash)")
+    }
+    // sanity: a real key predicate still prunes through the same walk
+    val real = EqualTo(
+      org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute("k"), Literal(7L, LongType))
+    assert(SnapshotTable.pruneForFilters(m, Seq(real)).size < m.entries.size)
+  }
 }

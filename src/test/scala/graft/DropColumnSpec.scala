@@ -97,6 +97,60 @@ class DropColumnSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE snap.`$dir` DROP COLUMN IF EXISTS nope2")
   }
 
+  test("tombstone holds on EVERY widening path: append, exactly-once, epoch commit, merge") {
+    ensureCatalog()
+    val dir = s"$root/d5/t"
+    SnapshotTable.write(spark, mk(200), dir)
+    SnapshotTable.dropColumn(spark, dir, "junk")
+    val schemaBefore = SnapshotTable.currentManifest(spark, dir).get.schemaDdl
+
+    // a batch that STILL CARRIES the dropped column must be refused — a
+    // silent re-widen would read stale 'junk' values back out of the 200
+    // pre-drop rows' files
+    val stale = mk(50).withColumn("id", col("id") + 10000)
+    val e1 = intercept[Exception] { SnapshotTable.append(spark, stale, dir) }
+    assert(e1.getMessage.contains("DROPPED"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      SnapshotTable.appendExactlyOnce(spark, stale, dir, appId = "tomb-app", batchId = 1L)
+    }
+    assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
+    // the streaming sink's commit half (entries pre-written by executors)
+    val e3 = intercept[Exception] {
+      SnapshotTable.appendEntriesExactlyOnce(spark, dir, Seq.empty, stale.schema,
+        appId = "tomb-epoch", batchId = 1L)
+    }
+    assert(e3.getMessage.contains("DROPPED"), e3.getMessage)
+
+    assert(SnapshotTable.currentManifest(spark, dir).get.schemaDdl == schemaBefore,
+      "a refused widening must not have committed anything")
+    assert(!SnapshotTable.read(spark, dir).columns.contains("junk"))
+
+    // a batch WITHOUT the dropped column still appends fine
+    SnapshotTable.append(spark, stale.drop("junk"), dir)
+    assert(SnapshotTable.read(spark, dir).count() == 250)
+
+    // merge: same guard through the keyed-upsert path. An OVERLAPPING-dt
+    // merge projects the batch to the table's columns (the extra column
+    // never reaches the rewrite — no widening, no resurrection); a
+    // NON-overlapping dt takes the empty-rewrite path whose output
+    // carries the batch schema verbatim, which is where the tombstone
+    // guard must bite
+    val mdir = s"$root/d5/m"
+    def mkDt(n: Long, off: Long, dt: String) = spark.range(0, n).select(
+      (col("id") + off).as("k"), lit(dt).as("dt"),
+      col("id").as("v"), (col("id") * 3).as("junk"))
+    SnapshotTable.write(spark, mkDt(100, 0, "2024-01-01"), mdir)
+    SnapshotTable.dropColumn(spark, mdir, "junk")
+    val e4 = intercept[Exception] {
+      SnapshotTable.merge(spark, mkDt(10, 500, "2024-02-02"), mdir, keys = Seq("k", "dt"))
+    }
+    assert(e4.getMessage.contains("DROPPED"), e4.getMessage)
+    SnapshotTable.merge(spark, mkDt(10, 0, "2024-01-01"), mdir, keys = Seq("k", "dt"))
+    assert(!SnapshotTable.read(spark, mdir).columns.contains("junk"),
+      "an overlapping merge projects the tombstoned column away, never re-widens")
+    assert(SnapshotTable.read(spark, mdir).count() == 100)
+  }
+
   test("a row-level rewrite after the drop physically sheds the column from rewritten files") {
     ensureCatalog()
     val dir = s"$root/d4/t"

@@ -93,6 +93,61 @@ class ZOrderCompactionSpec extends SparkSpec {
       df.agg(sum("v")).head.getLong(0))
   }
 
+  test("string + date keys cluster through monotone surrogates; wide domains range-normalize") {
+    ensureCatalog()
+    val dir = s"$root/sd/t"
+    // string country codes × dates over two years, interleaved so an
+    // unclustered layout spans both domains per file; the v column rides
+    // a WIDE long domain (billions) that would alias under a naive
+    // low-bit mask
+    val codes = Seq("AR", "BR", "CA", "DE", "ES", "FR", "GB", "IN", "JP", "US")
+    val df = spark.range(0, 40000).select(
+      element_at(typedLit(codes), (col("id") % 10 + 1).cast("int")).as("cc"),
+      date_add(to_date(lit("2023-01-01")), (col("id") % 730).cast("int")).as("d"),
+      (col("id") * 1000003L).as("v"))
+    SnapshotTable.write(spark, df.repartition(8), dir)
+    assert(survivors(dir, col("cc") === "DE") == 8 &&
+      survivors(dir, col("d") === java.sql.Date.valueOf("2023-06-15")) == 8,
+      "interleaved files must span both domains before the rewrite")
+
+    val bytes = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.bytes).sum
+    SnapshotTable.compact(spark, dir, targetBytes = math.max(1L, bytes / 8),
+      zorderBy = Seq("cc", "d"))
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    assert(m.entries.size >= 4, s"expected a multi-file rewrite, got ${m.entries.size}")
+    val afterCc = survivors(dir, col("cc") === "DE")
+    val afterD = survivors(dir, col("d") === java.sql.Date.valueOf("2023-06-15"))
+    assert(afterCc < m.entries.size && afterD < m.entries.size,
+      s"string/date z-order must confine point lookups: cc $afterCc, d $afterD " +
+        s"of ${m.entries.size}")
+    assert(SnapshotTable.read(spark, dir).agg(sum("v")).head.getLong(0) ==
+      df.agg(sum("v")).head.getLong(0), "the rewrite must be a pure reordering")
+
+    // wide-domain normalization: clustering on (v, d) where v spans
+    // ~4×10^10 — without the range shift every v-bit above the budget
+    // would mask away and v-predicates would prune nothing
+    val wdir = s"$root/sd/w"
+    SnapshotTable.write(spark, df.repartition(8), wdir)
+    val wb = SnapshotTable.currentManifest(spark, wdir).get.entries.map(_.bytes).sum
+    SnapshotTable.compact(spark, wdir, targetBytes = math.max(1L, wb / 8),
+      zorderBy = Seq("v", "d"))
+    val wm = SnapshotTable.currentManifest(spark, wdir).get
+    val afterV = survivors(wdir, col("v").between(0L, 40000L * 1000003L / 50))
+    assert(afterV < wm.entries.size,
+      s"wide-domain key must still prune after normalization: $afterV of ${wm.entries.size}")
+  }
+
+  test("multi-column z-order refuses continuous key types by name") {
+    ensureCatalog()
+    val dir = s"$root/cont/t"
+    SnapshotTable.write(spark, spark.range(0, 100).select(
+      col("id").as("a"), (col("id") * 0.5).as("price")), dir)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotTable.compact(spark, dir, zorderBy = Seq("a", "price"))
+    }
+    assert(e.getMessage.contains("price") && e.getMessage.contains("double"), e.getMessage)
+  }
+
   test("refusals: unknown zorder column; zorderBy with a custom layout") {
     ensureCatalog()
     val dir = s"$root/bad/t"
