@@ -151,6 +151,25 @@ class DropColumnSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, mdir).count() == 100)
   }
 
+  test("direct Scala addColumns refuses duplicates WITHIN the added list (case-insensitive)") {
+    ensureCatalog()
+    val dir = s"$root/d6/t"
+    SnapshotTable.write(spark, mk(50), dir)
+    val before = SnapshotTable.currentManifest(spark, dir).get
+    // the SQL path is shielded by Spark's analyzer; a direct call with
+    // (x INT, X STRING) would otherwise commit a manifest schema with
+    // duplicate names and break every later read
+    val e = intercept[Exception] {
+      SnapshotTable.addColumns(spark, dir, StructType.fromDDL("x INT, X STRING"))
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    assert(SnapshotTable.currentManifest(spark, dir).get.version == before.version,
+      "a refused ALTER must commit nothing")
+    SnapshotTable.addColumns(spark, dir, StructType.fromDDL("x INT, y STRING"))
+    assert(SnapshotTable.read(spark, dir).columns.toSeq ==
+      Seq("id", "keep", "junk", "g", "x", "y"))
+  }
+
   test("a row-level rewrite after the drop physically sheds the column from rewritten files") {
     ensureCatalog()
     val dir = s"$root/d4/t"

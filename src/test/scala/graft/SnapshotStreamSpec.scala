@@ -381,6 +381,58 @@ class SnapshotStreamSpec extends SparkSpec {
       "ids 5, 52, 99 of 0..99 satisfy id % 47 = 5")
   }
 
+  test("a crashed attempt's leftover part file cannot wedge a replayed epoch") {
+    val dir = Files.createTempDirectory("graft-stream-leftover").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-stream-leftover-ckpt").toString
+    spark.conf.set("spark.sql.catalog.snap",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    SnapshotTable.write(spark,
+      spark.range(0, 0).select(col("id"), (col("id") * 2).as("v")), dir)
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    def start() = mem.toDF().select(col("value").as("id"), (col("value") * 2).as("v"))
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .toTable(s"snap.`$dir`")
+
+    val q1 = start()
+    mem.addData(0L until 30L: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    // learn the epoch-dir naming from the committed epoch-0 files, then
+    // PLANT a leftover in epoch 1's (deterministic) directory — the state
+    // an unclean driver stop leaves when abort never ran and a fresh
+    // SparkContext restarts task ids at 0. Attempt file names carry a
+    // per-attempt random token, so the replay must land beside the
+    // leftover instead of wedging on parquet's create-mode collision.
+    val m1 = SnapshotTable.currentManifest(spark, dir).get
+    val e0dir = m1.entries.map(_.path.split('/').head).distinct
+      .find(_.startsWith("c-str-")).getOrElse(fail(s"no epoch dir in ${m1.entries.map(_.path)}"))
+    val e1dir = e0dir.replaceAll("-e0$", "-e1")
+    assert(e1dir != e0dir, s"epoch dir $e0dir must end in its epoch id")
+    val leftoverDir = new java.io.File(s"$dir/$e1dir")
+    assert(leftoverDir.mkdirs())
+    // a plausible crashed-attempt name (old deterministic scheme) with
+    // garbage bytes — worse than any real leftover
+    val leftover = new java.io.File(leftoverDir, "part-00000-0.snappy.parquet")
+    java.nio.file.Files.write(leftover.toPath, Array.fill(64)(0x5a.toByte))
+
+    val q2 = start()
+    mem.addData(30L until 60L: _*)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val got = SnapshotTable.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (0L until 60L), s"epoch 1 must land despite the leftover (got ${got.size})")
+    val m2 = SnapshotTable.currentManifest(spark, dir).get
+    assert(!m2.entries.exists(_.path.endsWith("part-00000-0.snappy.parquet")),
+      "the planted leftover must never be referenced by a manifest")
+    // vacuum collects the orphan (zero grace: nothing in flight here)
+    SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0L)
+    assert(!leftover.exists(), "vacuum must collect the unreferenced leftover")
+  }
+
   test("startingVersion / startingTimestamp skip the older backfill; checkpoint restarts ignore them") {
     val dir = Files.createTempDirectory("graft-stream-startat").toString
     def rows(a: Int, b: Int) = (a until b).toDF("id").select(
