@@ -36,12 +36,27 @@ object ManifestPlanning {
     * planning-time FileIndex uses.
     */
   def statPrune(spark: SparkSession, dir: String,
-      m: SnapshotTable.Manifest, schema: StructType): StatPrune = {
+      m: SnapshotTable.Manifest, schema: StructType,
+      // the table's column mapping: declared columns and incoming runtime
+      // expressions carry LOGICAL names, footer stats key by PHYSICAL —
+      // one name translation at each boundary and renamed columns keep
+      // their runtime pruning
+      mapping: Map[String, String] = Map.empty): StatPrune = {
+    def phys(n: String): String = SnapshotTable.physicalName(mapping, n)
     val covered = schema.fields.iterator.map(_.name)
-      .filter(n => m.entries.exists(_.stats.exists(_.contains(n)))).toArray
+      .filter(n => m.entries.exists(_.stats.exists(_.contains(phys(n))))).toArray
     val qdir = qualified(spark, dir)
+    def toPhysical(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : org.apache.spark.sql.catalyst.expressions.Expression =
+      if (mapping.isEmpty) e
+      else e.transform {
+        case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+          a.withName(phys(a.name))
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(phys(u.name))
+      }
     StatPrune(covered, exprs =>
-      SnapshotTable.pruneForFilters(m, exprs)
+      SnapshotTable.pruneForFilters(m, exprs.map(toPhysical))
         .map(e => new Path(qdir, e.path).toString).toSet)
   }
 
@@ -55,7 +70,11 @@ object ManifestPlanning {
     * compaction re-routes it and the layout comes back.
     */
   def keyedLayout(spark: SparkSession, dir: String,
-      m: SnapshotTable.Manifest, schema: StructType): Option[KeyedLayout] = {
+      m: SnapshotTable.Manifest, schema: StructType,
+      // clustering keys face the plan (LOGICAL names); identity-field
+      // stats key by PHYSICAL names (partition columns are normally
+      // unrenamed, but a spec set on a previously-renamed column differs)
+      mapping: Map[String, String] = Map.empty): Option[KeyedLayout] = {
     val pcols = m.partitionCols.getOrElse(Seq.empty)
     if (pcols.isEmpty || m.entries.isEmpty) return None
     val fields: Seq[(PartitionFields.Field, StructField)] =
@@ -81,7 +100,8 @@ object ManifestPlanning {
     val qdir = qualified(spark, dir)
     val byPath = m.entries.map { e =>
       val values = fields.map {
-        case (_: PartitionFields.Identity, f) => fileValue(e, f).getOrElse(return None)
+        case (_: PartitionFields.Identity, f) =>
+          fileValue(e, f, mapping).getOrElse(return None)
         case (b: PartitionFields.Bucket, _) =>
           PartitionFields.bucketIdFromPath(e.path, b).getOrElse(return None): Any
         case (t: PartitionFields.Temporal, _) =>
@@ -99,8 +119,10 @@ object ManifestPlanning {
     * layout. Some(null) is a genuine null partition value (the whole file
     * is null in that column).
     */
-  private def fileValue(e: SnapshotTable.FileEntry, f: StructField): Option[Any] = {
-    val s = e.stats.flatMap(_.get(f.name)).getOrElse(return None)
+  private def fileValue(e: SnapshotTable.FileEntry, f: StructField,
+      mapping: Map[String, String] = Map.empty): Option[Any] = {
+    val s = e.stats.flatMap(_.get(SnapshotTable.physicalName(mapping, f.name)))
+      .getOrElse(return None)
     (s.lo, s.hi) match {
       case (None, None) => if (s.nulls == e.rows) Some(null) else None
       case (Some(lo), Some(hi)) if s.nulls == 0 && lo == hi => exactValue(lo, f.dataType)
@@ -144,7 +166,10 @@ object ManifestPlanning {
     */
   def localAggregate(spark: SparkSession, dir: String,
       m: SnapshotTable.Manifest, schema: StructType,
-      agg: Aggregation): Option[(StructType, Array[InternalRow])] = {
+      agg: Aggregation,
+      // aggregation references and output columns are LOGICAL; every
+      // stats lookup translates to the PHYSICAL key
+      mapping: Map[String, String] = Map.empty): Option[(StructType, Array[InternalRow])] = {
     val hasDv = m.entries.exists(_.dv.isDefined)
 
     def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[StructField] =
@@ -164,7 +189,7 @@ object ManifestPlanning {
         .getOrElse(return None))
 
     def statOf(e: SnapshotTable.FileEntry, f: StructField): Option[FileStats.ColStat] =
-      e.stats.flatMap(_.get(f.name))
+      e.stats.flatMap(_.get(SnapshotTable.physicalName(mapping, f.name)))
 
     // one evaluator per aggregate: fold a group's entries → catalyst value
     val evals: Seq[(StructField, Seq[SnapshotTable.FileEntry] => Any)] =
@@ -216,7 +241,7 @@ object ManifestPlanning {
       if (groupFields.isEmpty) Seq(Seq.empty[Any] -> m.entries)
       else {
         val keyed = m.entries.map { e =>
-          groupFields.map(f => fileValue(e, f).getOrElse(return None)) -> e
+          groupFields.map(f => fileValue(e, f, mapping).getOrElse(return None)) -> e
         }
         keyed.groupBy(_._1).toSeq.map { case (k, es) => k -> es.map(_._2) }
       }

@@ -591,11 +591,13 @@ private[graft] class SnapshotV2Table(
   // metadata-only planning capabilities, derived once per pinned manifest
   // (see [[ManifestPlanning]]): runtime file pruning for DPP, the
   // storage-partitioned-join layout when provable, and manifest-answered
-  // aggregates
+  // aggregates — all mapping-aware (logical names outward, physical names
+  // at the stats lookups), so renamed tables keep their fast plans
+  private lazy val tableMapping = SnapshotTable.mappingOf(Some(manifest))
   private lazy val scanStatPrune =
-    ManifestPlanning.statPrune(spark, dir, manifest, tableSchema)
+    ManifestPlanning.statPrune(spark, dir, manifest, tableSchema, tableMapping)
   private lazy val scanKeyedLayout =
-    ManifestPlanning.keyedLayout(spark, dir, manifest, tableSchema)
+    ManifestPlanning.keyedLayout(spark, dir, manifest, tableSchema, tableMapping)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // Spark's own parquet DSv2 builder over the manifest-backed index:
@@ -604,21 +606,18 @@ private[graft] class SnapshotV2Table(
     // FileAware wrapper additionally serves `_file` when referenced and
     // applies any merge-on-read deletion vectors inside the scan.
     // RENAMED tables (non-empty column mapping) read through the same
-    // builder with name translation at its boundaries; the three
-    // metadata-planning delegates — whose stat lookups are keyed by the
-    // names the AGGREGATION/JOIN expressions carry — stay off for them
-    // (conservative plans, identical results)
-    val mapping = SnapshotTable.mappingOf(Some(manifest))
+    // builder with name translation at its boundaries; the metadata-
+    // planning delegates translate their own stats lookups, so renamed
+    // tables keep runtime pruning, SPJ, and manifest-answered aggregates
     new org.apache.spark.sql.graftbridge.FileAwareScanBuilder(spark,
       new SnapshotFileIndex(spark, dir, manifest),
       tableSchema, options, SnapshotMetadata.FileCol,
       dvByPath = SnapshotTable.dvMap(spark, dir, manifest.entries), tableDir = dir,
-      statPrune = if (mapping.isEmpty) Some(scanStatPrune) else None,
-      keyed = if (mapping.isEmpty) scanKeyedLayout else None,
+      statPrune = Some(scanStatPrune),
+      keyed = scanKeyedLayout,
       localAgg =
-        if (mapping.isEmpty) ManifestPlanning.localAggregate(spark, dir, manifest, tableSchema, _)
-        else _ => None,
-      mapping = mapping)
+        ManifestPlanning.localAggregate(spark, dir, manifest, tableSchema, _, tableMapping),
+      mapping = tableMapping)
   }
 
   private def refuseTimeTravelMutation(what: String): Unit =

@@ -116,26 +116,24 @@ class FileAwareScanBuilder(
     // manifest-answerable aggregates are complete BY CONSTRUCTION (final
     // exact values, zero tasks) — but only on an unfiltered scan: a pushed
     // data filter means surviving rows are a subset the manifest totals
-    // don't describe. On a MAPPED (renamed) table both delegates are
-    // skipped: the aggregation references logical names while footer
-    // stats and manifest keys are physical — rows stream instead
-    // (conservative, never wrong)
-    mapping.isEmpty && ((!sawDataFilters && localAgg(aggregation).isDefined) ||
-      (dvByPath.isEmpty && inner.supportCompletePushDown(aggregation)))
+    // don't describe
+    (!sawDataFilters && localAgg(aggregation).isDefined) ||
+      (mapping.isEmpty && dvByPath.isEmpty && inner.supportCompletePushDown(aggregation))
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     // an aggregate can never reference the (virtual) file column, and a
     // query that referenced it wouldn't be offered for pushdown — safe to
     // delegate unconditionally. Preference order: (1) manifest metadata —
-    // zero tasks; (2) parquet footer stats — one footer read per file.
+    // zero tasks (mapping-aware: the answerer translates its own stats
+    // lookups); (2) parquet footer stats — one footer read per file.
     // With DELETION VECTORS present the manifest answerer handles what
     // stays exact (live-row count(*)) and footer-stat aggregates would
     // count deleted rows — refuse the delegate then, rows stream instead.
-    // Mapped tables refuse both (see supportCompletePushDown).
-    if (mapping.nonEmpty) return false
+    // MAPPED tables also refuse the footer delegate: its pushed
+    // aggregation carries logical names the physical footers don't match.
     if (!sawDataFilters) localResult = localAgg(aggregation)
     if (localResult.isDefined) true
-    else if (dvByPath.nonEmpty) false
+    else if (dvByPath.nonEmpty || mapping.nonEmpty) false
     else {
       innerAggPushed = inner.pushAggregation(aggregation)
       innerAggPushed

@@ -186,6 +186,66 @@ class RenameColumnSpec extends SparkSpec {
     assert(e.getMessage.contains("resurrect"), e.getMessage)
   }
 
+  test("metadata fast paths survive a rename: manifest-answered aggregates and SPJ stay on") {
+    ensureCatalog()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    }
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)(pf)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          collectAll(r.child)(pf)
+      }.flatten
+      p.collect(pf) ++ nested
+    }
+
+    // manifest-answered aggregate on a RENAMED column: still a zero-task
+    // LocalTableScan plan (the answerer translates its stats lookups)
+    val adir = s"$root/r9a/t"
+    SnapshotTable.write(spark, mk(2000), adir)
+    SnapshotTable.renameColumn(spark, adir, "v", "amount")
+    val agg = spark.sql(
+      s"SELECT count(*) AS c, count(amount) AS ca, min(amount) AS mn, max(amount) AS mx " +
+        s"FROM snap.`$adir`")
+    val plan = executed(agg)
+    assert(collectAll(plan) {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }.isEmpty &&
+      collectAll(plan) {
+        case l: org.apache.spark.sql.execution.LocalTableScanExec => l }.nonEmpty,
+      s"a renamed table's unfiltered aggregate must stay manifest-answered:\n$plan")
+    val row = agg.head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      (2000L, 2000L, 0L, 3998L))
+
+    // storage-partitioned join between co-partitioned tables stays
+    // shuffle-free after renaming a NON-key column on one side
+    val base = s"$root/r9b"
+    val left = spark.range(0, 2000).select((col("id") % 8).as("k"), col("id").as("lv"))
+    val right = spark.range(0, 2000).select((col("id") % 8).as("k"), (col("id") * 3).as("rv"))
+    SnapshotTable.write(spark, left, s"$base/l", partitionCols = Some(Seq("k")))
+    SnapshotTable.write(spark, right, s"$base/r", partitionCols = Some(Seq("k")))
+    SnapshotTable.renameColumn(spark, s"$base/l", "lv", "leftval")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val joined = spark.sql(
+        s"SELECT l.k, l.leftval, r.rv FROM snap.`$base/l` l " +
+          s"JOIN snap.`$base/r` r ON l.k = r.k")
+      val jplan = executed(joined)
+      assert(collectAll(jplan) {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }.isEmpty,
+        s"co-partitioned join must stay shuffle-free after the rename:\n$jplan")
+      assert(joined.count() == 8L * 250 * 250)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+  }
+
   test("merge-on-read deletes and the change feed work across a rename") {
     ensureCatalog()
     val dir = s"$root/r8/t"
