@@ -558,13 +558,18 @@ private[graft] class SnapshotV2Table(
       TableCapability.STREAMING_WRITE)
 
   override def properties(): util.Map[String, String] =
-    Map(
+    (Map(
       "location" -> dir,
       "snapshot.version" -> manifest.version.toString,
       "snapshot.numFiles" -> manifest.entries.size.toString,
       "snapshot.sizeBytes" -> manifest.entries.map(_.bytes).sum.toString,
       "snapshot.partitionColumns" ->
-        manifest.partitionCols.getOrElse(Seq.empty).mkString(",")).asJava
+        manifest.partitionCols.getOrElse(Seq.empty).mkString(",")) ++
+      // renamed tables surface their logical→physical map (DESCRIBE
+      // EXTENDED observability; absent = identity)
+      manifest.columnMapping.filter(_.nonEmpty).map(mm =>
+        "snapshot.columnMapping" -> mm.toSeq.sorted.map { case (l, p) => s"$l->$p" }
+          .mkString(","))).asJava
 
   /** The `_file` metadata column (row → its data file's path): provenance
     * for users, and the required metadata attribute of the row-level

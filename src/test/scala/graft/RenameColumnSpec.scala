@@ -61,6 +61,11 @@ class RenameColumnSpec extends SparkSpec {
         s"post-rename files must store the physical name: $p has $physical")
     }
 
+    // DESCRIBE EXTENDED surfaces the mapping
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED snap.`$dir`")
+      .collect().map(_.mkString("|")).mkString("\n")
+    assert(desc.contains("amount->v"), s"mapping must be observable:\n$desc")
+
     // time travel: the pre-rename version still reads the OLD name
     val pinned = SnapshotTable.readTable(spark, dir, Some(before.version))
     assert(pinned.columns.toSeq == Seq("id", "v", "g"))
