@@ -85,6 +85,16 @@ class RenameColumnSpec extends SparkSpec {
       s"stats pruning must survive the rename: ${survivors.size} of ${m.entries.size}")
     // and via the planner-integrated relation too (DSv1 path)
     assert(SnapshotTable.readTable(spark, dir).filter(col("amount") === 4000L).count() == 1)
+
+    // DSv2 SQL path: the filter on the LOGICAL name must reach the parquet
+    // scan under the PHYSICAL name — row-group pushdown, not a post-scan
+    // residual-only plan
+    val q = spark.sql(s"SELECT id FROM snap.`$dir` WHERE amount = 4000")
+    assert(q.head.getLong(0) == 2000L)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("EqualTo(v,4000)") || plan.contains("EqualTo(v, 4000)")),
+      s"the pushed filter must carry the physical name at the scan:\n$plan")
   }
 
   test("rename chains normalize sparsely; a round trip restores the identity mapping") {
