@@ -423,11 +423,22 @@ private[catalog] class SnapshotStreamingWrite(
     val factory = new ParquetFileFormat().prepareWrite(spark, job, Map.empty, physical)
     SnapshotStreamWriterFactory(factory,
       new SerializableConfiguration(job.getConfiguration),
-      SnapshotTable.qualifiedDir(spark, dir).toString, qid, physical)
+      SnapshotTable.qualifiedDir(spark, dir).toString, qid, physical,
+      // PARTITION ROUTING for streaming epochs: bound per-row routing
+      // expressions, so epoch files land one-partition-value-per-file
+      // under the same `__p_…=`/`__pb_…=` directories the batch writers
+      // use — which keeps manifest stats exact (lo == hi) and the
+      // storage-partitioned-join layout PROVABLE under continuous
+      // streaming ingest, instead of every epoch disabling SPJ until the
+      // next compaction (the 100 TB steady-state concern)
+      routing = RoutedEpochWriter.boundRouting(spark, dir, writeSchema))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val added = messages.collect { case CowCommitMessage(Some(rel), bytes) => (rel, bytes) }.toSeq
+    val added = messages.collect {
+      case CowCommitMessage(Some(rel), bytes) => Seq((rel, bytes))
+      case RoutedCommitMessage(files) => files
+    }.flatten.toSeq
     // empty epochs commit nothing: appends are idempotent, so not
     // advancing the marker is harmless and saves a version per idle tick
     if (added.isEmpty) return
@@ -445,19 +456,22 @@ private[catalog] class SnapshotStreamingWrite(
 }
 
 /** Executor-side factory for streaming epochs: same writers as the batch
-  * path, pointed at a per-(query, epoch) commit directory.
+  * path, pointed at a per-(query, epoch) commit directory. With a
+  * partitioned table, rows route per-value through [[RoutedEpochWriter]].
   */
 private[catalog] case class SnapshotStreamWriterFactory(
     factory: OutputWriterFactory, conf: SerializableConfiguration,
-    qualifiedDir: String, qid: String, schema: StructType)
+    qualifiedDir: String, qid: String, schema: StructType,
+    routing: Seq[RouteField] = Seq.empty)
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] =
-    new CowDataWriter(
-      CowWriterFactory(factory, conf, qualifiedDir,
-        SnapshotStreamWriterFactory.epochDirName(qid, epochId), schema),
-      partitionId, taskId)
+      epochId: Long): DataWriter[InternalRow] = {
+    val inner = CowWriterFactory(factory, conf, qualifiedDir,
+      SnapshotStreamWriterFactory.epochDirName(qid, epochId), schema)
+    if (routing.isEmpty) new CowDataWriter(inner, partitionId, taskId)
+    else new RoutedEpochWriter(inner, routing, partitionId, taskId)
+  }
 }
 
 private[catalog] object SnapshotStreamWriterFactory {
@@ -466,3 +480,181 @@ private[catalog] object SnapshotStreamWriterFactory {
     */
   def epochDirName(qid: String, epochId: Long): String = s"c-str-$qid-e$epochId"
 }
+
+/** One partition field's routing machinery for the streaming epoch
+  * writer: the BOUND catalyst expression computing the routing value from
+  * a data row (the SAME [[PartitionFields.routeColumn]] definition the
+  * batch writers use — resolved once on the driver against the write
+  * schema, serialized bound), the directory-marker name, and the value's
+  * data type for rendering.
+  */
+private[catalog] case class RouteField(
+    field: PartitionFields.Field,
+    bound: org.apache.spark.sql.catalyst.expressions.Expression,
+    dataType: org.apache.spark.sql.types.DataType)
+
+private[catalog] object RoutedEpochWriter {
+
+  /** Resolve + bind the routing expressions against `writeSchema` on the
+    * driver (empty = unpartitioned table, routing disabled). One
+    * definition: the Columns come from [[PartitionFields.routeColumn]],
+    * run through the real analyzer, so the streaming router can never
+    * disagree with the batch writers or the pruner.
+    */
+  def boundRouting(spark: SparkSession, dir: String,
+      writeSchema: StructType): Seq[RouteField] = {
+    val pcols = SnapshotTable.partitionColumns(spark, dir)
+    if (pcols.isEmpty) return Seq.empty
+    val fields = PartitionFields.parseAll(pcols)
+    // every partitioned write must carry its partition columns — Spark's
+    // insert resolution guarantees it for `toTable`, but check loudly
+    val missing = fields.map(_.col).filterNot(c =>
+      writeSchema.fieldNames.exists(_.equalsIgnoreCase(c)))
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"streaming write into partitioned table $dir: batch schema lacks partition " +
+        s"column(s) ${missing.mkString(", ")}")
+    def dtOf(c: String): org.apache.spark.sql.types.DataType =
+      writeSchema.fields.find(_.name.equalsIgnoreCase(c)).get.dataType
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], writeSchema)
+    val analyzed = empty.select(fields.map(f =>
+        PartitionFields.routeColumn(f, dtOf(f.col))): _*)
+      .queryExecution.analyzed
+    val exprs = analyzed.expressions.map(e =>
+      org.apache.spark.sql.catalyst.expressions.BindReferences.bindReference(
+        e, analyzed.children.head.output))
+    fields.zip(exprs).map { case (f, e) => RouteField(f, e, e.dataType) }
+  }
+
+  /** Render one routing value as its directory segment, or None when the
+    * row cannot be routed safely — null values (the default-partition
+    * case), strings outside the conservative unescaped charset (Hive
+    * path-escaping is the batch writer's job; diverging on an escape
+    * would corrupt pruning), and types whose directory rendering is
+    * writer-defined (timestamps). Unroutable rows land in the epoch root
+    * as plain un-routed files — exactly the conservative degradation
+    * every reader already handles.
+    */
+  def render(value: Any, dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    if (value == null) return None
+    dt match {
+      case IntegerType | LongType | ShortType | ByteType | BooleanType =>
+        Some(value.toString)
+      case DateType =>
+        Some(java.time.LocalDate.ofEpochDay(value.asInstanceOf[Int].toLong).toString)
+      case StringType =>
+        val s = value.toString
+        if (s.nonEmpty && s != "__HIVE_DEFAULT_PARTITION__" &&
+          s.forall(c => c.isLetterOrDigit && c < 128 || c == '_' || c == '-' || c == '.'))
+          Some(s)
+        else None
+      case _ => None
+    }
+  }
+}
+
+/** Streaming-epoch writer for PARTITIONED tables: routes each row to a
+  * per-partition-value file under the same `<dirCol>=<value>` directories
+  * the batch writers' `partitionBy` produces, so epoch files carry exact
+  * one-value stats (and bucket/temporal path markers) and the
+  * storage-partitioned-join layout stays provable under continuous
+  * ingest. At most [[RoutedEpochWriter.MaxOpenWriters]] files are open per
+  * task; overflow closes the current set and continues with fresh files —
+  * never a wrong route, only more (still single-value) files for the next
+  * compaction to merge. Rows whose routing value cannot be rendered
+  * safely fall back to one un-routed root file (conservative reads,
+  * layout off until compaction — the pre-existing contract).
+  *
+  * SMALL-FILE BACKSTOP: past the open cap the LEAST-RECENTLY-OPENED
+  * writer rotates out (its value reopens later as a fresh, still
+  * single-value file), and past [[MaxFilesPerTask]] total files the task
+  * stops routing entirely — remaining rows pool into the un-routed root
+  * file. A task streaming hundreds of interleaved partition values is a
+  * layout mismatch, and the correct degradation is the conservative
+  * un-routed contract, never an unbounded spray of row-sized files.
+  */
+private[catalog] class RoutedEpochWriter(f: CowWriterFactory,
+    routing: Seq[RouteField], partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val MaxOpenWriters = 16
+  private val MaxFilesPerTask = 64
+  private val open = scala.collection.mutable.LinkedHashMap[String, OutputWriter]()
+  private val written = scala.collection.mutable.ArrayBuffer[String]()
+  private var fileSeq = 0
+
+  private lazy val attempt = new TaskAttemptContextImpl(f.conf.value,
+    new TaskAttemptID(new TaskID(new JobID(f.commitName, 0), TaskType.MAP, partitionId),
+      (taskId & 0x7fffffff).toInt))
+  private lazy val ext = f.factory.getFileExtension(attempt)
+  private lazy val projection =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(routing.map(_.bound))
+
+  /** The row's routing subdirectory ("" = unroutable → epoch root). */
+  private def subDir(row: InternalRow): String = {
+    val values = projection(row)
+    val parts = routing.zipWithIndex.map { case (rf, i) =>
+      val v = if (values.isNullAt(i)) null else values.get(i, rf.dataType)
+      RoutedEpochWriter.render(v, rf.dataType) match {
+        case Some(seg) => s"${rf.field.dirCol}=$seg"
+        case None => return ""
+      }
+    }
+    parts.mkString("/")
+  }
+
+  private def writerFor(rawSub: String): OutputWriter = {
+    // file-cap degradation: stop routing, pool into the root file (the
+    // root writer stays open through evictions via the re-lookup below)
+    val sub = if (fileSeq >= MaxFilesPerTask) "" else rawSub
+    open.get(sub) match {
+      case Some(w) =>
+        // true LRU: re-insert on hit so eviction hits the coldest value
+        open.remove(sub); open(sub) = w
+        w
+      case None =>
+        if (open.size >= MaxOpenWriters) {
+          val eldest = open.head
+          eldest._2.close()
+          open.remove(eldest._1)
+        }
+        val token = java.util.UUID.randomUUID().toString.take(8)
+        fileSeq += 1
+        val rel = (if (sub.isEmpty) s"${f.commitName}" else s"${f.commitName}/$sub") +
+          f"/part-$partitionId%05d-$taskId-$fileSeq-$token$ext"
+        written += rel
+        val w = f.factory.newInstance(new Path(f.qualifiedDir, rel).toString, f.schema, attempt)
+        open(sub) = w
+        w
+    }
+  }
+
+  private def closeAll(): Unit = { open.values.foreach(_.close()); open.clear() }
+
+  override def write(row: InternalRow): Unit = writerFor(subDir(row)).write(row)
+
+  override def commit(): WriterCommitMessage = {
+    closeAll()
+    val fs = new Path(f.qualifiedDir).getFileSystem(f.conf.value)
+    RoutedCommitMessage(written.toSeq.map { rel =>
+      rel -> fs.getFileStatus(new Path(f.qualifiedDir, rel)).getLen })
+  }
+
+  override def abort(): Unit = {
+    try closeAll() catch { case _: Exception => () }
+    val fs = new Path(f.qualifiedDir).getFileSystem(f.conf.value)
+    written.foreach { rel =>
+      val p = new Path(f.qualifiedDir, rel)
+      if (fs.exists(p)) fs.delete(p, false)
+    }
+  }
+
+  override def close(): Unit = closeAll()
+}
+
+/** Paths (relative to the table dir) and sizes of one routed task's
+  * output files.
+  */
+private[catalog] case class RoutedCommitMessage(files: Seq[(String, Long)])
+  extends WriterCommitMessage

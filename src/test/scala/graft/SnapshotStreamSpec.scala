@@ -381,6 +381,149 @@ class SnapshotStreamSpec extends SparkSpec {
       "ids 5, 52, 99 of 0..99 satisfy id % 47 = 5")
   }
 
+  test("streaming epochs into a partitioned table route per value: SPJ stays provable under ingest") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+      df.collect()
+      df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    }
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)(pf)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          collectAll(r.child)(pf)
+      }.flatten
+      p.collect(pf) ++ nested
+    }
+    def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+      collectAll(executed(df)) {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }.size
+
+    val base = Files.createTempDirectory("graft-stream-routed").toString
+    spark.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+
+    // identity-partitioned stream target + a co-partitioned static side
+    val dir = s"$base/t"
+    SnapshotTable.write(spark,
+      spark.range(0, 0).select((col("id") % 8).as("k"), col("id").as("v")), dir,
+      partitionCols = Some(Seq("k")))
+    SnapshotTable.write(spark,
+      spark.range(0, 800).select((col("id") % 8).as("k"), (col("id") * 7).as("w")),
+      s"$base/dim", partitionCols = Some(Seq("k")))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    val q = mem.toDF().select((col("value") % 8).as("k"), col("value").as("v"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-routed-ckpt").toString)
+      .toTable(s"snap.`$dir`")
+    mem.addData(0L until 400L: _*)
+    q.processAllAvailable()
+    mem.addData(400L until 800L: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // every epoch file routed under its partition-value directory, with
+    // exact one-value stats
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    assert(m.entries.nonEmpty)
+    m.entries.foreach { e =>
+      assert(e.path.contains("__p_k="), s"epoch file must route: ${e.path}")
+      val s = e.stats.get("k")
+      assert(s.lo == s.hi && s.nulls == 0, s"${e.path}: stats must prove one value, got $s")
+    }
+    assert(SnapshotTable.read(spark, dir).count() == 800)
+
+    // the join layout survives continuous streaming ingest: zero shuffles
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val joined = spark.sql(
+        s"SELECT t.k, t.v, d.w FROM snap.`$dir` t JOIN snap.`$base/dim` d ON t.k = d.k")
+      assert(shuffleCount(joined) == 0,
+        "streaming epochs must keep the storage-partitioned join shuffle-free")
+      assert(joined.count() == 800L * 100)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+
+    // BUCKET-routed epochs carry the n-in-marker directory and agree with
+    // the batch writers' bucket id row by row
+    val bdir = s"$base/b"
+    SnapshotTable.write(spark,
+      spark.range(0, 0).select(col("id").as("bk"), col("id").as("v")), bdir,
+      partitionCols = Some(Seq("bucket(4,bk)")))
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    val q2 = mem2.toDF().select(col("value").as("bk"), (col("value") * 2).as("v"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-routed-ckpt2").toString)
+      .toTable(s"snap.`$bdir`")
+    mem2.addData(0L until 300L: _*)
+    q2.processAllAvailable()
+    q2.stop()
+    val bm = SnapshotTable.currentManifest(spark, bdir).get
+    bm.entries.foreach { e =>
+      assert(e.path.contains("__pb_4_bk="), s"bucket epoch file must route: ${e.path}")
+      val id = e.path.split("__pb_4_bk=")(1).takeWhile(_ != '/').toInt
+      val inFile = spark.read.parquet(s"$bdir/${e.path}")
+        .select(pmod(xxhash64(col("bk")), lit(4L)).cast("int").as("want")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(inFile == Seq(id), s"${e.path}: rows hash to $inFile, directory says $id")
+    }
+
+    // HIGH-CARDINALITY backstop: a task streaming many interleaved
+    // partition values must not spray row-sized files — LRU rotation plus
+    // the per-task file cap bound the count, with overflow pooling into
+    // un-routed root files (conservative reads, never wrong routing)
+    val hdir = s"$base/h"
+    SnapshotTable.write(spark,
+      spark.range(0, 0).select((col("id") % 40).as("hk"), col("id").as("v")), hdir,
+      partitionCols = Some(Seq("hk")))
+    val memH = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    val qh = memH.toDF().select((col("value") % 40).as("hk"), col("value").as("v"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-routed-ckpth").toString)
+      .toTable(s"snap.`$hdir`")
+    memH.addData(0L until 4000L: _*)
+    qh.processAllAvailable()
+    qh.stop()
+    val hm = SnapshotTable.currentManifest(spark, hdir).get
+    assert(hm.entries.size < 300,
+      s"40 interleaved values must stay bounded, wrote ${hm.entries.size} files")
+    hm.entries.filter(_.path.contains("__p_hk=")).foreach { e =>
+      val s = e.stats.get("hk")
+      assert(s.lo == s.hi, s"routed file ${e.path} must hold one value, got $s")
+    }
+    assert(SnapshotTable.read(spark, hdir).count() == 4000)
+    assert(SnapshotTable.read(spark, hdir).groupBy("hk").count()
+      .collect().forall(_.getLong(1) == 100), "every key must keep exactly its rows")
+
+    // unroutable values (unsafe string) fall back to un-routed root files:
+    // reads stay correct, the layout just degrades conservatively
+    val sdir = s"$base/s"
+    SnapshotTable.write(spark,
+      spark.range(0, 0).select(lit("x").as("g"), col("id").as("v")), sdir,
+      partitionCols = Some(Seq("g")))
+    val mem3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    val q3 = mem3.toDF().select(
+      when(col("value") % 2 === 0, lit("safe")).otherwise(lit("a/b=c")).as("g"),
+      col("value").as("v"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-routed-ckpt3").toString)
+      .toTable(s"snap.`$sdir`")
+    mem3.addData(0L until 100L: _*)
+    q3.processAllAvailable()
+    q3.stop()
+    val sm = SnapshotTable.currentManifest(spark, sdir).get
+    assert(sm.entries.exists(_.path.contains("__p_g=safe")),
+      "safe string values must still route")
+    assert(sm.entries.exists(e => !e.path.contains("__p_g=")),
+      "unsafe values must land un-routed, never mis-escaped")
+    assert(SnapshotTable.read(spark, sdir).count() == 100)
+    assert(SnapshotTable.read(spark, sdir).filter(col("g") === "a/b=c").count() == 50)
+  }
+
   test("a crashed attempt's leftover part file cannot wedge a replayed epoch") {
     val dir = Files.createTempDirectory("graft-stream-leftover").toString + "/t"
     val ckpt = Files.createTempDirectory("graft-stream-leftover-ckpt").toString
