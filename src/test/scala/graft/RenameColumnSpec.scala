@@ -261,6 +261,46 @@ class RenameColumnSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
+  test("streaming source over a renamed table; a mid-stream rename fails loudly, never silently") {
+    ensureCatalog()
+    val dir = s"$root/r10/t"
+    SnapshotTable.write(spark, mk(100), dir)
+    SnapshotTable.renameColumn(spark, dir, "v", "amount")
+    SnapshotTable.append(spark, mk(50, 1000).withColumnRenamed("v", "amount"), dir)
+
+    // fresh stream: declared schema and every batch carry the NEW name,
+    // pre-rename files included
+    val received = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = spark.readStream
+      .format(classOf[graft.streaming.SnapshotSourceProvider].getName)
+      .option("path", dir).load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-rename-stream").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        assert(df.columns.toSeq == Seq("id", "amount", "g"), df.columns.toSeq)
+        df.select("id", "amount").collect().foreach(r =>
+          received.add((r.getLong(0), r.getLong(1))))
+      }.start()
+    q.processAllAvailable()
+
+    // a rename UNDER the running stream breaks the pinned schema: the next
+    // batch must fail with the restart instruction, not emit drifted frames
+    SnapshotTable.renameColumn(spark, dir, "amount", "amt2")
+    SnapshotTable.append(spark, mk(10, 5000).withColumnRenamed("v", "amt2"), dir)
+    val e = intercept[Exception] { q.processAllAvailable() }
+    assert(messagesOf(e).exists(_.contains("restart the query")), messagesOf(e).mkString("; "))
+    q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = received.asScala.toMap
+    assert(got.size == 150 && got(0L) == 0L && got(1010L) == 20L,
+      s"the backfill must deliver pre- and post-rename generations (${got.size})")
+  }
+
+  private def messagesOf(e: Throwable): Seq[String] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage).filter(_ != null).toSeq
+
   test("merge-on-read deletes and the change feed work across a rename") {
     ensureCatalog()
     val dir = s"$root/r8/t"
