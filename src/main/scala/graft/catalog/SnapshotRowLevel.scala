@@ -591,9 +591,24 @@ private[catalog] class RoutedEpochWriter(f: CowWriterFactory,
   private lazy val projection =
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(routing.map(_.bound))
 
+  // rendering memo keyed by the projected routing values (UnsafeRow
+  // equality is byte-based): one string build per DISTINCT value combo,
+  // not per row — bounded so a pathological key domain cannot grow it
+  private val subMemo = scala.collection.mutable.HashMap[InternalRow, String]()
+
   /** The row's routing subdirectory ("" = unroutable → epoch root). */
   private def subDir(row: InternalRow): String = {
-    val values = projection(row)
+    val values = projection(row) // REUSED row: copy only when memoizing
+    subMemo.get(values) match {
+      case Some(s) => s
+      case None =>
+        val s = renderSub(values)
+        if (subMemo.size < 1024) subMemo.put(values.copy(), s)
+        s
+    }
+  }
+
+  private def renderSub(values: InternalRow): String = {
     val parts = routing.zipWithIndex.map { case (rf, i) =>
       val v = if (values.isNullAt(i)) null else values.get(i, rf.dataType)
       RoutedEpochWriter.render(v, rf.dataType) match {
