@@ -79,7 +79,7 @@ object Bench {
       System.err.println(f"[bench] $name%-24s median ${med}%8.2f s")
       (name, med, samples)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
@@ -100,6 +100,16 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
       (detail + "\n").getBytes("UTF-8"))
+    // LAST stdout line: a COMPACT summary guaranteed to fit inside any
+    // tail-truncating log capture (the driver has recorded `parsed: None`
+    // with a 2000-char tail in past rounds because the full 149-query
+    // vector line is longer than its capture window). Total + the slowest
+    // queries stay parsable even when only the tail survives; the full
+    // per-query vector is the line above and BENCH_DETAIL.json.
+    val slowest = results.sortBy(-_._2).take(8)
+      .map { case (k, v, _) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,""" +
+      s""""n_queries":${results.length},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

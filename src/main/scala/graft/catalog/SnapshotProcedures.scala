@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The snapshot table's MAINTENANCE surface in pure SQL, as DSv2 stored
@@ -114,17 +114,35 @@ private[graft] object SnapshotProcedures {
     extends SnapshotProcedure(resolveDir) {
     override def name(): String = "vacuum"
     override def description(): String =
-      "expire old versions and delete unreferenced files older than grace_ms"
+      "expire old versions and delete unreferenced files older than grace_ms; " +
+        "dry_run => true reports the deletion plan (one row per path, kind ∈ " +
+        "data|orphan|manifest|log) and deletes NOTHING"
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
       paramWithDefault("keep_versions", IntegerType, "2"),
-      paramWithDefault("grace_ms", LongType, SnapshotTable.DefaultVacuumGraceMs.toString))
+      paramWithDefault("grace_ms", LongType, SnapshotTable.DefaultVacuumGraceMs.toString),
+      paramWithDefault("dry_run", BooleanType, "false"))
     override def call(input: InternalRow): JIterator[Scan] = {
       requireSet(input, 1, "keep_versions")
       requireSet(input, 2, "grace_ms")
-      val deleted = SnapshotTable.vacuum(spark, dirOf(input),
-        input.getInt(1), input.getLong(2))
-      result(StructType.fromDDL("files_deleted INT"), deleted)
+      requireSet(input, 3, "dry_run")
+      if (input.getBoolean(3)) {
+        val plan = SnapshotTable.vacuumDryRun(spark, dirOf(input),
+          input.getInt(1), input.getLong(2))
+        val schema = StructType.fromDDL("path STRING, kind STRING")
+        val planRows = plan.map { case (p, k) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(p), UTF8String.fromString(k))): InternalRow
+        }.toArray
+        Collections.singletonList[Scan](new LocalScan {
+          override def rows(): Array[InternalRow] = planRows
+          override def readSchema(): StructType = schema
+        }).iterator()
+      } else {
+        val deleted = SnapshotTable.vacuum(spark, dirOf(input),
+          input.getInt(1), input.getLong(2))
+        result(StructType.fromDDL("files_deleted INT"), deleted)
+      }
     }
   }
 

@@ -528,12 +528,22 @@ private[catalog] object RoutedEpochWriter {
 
   /** Render one routing value as its directory segment, or None when the
     * row cannot be routed safely — null values (the default-partition
-    * case), strings outside the conservative unescaped charset (Hive
+    * case) and strings outside the conservative unescaped charset (Hive
     * path-escaping is the batch writer's job; diverging on an escape
-    * would corrupt pruning), and types whose directory rendering is
-    * writer-defined (timestamps). Unroutable rows land in the epoch root
-    * as plain un-routed files — exactly the conservative degradation
-    * every reader already handles.
+    * would corrupt pruning). Unroutable rows land in the epoch root as
+    * plain un-routed files — exactly the conservative degradation every
+    * reader already handles.
+    *
+    * TIMESTAMPS render as their raw epoch-micros integer — zone-free,
+    * collision-free, filesystem-safe — NOT the batch writer's session-tz
+    * `yyyy-MM-dd HH%3Amm%3Ass` form. The divergence is safe because
+    * identity directory names are pure layout artifacts: every reader
+    * recovers identity values from footer stats (lo == hi), never from
+    * `__p_` paths (unlike `__pb_`/`__pt_`/`__pr_` markers, whose forms ARE
+    * parsed and therefore must match the batch writer exactly — they do,
+    * because their routing expressions render integer ordinals). What
+    * matters for SPJ provability is one VALUE per file, which any
+    * injective rendering delivers.
     */
   def render(value: Any, dt: org.apache.spark.sql.types.DataType): Option[String] = {
     import org.apache.spark.sql.types._
@@ -541,6 +551,8 @@ private[catalog] object RoutedEpochWriter {
     dt match {
       case IntegerType | LongType | ShortType | ByteType | BooleanType =>
         Some(value.toString)
+      case TimestampType | TimestampNTZType =>
+        Some(value.asInstanceOf[Long].toString + "us")
       case DateType =>
         Some(java.time.LocalDate.ofEpochDay(value.asInstanceOf[Int].toLong).toString)
       case StringType =>

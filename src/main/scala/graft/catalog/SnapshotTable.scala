@@ -1931,13 +1931,30 @@ object SnapshotTable {
     * windows). Returns the number of data files deleted.
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
-      minUnreferencedAgeMs: Long = DefaultVacuumGraceMs): Int = {
+      minUnreferencedAgeMs: Long = DefaultVacuumGraceMs): Int =
+    vacuumSweep(spark, dir, keepVersions, minUnreferencedAgeMs, execute = true)
+      .count(_._2 == "data")
+
+  /** DRY RUN: the exact deletion plan [[vacuum]] would execute with the
+    * same arguments — (path relative to the table dir, kind) pairs, kind ∈
+    * data (unreferenced data file) | orphan (unreferenced non-data file) |
+    * manifest (expired version) | log (crash-leftover temp / unreferenced
+    * segment) — touching NOTHING (Delta's `VACUUM … DRY RUN`). The list is
+    * advisory, not a reservation: a writer committing between the dry run
+    * and the real run can change what the real run deletes.
+    */
+  def vacuumDryRun(spark: SparkSession, dir: String, keepVersions: Int = 2,
+      minUnreferencedAgeMs: Long = DefaultVacuumGraceMs): Seq[(String, String)] =
+    vacuumSweep(spark, dir, keepVersions, minUnreferencedAgeMs, execute = false)
+
+  private def vacuumSweep(spark: SparkSession, dir: String, keepVersions: Int,
+      minUnreferencedAgeMs: Long, execute: Boolean): Seq[(String, String)] = {
     require(keepVersions >= 1, "must keep at least the current snapshot")
     require(minUnreferencedAgeMs >= 0, "grace period cannot be negative")
     val cutoff = System.currentTimeMillis() - minUnreferencedAgeMs
     val fs = fsFor(spark, dir)
     val versions = manifestVersions(fs, dir)
-    if (versions.isEmpty) return 0
+    if (versions.isEmpty) return Seq.empty
     val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepVersions))
     val keptManifests = kept.map { case (_, p) => readManifest(fs, p) }
     val live: Set[String] = keptManifests.flatMap(m =>
@@ -1945,7 +1962,8 @@ object SnapshotTable {
     val liveSegs: Set[String] = keptManifests.flatMap(_.segments.getOrElse(Seq.empty)).toSet
     val root = new Path(dir)
     val rootUri = fs.makeQualified(root).toUri
-    var deleted = 0
+    def relOf(p: Path): String = rootUri.relativize(fs.makeQualified(p).toUri).getPath
+    val planned = scala.collection.mutable.ArrayBuffer[(String, String)]()
     // data files live under per-commit subdirectories — NESTED below
     // partition-value directories when the table is partitioned, so the
     // walk is recursive and empty directories prune bottom-up after
@@ -1953,18 +1971,23 @@ object SnapshotTable {
       fs.listStatus(d).foreach { f =>
         if (f.isDirectory) sweep(f.getPath)
         else {
-          val rel = rootUri.relativize(fs.makeQualified(f.getPath).toUri).getPath
+          val rel = relOf(f.getPath)
           val isData = f.getPath.getName.endsWith(".parquet")
           val aged = f.getModificationTime <= cutoff
-          if (isData && !live.contains(rel) && aged) { fs.delete(f.getPath, false); deleted += 1 }
-          else if (!isData && !live.contains(rel) && aged) fs.delete(f.getPath, false)
+          if (!live.contains(rel) && aged) {
+            planned += ((rel, if (isData) "data" else "orphan"))
+            if (execute) fs.delete(f.getPath, false)
+          }
         }
       }
-      if (fs.listStatus(d).isEmpty) fs.delete(d, false)
+      if (execute && fs.listStatus(d).isEmpty) fs.delete(d, false)
     }
     fs.listStatus(root).filter(st => st.isDirectory && st.getPath.getName != LogDirName)
       .foreach(d => sweep(d.getPath))
-    expired.foreach { case (_, p) => fs.delete(p, false) }
+    expired.foreach { case (_, p) =>
+      planned += ((relOf(p), "manifest"))
+      if (execute) fs.delete(p, false)
+    }
     // crash leftovers: unpublished temp manifests — same grace, a fresh
     // .tmp may be a concurrent tryPublish between create and rename —
     // and manifest segments referenced by no RETAINED manifest (expired
@@ -1977,8 +2000,11 @@ object SnapshotTable {
         st.isFile && st.getModificationTime <= cutoff &&
           (n.endsWith(".tmp") || (n.startsWith("seg-") && n.endsWith(".json") && !liveSegs(n)))
       }
-      .foreach(st => fs.delete(st.getPath, false))
-    deleted
+      .foreach { st =>
+        planned += ((relOf(st.getPath), "log"))
+        if (execute) fs.delete(st.getPath, false)
+      }
+    planned.toSeq
   }
 
   /** Write `df` into a fresh per-commit subdirectory and return its file

@@ -282,11 +282,37 @@ class SnapshotCatalogSpec extends SparkSpec {
     assert(SnapshotTable.currentManifest(spark, dir).get.entries.size == 10,
       "rolled-back snapshot lists the pre-compact files again")
 
+    // DRY RUN first: the deletion plan comes back as rows and NOTHING is
+    // deleted — versions intact, every listed path still on disk
+    val versionsBefore = SnapshotTable.versions(spark, dir).size
+    val plan = spark.sql(s"CALL snap.system.vacuum(table => '$dir', keep_versions => 1, " +
+      "grace_ms => 0, dry_run => true)").collect()
+    val plannedData = plan.filter(_.getString(1) == "data")
+    assert(plannedData.nonEmpty, s"dry run must list the orphaned data files: ${plan.toSeq}")
+    assert(plan.exists(_.getString(1) == "manifest"),
+      s"dry run must list the expired manifests: ${plan.toSeq}")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    plan.foreach { row =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(dir, row.getString(0))),
+        s"dry run deleted ${row.getString(0)} — it must touch nothing")
+    }
+    assert(SnapshotTable.versions(spark, dir).size == versionsBefore,
+      "dry run must not expire versions")
+    assert(SnapshotTable.read(spark, dir).count() == 500, "dry run must not touch data")
+
     // vacuum with grace_ms => 0 collects the expired versions' files; the
     // absolute-path form of the table argument resolves too
     val v = spark.sql(
       s"CALL snap.system.vacuum(table => '$dir', keep_versions => 1, grace_ms => 0)").collect()
     assert(v(0).getInt(0) > 0, s"vacuum must delete the dropped versions' files: ${v.toSeq}")
+    assert(v(0).getInt(0) == plannedData.length,
+      s"the real vacuum must delete exactly the dry run's data plan: " +
+        s"planned ${plannedData.length}, deleted ${v(0).getInt(0)}")
+    plan.foreach { row =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, row.getString(0))),
+        s"planned path survived the real vacuum: ${row.getString(0)}")
+    }
     assert(SnapshotTable.read(spark, dir).count() == 500, "current snapshot survives vacuum")
     assert(SnapshotTable.versions(spark, dir).size == 1)
 
