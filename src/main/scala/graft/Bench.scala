@@ -24,6 +24,14 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Locale-pinned decimal format: the f-interpolator uses the JVM default
+    * locale, which in comma-decimal locales (de_DE, fr_FR) would emit
+    * `"q1":1,234` — unparsable JSON. Every number in the emitted JSON goes
+    * through ROOT so the artifact is byte-identical regardless of host locale.
+    */
+  private[graft] def num(v: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+
   /** 1/5/15-min load from /proc/loadavg (Linux; empty elsewhere) — recorded
     * at start and end so a judge can separate co-tenant inflation from real
     * regressions without a quiet-box re-run (this box is shared; rounds 5-7
@@ -79,7 +87,7 @@ object Bench {
       System.err.println(f"[bench] $name%-24s median ${med}%8.2f s")
       (name, med, samples)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + num(v, 3) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
@@ -92,9 +100,9 @@ object Bench {
     // lets a judge adjudicate "regression vs noisy box" mechanically from
     // the artifact instead of re-running on a quiet box.
     val repsJson = results.map { case (k, _, ss) =>
-      "\"" + k + "\":[" + ss.map(s => f"$s%.3f").mkString(",") + "]"
+      "\"" + k + "\":[" + ss.map(s => num(s, 3)).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    def loadJson(l: Seq[Double]) = l.map(v => f"$v%.2f").mkString("[", ",", "]")
+    def loadJson(l: Seq[Double]) = l.map(v => num(v, 2)).mkString("[", ",", "]")
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       s""""reps":$repsJson,"loadavg_start":${loadJson(loadStart)},"loadavg_end":${loadJson(loadavg())}}"""
     java.nio.file.Files.write(
@@ -106,9 +114,11 @@ object Bench {
     // vector line is longer than its capture window). Total + the slowest
     // queries stay parsable even when only the tail survives; the full
     // per-query vector is the line above and BENCH_DETAIL.json.
+    // Keyed "slowest" (not "queries") so a consumer aggregating `queries` maps
+    // across lines can't mistake this 8-entry digest for the full vector.
     val slowest = results.sortBy(-_._2).take(8)
-      .map { case (k, v, _) => "\"" + k + f"\":$v%.2f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$slowest,""" +
+      .map { case (k, v, _) => "\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,""" +
       s""""n_queries":${results.length},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }

@@ -57,7 +57,7 @@ object ManifestPlanning {
       }
     StatPrune(covered, exprs =>
       SnapshotTable.pruneForFilters(m, exprs.map(toPhysical))
-        .map(e => new Path(qdir, e.path).toString).toSet)
+        .map(e => scanPathForm(qdir, e.path)).toSet)
   }
 
   /** The storage-partitioned-join layout, when provable: Some iff the
@@ -109,7 +109,7 @@ object ManifestPlanning {
         case (t: PartitionFields.Truncate, f) =>
           PartitionFields.truncValueFromPath(e.path, t, f.dataType).getOrElse(return None): Any
       }
-      new Path(qdir, e.path).toString ->
+      scanPathForm(qdir, e.path) ->
         (new GenericInternalRow(values.toArray): InternalRow)
     }.toMap
     Some(KeyedLayout(keys, byPath))
@@ -258,4 +258,15 @@ object ManifestPlanning {
     val p = new Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).makeQualified(p)
   }
+
+  /** A manifest-relative path in the EXACT string form scan-time
+    * `PartitionedFile.filePath.toString` reports: URL-encoded SparkPath.
+    * Raw `Path.toString` only coincides with it while paths carry no
+    * URI-escapable characters — a Hive-escaped identity partition
+    * directory (`__p_ts=1970-01-01 00%3A00%3A00`) diverges (`%20`/`%25`),
+    * which would silently narrow scans to zero files and kill keyed
+    * layouts on any such table.
+    */
+  private def scanPathForm(qdir: Path, rel: String): String =
+    org.apache.spark.paths.SparkPath.fromPath(new Path(qdir, rel)).toString
 }

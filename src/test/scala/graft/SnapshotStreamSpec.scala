@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 import java.util.concurrent.ConcurrentLinkedQueue
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.catalog.SnapshotTable
@@ -522,6 +523,89 @@ class SnapshotStreamSpec extends SparkSpec {
       "unsafe values must land un-routed, never mis-escaped")
     assert(SnapshotTable.read(spark, sdir).count() == 100)
     assert(SnapshotTable.read(spark, sdir).filter(col("g") === "a/b=c").count() == 50)
+  }
+
+  test("identity-TIMESTAMP epochs route as zone-free epoch-micros dirs and keep SPJ provable") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)(pf)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          collectAll(r.child)(pf)
+      }.flatten
+      p.collect(pf) ++ nested
+    }
+    def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      val executed = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      collectAll(executed) {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }.size
+    }
+
+    val base = Files.createTempDirectory("graft-stream-routed-ts").toString
+    spark.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)
+
+    // identity timestamp partitioning: 4 distinct hour marks
+    def tsOf(h: Column): Column = timestamp_seconds(h * 3600)
+    val dir = s"$base/t"
+    SnapshotTable.write(spark,
+      spark.range(0, 0).select(tsOf(col("id") % 4).as("ts"), col("id").as("v")), dir,
+      partitionCols = Some(Seq("ts")))
+    // the static join side goes through the BATCH writer, whose identity
+    // directories use Hive session-tz rendering — deliberately different
+    // from the streaming `<micros>us` form, because SPJ keys come from
+    // footer stats, never from `__p_` path segments
+    SnapshotTable.write(spark,
+      spark.range(0, 4).select(tsOf(col("id")).as("ts"), (col("id") * 7).as("w")),
+      s"$base/dim", partitionCols = Some(Seq("ts")))
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    val q = mem.toDF().select(tsOf(col("value") % 4).as("ts"), col("value").as("v"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-routed-ts-ckpt").toString)
+      .toTable(s"snap.`$dir`")
+    mem.addData(0L until 200L: _*)
+    q.processAllAvailable()
+    mem.addData(200L until 400L: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // every epoch file routes under __p_ts=<epoch-micros>us — injective,
+    // zone-free, filesystem-safe — and its footer stats prove ONE value
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    assert(m.entries.nonEmpty)
+    m.entries.foreach { e =>
+      assert(e.path.contains("__p_ts="), s"epoch file must route: ${e.path}")
+      val seg = e.path.split("__p_ts=")(1).takeWhile(_ != '/')
+      assert(seg.endsWith("us") && seg.dropRight(2).forall(_.isDigit),
+        s"identity-timestamp dirs must be raw epoch micros, got $seg in ${e.path}")
+      val micros = seg.dropRight(2).toLong
+      assert(micros % (3600L * 1000000) == 0 && micros / (3600L * 1000000) < 4,
+        s"${e.path}: directory micros must be one of the 4 hour marks")
+      val s = e.stats.get("ts")
+      assert(s.lo == s.hi && s.nulls == 0, s"${e.path}: stats must prove one value, got $s")
+    }
+    // values round-trip exactly: the …us directory form is a pure layout
+    // artifact, data rides in the files
+    assert(SnapshotTable.read(spark, dir).count() == 400)
+    assert(SnapshotTable.read(spark, dir).groupBy("ts").count()
+      .collect().forall(_.getLong(1) == 100), "each hour mark keeps exactly its rows")
+
+    // SPJ stays provable across the batch-Hive / streaming-micros rendering
+    // divergence: zero Exchanges joining on the identity ts key
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val joined = spark.sql(
+        s"SELECT t.ts, t.v, d.w FROM snap.`$dir` t JOIN snap.`$base/dim` d ON t.ts = d.ts")
+      assert(shuffleCount(joined) == 0,
+        "identity-timestamp routed epochs must keep the storage-partitioned join shuffle-free")
+      assert(joined.count() == 400)
+    } finally spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
   }
 
   test("a crashed attempt's leftover part file cannot wedge a replayed epoch") {
