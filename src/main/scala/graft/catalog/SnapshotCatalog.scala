@@ -94,25 +94,37 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     * entirely — conf-driven behavior users expect from every Spark knob);
     * the captured option only serves sessions that never set the conf key.
     */
-  private def rootOpt: Option[String] = {
-    val live = scala.util.Try(spark.conf.get(s"spark.sql.catalog.$catalogName.root")).toOption
-    // the catalog instance is shared per CatalogManager while
-    // SparkSession.active varies — log when a live conf re-points
-    // identifiers away from the initialize-time root so cross-session
-    // re-pointing is observable rather than silent
-    for (l <- live; r <- root; if l != r && divergenceLogged.add(l)) {
-      logWarning(s"catalog $catalogName: live session conf root '$l' overrides " +
-        s"initialize-time root '$r' for this resolution")
-    }
-    live.orElse(root)
-  }
+  private def rootOpt: Option[String] =
+    scala.util.Try(spark.conf.get(s"spark.sql.catalog.$catalogName.root")).toOption
+      .orElse(root)
 
-  private val divergenceLogged = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Identifier → the root it was FIRST resolved under. The catalog
+    * instance is cached per CatalogManager while the effective root can
+    * change under it (a live conf re-point, or `SparkSession.active`
+    * switching to a session with a different conf) — and silently
+    * re-binding an already-resolved identifier to a different directory
+    * is how a reader lands on the wrong table. First resolution pins the
+    * binding; a later resolution under a different root fails loudly with
+    * both roots and the escape hatches, instead of the old
+    * warn-and-repoint. Fresh identifiers under the new root still work —
+    * only live bindings refuse to move.
+    */
+  private val pinnedRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def dirFor(ident: Identifier): String =
     if (ident.namespace.isEmpty && ident.name.startsWith("/")) ident.name
     else rootOpt match {
-      case Some(r) => (r +: ident.namespace :+ ident.name).mkString("/")
+      case Some(r) =>
+        val key = (ident.namespace :+ ident.name).mkString(".")
+        val pinned = pinnedRoots.computeIfAbsent(key, _ => r)
+        if (pinned != r) throw new IllegalStateException(
+          s"catalog $catalogName: identifier $key is pinned to root '$pinned' (its first " +
+            s"resolution) but the effective root is now '$r'. Refusing to re-bind a live " +
+            s"identifier to a different directory; address the second table by absolute " +
+            s"path ($catalogName.`$r/${(ident.namespace :+ ident.name).mkString("/")}`), " +
+            s"register the second root under its own catalog name, or restore " +
+            s"spark.sql.catalog.$catalogName.root=$pinned")
+        (pinned +: ident.namespace :+ ident.name).mkString("/")
       case None => throw new IllegalArgumentException(
         s"catalog $catalogName has no 'root' option; set spark.sql.catalog.$catalogName.root " +
           "or address tables by absolute path: SELECT … FROM " + catalogName + ".`/abs/path`")

@@ -1947,6 +1947,29 @@ object SnapshotTable {
       minUnreferencedAgeMs: Long = DefaultVacuumGraceMs): Seq[(String, String)] =
     vacuumSweep(spark, dir, keepVersions, minUnreferencedAgeMs, execute = false)
 
+  /** The ONE selection rule both vacuum walks apply (driver and Spark-job
+    * — a shared body so the parallel path can never plan differently):
+    * a file is swept iff no retained manifest references it AND it aged
+    * past the grace cutoff. Static so the executor closure serializes
+    * only (live, cutoff), never the table state.
+    */
+  private def sweepCandidate(rel: String, name: String, mtime: Long,
+      live: Set[String], cutoff: Long): Option[(String, String)] =
+    if (!live.contains(rel) && mtime <= cutoff)
+      Some((rel, if (name.endsWith(".parquet")) "data" else "orphan"))
+    else None
+
+  /** Top-level table-directory count above which the vacuum walk runs as a
+    * Spark job instead of a driver-side recursive listing. Each top-level
+    * entry is a per-commit subdirectory, so the count grows with retained
+    * commit history — at 100 TB / millions of files the driver walk is an
+    * hours-long serial crawl (Delta parallelizes vacuum listing for the
+    * same reason), while below the threshold the job-scheduling overhead
+    * exceeds the listing cost. Overridable for tests and unusual layouts
+    * via `spark.graft.vacuum.parallelListingThreshold`.
+    */
+  val DefaultVacuumParallelThreshold: Int = 64
+
   private def vacuumSweep(spark: SparkSession, dir: String, keepVersions: Int,
       minUnreferencedAgeMs: Long, execute: Boolean): Seq[(String, String)] = {
     require(keepVersions >= 1, "must keep at least the current snapshot")
@@ -1967,23 +1990,69 @@ object SnapshotTable {
     // data files live under per-commit subdirectories — NESTED below
     // partition-value directories when the table is partitioned, so the
     // walk is recursive and empty directories prune bottom-up after
-    def sweep(d: Path): Unit = {
-      fs.listStatus(d).foreach { f =>
-        if (f.isDirectory) sweep(f.getPath)
-        else {
-          val rel = relOf(f.getPath)
-          val isData = f.getPath.getName.endsWith(".parquet")
-          val aged = f.getModificationTime <= cutoff
-          if (!live.contains(rel) && aged) {
-            planned += ((rel, if (isData) "data" else "orphan"))
+    val topDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName != LogDirName).map(_.getPath)
+    val threshold = spark.conf.getOption("spark.graft.vacuum.parallelListingThreshold")
+      .map(_.toInt).getOrElse(DefaultVacuumParallelThreshold)
+    if (topDirs.length <= threshold) {
+      // driver walk: listing + (when executing) interleaved delete
+      def sweep(d: Path): Unit = {
+        fs.listStatus(d).foreach { f =>
+          if (f.isDirectory) sweep(f.getPath)
+          else sweepCandidate(relOf(f.getPath), f.getPath.getName,
+            f.getModificationTime, live, cutoff).foreach { c =>
+            planned += c
             if (execute) fs.delete(f.getPath, false)
           }
         }
+        if (execute && fs.listStatus(d).isEmpty) fs.delete(d, false)
       }
-      if (execute && fs.listStatus(d).isEmpty) fs.delete(d, false)
+      topDirs.foreach(sweep)
+    } else {
+      // PARALLEL walk: one Spark task per top-level commit directory does
+      // the recursive listing + selection; executing deletes run as a
+      // second job over the plan. Only the (typically tiny) deletion plan
+      // returns to the driver; the empty-directory prune afterwards lists
+      // DIRECTORIES only — O(dirs) driver work, not O(files).
+      val confB = spark.sparkContext.broadcast(
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()))
+      val liveB = spark.sparkContext.broadcast(live)
+      val qualifiedRoot = fs.makeQualified(root).toString
+      val slices = math.max(1, math.min(topDirs.length,
+        spark.sparkContext.defaultParallelism * 2))
+      val candidates = spark.sparkContext
+        .parallelize(topDirs.map(_.toString).toSeq, slices)
+        .flatMap { dStr =>
+          val tfs = new Path(dStr).getFileSystem(confB.value.value)
+          val rUri = tfs.makeQualified(new Path(qualifiedRoot)).toUri
+          def walk(q: Path): Iterator[(String, String)] =
+            tfs.listStatus(q).iterator.flatMap { f =>
+              if (f.isDirectory) walk(f.getPath)
+              else sweepCandidate(
+                rUri.relativize(tfs.makeQualified(f.getPath).toUri).getPath,
+                f.getPath.getName, f.getModificationTime, liveB.value, cutoff).iterator
+            }
+          walk(new Path(dStr))
+        }.collect().sortBy(_._1)
+      planned ++= candidates
+      if (execute && candidates.nonEmpty) {
+        spark.sparkContext
+          .parallelize(candidates.map(_._1).toSeq,
+            math.max(1, math.min(candidates.length, slices)))
+          .foreachPartition { it =>
+            val r = new Path(qualifiedRoot)
+            val tfs = r.getFileSystem(confB.value.value)
+            it.foreach(rel => tfs.delete(new Path(r, rel), false))
+          }
+        // bottom-up empty-directory prune, directories only
+        def pruneEmpty(d: Path): Unit = {
+          fs.listStatus(d).filter(_.isDirectory).foreach(c => pruneEmpty(c.getPath))
+          if (fs.listStatus(d).isEmpty) fs.delete(d, false)
+        }
+        topDirs.foreach(pruneEmpty)
+      }
     }
-    fs.listStatus(root).filter(st => st.isDirectory && st.getPath.getName != LogDirName)
-      .foreach(d => sweep(d.getPath))
     expired.foreach { case (_, p) =>
       planned += ((relOf(p), "manifest"))
       if (execute) fs.delete(p, false)

@@ -326,6 +326,57 @@ class SnapshotCatalogSpec extends SparkSpec {
       chain)
   }
 
+  test("vacuum's parallel listing path plans and deletes exactly what the driver walk would") {
+    ensureCatalog()
+    val dir = s"$root/procpar/t"
+    // partitioned appends → nested per-commit/partition-value directories,
+    // then a compact so the pre-compact files become vacuum candidates
+    (0 until 4).foreach { k =>
+      val part = spark.range(k * 50, k * 50 + 50)
+        .select((col("id") % 3).as("g"), col("id"))
+      if (k == 0) SnapshotTable.write(spark, part, dir, partitionCols = Some(Seq("g")))
+      else SnapshotTable.append(spark, part, dir)
+    }
+    SnapshotTable.compact(spark, dir)
+
+    // same arguments, both walks: the plans must be identical — the
+    // selection rule is one shared body, this asserts it stays that way
+    val planDriver = SnapshotTable.vacuumDryRun(spark, dir,
+      keepVersions = 1, minUnreferencedAgeMs = 0).toSet
+    spark.conf.set("spark.graft.vacuum.parallelListingThreshold", "0")
+    try {
+      val planParallel = SnapshotTable.vacuumDryRun(spark, dir,
+        keepVersions = 1, minUnreferencedAgeMs = 0).toSet
+      assert(planParallel == planDriver,
+        s"parallel plan diverged: only-parallel=${planParallel -- planDriver}, " +
+          s"only-driver=${planDriver -- planParallel}")
+      assert(planParallel.count(_._2 == "data") > 0, "setup must orphan data files")
+
+      // execute through the parallel path: deletes exactly the dry-run's
+      // data plan, current snapshot intact, planned paths gone
+      val deleted = SnapshotTable.vacuum(spark, dir,
+        keepVersions = 1, minUnreferencedAgeMs = 0)
+      assert(deleted == planParallel.count(_._2 == "data"),
+        s"parallel vacuum deleted $deleted, dry run planned " +
+          s"${planParallel.count(_._2 == "data")}")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      planParallel.foreach { case (rel, _) =>
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, rel)),
+          s"planned path survived the parallel vacuum: $rel")
+      }
+      assert(SnapshotTable.read(spark, dir).count() == 200, "current snapshot survives")
+      assert(SnapshotTable.versions(spark, dir).size == 1)
+      // emptied per-commit directories are pruned bottom-up
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .filter(st => st.isDirectory && st.getPath.getName != "_log")
+        .foreach { d =>
+          assert(fs.listStatus(d.getPath).nonEmpty,
+            s"empty directory ${d.getPath.getName} must be pruned")
+        }
+    } finally spark.conf.unset("spark.graft.vacuum.parallelListingThreshold")
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only additive evolution, NULL backfill, inserts see the new schema") {
     ensureCatalog()
     val dir = s"$root/ddl/evolve"
@@ -417,5 +468,34 @@ class SnapshotCatalogSpec extends SparkSpec {
     val preScala = intercept[IllegalStateException](
       SnapshotTable.versionAtTimestamp(spark, dir, ts.head - 1))
     assert(preScala.getMessage.contains("predates"), preScala.getMessage)
+  }
+
+  test("an identifier's root binding pins at first resolution; a re-pointed root fails loudly") {
+    // a dedicated catalog name: pins live on the catalog instance, and this
+    // test deliberately diverges roots under one instance
+    val r1 = Files.createTempDirectory("graft-pin-r1").toString
+    val r2 = Files.createTempDirectory("graft-pin-r2").toString
+    spark.conf.set("spark.sql.catalog.snappin", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snappin.root", r1)
+    spark.sql("CREATE TABLE snappin.pin.t AS SELECT id FROM range(0, 7)")
+    assert(spark.sql("SELECT count(*) AS n FROM snappin.pin.t").head().getLong(0) == 7)
+
+    // re-point the root: the LIVE identifier refuses to move — the failure
+    // names both roots instead of silently reading a different directory
+    spark.conf.set("spark.sql.catalog.snappin.root", r2)
+    val e = intercept[Exception](spark.sql("SELECT * FROM snappin.pin.t").collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(m =>
+      m.contains("pinned to root") && m.contains(r1) && m.contains(r2))),
+      s"divergence must fail loudly naming both roots, got: ${e.getMessage}")
+
+    // FRESH identifiers under the new root still work (only live bindings pin)
+    spark.sql("CREATE TABLE snappin.pin2.t AS SELECT id FROM range(0, 3)")
+    assert(spark.sql("SELECT count(*) AS n FROM snappin.pin2.t").head().getLong(0) == 3)
+
+    // restoring the pinned root resolves the original binding again
+    spark.conf.set("spark.sql.catalog.snappin.root", r1)
+    assert(spark.sql("SELECT count(*) AS n FROM snappin.pin.t").head().getLong(0) == 7)
   }
 }
