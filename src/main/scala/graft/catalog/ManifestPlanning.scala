@@ -60,14 +60,21 @@ object ManifestPlanning {
         .map(e => scanPathForm(qdir, e.path)).toSet)
   }
 
-  /** The storage-partitioned-join layout, when provable: Some iff the
-    * table has partition fields AND every live file's value for every
-    * field is exactly recoverable — identity fields from stats (lo == hi,
-    * type-exact, all-null files count as a null value), bucket fields
-    * from their routing directory (`__pb_<n>_<col>=<id>`). A single
-    * unprovable file — e.g. a hash-clustered streaming epoch or row-level
-    * rewrite — disables the layout for the whole snapshot; the next
-    * compaction re-routes it and the layout comes back.
+  /** The storage-partitioned-join layout, PER-FILE-provable: covers every
+    * live file whose value for every partition field is exactly
+    * recoverable — identity fields from stats (lo == hi, type-exact,
+    * all-null files count as a null value), bucket fields from their
+    * routing directory (`__pb_<n>_<col>=<id>`). Unprovable files — a
+    * hash-clustered streaming overflow, a row-level rewrite — are simply
+    * ABSENT from `keyByPath`: the scan plans them as plain (un-keyed)
+    * partitions, and Spark's own all-partitions-keyed check decides
+    * per SCAN whether the storage-partitioned join applies. So one
+    * unrouted file no longer disables the layout table-wide — a query
+    * whose planning-time pruning drops it still joins shuffle-free, and
+    * only scans that actually READ the unprovable file fall back (until
+    * the next compaction re-routes it). None only when the table has no
+    * partition fields, no provable file at all, or a spec/schema
+    * mismatch.
     */
   def keyedLayout(spark: SparkSession, dir: String,
       m: SnapshotTable.Manifest, schema: StructType,
@@ -98,7 +105,9 @@ object ManifestPlanning {
           org.apache.spark.sql.connector.expressions.Expression
     }
     val qdir = qualified(spark, dir)
-    val byPath = m.entries.map { e =>
+    // one file's key, when every field's value is provable for it; None
+    // drops only THIS file from the layout, never the table
+    def entryKey(e: SnapshotTable.FileEntry): Option[InternalRow] = {
       val values = fields.map {
         case (_: PartitionFields.Identity, f) =>
           fileValue(e, f, mapping).getOrElse(return None)
@@ -109,10 +118,11 @@ object ManifestPlanning {
         case (t: PartitionFields.Truncate, f) =>
           PartitionFields.truncValueFromPath(e.path, t, f.dataType).getOrElse(return None): Any
       }
-      scanPathForm(qdir, e.path) ->
-        (new GenericInternalRow(values.toArray): InternalRow)
-    }.toMap
-    Some(KeyedLayout(keys, byPath))
+      Some(new GenericInternalRow(values.toArray))
+    }
+    val byPath = m.entries.flatMap(e =>
+      entryKey(e).map(k => scanPathForm(qdir, e.path) -> (k: InternalRow))).toMap
+    if (byPath.isEmpty) None else Some(KeyedLayout(keys, byPath))
   }
 
   /** One file's single value for `f`, when provable: None kills the

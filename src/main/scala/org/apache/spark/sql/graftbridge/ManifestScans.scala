@@ -29,9 +29,11 @@ case class StatPrune(cols: Array[String], prune: Seq[Expression] => Set[String])
   * qualified data-file path to its partition value as an [[InternalRow]]
   * in `keys` order (raw values for identity fields, bucket ids for
   * bucket fields). Derived from manifest stats / routing directories by
-  * the catalog layer; when any file's value cannot be proven, no layout
-  * is derived and the scan stays unkeyed — correctness never depends on
-  * this, it only removes shuffles.
+  * the catalog layer; coverage is PER FILE — a file whose value cannot
+  * be proven is absent from `keyByPath` and plans as a plain partition,
+  * so the storage-partitioned join applies exactly when every file a
+  * given scan reads is covered — correctness never depends on this, it
+  * only removes shuffles.
   */
 case class KeyedLayout(
     keys: Seq[org.apache.spark.sql.connector.expressions.Expression],
@@ -160,23 +162,33 @@ class StatsNarrowedScan(spark: SparkSession, delegate: Scan,
         // regroup split files by partition value; bin-pack WITHIN each value
         // so small files share a task and huge values still split — with
         // v2 bucketing off these plan/read exactly like plain partitions,
-        // with it on Spark groups same-key partitions into co-located tasks
+        // with it on Spark groups same-key partitions into co-located tasks.
+        // Files ABSENT from the layout (unprovable: a hash-clustered
+        // overflow, an unrouted rewrite) plan as plain partitions alongside
+        // the keyed ones — Spark's own all-partitions-keyed check then
+        // decides per scan: all provable → storage-partitioned join; any
+        // residual file surviving the pruning → graceful shuffle fallback.
+        // So provability is decided on the files this scan actually reads,
+        // not on the whole table.
         val files = narrowed.iterator.flatMap {
           case fp: FilePartition => fp.files
           case other => throw new IllegalStateException(
             s"cannot key non-file partition ${other.getClass.getName}")
         }.toSeq
         val maxSplit = FilePartition.maxSplitBytes(spark, files.map(_.length).sum)
+        val (provable, residual) =
+          files.partition(f => k.keyByPath.contains(f.filePath.toString))
         var idx = -1
-        files.groupBy(f => k.keyByPath.getOrElse(f.filePath.toString,
-          throw new IllegalStateException(
-            s"file ${f.filePath} missing from the keyed manifest layout")))
+        val keyedParts = provable.groupBy(f => k.keyByPath(f.filePath.toString))
           .iterator.flatMap { case (key, fs) =>
             FilePartition.getFilePartitions(spark, fs, maxSplit).map { fp =>
               idx += 1
               new KeyedFilePartition(idx, fp.files, key): InputPartition
             }
           }.toArray
+        val residualParts = FilePartition.getFilePartitions(spark, residual, maxSplit)
+          .map { fp => idx += 1; FilePartition(idx, fp.files): InputPartition }.toArray
+        keyedParts ++ residualParts
     }
   }
 

@@ -138,6 +138,62 @@ class ManifestPlanningSpec extends SparkSpec {
     }
   }
 
+  test("per-file provability: with the unrouted file pruned away, the routed rest joins shuffle-free") {
+    ensureCatalog()
+    // bucket-partitioned fact, one commit per dt so every file carries
+    // exact single-dt stats; the dt2-scoped UPDATE then rewrites ONLY
+    // dt2's files into unrouted (hash-clustered, no bucket marker)
+    // replacements — the classic one-bad-file layout poison
+    val dir = s"$root/spjpart/fact"
+    val dim = s"$root/spjpart/dim"
+    def batch(dt: String, n: Long) = spark.range(0, n)
+      .select((col("id") % 101).as("ck"), col("id").as("v"),
+        lit(java.sql.Date.valueOf(dt)).as("dt"))
+    SnapshotTable.write(spark, batch("2024-06-01", 2000), dir,
+      partitionCols = Some(Seq("bucket(8,ck)")))
+    SnapshotTable.append(spark, batch("2024-06-02", 2000), dir)
+    SnapshotTable.write(spark,
+      spark.range(0, 500).select((col("id") % 101).as("ck"), (col("id") * 7).as("w")),
+      dim, partitionCols = Some(Seq("bucket(8,ck)")))
+
+    spark.sql(s"UPDATE snap.`$dir` SET v = v + 1000000 WHERE dt = DATE'2024-06-02'")
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    assert(m.entries.exists(e => !e.path.contains("__pb_8_ck=")),
+      "setup: the UPDATE must leave at least one unrouted file")
+    assert(m.entries.exists(e => e.path.contains("__pb_8_ck=")),
+      "setup: dt1's routed files must be carried untouched")
+
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // dt1-scoped join: planning-time stats pruning drops every unrouted
+      // file, the surviving set is fully provable → zero shuffles even
+      // though the TABLE holds unprovable files
+      val qOld = s"SELECT x.ck, x.v, y.w FROM snap.`$dir` x " +
+        s"JOIN snap.`$dim` y ON x.ck = y.ck WHERE x.dt = DATE'2024-06-01'"
+      val plan = executed(spark.sql(qOld))
+      assert(scannedFiles(plan).filter(_.contains("/fact/")).forall(_.contains("__pb_8_ck=")),
+        "the dt1 scan must read only routed files")
+      assert(shuffles(plan).isEmpty,
+        s"pruned-to-provable scan must keep the storage-partitioned join:\n$plan")
+      val expectedOld = batch("2024-06-01", 2000)
+        .join(spark.range(0, 500).select((col("id") % 101).as("ck"), (col("id") * 7).as("w")), "ck")
+        .select(col("ck"), col("v"), col("w"))
+      val gotOld = spark.sql(qOld)
+      assert(gotOld.exceptAll(expectedOld).isEmpty && expectedOld.exceptAll(gotOld).isEmpty)
+
+      // unscoped join reads the unrouted file → graceful shuffle fallback,
+      // results stay correct
+      val qAll = s"SELECT x.ck, x.v, y.w FROM snap.`$dir` x " +
+        s"JOIN snap.`$dim` y ON x.ck = y.ck"
+      val planAll = executed(spark.sql(qAll))
+      assert(shuffles(planAll).nonEmpty,
+        "a scan including the unrouted file must fall back to shuffling")
+      assert(spark.sql(qAll).count() == gotOld.count() * 2,
+        "both dts join completely through the mixed plan")
+    }
+  }
+
   test("grouping by the partition column over a keyed layout skips the aggregate shuffle") {
     ensureCatalog()
     val src = spark.range(0, 4000)
