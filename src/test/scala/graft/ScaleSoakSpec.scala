@@ -360,6 +360,186 @@ class ScaleSoakSpec extends SparkSpec {
     assertScaling("pagerank", m1, m4)
   }
 
+  // ------------------------------------------- partition-layout surface
+
+  private def executedPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def scannedFiles(p: org.apache.spark.sql.execution.SparkPlan): Set[String] = {
+    def all[T](q: org.apache.spark.sql.execution.SparkPlan)(
+        pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+      val nested = q.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          all(a.executedPlan)(pf)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(s.plan)(pf)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          all(r.child)(pf)
+      }.flatten
+      q.collect(pf) ++ nested
+    }
+    all(p) { case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b }
+      .flatMap(_.inputRDD.partitions).flatMap {
+        case d: org.apache.spark.sql.execution.datasources.v2.DataSourceRDDPartition =>
+          d.inputPartitions
+        case _ => Seq.empty
+      }.flatMap {
+        case f: org.apache.spark.sql.execution.datasources.FilePartition =>
+          f.files.map(_.filePath.toString)
+        case _ => Seq.empty
+      }.toSet
+  }
+
+  private def withSpjConf(body: => Unit): Unit = {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val prior = keys.map(k => k -> spark.conf.getOption(k))
+    spark.conf.set(keys(0), "true")
+    spark.conf.set(keys(1), "-1")
+    try body finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private def ensureSnapCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.snap",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+
+  test("soak: storage-partitioned join stays exchange-free as the probe side scales") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    import graft.catalog.SnapshotTable
+    ensureSnapCatalog()
+    // fixed co-bucketed dim, fact scaled by the factor: the SPJ's cost must
+    // follow the probe side with EXACTLY zero exchange bytes at both scales
+    val dimDir = s"$soakRoot/spj/dim"
+    SnapshotTable.write(spark,
+      spark.range(0, 4096).select(col("id").as("k"), (col("id") * 3).as("w")),
+      dimDir, partitionCols = Some(Seq("bucket(8,k)")))
+    def build(factor: Int): String = {
+      val dir = s"$soakRoot/spj/fact_x$factor"
+      SnapshotTable.write(spark, scaledOrders(factor)
+        .select(pmod(col("o_orderkey"), lit(4096)).as("k"), col("o_totalprice").as("v")),
+        dir, partitionCols = Some(Seq("bucket(8,k)")))
+      dir
+    }
+    val (f1, f4) = (build(1), build(4))
+    def join(dir: String): Unit = noop(spark.sql(
+      s"SELECT x.k, x.v, y.w FROM snap.`$dir` x JOIN snap.`$dimDir` y ON x.k = y.k"))
+    withSpjConf {
+      join(f1) // warm-up
+      val m1 = measure(() => join(f1))
+      val m4 = measure(() => join(f4))
+      assert(m1.shuffleWriteBytes == 0L && m4.shuffleWriteBytes == 0L,
+        s"storage-partitioned join must move ZERO exchange bytes: " +
+          s"1x=${m1.shuffleWriteBytes} 4x=${m4.shuffleWriteBytes}")
+      assertScaling("spj_join", m1, m4)
+    }
+  }
+
+  test("soak: bucket point lookup stays confined to one bucket as the table scales") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    import graft.catalog.SnapshotTable
+    ensureSnapCatalog()
+    def build(factor: Int): String = {
+      val dir = s"$soakRoot/bucket/t_x$factor"
+      SnapshotTable.write(spark, scaledOrders(factor)
+        .select(col("o_orderkey").as("ck"), col("o_totalprice").as("v")),
+        dir, partitionCols = Some(Seq("bucket(8,ck)")))
+      dir
+    }
+    val (t1, t4) = (build(1), build(4))
+    def lookupDf(dir: String) = spark.sql(s"SELECT v FROM snap.`$dir` WHERE ck = 7777")
+    val m1 = measure(() => noop(lookupDf(t1)))
+    val m4 = measure(() => noop(lookupDf(t4)))
+    // confinement is structural: the 4x lookup reads exactly the files of
+    // ONE bucket of eight, independent of table growth
+    def accounting(dir: String): (Long, Long) = {
+      val scanned = scannedFiles(executedPlan(lookupDf(dir)))
+      val total = SnapshotTable.currentManifest(spark, dir).get.entries.size.toLong
+      assert(scanned.nonEmpty && scanned.forall(_.contains("__pb_8_ck=")),
+        s"lookup must stay inside its routed bucket: $scanned")
+      (scanned.size.toLong, total)
+    }
+    val (s1, n1) = accounting(t1)
+    val (s4, n4) = accounting(t4)
+    assert(s4 * 8 <= n4 + 7, s"4x lookup escaped its bucket: $s4 of $n4 files")
+    assertScaling("bucket_pointlookup", m1, m4, extra = Map(
+      "files_scanned_x1" -> s1, "files_total_x1" -> n1,
+      "files_scanned_x4" -> s4, "files_total_x4" -> n4))
+  }
+
+  test("soak: routed streaming ingest keeps files bounded and SPJ provable at 4x") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    import graft.catalog.SnapshotTable
+    ensureSnapCatalog()
+    val dimDir = s"$soakRoot/routed/dim"
+    SnapshotTable.write(spark,
+      spark.range(0, 8).select(col("id").as("k"), (col("id") * 11).as("w")),
+      dimDir, partitionCols = Some(Seq("k")))
+    val epochsPerRun = 10
+    // one sustained-ingest run = `epochsPerRun` micro-batches of
+    // factor-scaled size into an identity-partitioned table; measure()
+    // replays it, so the table sees 2 runs of continuous ingest before
+    // the layout assertions — the sustained part of the claim
+    def ingest(factor: Int): (String, RunMetrics) = {
+      val dir = s"$soakRoot/routed/t_x$factor"
+      SnapshotTable.write(spark,
+        spark.range(0, 0).select((col("id") % 8).as("k"), col("id").as("v")),
+        dir, partitionCols = Some(Seq("k")))
+      val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+      val q = mem.toDF().select(pmod(col("value"), lit(8)).as("k"), col("value").as("v"))
+        .writeStream
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-soak-routed-$factor").toString)
+        .toTable(s"snap.`$dir`")
+      var offset = 0L
+      val rowsPerEpoch = 20000L * factor
+      val m = measure { () =>
+        (0 until epochsPerRun).foreach { _ =>
+          mem.addData(offset until (offset + rowsPerEpoch): _*)
+          offset += rowsPerEpoch
+          q.processAllAvailable()
+        }
+      }
+      q.stop()
+      (dir, m)
+    }
+    val (d1, m1) = ingest(1)
+    val (d4, m4) = ingest(4)
+    def layout(dir: String): Long = {
+      val entries = SnapshotTable.currentManifest(spark, dir).get.entries
+      entries.foreach { e =>
+        assert(e.path.contains("__p_k="), s"epoch file must stay routed: ${e.path}")
+        val s = e.stats.get("k")
+        assert(s.lo == s.hi, s"${e.path}: one value per file, got $s")
+      }
+      entries.size.toLong
+    }
+    val (files1, files4) = (layout(d1), layout(d4))
+    // bounded fan-out: ≤ tasks × 8 values per epoch, 2 measured runs
+    val cap = 2L * epochsPerRun * 8 * spark.sparkContext.defaultParallelism
+    assert(files4 <= cap, s"routed ingest sprayed files: $files4 > $cap")
+    // SPJ provable AFTER sustained ingest: the join moves zero exchange bytes
+    withSpjConf {
+      def join(dir: String): Unit = noop(spark.sql(
+        s"SELECT x.k, x.v, y.w FROM snap.`$dir` x JOIN snap.`$dimDir` y ON x.k = y.k"))
+      val j1 = measure(() => join(d1))
+      val j4 = measure(() => join(d4))
+      assert(j1.shuffleWriteBytes == 0L && j4.shuffleWriteBytes == 0L,
+        s"post-ingest SPJ must stay exchange-free: 1x=${j1.shuffleWriteBytes} " +
+          s"4x=${j4.shuffleWriteBytes}")
+      assertScaling("routed_streaming_ingest", m1, m4, extra = Map(
+        "files_x1" -> files1, "files_x4" -> files4,
+        "post_ingest_join_shuffle_bytes_x1" -> j1.shuffleWriteBytes,
+        "post_ingest_join_shuffle_bytes_x4" -> j4.shuffleWriteBytes))
+    }
+  }
+
   test("soak: exact quantiles scale near-linearly, no disk spill") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     val m1 = measure(() => noop(graft.ops.Quantiles.exactQuantiles(
