@@ -331,4 +331,39 @@ class ManifestPlanningSpec extends SparkSpec {
       .groupBy("pk").agg(sum("m").as("s"))
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("runtime pruning survives Hive-escaped partition directories (timestamp identity)") {
+    ensureCatalog()
+    // identity TIMESTAMP partitions render Hive-escaped directory names
+    // (space + %3A); the surviving-file set and the scan compare paths in
+    // different string forms unless both normalize to the SparkPath form —
+    // a mismatch here silently narrowed such scans to ZERO files (r12 fix)
+    val fact = spark.range(0, 8000)
+      .select(timestamp_seconds((col("id") % 8) * 3600).as("ts"), col("id").as("m"))
+    val dim = spark.range(0, 8)
+      .select(timestamp_seconds(col("id") * 3600).as("dts"),
+        concat(lit("h"), col("id")).as("name"))
+    spark.sql("DROP TABLE IF EXISTS snap.dpp.tsfact")
+    fact.createOrReplaceTempView("dpp_tsfact_src")
+    spark.sql("CREATE TABLE snap.dpp.tsfact PARTITIONED BY (ts) AS SELECT * FROM dpp_tsfact_src")
+    dim.createOrReplaceTempView("dpp_tsdim")
+
+    val all = scannedFiles(executed(spark.sql("SELECT * FROM snap.dpp.tsfact")))
+    assert(all.size >= 8, s"expected >=8 routed files, got ${all.size}")
+    assert(all.exists(_.contains("%")),
+      s"setup must produce URI-escaped directory names, got $all")
+
+    val q = "SELECT f.ts, sum(f.m) AS s FROM snap.dpp.tsfact f " +
+      "JOIN dpp_tsdim d ON f.ts = d.dts WHERE d.name IN ('h2', 'h5') GROUP BY f.ts"
+    val plan = executed(spark.sql(q))
+    val read = scannedFiles(plan)
+    assert(read.nonEmpty, "runtime narrowing must never drop every file")
+    assert(read.size < all.size / 2,
+      s"runtime pruning should drop most escaped-dir files: read ${read.size} of ${all.size}")
+    val got = spark.sql(q)
+    val expected = fact.join(dim, col("ts") === col("dts"))
+      .where(col("name").isin("h2", "h5"))
+      .groupBy("ts").agg(sum("m").as("s"))
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
 }
