@@ -185,4 +185,62 @@ class PartitionEvolutionSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS c FROM snap.`$dir` VERSION AS OF $v1")
       .collect().head.getLong(0) == 300)
   }
+
+  test("spec evolution under a LIVE stream: next epoch routes by the NEW spec, mixed domains read right") {
+    ensureCatalog()
+    // the streaming write re-binds its routing expressions per epoch, so
+    // evolving the spec under a RUNNING query takes effect at the very
+    // next micro-batch — no stale-spec epochs, no restart needed. The
+    // mixed-domain manifest (old epochs __pb_8_, new epochs __pb_16_)
+    // then reads conservatively until compaction unifies it
+    val dir = s"$root/live/t"
+    SnapshotTable.write(spark,
+      spark.range(0, 0).select(col("id").as("k"), col("id").as("v")), dir,
+      partitionCols = Some(Seq("bucket(8,k)")))
+    import spark.implicits._
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long](spark)
+    val q = mem.toDF().select(col("value").as("k"), (col("value") * 2).as("v"))
+      .writeStream
+      .option("checkpointLocation", Files.createTempDirectory("graft-evo-live").toString)
+      .toTable(s"snap.`$dir`")
+    mem.addData(0L until 200L: _*)
+    q.processAllAvailable() // epoch routed under bucket(8,k)
+
+    SnapshotTable.setPartitionSpec(spark, dir, Seq("bucket(16,k)"))
+    mem.addData(200L until 400L: _*)
+    q.processAllAvailable() // routing re-binds: this epoch routes __pb_16_k=
+    q.stop()
+
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    assert(m.partitionCols.contains(Seq("bucket(16,k)")),
+      "the epoch append must not clobber the evolved spec")
+    assert(m.entries.exists(_.path.contains("__pb_8_k=")),
+      "the pre-evolution epoch keeps its old-domain markers")
+    assert(m.entries.exists(_.path.contains("__pb_16_k=")),
+      "the post-evolution epoch must route in the NEW domain without a restart")
+    assert(m.entries.forall(e =>
+      e.path.contains("__pb_8_k=") || e.path.contains("__pb_16_k=")),
+      s"every epoch file routes in exactly one domain: ${m.entries.map(_.path)}")
+
+    // reads complete across the mixed domains; a point lookup under the
+    // NEW spec keeps every row — old-domain markers must not be read as
+    // 16-domain ids
+    assert(SnapshotTable.read(spark, dir).count() == 400)
+    (Seq(3L, 77L, 399L)).foreach { key =>
+      val got = spark.sql(s"SELECT v FROM snap.`$dir` WHERE k = $key")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(key * 2), s"k=$key must survive new-spec pruning, got $got")
+    }
+
+    // compact re-routes everything into the new domain; pruning tightens
+    SnapshotTable.compact(spark, dir)
+    val mc = SnapshotTable.currentManifest(spark, dir).get
+    assert(mc.entries.forall(_.path.contains("__pb_16_k=")),
+      s"compaction must re-route to the evolved spec: ${mc.entries.map(_.path)}")
+    val one = executed(spark.sql(s"SELECT v FROM snap.`$dir` WHERE k = 77"))
+    val read = scannedFiles(one)
+    assert(read.nonEmpty && read.forall(_.contains("__pb_16_k=")) && read.size <= 2,
+      s"post-compact lookup must confine to the new-domain bucket: $read")
+    assert(SnapshotTable.read(spark, dir).count() == 400)
+  }
 }
