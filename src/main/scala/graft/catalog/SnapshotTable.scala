@@ -810,6 +810,16 @@ object SnapshotTable {
   private[catalog] val PosFileCol = "__dv_file"
   private[catalog] val PosIdxCol = "__dv_pos"
 
+  /** A manifest-relative path in the string form `_metadata.file_path`
+    * reports — URL-encoded SparkPath. Every map joined or keyed against
+    * [[PosFileCol]] MUST use this form: raw `Path.toString` only
+    * coincides with it until a partition directory carries a
+    * URI-escapable character (a Hive-escaped timestamp value), at which
+    * point a raw-keyed DV join silently resurrects deleted rows.
+    */
+  private def posFileForm(qualified: Path, rel: String): String =
+    org.apache.spark.paths.SparkPath.fromPath(new Path(qualified, rel)).toString
+
   /** Entries read with per-row provenance — `__dv_file` (qualified file
     * path) and `__dv_pos` (true 0-based row position, Spark's native
     * parquet `_metadata.row_index`, correct under row-group skipping) —
@@ -845,8 +855,7 @@ object SnapshotTable {
   private[catalog] def dvPositions(spark: SparkSession, dir: String,
       dvEntries: Seq[FileEntry]): DataFrame = {
     val qualified = qualifiedDir(spark, dir)
-    val refs = dvEntries.map(e =>
-      (new Path(qualified, e.path).toString, e.dv.get.path))
+    val refs = dvEntries.map(e => (posFileForm(qualified, e.path), e.dv.get.path))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val dirStr = dir
@@ -881,7 +890,7 @@ object SnapshotTable {
       mapping)
     val q = qualifiedDir(spark, dir)
     val refs = nonEmpty.map { case (e, plus, minus) =>
-      (new Path(q, e.path).toString, plus, minus) }
+      (posFileForm(q, e.path), plus, minus) }
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val dirStr = dir
@@ -1050,7 +1059,7 @@ object SnapshotTable {
       matched: DataFrame, candidates: Seq[FileEntry]): Seq[DvTouch] = {
     val qualified = qualifiedDir(spark, dir)
     val fullToEntry: Map[String, FileEntry] =
-      candidates.map(e => new Path(qualified, e.path).toString -> e).toMap
+      candidates.map(e => posFileForm(qualified, e.path) -> e).toMap
     val priorByFull: Map[String, Option[String]] =
       fullToEntry.map { case (f, e) => f -> e.dv.map(_.path) }
     val conf = new org.apache.spark.util.SerializableConfiguration(

@@ -216,4 +216,37 @@ class DeletionVectorSpec extends SparkSpec {
     assert(rows.length == 50 - 5, "DV filter composes under the _file splice")
     assert(rows.forall(_.getString(0).endsWith(".parquet")))
   }
+
+  test("vectors apply under Hive-escaped partition directories (timestamp identity)") {
+    ensureCatalog()
+    // identity TIMESTAMP partitions Hive-escape their directory names
+    // (space + %3A), so scan-time file paths URI-encode — the vector map
+    // lookup must still hit (it keys raw and the reader tries the raw
+    // form first); a miss here would silently RESURRECT deleted rows
+    val dir = s"$root/mor/ts"
+    SnapshotTable.write(spark,
+      spark.range(0, 4000).select(
+        timestamp_seconds((col("id") % 4) * 3600).as("ts"), col("id").as("v")),
+      dir, partitionCols = Some(Seq("ts")))
+    val entries = SnapshotTable.currentManifest(spark, dir).get.entries
+    assert(entries.forall(_.path.contains("__p_ts=")), "setup: routed identity dirs")
+    assert(entries.exists(_.path.contains("%")),
+      s"setup must produce escaped directory names: ${entries.map(_.path)}")
+
+    val n = SnapshotTable.deleteMoR(spark, dir, col("v") % 10 === 0)
+    assert(n == 400, s"deleted count: $n")
+    for ((label, df) <- Seq(
+        "SnapshotTable.read" -> SnapshotTable.read(spark, dir),
+        "readTable (planner relation)" -> SnapshotTable.readTable(spark, dir),
+        "SQL catalog" -> spark.sql(s"SELECT * FROM snap.`$dir`"))) {
+      assert(df.count() == 3600, s"$label must hide vectored rows")
+      assert(df.filter(col("v") % 10 === 0).count() == 0,
+        s"$label resurrected deleted rows under escaped partition dirs")
+    }
+    // partition-pruned read composes with the vector: hour-2 holds ids
+    // ≡ 2 (mod 4), of which every other multiple of 10 was deleted (200)
+    val one = spark.sql(
+      s"SELECT count(*) AS c FROM snap.`$dir` WHERE ts = timestamp'1970-01-01 02:00:00'")
+    assert(one.head().getLong(0) == 800)
+  }
 }
