@@ -221,6 +221,44 @@ class SnapshotRowLevelSpec extends SparkSpec {
     assert(got.filter(col("tag") === "hit").collect().map(_.getLong(0)).toSeq == Seq(7L))
   }
 
+  test("SQL UPDATE/MERGE/DELETE stay exact under Hive-escaped partition directories") {
+    // identity TIMESTAMP partitions escape their directory names (space +
+    // %3A): the whole row-level path — candidate pruning, the _file
+    // splice, runtime narrowing, the rewrite's partition routing — must
+    // agree on path forms or rows duplicate/vanish
+    val dir = Files.createTempDirectory("graft-rowlevel-ts").toString + "/t"
+    ensureCatalog()
+    SnapshotTable.write(spark,
+      spark.range(0, 2000).select(
+        timestamp_seconds((col("id") % 4) * 3600).as("ts"), col("id").as("v")),
+      dir, partitionCols = Some(Seq("ts")))
+    assert(SnapshotTable.currentManifest(spark, dir).get.entries.exists(_.path.contains("%")),
+      "setup must produce escaped partition directory names")
+
+    spark.sql(s"UPDATE snap.`$dir` SET v = v + 1000000 WHERE v % 500 = 3")
+    val afterUpdate = SnapshotTable.read(spark, dir)
+    assert(afterUpdate.count() == 2000, "UPDATE must not duplicate or lose rows")
+    assert(afterUpdate.filter(col("v") >= 1000000).collect().map(_.getLong(1)).sorted.toSeq ==
+      Seq(1000003L, 1000503L, 1001003L, 1001503L))
+
+    spark.range(0, 10).select(
+        timestamp_seconds(lit(3600)).as("ts"), (col("id") + 5000).as("v"))
+      .createOrReplaceTempView("rl_ts_src")
+    spark.sql(
+      s"""MERGE INTO snap.`$dir` t USING rl_ts_src s ON t.v = s.v - 5000 AND t.ts = s.ts
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |WHEN NOT MATCHED THEN INSERT (ts, v) VALUES (s.ts, s.v)""".stripMargin)
+    // matched: rows of hour-1 with v in 0..9 → ids ≡1 mod 4 in 0..9 = {1,5,9}
+    val afterMerge = SnapshotTable.read(spark, dir)
+    assert(afterMerge.count() == 2000 + 7, s"3 matched + 7 inserted, got ${afterMerge.count()}")
+    assert(afterMerge.filter(col("v") >= 5000 && col("v") < 6000).count() == 10)
+
+    spark.sql(s"DELETE FROM snap.`$dir` WHERE v >= 5000 AND v < 6000")
+    val afterDelete = SnapshotTable.read(spark, dir)
+    assert(afterDelete.count() == 1997, "DELETE must remove exactly the merged rows")
+    assert(afterDelete.filter(col("v") >= 5000).filter(col("v") < 1000000).count() == 0)
+  }
+
   test("path-addressed metadata tables resolve on a ROOT-LESS catalog") {
     val dir = freshDir()
     spark.conf.set("spark.sql.catalog.snapnr", classOf[SnapshotCatalog].getName)
