@@ -194,6 +194,62 @@ class ManifestPlanningSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: partial layouts always answer joins right; shuffle-free exactly when fully routed") {
+    ensureCatalog()
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      (0 until 4).foreach { trial =>
+        val nB = Seq(4, 8)(rnd.nextInt(2))
+        val dir = s"$root/fuzz/t$trial"
+        val dimDir = s"$root/fuzz/d$trial"
+        // driver-side model: id -> v (k is always id % 97 and never updated)
+        val model = scala.collection.mutable.LongMap[Long]()
+        def mk(a: Long, b: Long) = {
+          (a until b).foreach(i => model(i) = i)
+          spark.range(a, b).select((col("id") % 97).as("k"), col("id").as("v"))
+        }
+        SnapshotTable.write(spark, mk(0, 1000 + rnd.nextInt(1000)), dir,
+          partitionCols = Some(Seq(s"bucket($nB,k)")))
+        SnapshotTable.write(spark,
+          spark.range(0, 97).select(col("id").as("k"), (col("id") * 13).as("w")),
+          dimDir, partitionCols = Some(Seq(s"bucket($nB,k)")))
+        var hi = model.size.toLong
+        (0 until 2 + rnd.nextInt(3)).foreach { _ =>
+          rnd.nextInt(3) match {
+            case 0 =>
+              SnapshotTable.append(spark, mk(hi, hi + 300), dir); hi += 300
+            case 1 =>
+              // update a handful of CURRENT v values (hash-clustered
+              // rewrite: the poison that used to kill the layout)
+              val vs = rnd.shuffle(model.values.toSeq).take(5)
+              spark.sql(s"UPDATE snap.`$dir` SET v = v + 10000000 " +
+                s"WHERE v IN (${vs.mkString(",")})")
+              model.foreach { case (id, v) => if (vs.contains(v)) model(id) = v + 10000000 }
+            case 2 =>
+              SnapshotTable.compact(spark, dir)
+          }
+        }
+        val routed = SnapshotTable.currentManifest(spark, dir).get.entries
+          .forall(_.path.contains(s"__pb_${nB}_k="))
+        val q = s"SELECT t.k, t.v, d.w FROM snap.`$dir` t JOIN snap.`$dimDir` d ON t.k = d.k"
+        val plan = executed(spark.sql(q))
+        assert(shuffles(plan).isEmpty == routed,
+          s"trial $trial (bucket $nB): fully-routed=$routed but " +
+            s"${shuffles(plan).size} shuffles — SPJ must fire exactly when provable")
+        val expected = model.toSeq.toDF("id", "v")
+          .select((col("id") % 97).as("k"), col("v"))
+          .join(spark.range(0, 97).select(col("id").as("k"), (col("id") * 13).as("w")), "k")
+          .select(col("k"), col("v"), col("w"))
+        val got = spark.sql(q)
+        assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+          s"trial $trial: join result diverged from the model")
+      }
+    }
+  }
+
   test("grouping by the partition column over a keyed layout skips the aggregate shuffle") {
     ensureCatalog()
     val src = spark.range(0, 4000)

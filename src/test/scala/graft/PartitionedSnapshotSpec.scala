@@ -133,6 +133,45 @@ class PartitionedSnapshotSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() == 50)
   }
 
+  test("vacuum never plans LIVE files under Hive-escaped partition directories") {
+    // the liveness check compares walked paths (relativized back from the
+    // filesystem) against manifest-relative paths: if the two forms
+    // diverged on escaped directory names (space, %3A), vacuum would
+    // DELETE LIVE DATA — the catastrophic form of the path-form bug class
+    val dir = s"$root/scala/vac_ts"
+    def tdf(a: Long, b: Long) = spark.range(a, b).select(
+      org.apache.spark.sql.functions.timestamp_seconds(
+        (org.apache.spark.sql.functions.col("id") % 3) * 3600).as("ts"),
+      org.apache.spark.sql.functions.col("id").as("v"))
+    SnapshotTable.write(spark, tdf(0, 300), dir, partitionCols = Some(Seq("ts")))
+    SnapshotTable.append(spark, tdf(300, 500), dir)
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    assert(m.entries.exists(_.path.contains("%")),
+      s"setup must produce escaped directory names: ${m.entries.map(_.path)}")
+
+    // everything is live at keepVersions=2: BOTH walks must plan no data
+    // file and nothing any manifest references (_SUCCESS markers are
+    // legitimately orphan)
+    val live = m.entries.map(_.path).toSet
+    for (threshold <- Seq("1000000", "0")) {
+      spark.conf.set("spark.graft.vacuum.parallelListingThreshold", threshold)
+      try {
+        val plan = SnapshotTable.vacuumDryRun(spark, dir,
+          keepVersions = 2, minUnreferencedAgeMs = 0)
+        val bad = plan.filter { case (rel, kind) => kind == "data" || live.contains(rel) }
+        assert(bad.isEmpty,
+          s"threshold=$threshold: vacuum planned LIVE files: $bad")
+      } finally spark.conf.unset("spark.graft.vacuum.parallelListingThreshold")
+    }
+
+    // retention drop: v1's files reclaim, the current snapshot reads whole
+    val v1Files = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path)
+    SnapshotTable.write(spark, tdf(0, 100), dir) // replace → olds unreferenced at keep 1
+    val n = SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0L)
+    assert(n >= v1Files.size, s"expected >=${v1Files.size} reclaimed, got $n")
+    assert(SnapshotTable.read(spark, dir).count() == 100)
+  }
+
   test("SQL: CREATE TABLE PARTITIONED BY + INSERT routes and prunes; DESCRIBE shows the spec") {
     ensureCatalog()
     spark.sql("CREATE TABLE snap.part.events (id BIGINT, dt STRING, v BIGINT) PARTITIONED BY (dt)")

@@ -540,6 +540,43 @@ class ScaleSoakSpec extends SparkSpec {
     }
   }
 
+  test("soak: parallel vacuum listing scales near-linearly over commit history") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    import graft.catalog.SnapshotTable
+    // `factor` x 20 commits → that many top-level commit directories, well
+    // past the parallel-listing threshold (64 at x4); compact orphans the
+    // originals, then the vacuum walk runs as a Spark job. The dry run is
+    // the measured op (pure listing + selection — no delete I/O noise);
+    // the real vacuum afterwards sanity-checks plan/execute parity
+    def build(factor: Int): String = {
+      val dir = s"$soakRoot/vac/t_x$factor"
+      val rows = Tables.orders(spark, sf01)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      (0 until 20 * factor).foreach { i =>
+        val slice = rows.filter(pmod(col("k"), lit(20 * factor)) === i).repartition(2)
+        if (i == 0) SnapshotTable.write(spark, slice, dir)
+        else SnapshotTable.append(spark, slice, dir)
+      }
+      SnapshotTable.compact(spark, dir, targetBytes = 1L << 30)
+      dir
+    }
+    val (d1, d4) = (build(1), build(4))
+    spark.conf.set("spark.graft.vacuum.parallelListingThreshold", "0")
+    try {
+      var plan1 = 0L
+      var plan4 = 0L
+      val m1 = measure(() => plan1 = SnapshotTable.vacuumDryRun(spark, d1,
+        keepVersions = 1, minUnreferencedAgeMs = 0).count(_._2 == "data").toLong)
+      val m4 = measure(() => plan4 = SnapshotTable.vacuumDryRun(spark, d4,
+        keepVersions = 1, minUnreferencedAgeMs = 0).count(_._2 == "data").toLong)
+      assert(plan4 >= 3 * plan1, s"4x history must plan ~4x the files: $plan1 -> $plan4")
+      val deleted4 = SnapshotTable.vacuum(spark, d4, keepVersions = 1, minUnreferencedAgeMs = 0)
+      assert(deleted4 == plan4, s"real vacuum deleted $deleted4, dry run planned $plan4")
+      assertScaling("vacuum_parallel", m1, m4,
+        extra = Map("planned_data_x1" -> plan1, "planned_data_x4" -> plan4))
+    } finally spark.conf.unset("spark.graft.vacuum.parallelListingThreshold")
+  }
+
   test("soak: exact quantiles scale near-linearly, no disk spill") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     val m1 = measure(() => noop(graft.ops.Quantiles.exactQuantiles(
