@@ -118,6 +118,33 @@ class ManifestPlanningSpec extends SparkSpec {
     }
   }
 
+  test("SPJ on STRING identity keys: UTF8String-keyed layout joins shuffle-free") {
+    ensureCatalog()
+    // string identity values come back from footer stats as UTF8String
+    // catalyst values; the key-grouped exec compares them against the
+    // other side's — a java-String slip anywhere would break grouping
+    val mk = (n: Long) => spark.range(0, n).select(
+      concat(lit("grp-"), (col("id") % 12).cast("string")).as("g"), col("id").as("v"))
+    spark.sql("DROP TABLE IF EXISTS snap.spj.sl")
+    spark.sql("DROP TABLE IF EXISTS snap.spj.sr")
+    mk(3000).createOrReplaceTempView("spj_sl_src")
+    mk(240).createOrReplaceTempView("spj_sr_src")
+    spark.sql("CREATE TABLE snap.spj.sl PARTITIONED BY (g) AS SELECT * FROM spj_sl_src")
+    spark.sql("CREATE TABLE snap.spj.sr PARTITIONED BY (g) AS SELECT * FROM spj_sr_src")
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val q = "SELECT l.g, l.v, r.v AS w FROM snap.spj.sl l JOIN snap.spj.sr r ON l.g = r.g"
+      val plan = executed(spark.sql(q))
+      assert(shuffles(plan).isEmpty,
+        s"string-keyed storage-partitioned join must be shuffle-free:\n$plan")
+      val expected = mk(3000).join(
+        mk(240).select(col("g"), col("v").as("w")), "g")
+      val got = spark.sql(q)
+      assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    }
+  }
+
   test("SPJ degrades to a shuffling plan when a file cannot prove a single partition value") {
     ensureCatalog()
     // an UNPARTITIONED table never derives a keyed layout
