@@ -87,12 +87,12 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
   private def spark: SparkSession = SparkSession.active
 
   /** Catalog instances are cached by Spark's CatalogManager at first use,
-    * so an initialize-time `root` is frozen. The LIVE session conf wins:
-    * `spark.conf.set("spark.sql.catalog.<name>.root", …)` re-points the
-    * catalog even after it has been instantiated (whether its first touch
-    * was an absolute-path identifier needing no root, or a different root
-    * entirely — conf-driven behavior users expect from every Spark knob);
-    * the captured option only serves sessions that never set the conf key.
+    * so an initialize-time `root` is frozen; the LIVE session conf
+    * (`spark.conf.set("spark.sql.catalog.<name>.root", …)`) supplies the
+    * effective root for identifiers not yet resolved, and the captured
+    * option only serves sessions that never set the conf key. Identifiers
+    * that HAVE resolved are pinned — see [[pinnedRoots]]: a conf re-point
+    * never silently moves a live binding.
     */
   private def rootOpt: Option[String] =
     scala.util.Try(spark.conf.get(s"spark.sql.catalog.$catalogName.root")).toOption

@@ -2045,8 +2045,8 @@ object SnapshotTable {
           walk(new Path(dStr))
         }.collect().sortBy(_._1)
       planned ++= candidates
-      if (execute && candidates.nonEmpty) {
-        spark.sparkContext
+      if (execute) {
+        if (candidates.nonEmpty) spark.sparkContext
           .parallelize(candidates.map(_._1).toSeq,
             math.max(1, math.min(candidates.length, slices)))
           .foreachPartition { it =>
@@ -2054,7 +2054,9 @@ object SnapshotTable {
             val tfs = r.getFileSystem(confB.value.value)
             it.foreach(rel => tfs.delete(new Path(r, rel), false))
           }
-        // bottom-up empty-directory prune, directories only
+        // bottom-up empty-directory prune, directories only — runs even on
+        // an empty plan, like the driver walk (which drops pre-existing
+        // empty directories regardless of what it swept)
         def pruneEmpty(d: Path): Unit = {
           fs.listStatus(d).filter(_.isDirectory).foreach(c => pruneEmpty(c.getPath))
           if (fs.listStatus(d).isEmpty) fs.delete(d, false)
