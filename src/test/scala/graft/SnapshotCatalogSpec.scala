@@ -377,6 +377,45 @@ class SnapshotCatalogSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.vacuum.parallelListingThreshold")
   }
 
+  test("fuzz: driver and parallel vacuum walks plan identical sets over random histories") {
+    ensureCatalog()
+    val rnd = new scala.util.Random(42120814)
+    (0 until 3).foreach { trial =>
+      val dir = s"$root/vacfuzz/t$trial"
+      // random history: partitioned or flat, appends, maybe a replace,
+      // maybe a compact, maybe a MoR delete (adds DV blobs to the tree)
+      val part = if (rnd.nextBoolean()) Some(Seq("g")) else None
+      def mk(a: Long, b: Long) = spark.range(a, b)
+        .select((col("id") % 4).as("g"), col("id").as("v"))
+      SnapshotTable.write(spark, mk(0, 200), dir, partitionCols = part)
+      var hi = 200L
+      (0 until 2 + rnd.nextInt(3)).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => SnapshotTable.append(spark, mk(hi, hi + 100), dir); hi += 100
+          case 1 => SnapshotTable.write(spark, mk(0, 150), dir); hi = 150
+          case 2 => SnapshotTable.compact(spark, dir)
+          case 3 => SnapshotTable.deleteMoR(spark, dir, col("v") % 13 === 1)
+        }
+      }
+      def planWith(threshold: String): Set[(String, String)] = {
+        spark.conf.set("spark.graft.vacuum.parallelListingThreshold", threshold)
+        try SnapshotTable.vacuumDryRun(spark, dir,
+          keepVersions = 1, minUnreferencedAgeMs = 0).toSet
+        finally spark.conf.unset("spark.graft.vacuum.parallelListingThreshold")
+      }
+      val driver = planWith("1000000")
+      val parallel = planWith("0")
+      assert(driver == parallel,
+        s"trial $trial: walks diverged — only-driver=${driver -- parallel}, " +
+          s"only-parallel=${parallel -- driver}")
+      // and executing never hurts the current snapshot
+      val before = SnapshotTable.read(spark, dir).collect().toSet
+      SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0)
+      assert(SnapshotTable.read(spark, dir).collect().toSet == before,
+        s"trial $trial: vacuum changed the current snapshot's rows")
+    }
+  }
+
   test("ALTER TABLE ADD COLUMNS: metadata-only additive evolution, NULL backfill, inserts see the new schema") {
     ensureCatalog()
     val dir = s"$root/ddl/evolve"
