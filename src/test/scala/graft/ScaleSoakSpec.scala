@@ -35,40 +35,42 @@ class ScaleSoakSpec extends SparkSpec {
   /** Run the action twice, collecting task metrics; keep the faster rep
     * (robust to one co-tenant hiccup — both reps being inflated is rarer).
     */
-  private def measure(run: () => Unit): RunMetrics = {
-    def once(): RunMetrics = {
-      val acc = new java.util.concurrent.atomic.AtomicReference(
-        (0L, 0L, 0L, 0L, 0)) // (shufW, disk, mem, peak, events)
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (t.taskMetrics != null) acc.updateAndGet { case (w, d, m, p, n) =>
-            (w + t.taskMetrics.shuffleWriteMetrics.bytesWritten,
-              d + t.taskMetrics.diskBytesSpilled,
-              m + t.taskMetrics.memoryBytesSpilled,
-              math.max(p, t.taskMetrics.peakExecutionMemory), n + 1)
-          }
-      }
-      spark.sparkContext.addSparkListener(listener)
-      val t0 = System.nanoTime()
-      try {
-        run()
-        // listener bus is async — wait for quiet
-        var last = -1
-        var stable = 0
-        while (stable < 3) {
-          Thread.sleep(150)
-          val n = acc.get()._5
-          if (n == last) stable += 1 else { stable = 0; last = n }
+  private def measure(run: () => Unit): RunMetrics =
+    Seq(measureOnce(run), measureOnce(run)).minBy(_.sec)
+
+  /** One measured run — for actions that are NOT repeatable (a delete is
+    * a no-op the second time); repeatable actions go through [[measure]].
+    */
+  private def measureOnce(run: () => Unit): RunMetrics = {
+    val acc = new java.util.concurrent.atomic.AtomicReference(
+      (0L, 0L, 0L, 0L, 0)) // (shufW, disk, mem, peak, events)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) acc.updateAndGet { case (w, d, m, p, n) =>
+          (w + t.taskMetrics.shuffleWriteMetrics.bytesWritten,
+            d + t.taskMetrics.diskBytesSpilled,
+            m + t.taskMetrics.memoryBytesSpilled,
+            math.max(p, t.taskMetrics.peakExecutionMemory), n + 1)
         }
-      } finally spark.sparkContext.removeSparkListener(listener)
-      val sec = (System.nanoTime() - t0) / 1e9
-      val (w, d, m, p, _) = acc.get()
-      spark.catalog.clearCache()
-      SparkEntry.clearMemos()
-      RunMetrics(sec, w, d, m, p)
     }
-    val reps = Seq(once(), once())
-    reps.minBy(_.sec)
+    spark.sparkContext.addSparkListener(listener)
+    val t0 = System.nanoTime()
+    try {
+      run()
+      // listener bus is async — wait for quiet
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(150)
+        val n = acc.get()._5
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val (w, d, m, p, _) = acc.get()
+    spark.catalog.clearCache()
+    SparkEntry.clearMemos()
+    RunMetrics(sec, w, d, m, p)
   }
 
   private def assertScaling(name: String, m1: RunMetrics, m4: RunMetrics,
@@ -538,6 +540,50 @@ class ScaleSoakSpec extends SparkSpec {
         "post_ingest_join_shuffle_bytes_x1" -> j1.shuffleWriteBytes,
         "post_ingest_join_shuffle_bytes_x4" -> j4.shuffleWriteBytes))
     }
+  }
+
+  test("soak: MoR delete cost follows the MATCHED slice, not the table") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    import graft.catalog.SnapshotTable
+    // the table quadruples (disjoint key ranges per replica) but the
+    // delete predicate always matches the SAME base-range slice: a
+    // merge-on-read delete writes position blobs for the touched files
+    // only, so its cost must stay FLAT while the table grows — the
+    // measured form of "MoR beats copy-on-write for sparse deletes"
+    def build(factor: Int): String = {
+      val dir = s"$soakRoot/mor/t_x$factor"
+      val o = scaledOrders(factor)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      SnapshotTable.write(spark, o.repartitionByRange(8 * factor, col("k")), dir)
+      dir
+    }
+    val (d1, d4) = (build(1), build(4))
+    // base keys < 100000000 exist at BOTH scales; replicas are offset past
+    // it, so the matched row set is identical for x1 and x4
+    def del(dir: String): Unit = {
+      val n = SnapshotTable.deleteMoR(spark, dir,
+        col("k") < 100000000L && col("k") % 997 === 1)
+      assert(n > 0, "the sparse predicate must match rows")
+    }
+    // NOT measure()-repeated: a second identical delete is a no-op (the
+    // positions are already hidden); one timed run per scale instead
+    val m1 = measureOnce(() => del(d1))
+    val m4 = measureOnce(() => del(d4))
+    SoakReport.record("mor_delete",
+      Map("sec" -> m1.sec, "shuffle_write_bytes" -> m1.shuffleWriteBytes,
+        "disk_spill_bytes" -> m1.diskSpill, "mem_spill_bytes" -> m1.memSpill,
+        "peak_task_mem_bytes" -> m1.peakMem),
+      Map("sec" -> m4.sec, "shuffle_write_bytes" -> m4.shuffleWriteBytes,
+        "disk_spill_bytes" -> m4.diskSpill, "mem_spill_bytes" -> m4.memSpill,
+        "peak_task_mem_bytes" -> m4.peakMem),
+      Map.empty)
+    info(s"mor_delete 1x: ${m1.pretty}")
+    info(s"mor_delete 4x: ${m4.pretty}")
+    assert(m4.diskSpill == 0L, s"mor delete spilled ${m4.diskSpill} bytes at 4x")
+    // flatness with generous co-tenant headroom: same matched slice, 4x
+    // table — candidate pruning keeps the scan near the matched files
+    assert(m4.sec <= 3.0 * math.max(m1.sec, 0.5),
+      f"MoR delete follows the TABLE, not the match: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
   }
 
   test("soak: parallel vacuum listing scales near-linearly over commit history") {
