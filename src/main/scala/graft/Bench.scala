@@ -118,7 +118,7 @@ object Bench {
     // across lines can't mistake this 8-entry digest for the full vector.
     val slowest = results.sortBy(-_._2).take(8)
       .map { case (k, v, _) => "\"" + k + "\":" + num(v, 2) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","slowest":$slowest,""" +
+    println(s"""{"metric":"total_compact","value":$total,"unit":"sec","slowest":$slowest,""" +
       s""""n_queries":${results.length},"sf":"$sfDir","detail":"BENCH_DETAIL.json"}""")
     spark.stop()
   }

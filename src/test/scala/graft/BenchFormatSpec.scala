@@ -8,17 +8,33 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class BenchFormatSpec extends AnyFunSuite {
 
-  test("num renders ROOT-locale decimals under a comma-decimal default locale") {
-    val prior = java.util.Locale.getDefault
-    try {
-      java.util.Locale.setDefault(java.util.Locale.GERMANY)
-      assert(Bench.num(1.2345, 3) == "1.234" || Bench.num(1.2345, 3) == "1.235")
-      assert(!Bench.num(1234.5, 2).contains(","), "no grouping or comma decimals")
-      assert(Bench.num(0.5, 2) == "0.50")
-      // the old f-interpolator path would have produced "1,234" here
-      assert(f"${1.2345}%.3f" == "1,234" || f"${1.2345}%.3f" == "1,235",
-        "precondition: the default-locale formatter really is comma-decimal")
-    } finally java.util.Locale.setDefault(prior)
+  test("num renders ROOT-locale decimals independent of comma-decimal locales") {
+    // No Locale.setDefault here: sbt runs suites concurrently in one JVM, so
+    // mutating the global default could make OTHER suites transiently observe
+    // comma-decimal formatting. Instead prove the two halves separately:
+    // (a) %f really is locale-sensitive (GERMANY produces the comma form the
+    //     old f-interpolator path would have emitted), and
+    // (b) Bench.num pins ROOT explicitly, so its output is the dot form —
+    //     String.format(ROOT, ...) is what num calls, byte-for-byte, and is
+    //     unaffected by whatever the ambient default locale happens to be.
+    val german = String.format(java.util.Locale.GERMANY, "%.3f", Double.box(1.2345))
+    assert(german == "1,234" || german == "1,235",
+      "precondition: the comma-decimal formatter really is comma-decimal")
+    assert(Bench.num(1.2345, 3) == "1.234" || Bench.num(1.2345, 3) == "1.235")
+    assert(!Bench.num(1234.5, 2).contains(","), "no grouping or comma decimals")
+    assert(Bench.num(0.5, 2) == "0.50")
+  }
+
+  test("compact tail digest is keyed total_compact, distinct from the full line") {
+    // Two stdout lines both keyed metric:"total" double-count for a summing
+    // consumer; the tail digest must carry its own metric name.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/Bench.scala")), "UTF-8")
+    assert(src.contains("\"metric\":\"total_compact\""),
+      "the compact tail line must be keyed total_compact")
+    assert(src.sliding("{\"metric\":\"total\",".length).count(
+      _ == "{\"metric\":\"total\",") == 2,
+      "exactly the full-vector stdout line and the detail file carry metric:total")
   }
 
   test("median: odd takes the middle, even averages the middle two") {
