@@ -98,16 +98,21 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     scala.util.Try(spark.conf.get(s"spark.sql.catalog.$catalogName.root")).toOption
       .orElse(root)
 
-  /** Identifier → the root it was FIRST resolved under. The catalog
-    * instance is cached per CatalogManager while the effective root can
-    * change under it (a live conf re-point, or `SparkSession.active`
-    * switching to a session with a different conf) — and silently
-    * re-binding an already-resolved identifier to a different directory
-    * is how a reader lands on the wrong table. First resolution pins the
-    * binding; a later resolution under a different root fails loudly with
-    * both roots and the escape hatches, instead of the old
-    * warn-and-repoint. Fresh identifiers under the new root still work —
-    * only live bindings refuse to move.
+  /** Identifier → the root it was first SUCCESSFULLY resolved under
+    * (table confirmed present at that root, or just created there). The
+    * catalog instance is cached per CatalogManager while the effective
+    * root can change under it (a live conf re-point, or
+    * `SparkSession.active` switching to a session with a different conf)
+    * — and silently re-binding an already-resolved identifier to a
+    * different directory is how a reader lands on the wrong table. First
+    * successful resolution pins the binding; a later resolution under a
+    * different root fails loudly with both roots and the escape hatches,
+    * instead of the old warn-and-repoint. Fresh identifiers under the new
+    * root still work — only live bindings refuse to move. FAILED
+    * resolutions never pin (a SELECT under a mistyped root must not freeze
+    * the identifier to the typo), which also bounds the map by the tables
+    * that actually exist. Staged CTAS bindings pin lazily at their first
+    * post-commit resolution.
     */
   private val pinnedRoots = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
@@ -116,7 +121,17 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     else rootOpt match {
       case Some(r) =>
         val key = (ident.namespace :+ ident.name).mkString(".")
-        val pinned = pinnedRoots.computeIfAbsent(key, _ => r)
+        // Pin only a SUCCESSFUL resolution: an existence probe under a
+        // mistyped or stale root must not freeze the identifier there —
+        // that would make every access AFTER the user corrects the conf
+        // throw a pinned-root error pointing at a directory the table never
+        // lived in. The map is bounded by the number of tables that
+        // actually exist under roots this catalog has served.
+        val candidate = (r +: ident.namespace :+ ident.name).mkString("/")
+        val pinned = Option(pinnedRoots.get(key))
+          .getOrElse(if (SnapshotTable.exists(spark, candidate)) {
+            Option(pinnedRoots.putIfAbsent(key, r)).getOrElse(r)
+          } else r)
         if (pinned != r) throw new IllegalStateException(
           s"catalog $catalogName: identifier $key is pinned to root '$pinned' (its first " +
             s"resolution) but the effective root is now '$r'. Refusing to re-bind a live " +
@@ -324,6 +339,7 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     SnapshotTable.write(spark, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), dir,
       partitionCols = Some(identityPartitionCols(info.partitions)))
+    dirFor(ident) // re-resolve: the table now exists, pinning it to this root
     new SnapshotV2Table(spark, dir, ident.toString, None)
   }
 
@@ -334,6 +350,7 @@ class SnapshotCatalog extends TableCatalog with StagingTableCatalog
     SnapshotTable.write(spark, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema), dir,
       partitionCols = Some(identityPartitionCols(partitions)))
+    dirFor(ident) // re-resolve: the table now exists, pinning it to this root
     new SnapshotV2Table(spark, dir, ident.toString, None)
   }
 

@@ -1940,9 +1940,11 @@ object SnapshotTable {
     * windows). Returns the number of data files deleted.
     */
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
-      minUnreferencedAgeMs: Long = DefaultVacuumGraceMs): Int =
-    vacuumSweep(spark, dir, keepVersions, minUnreferencedAgeMs, execute = true)
-      .count(_._2 == "data")
+      minUnreferencedAgeMs: Long = DefaultVacuumGraceMs): Int = {
+    val (plan, jobDeleted) =
+      vacuumSweep(spark, dir, keepVersions, minUnreferencedAgeMs, execute = true)
+    (plan.count(_._2 == "data") + jobDeleted.getOrElse("data", 0L)).toInt
+  }
 
   /** DRY RUN: the exact deletion plan [[vacuum]] would execute with the
     * same arguments — (path relative to the table dir, kind) pairs, kind ∈
@@ -1954,7 +1956,7 @@ object SnapshotTable {
     */
   def vacuumDryRun(spark: SparkSession, dir: String, keepVersions: Int = 2,
       minUnreferencedAgeMs: Long = DefaultVacuumGraceMs): Seq[(String, String)] =
-    vacuumSweep(spark, dir, keepVersions, minUnreferencedAgeMs, execute = false)
+    vacuumSweep(spark, dir, keepVersions, minUnreferencedAgeMs, execute = false)._1
 
   /** The ONE selection rule both vacuum walks apply (driver and Spark-job
     * — a shared body so the parallel path can never plan differently):
@@ -1979,14 +1981,20 @@ object SnapshotTable {
     */
   val DefaultVacuumParallelThreshold: Int = 64
 
+  /** Returns (planned entries whose paths reached the driver, kind → count
+    * of files deleted inside the parallel listing job without their paths
+    * ever leaving the executors). Dry runs always put everything in the
+    * first component.
+    */
   private def vacuumSweep(spark: SparkSession, dir: String, keepVersions: Int,
-      minUnreferencedAgeMs: Long, execute: Boolean): Seq[(String, String)] = {
+      minUnreferencedAgeMs: Long,
+      execute: Boolean): (Seq[(String, String)], Map[String, Long]) = {
     require(keepVersions >= 1, "must keep at least the current snapshot")
     require(minUnreferencedAgeMs >= 0, "grace period cannot be negative")
     val cutoff = System.currentTimeMillis() - minUnreferencedAgeMs
     val fs = fsFor(spark, dir)
     val versions = manifestVersions(fs, dir)
-    if (versions.isEmpty) return Seq.empty
+    if (versions.isEmpty) return (Seq.empty, Map.empty)
     val (expired, kept) = versions.splitAt(math.max(0, versions.length - keepVersions))
     val keptManifests = kept.map { case (_, p) => readManifest(fs, p) }
     val live: Set[String] = keptManifests.flatMap(m =>
@@ -1996,25 +2004,38 @@ object SnapshotTable {
     val rootUri = fs.makeQualified(root).toUri
     def relOf(p: Path): String = rootUri.relativize(fs.makeQualified(p).toUri).getPath
     val planned = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // kind → count of files deleted INSIDE the parallel listing job (whose
+    // paths never reach the driver); empty on every other path
+    val jobDeleted = scala.collection.mutable.Map[String, Long]()
     // data files live under per-commit subdirectories — NESTED below
     // partition-value directories when the table is partitioned, so the
     // walk is recursive and empty directories prune bottom-up after
     val topDirs = fs.listStatus(root)
       .filter(st => st.isDirectory && st.getPath.getName != LogDirName).map(_.getPath)
-    val threshold = spark.conf.getOption("spark.graft.vacuum.parallelListingThreshold")
-      .map(_.toInt).getOrElse(DefaultVacuumParallelThreshold)
+    val thresholdKey = "spark.graft.vacuum.parallelListingThreshold"
+    val threshold = spark.conf.getOption(thresholdKey)
+      .map { v =>
+        try v.trim.toInt
+        catch { case e: NumberFormatException => throw new IllegalArgumentException(
+          s"$thresholdKey must be an integer, got '$v'", e) }
+      }.getOrElse(DefaultVacuumParallelThreshold)
     if (topDirs.length <= threshold) {
-      // driver walk: listing + (when executing) interleaved delete
-      def sweep(d: Path): Unit = {
-        fs.listStatus(d).foreach { f =>
-          if (f.isDirectory) sweep(f.getPath)
+      // driver walk: listing + (when executing) interleaved delete. Each
+      // directory is listed ONCE — emptiness after the sweep is tracked
+      // from that listing and the delete outcomes instead of a second
+      // listStatus (O(dirs) extra NameNode RPCs otherwise).
+      def sweep(d: Path): Boolean = { // true iff d ended up deleted
+        val entries = fs.listStatus(d)
+        var remaining = entries.length
+        entries.foreach { f =>
+          if (f.isDirectory) { if (sweep(f.getPath)) remaining -= 1 }
           else sweepCandidate(relOf(f.getPath), f.getPath.getName,
             f.getModificationTime, live, cutoff).foreach { c =>
             planned += c
-            if (execute) fs.delete(f.getPath, false)
+            if (execute && fs.delete(f.getPath, false)) remaining -= 1
           }
         }
-        if (execute && fs.listStatus(d).isEmpty) fs.delete(d, false)
+        execute && remaining == 0 && fs.delete(d, false)
       }
       topDirs.foreach(sweep)
     } else {
@@ -2030,30 +2051,36 @@ object SnapshotTable {
       val qualifiedRoot = fs.makeQualified(root).toString
       val slices = math.max(1, math.min(topDirs.length,
         spark.sparkContext.defaultParallelism * 2))
-      val candidates = spark.sparkContext
-        .parallelize(topDirs.map(_.toString).toSeq, slices)
-        .flatMap { dStr =>
-          val tfs = new Path(dStr).getFileSystem(confB.value.value)
-          val rUri = tfs.makeQualified(new Path(qualifiedRoot)).toUri
-          def walk(q: Path): Iterator[(String, String)] =
-            tfs.listStatus(q).iterator.flatMap { f =>
-              if (f.isDirectory) walk(f.getPath)
-              else sweepCandidate(
-                rUri.relativize(tfs.makeQualified(f.getPath).toUri).getPath,
-                f.getPath.getName, f.getModificationTime, liveB.value, cutoff).iterator
-            }
-          walk(new Path(dStr))
-        }.collect().sortBy(_._1)
-      planned ++= candidates
-      if (execute) {
-        if (candidates.nonEmpty) spark.sparkContext
-          .parallelize(candidates.map(_._1).toSeq,
-            math.max(1, math.min(candidates.length, slices)))
-          .foreachPartition { it =>
-            val r = new Path(qualifiedRoot)
-            val tfs = r.getFileSystem(confB.value.value)
-            it.foreach(rel => tfs.delete(new Path(r, rel), false))
+      // One Spark task per slice of top-level commit dirs does the recursive
+      // listing + selection; `act` runs on the selected file INSIDE the task.
+      def sweepJob[T: scala.reflect.ClassTag](
+          act: (org.apache.hadoop.fs.FileSystem, Path, (String, String)) => Iterator[T]) =
+        spark.sparkContext
+          .parallelize(topDirs.map(_.toString).toSeq, slices)
+          .flatMap { dStr =>
+            val tfs = new Path(dStr).getFileSystem(confB.value.value)
+            val rUri = tfs.makeQualified(new Path(qualifiedRoot)).toUri
+            def walk(q: Path): Iterator[T] =
+              tfs.listStatus(q).iterator.flatMap { f =>
+                if (f.isDirectory) walk(f.getPath)
+                else sweepCandidate(
+                  rUri.relativize(tfs.makeQualified(f.getPath).toUri).getPath,
+                  f.getPath.getName, f.getModificationTime, liveB.value, cutoff)
+                  .iterator.flatMap(c => act(tfs, f.getPath, c))
+              }
+            walk(new Path(dStr))
           }
+      if (execute) {
+        // Deletes run inside the listing job itself and only per-kind COUNTS
+        // return to the driver: an executing vacuum after massive churn is
+        // O(1) driver memory regardless of how many files it removes (the
+        // full path list is the DRY-RUN contract; the executing contract is
+        // the count). Counting successful deletes keeps a task retry from
+        // double-counting a file its first attempt already removed.
+        val kindCounts = sweepJob { (tfs, p, c) =>
+          if (tfs.delete(p, false)) Iterator.single(c._2) else Iterator.empty
+        }.countByValue()
+        jobDeleted ++= kindCounts
         // bottom-up empty-directory prune, directories only — runs even on
         // an empty plan, like the driver walk (which drops pre-existing
         // empty directories regardless of what it swept)
@@ -2062,6 +2089,8 @@ object SnapshotTable {
           if (fs.listStatus(d).isEmpty) fs.delete(d, false)
         }
         topDirs.foreach(pruneEmpty)
+      } else {
+        planned ++= sweepJob((_, _, c) => Iterator.single(c)).collect().sortBy(_._1)
       }
     }
     expired.foreach { case (_, p) =>
@@ -2084,7 +2113,7 @@ object SnapshotTable {
         planned += ((relOf(st.getPath), "log"))
         if (execute) fs.delete(st.getPath, false)
       }
-    planned.toSeq
+    (planned.toSeq, jobDeleted.toMap)
   }
 
   /** Write `df` into a fresh per-commit subdirectory and return its file

@@ -408,9 +408,20 @@ class SnapshotCatalogSpec extends SparkSpec {
       assert(driver == parallel,
         s"trial $trial: walks diverged — only-driver=${driver -- parallel}, " +
           s"only-parallel=${parallel -- driver}")
-      // and executing never hurts the current snapshot
+      // and executing never hurts the current snapshot — alternating trials
+      // between the driver walk and the delete-in-job parallel walk, whose
+      // returned data-file count must equal the (parity-checked) plan's
+      // even though the parallel path never ships the paths to the driver
       val before = SnapshotTable.read(spark, dir).collect().toSet
-      SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0)
+      val expectData = driver.count(_._2 == "data")
+      val deleted =
+        if (trial % 2 == 0) {
+          spark.conf.set("spark.graft.vacuum.parallelListingThreshold", "0")
+          try SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0)
+          finally spark.conf.unset("spark.graft.vacuum.parallelListingThreshold")
+        } else SnapshotTable.vacuum(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0)
+      assert(deleted == expectData,
+        s"trial $trial: vacuum reported $deleted data files deleted, plan had $expectData")
       assert(SnapshotTable.read(spark, dir).collect().toSet == before,
         s"trial $trial: vacuum changed the current snapshot's rows")
     }
@@ -536,5 +547,88 @@ class SnapshotCatalogSpec extends SparkSpec {
     // restoring the pinned root resolves the original binding again
     spark.conf.set("spark.sql.catalog.snappin.root", r1)
     assert(spark.sql("SELECT count(*) AS n FROM snappin.pin.t").head().getLong(0) == 7)
+  }
+
+  test("a FAILED resolution does not pin: correcting a mistyped root resolves fresh") {
+    val wrong = Files.createTempDirectory("graft-pin-wrong").toString
+    val right = Files.createTempDirectory("graft-pin-right").toString
+    // the table physically exists under `right`, but the catalog is first
+    // (mis)configured to `wrong`
+    SnapshotTable.write(spark, spark.range(0, 4).toDF("id"), s"$right/ns/t")
+    spark.conf.set("spark.sql.catalog.snapfix", classOf[SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.snapfix.root", wrong)
+    intercept[Exception](spark.sql("SELECT * FROM snapfix.ns.t").collect())
+    // the failed probe must NOT have frozen the identifier to the typo:
+    // after correcting the conf, the table resolves
+    spark.conf.set("spark.sql.catalog.snapfix.root", right)
+    assert(spark.sql("SELECT count(*) AS n FROM snapfix.ns.t").head().getLong(0) == 4)
+    // ... and THAT successful resolution is what pins: re-pointing now
+    // fails loudly instead of probing a different directory
+    spark.conf.set("spark.sql.catalog.snapfix.root", wrong)
+    val e = intercept[Exception](spark.sql("SELECT * FROM snapfix.ns.t").collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("pinned to root"))),
+      s"post-success re-point must fail loudly, got: ${e.getMessage}")
+    spark.conf.unset("spark.sql.catalog.snapfix.root")
+  }
+
+  test("vacuum's driver/parallel switch honors parallelListingThreshold at the exact boundary") {
+    ensureCatalog()
+    val dir = s"$root/vacbound/t"
+    def mk(a: Long, b: Long) = spark.range(a, b).toDF("id")
+    SnapshotTable.write(spark, mk(0, 10), dir)
+    (1 to 3).foreach(i => SnapshotTable.append(spark, mk(i * 10, i * 10 + 10), dir))
+    // 4 top-level commit dirs; keepVersions=4 keeps the plan empty so the
+    // only work is the walk itself — whose mechanism (driver listing vs
+    // Spark job) is observable through the job-group status tracker
+    def jobsDuring(group: String, threshold: Int): Int = {
+      spark.sparkContext.setJobGroup(group, group)
+      spark.conf.set("spark.graft.vacuum.parallelListingThreshold", threshold.toString)
+      try SnapshotTable.vacuumDryRun(spark, dir, keepVersions = 4, minUnreferencedAgeMs = 0)
+      finally {
+        spark.conf.unset("spark.graft.vacuum.parallelListingThreshold")
+        spark.sparkContext.clearJobGroup()
+      }
+      // the status store is listener-fed (async): poll up to 5s
+      val deadline = System.currentTimeMillis() + 5000
+      var n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50)
+        n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      }
+      n
+    }
+    // dirs(4) > threshold(3) → the walk runs as a Spark job
+    assert(jobsDuring("vacbound-above", 3) >= 1,
+      "4 dirs over threshold 3 must list via a Spark job")
+    // dirs(4) <= threshold(4) → pure driver walk, zero jobs (the positive
+    // case above already bounded listener latency well under the poll window)
+    Thread.sleep(300)
+    val baseline = spark.sparkContext.statusTracker.getJobIdsForGroup("vacbound-at").length
+    spark.sparkContext.setJobGroup("vacbound-at", "vacbound-at")
+    spark.conf.set("spark.graft.vacuum.parallelListingThreshold", "4")
+    try SnapshotTable.vacuumDryRun(spark, dir, keepVersions = 4, minUnreferencedAgeMs = 0)
+    finally {
+      spark.conf.unset("spark.graft.vacuum.parallelListingThreshold")
+      spark.sparkContext.clearJobGroup()
+    }
+    Thread.sleep(300)
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup("vacbound-at").length == baseline,
+      "4 dirs at threshold 4 must walk on the driver (no Spark job)")
+    assert(SnapshotTable.DefaultVacuumParallelThreshold == 64)
+  }
+
+  test("a malformed parallelListingThreshold fails naming the conf key and value") {
+    ensureCatalog()
+    val dir = s"$root/vacbound/badconf"
+    SnapshotTable.write(spark, spark.range(0, 5).toDF("id"), dir)
+    spark.conf.set("spark.graft.vacuum.parallelListingThreshold", "sixty-four")
+    val e = intercept[IllegalArgumentException](
+      try SnapshotTable.vacuumDryRun(spark, dir, keepVersions = 1, minUnreferencedAgeMs = 0)
+      finally spark.conf.unset("spark.graft.vacuum.parallelListingThreshold"))
+    assert(e.getMessage.contains("spark.graft.vacuum.parallelListingThreshold") &&
+      e.getMessage.contains("sixty-four"),
+      s"error must name the conf key and offending value, got: ${e.getMessage}")
   }
 }
