@@ -13,23 +13,120 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges in O(log n) rounds on ANY topology,
+    * where min-label propagation needs O(diameter) — and the path-shaped
+    * chains transitive dedup graphs produce (A≈B≈C≈…) are exactly
+    * label propagation's worst case (a 10⁷-doc chain would need 10⁷
+    * rounds; this needs ~24).
+    *
+    * Every edge is kept oriented child→parent with child > parent. Each
+    * round: LARGE-STAR re-links every node's strictly-larger neighbors to
+    * its minimum neighbor-or-self; SMALL-STAR re-links every node and its
+    * smaller neighbors to their collective minimum. Both phases preserve
+    * component connectivity, so the fixpoint — a star forest, one star per
+    * component, centered on the component minimum — is detected
+    * STRUCTURALLY (every child has exactly one parent and no parent is
+    * itself a child) rather than by comparing consecutive rounds.
+    *
+    * Each round is two join+groupBy passes over the edge list: fully
+    * distributed, no driver-side graph; per-round frames are
+    * localCheckpointed with superseded blocks released (memory O(1) in
+    * rounds — the discipline documented on [[connectedComponentsLabelProp]]).
+    *
+    * @param edges undirected edge list (id_a, id_b)
+    * @return (id, rep) — rep = min node id in the component; isolated nodes
+    *         absent from `edges` are absent here (their rep is themselves)
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 40): DataFrame =
+    connectedComponentsStarRounds(edges, maxIters)._1
+
+  /** [[connectedComponents]] plus the number of rounds it took — the
+    * O(log n) bound is spec-asserted on path graphs.
+    */
+  private[graft] def connectedComponentsStarRounds(
+      edges: DataFrame, maxIters: Int): (DataFrame, Int) = {
+    import graft.util.Caching.{checkpointTracked, releaseTracked}
+    val input = edges
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .where(col("a") =!= col("b"))
+    val nodes = input.select(col("a").as("id"))
+      .union(input.select(col("b").as("id"))).distinct().persist()
+    var (e, eIds) = checkpointTracked(
+      input.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .distinct())
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // LARGE-STAR over the symmetric view: for each node x with m(x) =
+      // min(Γ(x) ∪ {x}), every neighbor y > x re-links to m(x). Emitted
+      // edges keep child > parent (y > x ≥ m(x)).
+      val sym = e.select(col("u").as("x"), col("v").as("y"))
+        .union(e.select(col("v").as("x"), col("u").as("y")))
+      val mins = sym.groupBy(col("x")).agg(min(col("y")).as("ny"))
+        .select(col("x"), least(col("x"), col("ny")).as("m"))
+      val large = sym.join(mins, "x")
+        .where(col("y") > col("x") && col("y") =!= col("m"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
+      // SMALL-STAR on the oriented list: for each node x, its parents
+      // Γ⁻(x) all satisfy p < x; with m = min(Γ⁻(x)), every other parent
+      // AND x itself re-link to m.
+      val smins = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(smins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+      val (next, nextIds) = checkpointTracked(small)
+      releaseTracked(e, eIds)
+      e = next
+      eIds = nextIds
+      it += 1
+      // fixpoint = star forest: single parent per child, no parent is a
+      // child. Both phases preserve connectivity, so a star forest's stars
+      // ARE the input's components, centered on their minima.
+      val multiParent = e.groupBy(col("u")).agg(count(lit(1)).as("np"))
+        .where(col("np") > 1).limit(1).count()
+      lazy val chained = e.select(col("v").as("u")).distinct()
+        .join(e.select(col("u")).distinct(), "u").limit(1).count()
+      converged = multiParent == 0 && chained == 0
+    }
+    if (!converged) {
+      releaseTracked(e, eIds)
+      nodes.unpersist(blocking = false)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters star rounds — " +
+          "the bound is ~log2(nodes)+O(1); raise maxIters")
+    }
+    val reps = nodes
+      .join(e.select(col("u").as("id"), col("v").as("rep")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("rep"))
+    val out = graft.util.Caching.materialize(reps, nodes)
+    releaseTracked(out, eIds)
+    (out, it)
+  }
+
   /** Connected components by iterative min-label propagation: every node
     * starts as its own label; each round takes the min of its own and its
     * neighbors' labels; convergence (no label changed) is checked per round
     * and the result is exact and deterministic — label values don't depend
     * on iteration order, only on the final fixpoint.
     *
-    * Rounds needed = graph diameter (dedup components are shallow stars —
-    * a handful of rounds). Each round is one join + one groupBy on the edge
-    * list: fully distributed, no driver-side graph. At extreme diameters use
-    * alternating small-star/large-star contraction (halves the rounds); for
-    * very long chains, checkpoint `labels` every few rounds to cut lineage.
+    * Rounds needed = graph diameter — fine for the shallow-star components
+    * most dedup graphs produce, quadratic-ish total work on long chains;
+    * [[connectedComponents]] (large-star/small-star, O(log n) rounds) is
+    * the default. Kept as the independent simple implementation the
+    * equivalence fuzz cross-checks the star variant against. Each round is
+    * one join + one groupBy on the edge list: fully distributed, no
+    * driver-side graph.
     *
     * @param edges undirected edge list (id_a, id_b)
     * @return (id, rep) — rep = min node id in the component; isolated nodes
     *         absent from `edges` are absent here (their rep is themselves)
     */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 25): DataFrame = {
+  def connectedComponentsLabelProp(edges: DataFrame, maxIters: Int = 25): DataFrame = {
     val sym = edges
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))

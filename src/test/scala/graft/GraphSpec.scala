@@ -22,6 +22,29 @@ class GraphSpec extends SparkSpec {
     assert(got.length == 13 && got.forall(_._2 == 0L))
   }
 
+  test("connectedComponents: path graphs converge in O(log n) rounds, not O(diameter)") {
+    // a 128-node chain is label propagation's worst case (127 rounds); the
+    // star contraction bound is ~log2(n) + a small constant
+    val n = 128
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (reps, rounds) = Graph.connectedComponentsStarRounds(edges, maxIters = 40)
+    assert(reps.as[(Long, Long)].collect().forall(_._2 == 0L))
+    val bound = math.ceil(math.log(n.toDouble) / math.log(2)).toInt + 5
+    assert(rounds <= bound, s"path-$n took $rounds rounds, bound $bound")
+  }
+
+  test("connectedComponents: star contraction matches label propagation on random graphs") {
+    val rnd = new scala.util.Random(1347L)
+    for (_ <- 0 until 5) {
+      val n = 20 + rnd.nextInt(60)
+      val edges = (0 until n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct.toDF("id_a", "id_b")
+      val star = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+      val prop = Graph.connectedComponentsLabelProp(edges).as[(Long, Long)].collect().toMap
+      assert(star == prop, s"star/labelProp diverged on n=$n")
+    }
+  }
+
   test("pageRank: matches a driver-side power-iteration replay on random digraphs") {
     val rnd = new scala.util.Random(47L)
     for (round <- 0 until 5) {

@@ -362,6 +362,54 @@ class ScaleSoakSpec extends SparkSpec {
     assertScaling("pagerank", m1, m4)
   }
 
+  test("soak: triangle count keeps wedge intermediates bounded on a skewed apex graph") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    def edges(factor: Int): DataFrame = {
+      val base = Tables.orders(spark, sf01)
+        .select(col("o_custkey").as("src"), pmod(col("o_orderkey"), lit(15000)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      // one APEX per replica: a node linked to every dst node (degree ~15k).
+      // A naive three-way self-join wedges deg² ≈ 2×10⁸ rows per replica
+      // through the shuffle; the degree orientation bounds the apex's
+      // OUT-degree, so wedge volume tracks |E|^1.5 and 4x disjoint replicas
+      // cost ~4x — the skew assertion is exactly this ratio staying flat.
+      val apex = base.select(lit(99999999L).as("src"), col("dst")).distinct()
+      val rep = base.unionByName(apex)
+      (0 until factor).map { i =>
+        if (i == 0) rep
+        else rep.select((col("src") + i * 100000000L).as("src"),
+          (col("dst") + i * 100000000L).as("dst"))
+      }.reduce(_ unionByName _)
+    }
+    val m1 = measure(() => noop(graft.ops.Graph.triangleCount(edges(1))))
+    val m4 = measure(() => noop(graft.ops.Graph.triangleCount(edges(4))))
+    assertScaling("triangles", m1, m4)
+  }
+
+  test("soak: connected components (star contraction) scales near-linearly, no disk spill") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    def edges(factor: Int): DataFrame = {
+      // the orders bipartite blob PLUS a 2048-node chain per replica —
+      // chains are label propagation's O(diameter) pathology; the star
+      // contraction's round count is log-bounded and structure-invariant
+      // across disjoint replicas, so 4x edges must cost ~4x
+      val blob = Tables.orders(spark, sf01)
+        .select(col("o_custkey").as("id_a"), pmod(col("o_orderkey"), lit(15000)).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val chain = spark.range(0, 2047).select(
+        (col("id") + 50000000L).as("id_a"), (col("id") + 50000001L).as("id_b"))
+      val rep = blob.unionByName(chain)
+      (0 until factor).map { i =>
+        if (i == 0) rep
+        else rep.select((col("id_a") + i * 100000000L).as("id_a"),
+          (col("id_b") + i * 100000000L).as("id_b"))
+      }.reduce(_ unionByName _)
+    }
+    val m1 = measure(() => noop(graft.ops.Graph.connectedComponents(edges(1))))
+    val m4 = measure(() => noop(graft.ops.Graph.connectedComponents(edges(4))))
+    assertScaling("connected_components", m1, m4)
+  }
+
   // ------------------------------------------- partition-layout surface
 
   private def executedPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan = {
