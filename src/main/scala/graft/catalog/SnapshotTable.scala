@@ -274,7 +274,11 @@ object SnapshotTable {
     * the manifest list.
     */
   private def sealThreshold(spark: SparkSession): Int =
-    spark.conf.getOption("graft.snapshot.segmentSealThreshold").map(_.toInt).getOrElse(512)
+    spark.conf.getOption("graft.snapshot.segmentSealThreshold").map { v =>
+      try v.trim.toInt
+      catch { case e: NumberFormatException => throw new IllegalArgumentException(
+        s"graft.snapshot.segmentSealThreshold must be an integer, got '$v'", e) }
+    }.getOrElse(512)
 
   /** Split a commit's FULL entry list into (inline tail, segment names):
     * every segment of the superseded manifest whose members ALL survive

@@ -381,9 +381,28 @@ class ScaleSoakSpec extends SparkSpec {
           (col("dst") + i * 100000000L).as("dst"))
       }.reduce(_ unionByName _)
     }
-    val m1 = measure(() => noop(graft.ops.Graph.triangleCount(edges(1))))
-    val m4 = measure(() => noop(graft.ops.Graph.triangleCount(edges(4))))
+    // Pin the plan shape across scales: at x1 the oriented edge list fits
+    // under the broadcast threshold and the wedge join plans broadcast
+    // (~0 shuffle), at x4 it flips to shuffle joins — a 13x "shuffle
+    // growth" that is a strategy flip, not superlinear work. The 100 TB
+    // shape is all-shuffle, so measure that at both scales.
+    val m1 = withoutAutoBroadcast(measure(() => noop(graft.ops.Graph.triangleCount(edges(1)))))
+    val m4 = withoutAutoBroadcast(measure(() => noop(graft.ops.Graph.triangleCount(edges(4)))))
     assertScaling("triangles", m1, m4)
+  }
+
+  /** Run `body` with auto-broadcast joins disabled (both the static and the
+    * AQE threshold), restoring the session confs afterwards.
+    */
+  private def withoutAutoBroadcast[T](body: => T): T = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val prior = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(spark.conf.set(_, "-1"))
+    try body finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("soak: connected components (star contraction) scales near-linearly, no disk spill") {
