@@ -66,10 +66,13 @@ object Graph {
         .union(e.select(col("v").as("x"), col("u").as("y")))
       val mins = sym.groupBy(col("x")).agg(min(col("y")).as("ny"))
         .select(col("x"), least(col("x"), col("ny")).as("m"))
+      // no per-phase distinct: a (v, m) pair emitted from several x-groups
+      // just duplicates into the next aggregation, which min() absorbs —
+      // the ONE distinct on the round's final edge set keeps E a set while
+      // saving a full intermediate shuffle
       val large = sym.join(mins, "x")
-        .where(col("y") > col("x") && col("y") =!= col("m"))
+        .where(col("y") > col("x"))
         .select(col("y").as("u"), col("m").as("v"))
-        .distinct()
       // SMALL-STAR on the oriented list: for each node x, its parents
       // Γ⁻(x) all satisfy p < x; with m = min(Γ⁻(x)), every other parent
       // AND x itself re-link to m.
@@ -86,12 +89,14 @@ object Graph {
       it += 1
       // fixpoint = star forest: single parent per child, no parent is a
       // child. Both phases preserve connectivity, so a star forest's stars
-      // ARE the input's components, centered on their minima.
-      val multiParent = e.groupBy(col("u")).agg(count(lit(1)).as("np"))
-        .where(col("np") > 1).limit(1).count()
-      lazy val chained = e.select(col("v").as("u")).distinct()
-        .join(e.select(col("u")).distinct(), "u").limit(1).count()
-      converged = multiParent == 0 && chained == 0
+      // ARE the input's components, centered on their minima. ONE job: per
+      // node, count appearances as child (c) and as parent (p).
+      val bad = e.select(col("u").as("n"), lit(1L).as("c"), lit(0L).as("p"))
+        .union(e.select(col("v").as("n"), lit(0L).as("c"), lit(1L).as("p")))
+        .groupBy(col("n")).agg(sum(col("c")).as("c"), sum(col("p")).as("p"))
+        .where(col("c") > 1 || (col("c") > 0 && col("p") > 0))
+        .limit(1).count()
+      converged = bad == 0
     }
     if (!converged) {
       releaseTracked(e, eIds)
@@ -197,12 +202,18 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    // e is hash-partitioned on src BEFORE caching: the cached plan's
+    // outputPartitioning survives into every round's e ⋈ rank ⋈ deg join,
+    // so the |E|-sized side never re-exchanges — only the (node, double)
+    // rank frame moves per round. deg is computed ONCE and cached
+    // co-partitioned (groupBy(src) output partitioning), not re-aggregated
+    // from e every iteration.
     val e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct().persist()
+      .distinct().repartition(col("src")).persist()
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst"))).distinct().persist()
     val n = nodes.count()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     import graft.util.Caching.{checkpointTracked, releaseTracked}
     var (rank, rankIds) = checkpointTracked(
       nodes.select(col("v"), lit(1.0 / n).as("r")))
@@ -221,7 +232,7 @@ object Graph {
       rankIds = nextIds
     }
     val out = graft.util.Caching.materialize(
-      rank.select(col("v"), round(col("r"), 6).as("rank")), e, nodes)
+      rank.select(col("v"), round(col("r"), 6).as("rank")), e, nodes, deg)
     // `out` is materialized: the final round's checkpoint blocks have no
     // remaining reader either
     releaseTracked(out, rankIds)
@@ -257,6 +268,9 @@ object Graph {
     // total order by (degree, id): orient u→v iff (deg(u), u) < (deg(v), v)
     val deg = und.select(col("u").as("n")).union(und.select(col("v")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // `oriented` feeds FOUR downstream scans (both wedge sides, both
+    // closing-edge directions): cache it so the degree joins run once, not
+    // four times; released after the one-row result materializes.
     val oriented = und
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
@@ -265,6 +279,7 @@ object Graph {
           struct(col("u").as("s"), col("v").as("t")))
           .otherwise(struct(col("v").as("s"), col("u").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+      .persist()
     // wedges from each apex s: (t1, t2) with t1 ≠ t2, closed by an oriented
     // edge between the two tips (either direction — their relative order
     // in the orientation is data-dependent)
@@ -276,6 +291,7 @@ object Graph {
         .union(oriented.select(col("t").as("t1"), col("s").as("t2")))
         .filter(col("t1") < col("t2")),
       Seq("t1", "t2"))
-    closed.agg(count(lit(1)).as("n_triangles"))
+    graft.util.Caching.materialize(
+      closed.agg(count(lit(1)).as("n_triangles")), oriented)
   }
 }
