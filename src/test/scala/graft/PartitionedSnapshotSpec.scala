@@ -172,6 +172,37 @@ class PartitionedSnapshotSpec extends SparkSpec {
     assert(SnapshotTable.read(spark, dir).count() == 100)
   }
 
+  test("EXECUTING parallel vacuum (delete-in-job) reclaims escaped-dir garbage, spares live rows") {
+    // the r13 executing path deletes inside the listing job (paths never
+    // reach the driver) — prove on Hive-escaped directories that it (a)
+    // reports the dry-run's data count, (b) leaves the current snapshot
+    // intact, (c) leaves no garbage behind
+    val dir = s"$root/scala/vac_ts_par"
+    def tdf(a: Long, b: Long) = spark.range(a, b).select(
+      org.apache.spark.sql.functions.timestamp_seconds(
+        (org.apache.spark.sql.functions.col("id") % 3) * 3600).as("ts"),
+      org.apache.spark.sql.functions.col("id").as("v"))
+    SnapshotTable.write(spark, tdf(0, 300), dir, partitionCols = Some(Seq("ts")))
+    assert(SnapshotTable.currentManifest(spark, dir).get.entries.exists(_.path.contains("%")))
+    SnapshotTable.write(spark, tdf(0, 120), dir) // replace → v1 unreferenced at keep 1
+    val before = SnapshotTable.read(spark, dir).collect().toSet
+    def withParallel[T](body: => T): T = {
+      spark.conf.set("spark.graft.vacuum.parallelListingThreshold", "0")
+      try body finally spark.conf.unset("spark.graft.vacuum.parallelListingThreshold")
+    }
+    val planned = withParallel(SnapshotTable.vacuumDryRun(spark, dir,
+      keepVersions = 1, minUnreferencedAgeMs = 0)).count(_._2 == "data")
+    assert(planned > 0, "setup must leave unreferenced escaped-dir data files")
+    val n = withParallel(SnapshotTable.vacuum(spark, dir,
+      keepVersions = 1, minUnreferencedAgeMs = 0))
+    assert(n == planned, s"executing vacuum reported $n data deletions, plan had $planned")
+    assert(SnapshotTable.read(spark, dir).collect().toSet == before,
+      "parallel executing vacuum changed the current snapshot")
+    val leftover = withParallel(SnapshotTable.vacuumDryRun(spark, dir,
+      keepVersions = 1, minUnreferencedAgeMs = 0)).filter(_._2 == "data")
+    assert(leftover.isEmpty, s"second pass still finds garbage: $leftover")
+  }
+
   test("SQL: CREATE TABLE PARTITIONED BY + INSERT routes and prunes; DESCRIBE shows the spec") {
     ensureCatalog()
     spark.sql("CREATE TABLE snap.part.events (id BIGINT, dt STRING, v BIGINT) PARTITIONED BY (dt)")
