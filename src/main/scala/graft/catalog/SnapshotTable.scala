@@ -2085,14 +2085,26 @@ object SnapshotTable {
           if (tfs.delete(p, false)) Iterator.single(c._2) else Iterator.empty
         }.countByValue()
         jobDeleted ++= kindCounts
-        // bottom-up empty-directory prune, directories only — runs even on
-        // an empty plan, like the driver walk (which drops pre-existing
-        // empty directories regardless of what it swept)
-        def pruneEmpty(d: Path): Unit = {
-          fs.listStatus(d).filter(_.isDirectory).foreach(c => pruneEmpty(c.getPath))
-          if (fs.listStatus(d).isEmpty) fs.delete(d, false)
-        }
-        topDirs.foreach(pruneEmpty)
+        // bottom-up empty-directory prune — runs even on an empty plan,
+        // like the driver walk (which drops pre-existing empty directories
+        // regardless of what it swept). Distributed the same way as the
+        // sweep (one task prunes one top dir's subtree, single listing per
+        // directory): above the threshold the directory count is exactly
+        // what outgrew the driver
+        spark.sparkContext
+          .parallelize(topDirs.map(_.toString).toSeq, slices)
+          .foreach { dStr =>
+            val tfs = new Path(dStr).getFileSystem(confB.value.value)
+            def prune(d: Path): Boolean = { // true iff d ended up deleted
+              val entries = tfs.listStatus(d)
+              var remaining = entries.length
+              entries.foreach { c =>
+                if (c.isDirectory && prune(c.getPath)) remaining -= 1
+              }
+              remaining == 0 && tfs.delete(d, false)
+            }
+            prune(new Path(dStr))
+          }
       } else {
         planned ++= sweepJob((_, _, c) => Iterator.single(c)).collect().sortBy(_._1)
       }
