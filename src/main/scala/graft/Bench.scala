@@ -9,11 +9,11 @@ import org.apache.spark.sql.SparkSession
   * Each query is fully executed (noop-format write) rather than `count()`ed,
   * so limit/top-k plans can't short-circuit the measured work.
   *
-  * Noise-proofing: each query runs SPARK_GRAFT_BENCH_REPS times (default 3)
+  * Noise-proofing: each query runs SPARK_GRAFT_BENCH_REPS times (default 5)
   * and the reported number is the per-query MEDIAN. A single sample on a
   * shared machine can carry multi-× co-tenant inflation (round-3 observed a
-  * phantom 14× "regression" that re-measured at 1×); the median of three is
-  * robust to one bad draw while keeping the one-line JSON contract intact.
+  * phantom 14× "regression" that re-measured at 1×); the median of five is
+  * robust to a bad draw AND to the systematic 1.5-2× first-rep warm-up.
   */
 object Bench {
 
@@ -64,7 +64,11 @@ object Bench {
       require(unknown.isEmpty, s"unknown queries in SPARK_GRAFT_QUERIES: ${unknown.mkString(", ")}")
       require(names.nonEmpty, "SPARK_GRAFT_QUERIES is set but names no queries")
     }
-    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(3)
+    // 5 reps: the box's first rep routinely carries 1.5-2x JVM/page-cache
+    // warm-up; the median of five sits on a warm sample (the r13 quiet
+    // 5-rep vector measured steady-state where 3-rep medians wobbled),
+    // and every raw rep still lands in the detail artifact.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(5)
     require(reps >= 1, s"SPARK_GRAFT_BENCH_REPS must be >= 1, got $reps")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
