@@ -22,6 +22,13 @@ class GraphSpec extends SparkSpec {
     assert(got.length == 13 && got.forall(_._2 == 0L))
   }
 
+  test("connectedComponents: empty and self-loop-only edge lists yield empty output") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Graph.connectedComponents(empty).count() == 0)
+    val loops = Seq((3L, 3L), (9L, 9L)).toDF("id_a", "id_b")
+    assert(Graph.connectedComponents(loops).count() == 0)
+  }
+
   test("connectedComponents: path graphs converge in O(log n) rounds, not O(diameter)") {
     // a 128-node chain is label propagation's worst case (127 rounds); the
     // star contraction bound is ~log2(n) + a small constant
