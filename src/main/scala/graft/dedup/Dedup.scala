@@ -46,7 +46,7 @@ object Dedup {
   /** Deterministic universal-hash parameters (a_i odd, b_i) for k
     * permutations; fixed seed → reproducible signatures.
     */
-  private def permParams(k: Int, seed: Long): Seq[(Long, Long)] = {
+  private[graft] def permParams(k: Int, seed: Long): Seq[(Long, Long)] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(k)(((math.abs(rnd.nextLong()) % (MinHashP - 1)) + 1, math.abs(rnd.nextLong()) % MinHashP))
   }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.streaming.StreamingDedup
+
+/** Streaming near-dup candidates must agree with the batch banded-LSH
+  * pipeline — same signatures, same banding semantics — while finding
+  * pairs ACROSS micro-batches through bucket state.
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A corpus with planted near-dup families: `n` base docs, every third
+    * doc gets a twin differing by one appended token (high but not full
+    * Jaccard overlap), plus one exact duplicate pair.
+    */
+  private def corpus(n: Int): Seq[(Long, String)] = {
+    def words(seed: Long, len: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(len)("tok" + r.nextInt(500)).mkString(" ")
+    }
+    val base = (0 until n).map(i => (i.toLong, words(i * 7L + 1, 30)))
+    val twins = (0 until n by 3).map(i =>
+      ((1000 + i).toLong, base(i)._2 + " extra" + i))
+    val exact = Seq(((2000).toLong, base(1)._2))
+    base ++ twins ++ exact
+  }
+
+  private def batchPairs(docs: Seq[(Long, String)]): Set[(Long, Long)] =
+    Dedup.minHashNearDups(docs.toDF("doc_id", "text"), threshold = 0.5)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+
+  test("batch-mode parity: same candidate set as Dedup.minHashNearDups") {
+    val docs = corpus(24)
+    val got = StreamingDedup.nearDupCandidates(docs.toDF("doc_id", "text"))
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    val want = batchPairs(docs)
+    assert(want.nonEmpty, "corpus must plant near-dups")
+    assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
+  }
+
+  test("streaming: cross-batch pairs surface through bucket state; re-delivery is a no-op") {
+    val docs = corpus(24)
+    // split so several planted (base, twin) pairs straddle the batch line
+    val (b1, b2) = docs.partition(_._1 % 2 == 0)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupCandidates(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("sdedup_out").outputMode("append").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // re-deliver batch 2 verbatim: ids already sit in their buckets, so
+      // nothing new may be emitted
+      val before = spark.table("sdedup_out").count()
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(spark.table("sdedup_out").count() == before,
+        "re-delivered docs must not re-emit pairs")
+      val got = spark.table("sdedup_out")
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+      val want = batchPairs(docs)
+      val crossBatch = want.filter { case (a, b) =>
+        (a % 2 == 0) != (b % 2 == 0) || Seq(a, b).exists(_ >= 1000) }
+      assert(crossBatch.nonEmpty, "split must leave cross-batch pairs")
+      assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
+    } finally q.stop()
+  }
+
+  test("est_jaccard matches the batch estimate and the exact pair scores") {
+    val docs = corpus(12)
+    val got = StreamingDedup.nearDupCandidates(docs.toDF("doc_id", "text"))
+      .collect().map(p => ((p.id_a, p.id_b), p.est_jaccard)).toMap
+    val want = Dedup.minHashNearDups(docs.toDF("doc_id", "text"), threshold = 0.5)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, e) => ((a, b), e) }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, e) =>
+      assert(math.abs(e - want(k)) < 1e-9, s"$k: stream $e vs batch ${want(k)}") }
+    // the exact duplicate pair estimates 1.0
+    assert(got.collect { case ((1L, 2000L), e) => e }.forall(_ == 1.0))
+  }
+
+  test("bucket cap bounds state while keeping new arrivals colliding") {
+    // 40 identical docs through cap=4: every arrival still collides with
+    // retained bucket-mates, state stays bounded
+    val docs = (0L until 40L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupCandidates(
+        mem.toDF.toDF("doc_id", "text"), maxPerBucket = 4)
+      .writeStream.format("memory").queryName("sdedup_cap").outputMode("append").start()
+    try {
+      docs.grouped(10).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      val pairs = spark.table("sdedup_cap")
+        .select(col("id_a"), col("id_b")).distinct().as[(Long, Long)].collect()
+      // every doc after the first participates in at least one pair
+      val touched = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      assert((0L until 40L).forall(touched.contains),
+        s"docs missing from all pairs: ${(0L until 40L).filterNot(touched.contains)}")
+    } finally q.stop()
+  }
+}
