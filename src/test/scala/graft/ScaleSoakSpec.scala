@@ -653,6 +653,51 @@ class ScaleSoakSpec extends SparkSpec {
       f"MoR delete follows the TABLE, not the match: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
   }
 
+  test("soak: streaming dedup probe ingest stays flat as resident state scales") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // E111's scale claim measured: ingesting the SAME 2k-doc probe batch
+    // into 1x vs 4x resident bucket state must cost about the same —
+    // per-arrival work tracks bucket occupancy (~1 for distinct docs),
+    // never corpus size
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def words(seed: Long): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(25)("w" + r.nextInt(5000)).mkString(" ")
+    }
+    def metricsFor(resident: Int): RunMetrics = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingDedup
+        .nearDupCandidates(mem.toDF.toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(s"sdedup_soak_$resident")
+        .outputMode("append").start()
+      try {
+        mem.addData((0 until resident).map(i => (i.toLong, words(i.toLong))): _*)
+        q.processAllAvailable() // resident state build — untimed
+        measureOnce { () =>
+          mem.addData((0 until 2000).map(i =>
+            ((10000000 + i).toLong, words((5000000 + i).toLong))): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val m1 = metricsFor(20000)
+    val m4 = metricsFor(80000)
+    SoakReport.record("streaming_dedup",
+      Map("sec" -> m1.sec, "shuffle_write_bytes" -> m1.shuffleWriteBytes,
+        "disk_spill_bytes" -> m1.diskSpill, "mem_spill_bytes" -> m1.memSpill,
+        "peak_task_mem_bytes" -> m1.peakMem),
+      Map("sec" -> m4.sec, "shuffle_write_bytes" -> m4.shuffleWriteBytes,
+        "disk_spill_bytes" -> m4.diskSpill, "mem_spill_bytes" -> m4.memSpill,
+        "peak_task_mem_bytes" -> m4.peakMem),
+      Map("resident_x1" -> 20000L, "resident_x4" -> 80000L, "probe" -> 2000L))
+    info(s"streaming_dedup 1x: ${m1.pretty}")
+    info(s"streaming_dedup 4x: ${m4.pretty}")
+    assert(m4.diskSpill == 0L, s"probe ingest spilled ${m4.diskSpill} bytes at 4x state")
+    assert(m4.sec <= 2.5 * math.max(m1.sec, 0.5),
+      f"probe ingest follows CORPUS, not bucket occupancy: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
+  }
+
   test("soak: parallel vacuum listing scales near-linearly over commit history") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     import graft.catalog.SnapshotTable
