@@ -516,6 +516,20 @@ object SparkEntry {
       Dedup.simHashCosineNearDups(docsWithNearDups(s, dir), minTokens = 50, cosThreshold = 0.95)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- the STREAMING dedup operator's batch mode under the oracle gate:
+    // candidates from the stateful LSH ingest path (flatMapGroupsWithState
+    // runs on batch frames with empty state), exact-Jaccard verified — the
+    // result must equal q40's, proving the ingest-shaped candidate
+    // generator loses nothing vs the batch pipeline ----
+    "q150_streaming_dedup" -> ((s, dir) => {
+      val docs = docsWithNearDups(s, dir)
+      val cands = graft.streaming.StreamingDedup
+        .nearDupCandidates(docs, threshold = 0.5)
+        .toDF().select(col("id_a"), col("id_b"))
+      Dedup.verifyPairsExactJaccard(docs, cands, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- z-order (Morton) values for two-column layout clustering: the
     // interleave is a pure function, so the native expression is fully
     // oracle-checkable; ops/Layout.clusterByZ uses it to range-partition +
@@ -2892,6 +2906,17 @@ object SparkEntry {
     // regen fails there with a clear message, not as a driver hash
     // mismatch.
     "q40_minhash_neardups" ->
+      s"""WITH $ShingleCommonCtes
+        |SELECT id_a, id_b,
+        |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q150: the streaming dedup operator's batch mode must reproduce q40's
+    // exact result — same exhaustive-truth oracle (candidate generation
+    // differs: stateful per-bucket ingest vs the banded batch join).
+    "q150_streaming_dedup" ->
       s"""WITH $ShingleCommonCtes
         |SELECT id_a, id_b,
         |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard

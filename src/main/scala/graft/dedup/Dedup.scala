@@ -198,6 +198,40 @@ object Dedup {
     graft.util.Caching.materialize(verified, hashed, sigs)
   }
 
+  /** Exact shingle-Jaccard verification of EXTERNALLY-generated candidate
+    * pairs — the verification half of [[minHashVerifiedNearDups]], factored
+    * for alternate candidate generators (the streaming LSH ingest's
+    * batch mode runs under the same DuckDB oracle through this). Same
+    * formula: jaccard over each doc's DISTINCT shingle-hash set,
+    * thresholded raw. `pairs` carries (id_a, id_b); duplicates collapse so
+    * a pair sharing several buckets verifies once.
+    */
+  def verifyPairsExactJaccard(
+      docs: DataFrame,
+      pairs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        shingleHashes(docs.sparkSession, col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val sets = hashed.select(col("id"), col("sh"), size(col("sh")).as("n"))
+    val verified = pairs
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"),
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common"))).as("j_raw"))
+      .filter(col("j_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), col("j_raw").as("jaccard"))
+    graft.util.Caching.materialize(verified, hashed)
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** (id, sig) 64-bit SimHash signatures: bit b of the signature is 1 iff
