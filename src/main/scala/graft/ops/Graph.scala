@@ -13,13 +13,69 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
-  /** Connected components by alternating LARGE-STAR / SMALL-STAR
-    * contraction (Kiveris et al., "Connected Components in MapReduce and
-    * Beyond", SoCC'14): converges in O(log n) rounds on ANY topology,
-    * where min-label propagation needs O(diameter) — and the path-shaped
-    * chains transitive dedup graphs produce (A≈B≈C≈…) are exactly
-    * label propagation's worst case (a 10⁷-doc chain would need 10⁷
-    * rounds; this needs ~24).
+  /** Connected components — HYBRID: a few rounds of min-label propagation
+    * (the cheapest per-round scheme, and dedup graphs are overwhelmingly
+    * shallow stars that converge within them), then, only if unconverged,
+    * the graph is CONTRACTED through the partial labels and finished by
+    * the O(log n)-round large-star/small-star algorithm
+    * ([[connectedComponentsStarRounds]]).
+    *
+    * Why hybrid: label propagation needs O(diameter) rounds — a 10⁷-doc
+    * transitive chain would need 10⁷ — but each of its rounds is one
+    * join + one groupBy, roughly half a star round (which measured ~34%
+    * slower end-to-end on the shallow dedup-cluster workload when star ran
+    * alone). `propRounds` label rounds cost little on deep graphs too,
+    * because they contract every distance-`propRounds` neighborhood before
+    * the star phase starts. Correctness of the composition: a partial
+    * label L(v) is the min id within distance `propRounds` of v, which is
+    * connected to v, so contracting edges to (L(a), L(b)) preserves
+    * components exactly; the star phase's rep of L(v) is then the
+    * component minimum (the global min m has L(m) = m, so it survives
+    * contraction as its own node — possibly only in self-loops, which
+    * [[connectedComponentsStarRounds]] keeps as rep=self nodes).
+    *
+    * @param edges undirected edge list (id_a, id_b)
+    * @param propRounds label-propagation rounds to attempt before
+    *        contracting into the star phase (0 = straight to star)
+    * @return (id, rep) — rep = min node id in the component; a node whose
+    *         only edges are self-loops keeps rep = itself; isolated nodes
+    *         absent from `edges` are absent here (their rep is themselves)
+    */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 40,
+      propRounds: Int = 6): DataFrame = {
+    import graft.util.Caching.releaseTracked
+    require(propRounds >= 0, "propRounds cannot be negative")
+    val all = edges
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+    val sym = all.select(col("a").as("src"), col("b").as("dst"))
+      .union(all.select(col("b").as("src"), col("a").as("dst"))).persist()
+    val (labels, labelIds, changed) = labelPropRounds(sym, propRounds)
+    if (changed == 0L) {
+      // shallow graph: the label fixpoint IS the answer
+      sym.unpersist(blocking = false)
+      return labels.select(col("id"), col("lab").as("rep"))
+    }
+    // deep graph: contract each edge through the partial labels (both
+    // endpoints map to connected same-component nodes, so components are
+    // preserved exactly), star-finish the contracted graph, compose
+    val contracted = all
+      .join(labels.select(col("id").as("a"), col("lab").as("la")), "a")
+      .join(labels.select(col("id").as("b"), col("lab").as("lb")), "b")
+      .select(col("la").as("id_a"), col("lb").as("id_b"))
+    val (starReps, _) = connectedComponentsStarRounds(contracted, maxIters)
+    val out = graft.util.Caching.materialize(
+      labels.join(starReps.withColumnRenamed("id", "lab"), "lab")
+        .select(col("id"), col("rep")), sym)
+    releaseTracked(out, labelIds)
+    out
+  }
+
+  /** The LARGE-STAR / SMALL-STAR contraction engine (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14): converges
+    * in O(log n) rounds on ANY topology, where min-label propagation
+    * needs O(diameter) — a 10⁷-doc transitive-dedup chain would need 10⁷
+    * label rounds; this needs ~24. Returns the assignment plus the number
+    * of rounds it took (the O(log n) bound is spec-asserted on paths).
     *
     * Every edge is kept oriented child→parent with child > parent. Each
     * round: LARGE-STAR re-links every node's strictly-larger neighbors to
@@ -35,25 +91,36 @@ object Graph {
     * localCheckpointed with superseded blocks released (memory O(1) in
     * rounds — the discipline documented on [[connectedComponentsLabelProp]]).
     *
-    * @param edges undirected edge list (id_a, id_b)
-    * @return (id, rep) — rep = min node id in the component; isolated nodes
-    *         absent from `edges` are absent here (their rep is themselves)
-    */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 40): DataFrame =
-    connectedComponentsStarRounds(edges, maxIters)._1
-
-  /** [[connectedComponents]] plus the number of rounds it took — the
-    * O(log n) bound is spec-asserted on path graphs.
+    * The structural fixpoint probe (a groupBy over the round's edge set)
+    * only runs on rounds whose edge COUNT equals the previous round's —
+    * the count itself rides the checkpoint job as an
+    * [[org.apache.spark.sql.Observation]] metric, so the plateau signal is
+    * free. A converged round's successor reproduces the same edge set
+    * (star forests are the transform's fixpoints), so the plateau gate
+    * delays detection by at most one (cheap, already-contracted) round
+    * while dropping the per-round probe shuffle; a pre-convergence count
+    * plateau just runs the probe, which fails, and the loop continues —
+    * correctness never rests on the count.
     */
   private[graft] def connectedComponentsStarRounds(
       edges: DataFrame, maxIters: Int): (DataFrame, Int) = {
     import graft.util.Caching.{checkpointTracked, releaseTracked}
-    val input = edges
+    val all = edges
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
-      .where(col("a") =!= col("b"))
-    val nodes = input.select(col("a").as("id"))
-      .union(input.select(col("b").as("id"))).distinct().persist()
-    var (e, eIds) = checkpointTracked(
+    // node set from the PRE-filter list: a node whose only edges are
+    // self-loops still gets a row (rep = itself) — only the self-loop
+    // EDGES drop, matching connectedComponentsLabelProp
+    val nodes = all.select(col("a").as("id"))
+      .union(all.select(col("b").as("id"))).distinct().persist()
+    val input = all.where(col("a") =!= col("b"))
+    // per-round edge count rides the checkpoint job as an observed metric
+    // (free — no extra action); it gates the structural probe below
+    def checkpointCounted(df: DataFrame): (DataFrame, Set[Int], Long) = {
+      val obs = org.apache.spark.sql.Observation()
+      val (f, ids) = checkpointTracked(df.observe(obs, count(lit(1)).as("cnt")))
+      (f, ids, obs.get("cnt").asInstanceOf[Long])
+    }
+    var (e, eIds, prevCnt) = checkpointCounted(
       input.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .distinct())
     var it = 0
@@ -82,7 +149,7 @@ object Graph {
         .select(col("v").as("u"), col("m").as("v"))
         .union(smins.select(col("u"), col("m").as("v")))
         .distinct()
-      val (next, nextIds) = checkpointTracked(small)
+      val (next, nextIds, cnt) = checkpointCounted(small)
       releaseTracked(e, eIds)
       e = next
       eIds = nextIds
@@ -90,13 +157,20 @@ object Graph {
       // fixpoint = star forest: single parent per child, no parent is a
       // child. Both phases preserve connectivity, so a star forest's stars
       // ARE the input's components, centered on their minima. ONE job: per
-      // node, count appearances as child (c) and as parent (p).
-      val bad = e.select(col("u").as("n"), lit(1L).as("c"), lit(0L).as("p"))
-        .union(e.select(col("v").as("n"), lit(0L).as("c"), lit(1L).as("p")))
-        .groupBy(col("n")).agg(sum(col("c")).as("c"), sum(col("p")).as("p"))
-        .where(col("c") > 1 || (col("c") > 0 && col("p") > 0))
-        .limit(1).count()
-      converged = bad == 0
+      // node, count appearances as child (c) and as parent (p) — run only
+      // when the observed edge count plateaued (a necessary condition for
+      // the set being the previous round's fixpoint reproduction; a
+      // coincidental plateau pre-convergence just fails the probe and the
+      // loop continues).
+      if (cnt == prevCnt) {
+        val bad = e.select(col("u").as("n"), lit(1L).as("c"), lit(0L).as("p"))
+          .union(e.select(col("v").as("n"), lit(0L).as("c"), lit(1L).as("p")))
+          .groupBy(col("n")).agg(sum(col("c")).as("c"), sum(col("p")).as("p"))
+          .where(col("c") > 1 || (col("c") > 0 && col("p") > 0))
+          .limit(1).count()
+        converged = bad == 0
+      }
+      prevCnt = cnt
     }
     if (!converged) {
       releaseTracked(e, eIds)
@@ -136,7 +210,26 @@ object Graph {
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
       .union(edges.select(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst")))
       .persist()
+    val (labels, _, changed) = labelPropRounds(sym, maxIters)
+    sym.unpersist()
+    // Never return unconverged labels silently: a component with diameter >
+    // maxIters would be split into several clusters and downstream dedup
+    // would quietly keep duplicates.
+    if (changed > 0) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters rounds " +
+        s"($changed labels still changing) — raise maxIters (graph diameter exceeds it)")
+    labels.select(col("id"), col("lab").as("rep"))
+  }
 
+  /** Up to `maxRounds` min-label-propagation rounds over a SYMMETRIC
+    * (src, dst) edge frame (self-loops tolerated). Returns the label frame
+    * (id, lab), the checkpoint block ids pinning it, and the last round's
+    * changed-count — 0 iff the labels are the converged fixpoint; callers
+    * either throw ([[connectedComponentsLabelProp]]) or contract and hand
+    * off to the star phase ([[connectedComponents]]).
+    */
+  private def labelPropRounds(sym: DataFrame, maxRounds: Int)
+      : (DataFrame, Set[Int], Long) = {
     // Each round references the previous round's frame twice, so a plain
     // persist() still lets the LOGICAL PLAN double per round (exponential
     // analysis cost — measured as a hang past ~10 rounds). localCheckpoint
@@ -154,7 +247,7 @@ object Graph {
         .select(col("id"), col("id").as("lab")))
     var changed = 1L
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (changed > 0 && it < maxRounds) {
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("lab")), "dst")
         .groupBy(col("src").as("id"))
@@ -174,14 +267,7 @@ object Graph {
       labelIds = nextIds
       it += 1
     }
-    sym.unpersist()
-    // Never return unconverged labels silently: a component with diameter >
-    // maxIters would be split into several clusters and downstream dedup
-    // would quietly keep duplicates.
-    if (changed > 0) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIters rounds " +
-        s"($changed labels still changing) — raise maxIters (graph diameter exceeds it)")
-    labels.select(col("id"), col("lab").as("rep"))
+    (labels, labelIds, changed)
   }
 
   /** PageRank centrality by `iters` synchronous power iterations — the

@@ -22,11 +22,16 @@ class GraphSpec extends SparkSpec {
     assert(got.length == 13 && got.forall(_._2 == 0L))
   }
 
-  test("connectedComponents: empty and self-loop-only edge lists yield empty output") {
+  test("connectedComponents: empty edges yield empty output; self-loop-only nodes keep rep=self") {
     val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     assert(Graph.connectedComponents(empty).count() == 0)
-    val loops = Seq((3L, 3L), (9L, 9L)).toDF("id_a", "id_b")
-    assert(Graph.connectedComponents(loops).count() == 0)
+    // a node appearing ONLY in self-loop edges is still a node — both
+    // implementations must return it as its own singleton component
+    val loops = Seq((3L, 3L), (9L, 9L), (9L, 20L)).toDF("id_a", "id_b")
+    val star = Graph.connectedComponents(loops).as[(Long, Long)].collect().toMap
+    val prop = Graph.connectedComponentsLabelProp(loops).as[(Long, Long)].collect().toMap
+    assert(star == Map(3L -> 3L, 9L -> 9L, 20L -> 9L), s"got $star")
+    assert(star == prop, "star/labelProp must agree on self-loop-only nodes")
   }
 
   test("connectedComponents: path graphs converge in O(log n) rounds, not O(diameter)") {
@@ -40,16 +45,31 @@ class GraphSpec extends SparkSpec {
     assert(rounds <= bound, s"path-$n took $rounds rounds, bound $bound")
   }
 
-  test("connectedComponents: star contraction matches label propagation on random graphs") {
+  test("connectedComponents: hybrid matches label propagation on random graphs, every phase split") {
     val rnd = new scala.util.Random(1347L)
     for (_ <- 0 until 5) {
       val n = 20 + rnd.nextInt(60)
+      // self-loops stay IN the generated list: the two implementations
+      // must agree that a self-loop-only node is a singleton component
       val edges = (0 until n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-        .filter { case (a, b) => a != b }.distinct.toDF("id_a", "id_b")
-      val star = Graph.connectedComponents(edges).as[(Long, Long)].collect().toMap
+        .distinct.toDF("id_a", "id_b")
       val prop = Graph.connectedComponentsLabelProp(edges).as[(Long, Long)].collect().toMap
-      assert(star == prop, s"star/labelProp diverged on n=$n")
+      // propRounds 0 = pure star phase; 1 = contraction after one label
+      // round (partial labels); 25 = label phase converges, star never runs
+      for (pr <- Seq(0, 1, 25)) {
+        val hybrid = Graph.connectedComponents(edges, propRounds = pr)
+          .as[(Long, Long)].collect().toMap
+        assert(hybrid == prop, s"hybrid(propRounds=$pr)/labelProp diverged on n=$n")
+      }
     }
+  }
+
+  test("connectedComponents: deep path finishes through the contract-then-star phase") {
+    // 64-node chain with propRounds=2: label phase cannot converge, the
+    // star phase must finish on the contracted graph — exact reps required
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Graph.connectedComponents(edges, propRounds = 2).as[(Long, Long)].collect()
+    assert(got.length == 64 && got.forall(_._2 == 0L))
   }
 
   test("pageRank: matches a driver-side power-iteration replay on random digraphs") {
