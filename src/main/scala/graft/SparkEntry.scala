@@ -520,11 +520,16 @@ object SparkEntry {
     // candidates from the stateful LSH ingest path (flatMapGroupsWithState
     // runs on batch frames with empty state), exact-Jaccard verified — the
     // result must equal q40's, proving the ingest-shaped candidate
-    // generator loses nothing vs the batch pipeline ----
+    // generator loses nothing vs the batch pipeline. The generator runs
+    // with estimate threshold 0.0 (ALL bucket-colliding pairs emit) so the
+    // exact verification alone applies the 0.5 cut — the same semantics as
+    // minHashVerifiedNearDups; an estimate pre-filter would data-dependently
+    // drop borderline pairs whose exact Jaccard clears 0.5 while the
+    // 64-sample estimate lands just under it ----
     "q150_streaming_dedup" -> ((s, dir) => {
       val docs = docsWithNearDups(s, dir)
       val cands = graft.streaming.StreamingDedup
-        .nearDupCandidates(docs, threshold = 0.5)
+        .nearDupCandidates(docs, threshold = 0.0)
         .toDF().select(col("id_a"), col("id_b"))
       Dedup.verifyPairsExactJaccard(docs, cands, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))

@@ -69,6 +69,23 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("threshold 0.0 emits every bucket-colliding pair — the verified-dedup candidate semantics") {
+    // with the estimate filter off, the candidate set must equal the batch
+    // banded path's UNFILTERED collisions (minHashNearDups at threshold 0),
+    // which is what exact verification (q150 / minHashVerifiedNearDups)
+    // expects as input: a borderline pair whose exact Jaccard clears the
+    // cut but whose 64-sample estimate does not must still be emitted
+    val docs = corpus(24)
+    val got = StreamingDedup.nearDupCandidates(docs.toDF("doc_id", "text"), threshold = 0.0)
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    val want = Dedup.minHashNearDups(docs.toDF("doc_id", "text"), threshold = 0.0)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty && got == want,
+      s"only-stream=${got -- want} only-batch=${want -- got}")
+    // and the unfiltered set strictly contains the 0.5-estimate set
+    assert(batchPairs(docs).subsetOf(got))
+  }
+
   test("est_jaccard matches the batch estimate and the exact pair scores") {
     val docs = corpus(12)
     val got = StreamingDedup.nearDupCandidates(docs.toDF("doc_id", "text"))
