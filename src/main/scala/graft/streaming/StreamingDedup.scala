@@ -34,15 +34,29 @@ object StreamingDedup {
     */
   case class BandKey(band: Int, key: String)
 
-  /** A document's id and full MinHash signature (carried into bucket state
-    * for pair scoring).
+  /** A document's id, full MinHash signature (carried into bucket state
+    * for pair scoring), and event-time millis (0 outside retention mode).
     */
-  case class DocSig(id: Long, sig: Array[Long])
+  case class DocSig(id: Long, sig: Array[Long], ts: Long)
+
+  /** Per-bucket state: retained signatures (newest first, capped at
+    * `maxPerBucket`) plus an id-only tombstone list of CAP-evicted doc ids
+    * (newest first, capped at [[TombstonesPerSig]] × cap) so a re-delivered
+    * id stays a no-op for a while after its signature aged out of the cap.
+    */
+  case class BucketState(sigs: List[DocSig], tomb: List[Long])
 
   /** An emitted candidate: id_a < id_b, est_jaccard = fraction of matching
     * signature positions (the batch pipeline's estimate).
     */
   case class CandidatePair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** Tombstone budget per retained signature slot: a tombstone is one
+    * Long (8 bytes) against a signature's k Longs (~512 bytes at k=64),
+    * so 64 tombstones per slot keeps total bucket state within ~2× the
+    * signature budget while covering re-deliveries far older than the cap.
+    */
+  val TombstonesPerSig = 64
 
   /** Near-duplicate candidate pairs over a STREAMING (or batch) document
     * frame, emitted incrementally as documents arrive.
@@ -50,23 +64,47 @@ object StreamingDedup {
     * Semantics per micro-batch: every arriving doc is scored against (a)
     * bucket-mates that arrived in earlier batches (bucket state) and (b)
     * earlier docs of the same batch, and pairs with est_jaccard ≥
-    * `threshold` are emitted. A pair sharing several bands is emitted once
-    * per shared band (bands are independent state groups) — dedupe
-    * downstream with `dropDuplicates("id_a", "id_b")` where it matters; a
-    * doc id re-delivered to a bucket it already occupies is a structural
-    * no-op (re-ingest idempotence).
+    * `threshold` are emitted (pass 0.0 to emit every bucket-colliding
+    * pair — the input [[Dedup.verifyPairsExactJaccard]] expects). A pair
+    * sharing several bands is emitted once per shared band (bands are
+    * independent state groups) — dedupe downstream with
+    * `dropDuplicates("id_a", "id_b")` where it matters.
+    *
+    * RE-INGEST IDEMPOTENCE: a doc id re-delivered to a bucket it already
+    * occupies is a structural no-op. The guarantee covers ids whose
+    * signature is still retained plus the newest [[TombstonesPerSig]] ×
+    * `maxPerBucket` ids evicted by the cap (kept as 8-byte tombstones);
+    * an id older than both windows — or evicted by `retention` — is
+    * treated as a fresh arrival again.
     *
     * State per bucket is capped at `maxPerBucket` signatures (newest
-    * retained): a
-    * bucket past the cap holds that many mutually-similar documents, so new
-    * arrivals still collide with the retained ones and land in the same
-    * dedup cluster downstream; the cap bounds state growth on degenerate
-    * keys (empty-ish documents) the way LSH deployments do. Signatures are
-    * computed per row in plain JVM code (the k-wide min-fold over one doc's
-    * shingles — no corpus-wide aggregation, nothing driver-side).
+    * retained): a bucket past the cap holds that many mutually-similar
+    * documents, so new arrivals still collide with the retained ones and
+    * land in the same dedup cluster downstream; the cap bounds state
+    * growth on degenerate keys (empty-ish documents) the way LSH
+    * deployments do. Signatures are computed per row in plain JVM code
+    * (the k-wide min-fold over one doc's shingles — no corpus-wide
+    * aggregation, nothing driver-side).
+    *
+    * RETENTION (`retention = Some(d)`): dedup against a sliding window
+    * instead of all history — the only way total state stays bounded on a
+    * continuous 100 TB ingest, where per-bucket lists otherwise grow with
+    * corpus size forever. Event time is read from `eventTimeCol` (cast to
+    * timestamp); a pair is emitted only when the two docs' event times lie
+    * within `d` of each other (deterministic — never a function of
+    * watermark timing), and bucket entries are EVICTED once the watermark
+    * passes their timestamp + `d` (they can no longer pair with any
+    * non-late arrival). Streaming queries get
+    * `withWatermark(eventTimeCol, watermarkDelay)` applied here and
+    * event-time timeouts GC whole buckets that stop receiving data. Docs
+    * arriving later than the watermark may miss pairs against
+    * already-evicted partners — the standard watermark trade. Without
+    * `retention` (default) nothing expires: dedup-against-all-history.
     *
     * Works unchanged on a BATCH frame (state starts empty, every pair is
-    * within-batch): `flatMapGroupsWithState` is defined for both.
+    * within-batch): `flatMapGroupsWithState` is defined for both; in
+    * retention mode the within-`d` pair rule still applies but no
+    * watermark/timeout machinery runs.
     */
   def nearDupCandidates(
       docs: DataFrame,
@@ -77,9 +115,14 @@ object StreamingDedup {
       bands: Int = 16,
       threshold: Double = 0.5,
       seed: Long = 42L,
-      maxPerBucket: Int = 256): Dataset[CandidatePair] = {
+      maxPerBucket: Int = 256,
+      retention: Option[java.time.Duration] = None,
+      eventTimeCol: String = "event_ts",
+      watermarkDelay: String = "0 seconds"): Dataset[CandidatePair] = {
     require(k % bands == 0, "bands must divide k")
     require(maxPerBucket >= 1, "maxPerBucket must be positive")
+    retention.foreach(d => require(!d.isNegative && !d.isZero,
+      "retention must be a positive duration"))
     val spark = docs.sparkSession
     import spark.implicits._
     val rows = k / bands
@@ -88,33 +131,50 @@ object StreamingDedup {
     val kk = k
     val th = threshold
     val cap = maxPerBucket
+    val tombCap = TombstonesPerSig * maxPerBucket
+    val retMs = retention.map(_.toMillis)
+    val streaming = docs.isStreaming
 
+    val tsCol = retention match {
+      case Some(_) => unix_millis(col(eventTimeCol).cast("timestamp"))
+      case None => lit(0L)
+    }
     val hashed = docs
       .select(col(idCol).cast("long").as("id"),
-        graft.functions.TextFunctions.shingleHashes(spark, col(textCol), shingleK).as("sh"))
-      .as[(Long, Seq[Long])]
+        graft.functions.TextFunctions.shingleHashes(spark, col(textCol), shingleK).as("sh"),
+        tsCol.as("ts"))
+      .as[(Long, Seq[Long], Long)]
 
     // per-doc signature + band keys; docs with no shingles drop, like the
-    // batch path (explode emits no rows for them)
-    val keyed: Dataset[(BandKey, DocSig)] = hashed.flatMap { case (id, sh) =>
-      if (sh.isEmpty) Iterator.empty
-      else {
-        val sig = Array.fill(kk)(Long.MaxValue)
-        sh.foreach { h =>
-          val hm = java.lang.Math.floorMod(h, p)
-          var i = 0
-          while (i < kk) {
-            val v = java.lang.Math.floorMod(hm * perms(i)._1 + perms(i)._2, p)
-            if (v < sig(i)) sig(i) = v
-            i += 1
+    // batch path (explode emits no rows for them). The third element
+    // re-materializes the event time as a TIMESTAMP column: watermark
+    // metadata cannot survive the object-pipeline boundary of this
+    // flatMap, so in retention mode the watermark is (re)declared on the
+    // keyed frame itself — the attribute the stateful operator checks.
+    val keyed: Dataset[(BandKey, DocSig, java.sql.Timestamp)] =
+      hashed.flatMap { case (id, sh, ts) =>
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val sig = Array.fill(kk)(Long.MaxValue)
+          sh.foreach { h =>
+            val hm = java.lang.Math.floorMod(h, p)
+            var i = 0
+            while (i < kk) {
+              val v = java.lang.Math.floorMod(hm * perms(i)._1 + perms(i)._2, p)
+              if (v < sig(i)) sig(i) = v
+              i += 1
+            }
+          }
+          val d = DocSig(id, sig, ts)
+          val t = new java.sql.Timestamp(ts)
+          (0 until sig.length / rows).iterator.map { b =>
+            (BandKey(b, sig.slice(b * rows, (b + 1) * rows).mkString(",")), d, t)
           }
         }
-        val d = DocSig(id, sig)
-        (0 until sig.length / rows).iterator.map { b =>
-          (BandKey(b, sig.slice(b * rows, (b + 1) * rows).mkString(",")), d)
-        }
       }
-    }
+    val tagged =
+      if (retMs.isDefined && streaming) keyed.withWatermark("_3", watermarkDelay)
+      else keyed
 
     def est(a: Array[Long], b: Array[Long]): Double = {
       var m = 0; var i = 0
@@ -122,28 +182,57 @@ object StreamingDedup {
       m.toDouble / a.length
     }
 
-    keyed
+    val timeoutConf =
+      if (retMs.isDefined && streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    tagged
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: BandKey, it: Iterator[(BandKey, DocSig)], state: GroupState[List[DocSig]]) => {
-          val prior = state.getOption.getOrElse(Nil)
-          val seen = prior.map(_.id).toSet
-          // deterministic arrival order inside the batch; re-delivered ids no-op
-          val fresh = it.map(_._2).filter(d => !seen.contains(d.id))
-            .toSeq.distinctBy(_.id).sortBy(_.id)
-          val out = Seq.newBuilder[CandidatePair]
-          var held = prior
-          fresh.foreach { d =>
-            held.foreach { o =>
-              val e = est(d.sig, o.sig)
-              if (e >= th)
-                out += (if (d.id < o.id) CandidatePair(d.id, o.id, e)
-                        else CandidatePair(o.id, d.id, e))
-            }
-            held = d :: held
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (_: BandKey, it: Iterator[(BandKey, DocSig, java.sql.Timestamp)],
+            state: GroupState[BucketState]) => {
+          val prior = state.getOption.getOrElse(BucketState(Nil, Nil))
+          // retention eviction: an entry whose ts + retention is behind the
+          // watermark can no longer pair with any non-late arrival
+          val wm = if (retMs.isDefined && streaming) state.getCurrentWatermarkMs() else Long.MinValue
+          val sigsLive = retMs match {
+            case Some(r) if wm > Long.MinValue => prior.sigs.filter(_.ts + r >= wm)
+            case _ => prior.sigs
           }
-          state.update(held.take(cap))
-          out.result().iterator
+          if (state.hasTimedOut) {
+            // no new data since the timeout was armed: GC what expired
+            if (sigsLive.isEmpty) state.remove()
+            else {
+              state.update(BucketState(sigsLive, prior.tomb))
+              state.setTimeoutTimestamp(sigsLive.map(_.ts).max + retMs.get + 1)
+            }
+            Iterator.empty
+          } else {
+            val seen = sigsLive.map(_.id).toSet ++ prior.tomb
+            // deterministic arrival order inside the batch; re-delivered ids no-op
+            val fresh = it.map(_._2).filter(d => !seen.contains(d.id))
+              .toSeq.distinctBy(_.id).sortBy(_.id)
+            val out = Seq.newBuilder[CandidatePair]
+            var held = sigsLive
+            fresh.foreach { d =>
+              held.foreach { o =>
+                val inWindow = retMs.forall(r => math.abs(d.ts - o.ts) <= r)
+                if (inWindow) {
+                  val e = est(d.sig, o.sig)
+                  if (e >= th)
+                    out += (if (d.id < o.id) CandidatePair(d.id, o.id, e)
+                            else CandidatePair(o.id, d.id, e))
+                }
+              }
+              held = d :: held
+            }
+            val (kept, capEvicted) = held.splitAt(cap)
+            val tomb = (capEvicted.map(_.id) ++ prior.tomb).take(tombCap)
+            state.update(BucketState(kept, tomb))
+            if (retMs.isDefined && streaming && kept.nonEmpty)
+              state.setTimeoutTimestamp(kept.map(_.ts).max + retMs.get + 1)
+            out.result().iterator
+          }
         })
   }
 }

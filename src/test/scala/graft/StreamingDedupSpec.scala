@@ -101,6 +101,100 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got.collect { case ((1L, 2000L), e) => e }.forall(_ == 1.0))
   }
 
+  test("retention: emitted pairs equal the batch set restricted to the event-time window") {
+    // ids 0..23 with event times 100s apart; retention 250s → only pairs
+    // whose planted twins sit within 2-3 steps stay in-window. Timestamps
+    // advance monotonically across batches so no pair straddles a
+    // watermark-evicted partner (the orderly-ingest contract).
+    val docs = corpus(24)
+    // order docs so each twin follows its base (Δts one step → in-window)
+    // while the planted exact dup (2000, twin of base 1) lands at the END
+    // (Δts far past retention → its pair must drop)
+    val byId = docs.toMap
+    val ordered = (0L until 24L).flatMap(i =>
+      Seq(i) ++ (if (i % 3 == 0) Seq(1000L + i) else Nil)) :+ 2000L
+    val ts: Map[Long, Long] = ordered.zipWithIndex
+      .map { case (id, i) => id -> (1700000000000L + i * 100000L) }.toMap
+    val rows = ordered.map(id => (id, byId(id), new java.sql.Timestamp(ts(id))))
+    val retention = java.time.Duration.ofMillis(250000L)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingDedup.nearDupCandidates(
+        mem.toDF.toDF("doc_id", "text", "event_ts"), retention = Some(retention))
+      .writeStream.format("memory").queryName("sdedup_ttl").outputMode("append").start()
+    try {
+      rows.grouped(9).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+      val got = spark.table("sdedup_ttl")
+        .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+      val want = batchPairs(docs).filter { case (a, b) =>
+        math.abs(ts(a) - ts(b)) <= retention.toMillis }
+      val dropped = batchPairs(docs) -- want
+      assert(want.nonEmpty && dropped.nonEmpty,
+        "fixture must keep some pairs in-window and push others out")
+      assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
+    } finally q.stop()
+
+    // batch mode applies the same window rule (no watermark machinery)
+    val batchGot = StreamingDedup.nearDupCandidates(
+        rows.toDF("doc_id", "text", "event_ts"), retention = Some(retention))
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(batchGot == batchPairs(docs).filter { case (a, b) =>
+      math.abs(ts(a) - ts(b)) <= retention.toMillis })
+  }
+
+  test("retention: bucket state is measured bounded — old buckets evict and time out") {
+    // each batch carries DISTINCT fresh texts (fresh buckets) with event
+    // time jumping far past retention: old buckets' entries expire and the
+    // event-time timeout removes the emptied buckets, so total state rows
+    // stay ~one batch's buckets instead of accumulating across batches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def batchDocs(b: Int): Seq[(Long, String, java.sql.Timestamp)] =
+      (0 until 6).map { i =>
+        val id = b * 100L + i
+        (id, s"uniq$b-$i alpha$b beta$i gamma${b * 7 + i} delta$i epsi$b zeta$i",
+          new java.sql.Timestamp(1700000000000L + b * 3600L * 1000))
+      }
+    def run(retention: Option[java.time.Duration]): Long = {
+      val name = s"sdedup_state_${retention.isDefined}"
+      val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = StreamingDedup.nearDupCandidates(
+          mem.toDF.toDF("doc_id", "text", "event_ts"),
+          retention = retention)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        (0 until 6).foreach { b => mem.addData(batchDocs(b): _*); q.processAllAvailable() }
+        q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      } finally q.stop()
+    }
+    val withTtl = run(Some(java.time.Duration.ofMinutes(10)))
+    val without = run(None)
+    // no-TTL keeps every bucket ever created (~6 batches × 6 docs × 16
+    // bands, minus rare cross-doc band collisions); TTL holds at most the
+    // last two batches' worth (watermark lags one batch)
+    assert(without >= 5 * 6 * 16, s"no-TTL state rows: $without")
+    assert(withTtl <= 2 * 6 * 16, s"TTL state rows not bounded: $withTtl vs $without")
+  }
+
+  test("cap-evicted ids stay no-ops through tombstones") {
+    // cap=2 with 5 identical docs: ids 0,1,2 evict from the signature list
+    // after batch 1; re-delivering them must emit nothing new
+    val docs = (0L until 5L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingDedup.nearDupCandidates(
+        mem.toDF.toDF("doc_id", "text"), maxPerBucket = 2)
+      .writeStream.format("memory").queryName("sdedup_tomb").outputMode("append").start()
+    try {
+      mem.addData(docs: _*); q.processAllAvailable()
+      val before = spark.table("sdedup_tomb").count()
+      assert(before > 0)
+      mem.addData(docs.take(3): _*); q.processAllAvailable()
+      assert(spark.table("sdedup_tomb").count() == before,
+        "re-delivered cap-evicted ids must not re-emit pairs")
+    } finally q.stop()
+  }
+
   test("bucket cap bounds state while keeping new arrivals colliding") {
     // 40 identical docs through cap=4: every arrival still collides with
     // retained bucket-mates, state stays bounded
