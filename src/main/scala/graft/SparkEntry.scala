@@ -535,6 +535,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- incrementally-maintained dedup clusters: the verified near-dup
+    // edge set folded through the foreachBatch cluster maintenance
+    // (IncrementalClusters.foldPairs) in three chunks — each fold
+    // contracts previous-assignment ∪ delta, never the accumulated pair
+    // set — and the FINAL assignment must equal the one-shot connected
+    // components over all pairs (q59's exhaustive recursive-CTE oracle) ----
+    "q151_incremental_clusters" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q151").toString
+      val pairs = nearDupPairs(s, dir).select(col("id_a"), col("id_b"))
+      (0 until 3).foreach { c =>
+        graft.streaming.IncrementalClusters.foldPairs(s, tbl,
+          pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === c))
+      }
+      graft.streaming.IncrementalClusters.clusters(s, tbl)
+        .select(col("doc_id"), col("rep_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- z-order (Morton) values for two-column layout clustering: the
     // interleave is a pure function, so the native expression is fully
     // oracle-checkable; ops/Layout.clusterByZ uses it to range-partition +
@@ -2928,6 +2946,23 @@ object SparkEntry {
         |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q151: the incrementally-folded cluster assignment must equal the
+    // one-shot transitive closure — q59's exhaustive oracle verbatim.
+    "q151_incremental_clusters" ->
+      s"""WITH RECURSIVE $ShingleCommonCtes,
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lab FROM nodes
+        |  UNION
+        |  SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst)
+        |SELECT id AS doc_id, MIN(lab) AS rep_id FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q41: Spark finds pairs via multi-probe pigeonhole SimHash + exact
     // token-frequency-cosine verification; the oracle is the exhaustive
