@@ -1957,10 +1957,20 @@ object SnapshotTable {
     * segment) — touching NOTHING (Delta's `VACUUM … DRY RUN`). The list is
     * advisory, not a reservation: a writer committing between the dry run
     * and the real run can change what the real run deletes.
+    *
+    * The full plan is O(deleted files) driver memory — after massive churn
+    * that can be the table's whole history. Pass `planLimit = Some(n)` to
+    * cap what returns to the driver (the executing vacuum is unaffected —
+    * it never materializes the plan): a capped result holds n entries that
+    * ARE in the plan, but which n is arbitrary when the plan is larger.
     */
   def vacuumDryRun(spark: SparkSession, dir: String, keepVersions: Int = 2,
-      minUnreferencedAgeMs: Long = DefaultVacuumGraceMs): Seq[(String, String)] =
-    vacuumSweep(spark, dir, keepVersions, minUnreferencedAgeMs, execute = false)._1
+      minUnreferencedAgeMs: Long = DefaultVacuumGraceMs,
+      planLimit: Option[Int] = None): Seq[(String, String)] = {
+    planLimit.foreach(n => require(n >= 0, "planLimit cannot be negative"))
+    vacuumSweep(spark, dir, keepVersions, minUnreferencedAgeMs, execute = false,
+      planLimit = planLimit)._1
+  }
 
   /** The ONE selection rule both vacuum walks apply (driver and Spark-job
     * — a shared body so the parallel path can never plan differently):
@@ -1992,7 +2002,8 @@ object SnapshotTable {
     */
   private def vacuumSweep(spark: SparkSession, dir: String, keepVersions: Int,
       minUnreferencedAgeMs: Long,
-      execute: Boolean): (Seq[(String, String)], Map[String, Long]) = {
+      execute: Boolean,
+      planLimit: Option[Int] = None): (Seq[(String, String)], Map[String, Long]) = {
     require(keepVersions >= 1, "must keep at least the current snapshot")
     require(minUnreferencedAgeMs >= 0, "grace period cannot be negative")
     val cutoff = System.currentTimeMillis() - minUnreferencedAgeMs
@@ -2008,6 +2019,11 @@ object SnapshotTable {
     val rootUri = fs.makeQualified(root).toUri
     def relOf(p: Path): String = rootUri.relativize(fs.makeQualified(p).toUri).getPath
     val planned = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    // dry-run plan cap: stop RETAINING entries past the limit (the walk
+    // itself continues — in execute mode `planned` feeds counts and is
+    // never capped)
+    def planAdd(c: (String, String)): Unit =
+      if (execute || planLimit.forall(planned.length < _)) planned += c
     // kind → count of files deleted INSIDE the parallel listing job (whose
     // paths never reach the driver); empty on every other path
     val jobDeleted = scala.collection.mutable.Map[String, Long]()
@@ -2035,7 +2051,7 @@ object SnapshotTable {
           if (f.isDirectory) { if (sweep(f.getPath)) remaining -= 1 }
           else sweepCandidate(relOf(f.getPath), f.getPath.getName,
             f.getModificationTime, live, cutoff).foreach { c =>
-            planned += c
+            planAdd(c)
             if (execute && fs.delete(f.getPath, false)) remaining -= 1
           }
         }
@@ -2079,10 +2095,16 @@ object SnapshotTable {
         // return to the driver: an executing vacuum after massive churn is
         // O(1) driver memory regardless of how many files it removes (the
         // full path list is the DRY-RUN contract; the executing contract is
-        // the count). Counting successful deletes keeps a task retry from
-        // double-counting a file its first attempt already removed.
+        // the count). The count is of SELECTED files — the same contract as
+        // the driver walk, which counts planned entries whether or not
+        // fs.delete succeeds — and is best-effort under task retry either
+        // way: a task that deletes some files and then fails cannot report
+        // them, and its retry re-lists a directory where they no longer
+        // exist, so partial-failure counts can only UNDERcount (never
+        // double-count a file).
         val kindCounts = sweepJob { (tfs, p, c) =>
-          if (tfs.delete(p, false)) Iterator.single(c._2) else Iterator.empty
+          tfs.delete(p, false)
+          Iterator.single(c._2)
         }.countByValue()
         jobDeleted ++= kindCounts
         // bottom-up empty-directory prune — runs even on an empty plan,
@@ -2106,11 +2128,14 @@ object SnapshotTable {
             prune(new Path(dStr))
           }
       } else {
-        planned ++= sweepJob((_, _, c) => Iterator.single(c)).collect().sortBy(_._1)
+        // a capped plan uses take(n) — only n entries ever reach the
+        // driver, instead of collect()'s O(plan) array
+        val planRdd = sweepJob((_, _, c) => Iterator.single(c))
+        planned ++= planLimit.fold(planRdd.collect())(planRdd.take).sortBy(_._1)
       }
     }
     expired.foreach { case (_, p) =>
-      planned += ((relOf(p), "manifest"))
+      planAdd((relOf(p), "manifest"))
       if (execute) fs.delete(p, false)
     }
     // crash leftovers: unpublished temp manifests — same grace, a fresh
@@ -2126,7 +2151,7 @@ object SnapshotTable {
           (n.endsWith(".tmp") || (n.startsWith("seg-") && n.endsWith(".json") && !liveSegs(n)))
       }
       .foreach { st =>
-        planned += ((relOf(st.getPath), "log"))
+        planAdd((relOf(st.getPath), "log"))
         if (execute) fs.delete(st.getPath, false)
       }
     (planned.toSeq, jobDeleted.toMap)

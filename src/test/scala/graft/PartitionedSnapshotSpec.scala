@@ -203,6 +203,35 @@ class PartitionedSnapshotSpec extends SparkSpec {
     assert(leftover.isEmpty, s"second pass still finds garbage: $leftover")
   }
 
+  test("vacuumDryRun planLimit caps the returned plan on both walks") {
+    val dir = s"$root/scala/vac_cap"
+    def tdf(a: Long, b: Long) = spark.range(a, b).select(
+      org.apache.spark.sql.functions.timestamp_seconds(
+        (org.apache.spark.sql.functions.col("id") % 3) * 3600).as("ts"),
+      org.apache.spark.sql.functions.col("id").as("v"))
+    SnapshotTable.write(spark, tdf(0, 300), dir, partitionCols = Some(Seq("ts")))
+    SnapshotTable.write(spark, tdf(0, 50), dir) // replace → v1 unreferenced at keep 1
+    for (threshold <- Seq("1000000", "0")) {
+      spark.conf.set("spark.graft.vacuum.parallelListingThreshold", threshold)
+      try {
+        val full = SnapshotTable.vacuumDryRun(spark, dir,
+          keepVersions = 1, minUnreferencedAgeMs = 0)
+        assert(full.size > 2, s"setup must leave a multi-entry plan, got $full")
+        val capped = SnapshotTable.vacuumDryRun(spark, dir,
+          keepVersions = 1, minUnreferencedAgeMs = 0, planLimit = Some(2))
+        assert(capped.size == 2, s"threshold=$threshold: cap ignored: $capped")
+        assert(capped.toSet.subsetOf(full.toSet),
+          s"threshold=$threshold: capped entries not in the full plan")
+        assert(SnapshotTable.vacuumDryRun(spark, dir,
+          keepVersions = 1, minUnreferencedAgeMs = 0, planLimit = Some(0)).isEmpty)
+        // uncapped default unchanged, and nothing was deleted by any dry run
+        assert(SnapshotTable.vacuumDryRun(spark, dir,
+          keepVersions = 1, minUnreferencedAgeMs = 0).toSet == full.toSet)
+      } finally spark.conf.unset("spark.graft.vacuum.parallelListingThreshold")
+    }
+    assert(SnapshotTable.read(spark, dir).count() == 50)
+  }
+
   test("SQL: CREATE TABLE PARTITIONED BY + INSERT routes and prunes; DESCRIBE shows the spec") {
     ensureCatalog()
     spark.sql("CREATE TABLE snap.part.events (id BIGINT, dt STRING, v BIGINT) PARTITIONED BY (dt)")
