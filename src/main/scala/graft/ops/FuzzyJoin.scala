@@ -58,4 +58,31 @@ object FuzzyJoin {
       .select(col("id_a"), col("id_b"), levenshtein(col("name"), col("name_b")).as("dist"))
       .filter(col("dist") <= maxDist)
   }
+
+  /** Diagnostic BLOCK-OCCUPANCY histogram for [[levenshteinPairs]] with the
+    * same arguments: one row per (probe block, extra block) with the number
+    * of probe rows it holds, largest first.
+    *
+    * The verify stage generates ~Σ_b n_b² candidate rows, so the histogram
+    * IS the cost model: max occupancy ~√(2·candidates) is the number to
+    * watch before running the join at scale. A uniform-length corpus
+    * (fixed-width codes, sequential ids) collapses into ONE length block —
+    * occupancy ≈ corpus size, candidates ≈ n²/2 — which is exactly when
+    * the `extraBlockCol` domain key must be conjoined. Cost of the
+    * diagnostic itself: one groupBy over the probe expansion (O(2n) rows),
+    * independent of candidate volume — always safe to run first.
+    */
+  def blockOccupancy(
+      df: DataFrame,
+      textCol: String = "name",
+      maxDist: Int = 2,
+      extraBlockCol: Option[String] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val w = maxDist + 1
+    val extra = extraBlockCol.map(col).getOrElse(lit(""))
+    df.select(expr(s"length(`$textCol`) div $w").as("b"), extra.as("xb"))
+      .select(col("xb"), explode(array(col("b"), col("b") + 1)).as("blk"))
+      .groupBy(col("blk"), col("xb")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("blk"), col("xb"))
+  }
 }

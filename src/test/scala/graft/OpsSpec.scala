@@ -155,6 +155,26 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("blockOccupancy reports the probe-block histogram the verify cost follows") {
+    // lengths 3,3,4 share length block 1 (width 3) and probe {1,2}; the
+    // length-9 outlier probes {3,4}: histogram must be exact
+    val names = Seq((1L, "aaa"), (2L, "aab"), (3L, "aabc"), (4L, "longname9"))
+      .toDF("id", "name")
+    val got = graft.ops.FuzzyJoin.blockOccupancy(names, "name", maxDist = 2)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "", 3L), (2L, "", 3L), (3L, "", 1L), (4L, "", 1L)), s"got $got")
+    // conjoining a domain key splits the uniform-length block
+    val keyed = Seq((1L, "aaa", "x"), (2L, "aab", "x"), (3L, "aac", "y"))
+      .toDF("id", "name", "src")
+    val occ = graft.ops.FuzzyJoin.blockOccupancy(keyed, "name", maxDist = 2,
+      extraBlockCol = Some("src")).as[(Long, String, Long)].collect().toSet
+    assert(occ == Set((1L, "x", 2L), (2L, "x", 2L), (1L, "y", 1L), (2L, "y", 1L)), s"got $occ")
+    // the histogram predicts candidate volume: Σ n·(n−1)/2 per block of
+    // the UN-exploded assignment bounds the deduped candidate pairs
+    val cands = graft.ops.FuzzyJoin.levenshteinPairs(names, "name", "id", maxDist = 2)
+    assert(cands.count() <= 3L * 2L / 2 + 1)
+  }
+
   test("levenshteinPairs: extraBlockCol confines comparisons to its blocks") {
     val names = Seq((1L, "aaa", "x"), (2L, "aab", "x"), (3L, "aac", "y"))
       .toDF("id", "name", "src")

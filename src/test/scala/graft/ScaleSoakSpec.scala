@@ -698,6 +698,66 @@ class ScaleSoakSpec extends SparkSpec {
       f"probe ingest follows CORPUS, not bucket occupancy: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
   }
 
+  test("soak: fuzzy self-join cost follows the block histogram; domain blocking divides it") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // q94's fixture is the OPERATOR'S documented degenerate case: TPC-H
+    // customer names are fixed-width, so length blocking collapses the
+    // corpus into ONE block and candidates grow ~quadratically (n²/2).
+    // This soak (a) reports the max-block-occupancy diagnostic at both
+    // scales, (b) bounds the length-only join's shuffle by the quadratic
+    // the histogram predicts — more would mean the join leaks outside its
+    // blocks — with ZERO disk spill (the memory-pressure hazard q94 showed
+    // under co-tenant load), and (c) measures the documented escape hatch:
+    // conjoining a domain block key (nation) divides candidate volume by
+    // ~|key cardinality|. The exponent itself only drops when the key's
+    // cardinality grows with the corpus, so the assertion is the measured
+    // division, not a claim of linearity.
+    import graft.ops.FuzzyJoin
+    def names(every: Int): DataFrame =
+      Tables.customer(spark, sf01).filter(pmod(col("c_custkey"), lit(every)) === 0)
+        .select(col("c_custkey").as("id"), col("c_name").as("name"),
+          col("c_nationkey").as("nation"))
+        .repartition(32).cache()
+    val n1 = names(20)
+    val n4 = names(5)
+    val (rows1, rows4) = (n1.count(), n4.count())
+    def maxOcc(df: DataFrame): Long =
+      FuzzyJoin.blockOccupancy(df, "name").select(max(col("n"))).head().getLong(0)
+    val (occ1, occ4) = (maxOcc(n1), maxOcc(n4))
+    noop(FuzzyJoin.levenshteinPairs(n1, "name", "id", maxDist = 2)) // warm-up
+    val m1 = measure(() => noop(FuzzyJoin.levenshteinPairs(n1, "name", "id", maxDist = 2)))
+    val m4 = measure(() => noop(FuzzyJoin.levenshteinPairs(n4, "name", "id", maxDist = 2)))
+    val b1 = measure(() => noop(FuzzyJoin.levenshteinPairs(n1, "name", "id", maxDist = 2,
+      extraBlockCol = Some("nation"))))
+    val b4 = measure(() => noop(FuzzyJoin.levenshteinPairs(n4, "name", "id", maxDist = 2,
+      extraBlockCol = Some("nation"))))
+    n1.unpersist(); n4.unpersist()
+    def named(m: RunMetrics) = Map[String, Any]("sec" -> m.sec,
+      "shuffle_write_bytes" -> m.shuffleWriteBytes, "disk_spill_bytes" -> m.diskSpill,
+      "mem_spill_bytes" -> m.memSpill, "peak_task_mem_bytes" -> m.peakMem)
+    SoakReport.record("fuzzy", named(m1), named(m4), Map(
+      "rows_x1" -> rows1, "rows_x4" -> rows4,
+      "max_block_occupancy_x1" -> occ1, "max_block_occupancy_x4" -> occ4,
+      "nation_blocked_shuffle_x1" -> b1.shuffleWriteBytes,
+      "nation_blocked_shuffle_x4" -> b4.shuffleWriteBytes))
+    info(s"fuzzy 1x (occ=$occ1): ${m1.pretty}")
+    info(s"fuzzy 4x (occ=$occ4): ${m4.pretty}")
+    info(s"fuzzy+nation 1x: ${b1.pretty}  4x: ${b4.pretty}")
+    assert(m4.diskSpill == 0L && b4.diskSpill == 0L,
+      s"fuzzy spilled at 4x: ${m4.diskSpill}/${b4.diskSpill}")
+    // length-only: candidates scale with occupancy² — allow that quadratic
+    // (plus slack) but nothing beyond what the histogram predicts
+    val occRatio = occ4.toDouble * occ4 / (occ1.toDouble * occ1)
+    assert(m4.shuffleWriteBytes <=
+      (1.5 * occRatio * math.max(m1.shuffleWriteBytes, 1L << 20)).toLong,
+      s"fuzzy shuffle beyond the histogram's quadratic: ${m1.shuffleWriteBytes} -> " +
+        s"${m4.shuffleWriteBytes} (occ $occ1 -> $occ4)")
+    // domain-blocked: same corpus, candidate volume divided by ~|nations|
+    // (25) — require at least a 5x shuffle reduction vs length-only at 4x
+    assert(b4.shuffleWriteBytes * 5 <= m4.shuffleWriteBytes,
+      s"nation blocking bought < 5x: ${m4.shuffleWriteBytes} -> ${b4.shuffleWriteBytes}")
+  }
+
   test("soak: parallel vacuum listing scales near-linearly over commit history") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     import graft.catalog.SnapshotTable
