@@ -424,8 +424,13 @@ class ScaleSoakSpec extends SparkSpec {
           (col("id_b") + i * 100000000L).as("id_b"))
       }.reduce(_ unionByName _)
     }
-    val m1 = measure(() => noop(graft.ops.Graph.connectedComponents(edges(1))))
-    val m4 = measure(() => noop(graft.ops.Graph.connectedComponents(edges(4))))
+    // Pin the plan shape across scales (the triangles lesson): the hybrid's
+    // label-round and star-round joins broadcast their (node, label)-sized
+    // sides at x1 but flip to shuffle joins at x4 — a strategy flip that
+    // reads as ~20x "shuffle growth". The 100 TB shape is all-shuffle, so
+    // measure that at both scales.
+    val m1 = withoutAutoBroadcast(measure(() => noop(graft.ops.Graph.connectedComponents(edges(1)))))
+    val m4 = withoutAutoBroadcast(measure(() => noop(graft.ops.Graph.connectedComponents(edges(4)))))
     assertScaling("connected_components", m1, m4)
   }
 
