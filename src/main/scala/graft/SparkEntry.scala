@@ -553,6 +553,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- benchmark decontamination (GPT-3-appendix n-gram overlap rule):
+    // every corpus doc flagged with the number of distinct 8-grams it
+    // shares with the benchmark set (here: every 17th doc's text). The
+    // corpus side explodes to n-gram hashes but the benchmark bloom
+    // discards the non-overlapping bulk in the scan stage; the exact semi
+    // join removes the false-positive sliver, so the flags equal the plain
+    // join's — which is what the exhaustive string-side oracle checks ----
+    "q152_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0).select(col("text"))
+      graft.dedup.Decontaminate.ngramOverlap(docs, bench, n = 8, minHits = 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- z-order (Morton) values for two-column layout clustering: the
     // interleave is a pure function, so the native expression is fully
     // oracle-checkable; ops/Layout.clusterByZ uses it to range-partition +
@@ -2946,6 +2960,26 @@ object SparkEntry {
         |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q152: decontamination truth over n-gram STRINGS (Spark matches
+    // xxhash64 hashes — identical counts modulo collisions, same argument
+    // as q40): per-doc distinct 8-grams shared with the benchmark slice.
+    "q152_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksCte AS t
+        |             FROM (SELECT doc_id, LOWER(text) AS text FROM documents)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 7, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS s
+        |  FROM toks),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS n_hit
+        |  FROM (SELECT DISTINCT doc_id, s FROM sh JOIN bench USING (s)) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(h.n_hit, 0) AS n_hit,
+        |  COALESCE(h.n_hit, 0) >= 1 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // q151: the incrementally-folded cluster assignment must equal the
     // one-shot transitive closure — q59's exhaustive oracle verbatim.

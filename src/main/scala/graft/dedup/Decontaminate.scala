@@ -1,0 +1,94 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark DECONTAMINATION — the train/test-overlap sweep every serious
+  * pretraining pipeline runs before shipping a corpus (the 13-gram overlap
+  * rule popularized by GPT-3's appendix and kept by The Pile /
+  * open-reproduction pipelines): a training document sharing long verbatim
+  * n-grams with an evaluation benchmark leaks the benchmark into training
+  * and inflates downstream scores.
+  *
+  * Scale shape: the corpus side explodes to one row per distinct n-gram
+  * hash — O(corpus tokens) rows — but [[graft.ops.BloomJoin]]'s
+  * bloom-pre-filtered semi join discards the non-overlapping bulk IN THE
+  * SCAN STAGE (one `might_contain` against a broadcast bloom of the
+  * benchmark's n-gram hashes), so only true hits plus the false-positive
+  * sliver ever shuffle; the exact join then removes the sliver, making the
+  * flags exactly what a plain join would produce. The benchmark side is
+  * the small side by construction (benchmarks are thousands of documents,
+  * corpora are billions) — it is aggregated once into the bloom plus a
+  * distinct hash frame, never re-scanned per corpus partition.
+  *
+  * Same shingle semantics end to end as the dedup stack (lowercased
+  * whitespace tokens → k-token shingles → distinct xxhash64 via the native
+  * [[TextFunctions.shingleHashes]] expression), so the DuckDB oracle can
+  * state the truth over n-gram STRINGS while Spark matches hashes —
+  * identical counts modulo xxhash64 collisions, which the exhaustive
+  * string-side oracle would expose.
+  */
+object Decontaminate {
+
+  /** Per-document overlap flags: (idCol, n_hit, contaminated) for EVERY
+    * corpus document — n_hit = number of DISTINCT n-grams shared with any
+    * benchmark document (0 for clean docs; `shingleHashes` already
+    * de-duplicates within a doc), contaminated = n_hit ≥ minHits.
+    *
+    * @param docs      training corpus (idCol, textCol)
+    * @param benchmark evaluation set (benchTextCol; ids irrelevant)
+    * @param n         n-gram length — 13 is the published convention for
+    *                  web-scale corpora; the default 8 suits shorter-doc
+    *                  fixtures (a doc under n tokens has no n-grams and is
+    *                  never flagged, mirroring the published rule)
+    * @param minHits   distinct shared n-grams required to flag
+    * @param expectedBenchGrams bloom sizing (distinct benchmark n-grams)
+    */
+  def ngramOverlap(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      minHits: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      benchTextCol: String = "text",
+      expectedBenchGrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    require(minHits >= 1, s"minHits must be positive, got $minHits")
+    val spark = docs.sparkSession
+    val benchGrams = benchmark
+      .select(explode(TextFunctions.shingleHashes(spark, col(benchTextCol), n)).as("h"))
+      .distinct()
+    val corpusGrams = docs
+      .select(col(idCol), explode(TextFunctions.shingleHashes(spark, col(textCol), n)).as("h"))
+    val hits = graft.ops.BloomJoin
+      .bloomSemiJoin(corpusGrams, benchGrams, "h", "h", expectedBenchGrams, fpp)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hit")) // hashes are per-doc distinct already
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") >= minHits)
+  }
+
+  /** The corpus with contaminated documents REMOVED — the pipeline's
+    * actionable form of [[ngramOverlap]] (all original columns kept).
+    */
+  def removeContaminated(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      minHits: Int = 1,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      benchTextCol: String = "text",
+      expectedBenchGrams: Long = 1000000L): DataFrame = {
+    val flagged = ngramOverlap(docs, benchmark, n, minHits, textCol, idCol,
+      benchTextCol, expectedBenchGrams)
+      .filter(col("contaminated")).select(col(idCol))
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+}
