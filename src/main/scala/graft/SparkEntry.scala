@@ -844,6 +844,49 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- SemDeDup semantic dedup (cluster-scoped cosine + components):
+    // deterministic centroids (every 50th vector) make the k-means half
+    // oracle-checkable; two perturbation generations build A~B~C chains
+    // whose ends fall below the cut, so keep/rep exercise real transitive
+    // grouping, not just twin pairs ----
+    "q153_semantic_dedup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val pert1 = base.filter(col("id") < 50).select((col("id") + 1000000).as("id"),
+        transform(col("vec"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("vec"))
+      val pert2 = base.filter(col("id") < 25).select((col("id") + 2000000).as("id"),
+        transform(col("vec"), (x, i) => when(i === 0, x + 0.02).otherwise(x)).as("vec"))
+      val corpus = base.union(pert1).union(pert2)
+      // fixture centroids: bounded collect (fixture/50 rows); production
+      // callers pass k-means model state (trainCentroids) here
+      val centroids = base.filter(pmod(col("id"), lit(50)) === 0).orderBy(col("id"))
+        .collect().map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+      graft.dedup.SemDeDup.semanticDedup(corpus, centroids, threshold = 0.99)
+        .orderBy(col("id"))
+    }),
+
+    // ---- exact-substring span dedup (Lee et al. ExactSubstr, hash-grouped):
+    // each doc carries an appended copy of doc (id % 100)'s text, so every
+    // doc whose id exceeds its donor repeats that block's verbatim 8-token
+    // spans and must be flagged against the earliest holder ----
+    "q154_exact_span_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val b = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+      val fixture = d.join(b, col("bid") === pmod(col("doc_id"), lit(100)))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("btext")).as("text"))
+      Dedup.exactSpanDedupFlags(fixture, k = 8).orderBy(col("doc_id"))
+    }),
+
+    // ---- DSIR importance scores (target-domain likelihood ratio): every
+    // corpus doc scored against the English-slice bigram model vs the
+    // whole-corpus model — the data-selection signal, exact bigram
+    // equality classes instead of the paper's hash buckets ----
+    "q155_dsir_scores" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.TextPipelines.dsirScores(docs, docs.filter(col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- BPE-ish regex tokenization ----
     "q50_bpe_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -2797,6 +2840,96 @@ object SparkEntry {
         |FROM allv a JOIN allv b ON a.id < b.id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q153: SemDeDup truth — same deterministic centroids (every 50th
+    // vector, cid = rank), spherical argmax assignment with the same
+    // (score DESC, cid DESC) tie-break as assignEmbeddings' max-struct,
+    // within-cluster cosine pairs, transitive closure, min-id rep.
+    "q153_semantic_dedup" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |pert1 AS (SELECT id + 1000000 AS id,
+        |  list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS vec
+        |  FROM v WHERE id < 50),
+        |pert2 AS (SELECT id + 2000000 AS id,
+        |  list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.02 ELSE x END) AS vec
+        |  FROM v WHERE id < 25),
+        |corpus AS (SELECT * FROM v UNION ALL SELECT * FROM pert1 UNION ALL SELECT * FROM pert2),
+        |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+        |         FROM v WHERE id % 50 = 0),
+        |scored AS (SELECT c.id, ct.cid, list_cosine_similarity(c.vec, ct.cvec) AS s
+        |           FROM corpus c CROSS JOIN cent ct),
+        |ass AS (SELECT id, cid AS cluster FROM (
+        |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
+        |  FROM scored) WHERE rn = 1),
+        |cellv AS (SELECT a.id, a.cluster, c.vec FROM ass a JOIN corpus c USING (id)),
+        |pairs AS (
+        |  SELECT x.id AS id_a, y.id AS id_b FROM cellv x JOIN cellv y
+        |  ON x.cluster = y.cluster AND x.id < y.id
+        |  WHERE list_cosine_similarity(x.vec, y.vec) >= 0.99),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lab FROM nodes
+        |  UNION
+        |  SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+        |reps AS (SELECT id, MIN(lab) AS rep FROM reach GROUP BY 1)
+        |SELECT a.id, a.cluster, COALESCE(r.rep, a.id) AS rep_id,
+        |  COALESCE(r.rep, a.id) = a.id AS keep
+        |FROM ass a LEFT JOIN reps r USING (id) ORDER BY a.id""".stripMargin,
+
+    // q154: exact-substring span dedup truth over 8-gram STRINGS (Spark
+    // groups xxhash64 hashes — identical ownership modulo collisions):
+    // min doc per span, count a doc's distinct spans owned by earlier docs.
+    "q154_exact_span_dedup" ->
+      s"""WITH d AS (
+        |  SELECT a.doc_id, a.text || ' ' || b.text AS text
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 100),
+        |toks AS (SELECT doc_id, $ToksCte AS t
+        |         FROM (SELECT doc_id, LOWER(text) AS text FROM d)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 7, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS s
+        |  FROM toks),
+        |own AS (SELECT s, MIN(doc_id) AS owner FROM sh GROUP BY 1),
+        |flag AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM sh JOIN own USING (s) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(f.n_dup, 0) AS n_dup_spans,
+        |  COALESCE(f.n_dup, 0) > 0 AS dup_of_earlier
+        |FROM d LEFT JOIN flag f USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // q155: DSIR truth — bigram models over strings (target = lang 'en',
+    // a subset of raw, so the union vocabulary is raw's), add-0.5
+    // smoothing, mean per-occurrence log-likelihood ratio rounded at 6.
+    "q155_dsir_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, lang, toks FROM t WHERE LEN(toks) >= 2),
+        |p AS (SELECT doc_id, lang, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM t2),
+        |g AS (SELECT a.doc_id, a.lang, a.w || ' ' || b.w AS bg
+        |      FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |cr AS (SELECT bg, COUNT(*) AS c_r FROM g GROUP BY 1),
+        |ct AS (SELECT bg, COUNT(*) AS c_t FROM g WHERE lang = 'en' GROUP BY 1),
+        |nr AS (SELECT COUNT(*) AS n_r FROM g),
+        |nt AS (SELECT COUNT(*) AS n_t FROM g WHERE lang = 'en'),
+        |v AS (SELECT COUNT(DISTINCT bg) AS v FROM g),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    ROUND(AVG(LN((COALESCE(c_t, 0) + 0.5) / (n_t + 0.5 * v))
+        |            - LN((c_r + 0.5) / (n_r + 0.5 * v))), 6) AS dsir_score
+        |  FROM g JOIN cr USING (bg) LEFT JOIN ct USING (bg)
+        |  CROSS JOIN nr CROSS JOIN nt CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(sc.dsir_score, 0) AS dsir_score
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     "q50_bpe_tokens" ->
       """SELECT doc_id,

@@ -725,4 +725,60 @@ object Dedup {
         col("n_paras"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
+
+  // ------------------------------------------------ exact-substring span dedup
+
+  /** EXACT-SUBSTRING dedup at span granularity (the distributed form of
+    * Lee et al. 2022's ExactSubstr rule, "Deduplicating Training Data Makes
+    * Language Models Better"): a document is flagged when any verbatim
+    * k-token span of it also appears in an EARLIER document (lower id) —
+    * repeated long spans are what the paper's suffix-array pipeline cuts.
+    * A suffix array is a single-machine structure; at cluster scale the
+    * span index is the set of k-gram hashes, whose ownership (first doc to
+    * contain the span) a hash aggregation computes exactly.
+    *
+    * Scale shape: ownership is a hash-groupBy min(doc_id) on the 8-byte
+    * k-gram hash — partial aggregation collapses hot boilerplate spans
+    * map-side (the same skew argument as [[paragraphDedup]]; a window over
+    * the span key could not split a hot span). The join back re-keys each
+    * doc's DISTINCT spans once; clean docs cost one aggregate row per
+    * span and nothing else. Digest equality stands in for span equality
+    * (xxhash64 collisions negligible; the string-keyed oracle would expose
+    * one).
+    *
+    * @return every corpus doc: (doc_id, n_dup_spans = DISTINCT k-token
+    *         spans owned by an earlier doc, dup_of_earlier = n_dup_spans>0)
+    */
+  def exactSpanDedupFlags(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val spark = corpus.sparkSession
+    val sh = corpus.select(col(idCol).as("doc_id"),
+      explode(shingleHashes(spark, col(textCol), k)).as("h"))
+    val owners = sh.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+    val flagged = sh.join(owners, "h")
+      .groupBy(col("doc_id")) // sh is per-doc distinct: each span counts once
+      .agg(sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_dup_spans"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("n_dup_spans"), lit(0L)) > 0).as("dup_of_earlier"))
+  }
+
+  /** The corpus with later-doc span duplicates REMOVED — the earliest
+    * holder of every span survives; all original columns kept.
+    */
+  def exactSpanDedup(
+      corpus: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 8): DataFrame = {
+    val dropIds = exactSpanDedupFlags(corpus, textCol, idCol, k)
+      .filter(col("dup_of_earlier")).select(col("doc_id").as(idCol))
+    corpus.join(dropIds, Seq(idCol), "left_anti")
+  }
 }

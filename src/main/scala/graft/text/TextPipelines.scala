@@ -484,4 +484,91 @@ object TextPipelines {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_bpe_tokens"))
   }
+
+  /** DSIR importance score (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): rank raw-corpus documents by how
+    * much more likely their text is under a TARGET-domain n-gram model than
+    * under the raw-corpus model — the published recipe for carving a
+    * domain-matched training subset out of a web crawl (resample
+    * proportionally to the importance weight; deterministic selection =
+    * top-N by score). Features are bigrams kept as exact equality classes
+    * (the paper hashes them into a fixed bucket count — a memory bound,
+    * not a semantic choice; bucket-free counts are exact and
+    * oracle-checkable); each model is an add-k-smoothed multinomial over
+    * the two corpora's UNION bigram vocabulary.
+    *
+    * score(doc) = mean over the doc's bigram occurrences of
+    * `ln p_target(f) − ln p_raw(f)` — positive means target-like. Docs
+    * under 2 tokens have no features: n_bigrams 0, score 0.
+    *
+    * Scale shape: the two model fits are hash aggregations with map-side
+    * partial counts; scoring joins each raw bigram occurrence to the two
+    * count frames on the bigram key (shuffles bounded by corpus token
+    * count, never all-pairs); the three scalars (N_raw, N_target, |V|) ride
+    * as broadcast 1-row frames, so nothing corpus-sized touches the driver.
+    */
+  def dsirScores(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      addK: Double = 0.5): DataFrame = {
+    require(addK > 0, s"addK must be > 0 for smoothing, got $addK")
+    val spark = raw.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+    def grams(df: DataFrame, id: Column): DataFrame = {
+      val toks = df
+        .select(id.as("doc_id"),
+          graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      toks.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+    }
+    val rawG = grams(raw, col(idCol)).persist()
+    val tgtG = grams(target, lit(0L))
+    val cR = rawG.groupBy(col("bg")).agg(count(lit(1)).as("c_r"))
+    val cT = tgtG.groupBy(col("bg")).agg(count(lit(1)).as("c_t"))
+    val nR = rawG.agg(count(lit(1)).as("n_r"))
+    val nT = tgtG.agg(count(lit(1)).as("n_t"))
+    val v = cR.select(col("bg")).union(cT.select(col("bg")))
+      .agg(countDistinct(col("bg")).as("v"))
+    val scored = rawG
+      .join(cR, "bg") // every raw bigram is in the raw model by construction
+      .join(cT, Seq("bg"), "left") // absent from target → count 0, smoothing floors it
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT)).crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(
+          log((coalesce(col("c_t"), lit(0L)) + addK) / (col("n_t") + col("v") * addK)) -
+            log((col("c_r") + addK) / (col("n_r") + col("v") * addK))), 6)
+          .as("dsir_score"))
+    val out = raw.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
+    graft.util.Caching.materialize(out, rawG)
+  }
+
+  /** The deterministic selection form of [[dsirScores]]: the `n` most
+    * target-like raw docs by (score DESC, doc_id) — the rank tie-break
+    * makes the cut stable across engines and runs.
+    */
+  def dsirSelect(
+      raw: DataFrame,
+      target: DataFrame,
+      n: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      addK: Double = 0.5): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val picked = dsirScores(raw, target, textCol, idCol, addK)
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(n)
+      .select(col("doc_id").as(idCol))
+    raw.join(picked, Seq(idCol), "left_semi")
+  }
 }

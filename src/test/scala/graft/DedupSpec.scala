@@ -223,4 +223,51 @@ class DedupSpec extends SparkSpec {
       (3L, "", 2, 0L),
       (4L, "D\n\nD2", 3, 2L)))
   }
+
+  test("exactSpanDedupFlags: a later doc repeating any k-token span is flagged with the distinct-span count") {
+    val d = docs(
+      (1L, "a b c d e f"),   // owns spans "a b c" "b c d" "c d e" "d e f"
+      (2L, "x y z w v u"),   // disjoint — clean
+      (3L, "q q b c d e q"), // repeats "b c d" and "c d e" from doc 1 → 2 dup spans
+      (4L, "a b"),           // under k tokens: no spans, never flagged
+      (5L, "x y z w v u"))   // verbatim copy of doc 2 → all 4 spans dup
+    val out = Dedup.exactSpanDedupFlags(d, k = 3).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, false),
+      (2L, 0L, false),
+      (3L, 2L, true),
+      (4L, 0L, false),
+      (5L, 4L, true)))
+  }
+
+  test("exactSpanDedupFlags counts a span ONCE per doc regardless of repetition inside the doc") {
+    val d = docs(
+      (1L, "a b c"),
+      (2L, "a b c a b c a b c")) // "a b c" many times + wrap spans it owns itself
+    val flags = Dedup.exactSpanDedupFlags(d, k = 3).orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(flags.head == ((1L, 0L, false)))
+    assert(flags(1)._1 == 2L && flags(1)._2 == 1L && flags(1)._3) // only "a b c" is doc-1-owned
+  }
+
+  test("exactSpanDedup removes exactly the flagged docs, keeping all columns") {
+    val d = docs(
+      (1L, "a b c d e f"),
+      (2L, "c d e f g h"), // shares "c d e" "d e f" with doc 1 → dropped
+      (3L, "p q r s t u")).withColumn("lang", lit("en"))
+    val clean = Dedup.exactSpanDedup(d, k = 3)
+    assert(clean.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(clean.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+  }
+
+  test("exactSpanDedupFlags: ownership ties go to the LOWEST doc id (the earliest holder is never flagged)") {
+    val d = docs(
+      (7L, "m n o p"),
+      (2L, "m n o p"), // lowest id owns the spans even though it sorts later in input
+      (5L, "m n o p"))
+    val byId = Dedup.exactSpanDedupFlags(d, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!byId(2L) && byId(5L) && byId(7L))
+  }
 }

@@ -810,6 +810,36 @@ class ScaleSoakSpec extends SparkSpec {
       Seq(0.05, 0.5, 0.95), Seq("lo", "med", "hi"))))
     assertScaling("quantiles", m1, m4)
   }
+
+  test("soak: SemDeDup stays near-linear when cluster count scales with the corpus") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // The published deployment shape: k grows with the corpus so per-cell
+    // pair blocks stay bounded — with k FIXED the within-cell self-join is
+    // quadratic by construction (16x pairs at 4x input), which is the
+    // operator's documented trade, not a defect. The soak asserts the
+    // k-scaled path: shuffle (cell routing + pair rows) near-linear, no
+    // spill. Assignment cost N x k is the remaining quadratic-at-scale
+    // surface; at 100 TB the coarse fit runs on a sample (trainCentroids'
+    // contract) and assignment stays one broadcast cross join per row.
+    import graft.dedup.SemDeDup
+    def run(factor: Int): Unit =
+      noop(SemDeDup.semanticDedupAuto(scaledVecs(factor), dim = 64,
+        k = 8 * factor, iters = 2, threshold = 0.9))
+    run(1) // warm-up (codegen + centroid-fit JIT)
+    val m1 = measure(() => run(1))
+    val m4 = measure(() => run(4))
+    assertScaling("semdedup", m1, m4)
+  }
+
+  test("soak: exact-substring span dedup scales near-linearly, no disk spill") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // ownership is a hash-groupBy min over k-gram hashes: the shuffle
+    // carries (hash, doc) pairs linear in corpus tokens; the " zz" twins in
+    // scaledDocs guarantee real cross-doc span duplicates at both scales
+    val m1 = measure(() => noop(Dedup.exactSpanDedupFlags(scaledDocs(1), k = 8)))
+    val m4 = measure(() => noop(Dedup.exactSpanDedupFlags(scaledDocs(4), k = 8)))
+    assertScaling("span_dedup", m1, m4)
+  }
 }
 
 /** Accumulates each soak's measured metrics and persists them as

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.SemDeDup
+
+/** SemDeDup (q153): cluster-scoped semantic dedup — keep one representative
+  * per within-cluster cosine-≥-threshold component.
+  */
+class SemDeDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def unit(deg: Double): Seq[Double] = {
+    val r = math.toRadians(deg)
+    Seq(math.cos(r), math.sin(r), 0.0, 0.0)
+  }
+
+  private val centroids = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+
+  // angles from the x-axis; threshold 0.95 ~= 18.2 degrees
+  private val corpus = Seq(
+    (1L, unit(0)),   // cluster 0
+    (2L, unit(10)),  // ~v1 (cos 0.985) and ~v3 (cos 0.985): the chain's middle
+    (3L, unit(20)),  // ~v2 only (cos(20) = 0.94 < 0.95 vs v1) — transitive member
+    (4L, unit(90)),  // cluster 1, no dup
+    (5L, unit(44)),  // cluster 0 (44 < 45)
+    (6L, unit(46))   // cluster 1 — cos(v5, v6) = cos(2 deg) but cells differ
+  ).toDF("id", "vec")
+
+  test("chain A~B~C with cos(A,C) below the cut is ONE component, rep = min id") {
+    val got = SemDeDup.semanticDedup(corpus, centroids, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) == ((0, 1L, true)))
+    assert(got(2L) == ((0, 1L, false)))
+    assert(got(3L) == ((0, 1L, false))) // in via the chain, not a direct pair
+    assert(got(4L) == ((1, 4L, true)))
+  }
+
+  test("pairs straddling a cluster boundary are never compared (the SemDeDup trade)") {
+    val got = SemDeDup.semanticDedup(corpus, centroids, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(3)))).toMap
+    // cos(v5, v6) = cos(2 deg) = 0.9994 >= 0.95, but the cells differ: both kept
+    assert(got(5L) == ((0, true)))
+    assert(got(6L) == ((1, true)))
+  }
+
+  test("every corpus id appears exactly once; keep <=> id == rep_id") {
+    val out = SemDeDup.semanticDedup(corpus, centroids, threshold = 0.95)
+    assert(out.count() == corpus.count())
+    assert(out.select($"id").distinct().count() == corpus.count())
+    assert(out.filter($"keep" =!= ($"id" === $"rep_id")).count() == 0)
+  }
+
+  test("removeSemanticDups keeps all columns and exactly the representatives") {
+    val withExtra = corpus.withColumn("src", lit("web"))
+    val clean = SemDeDup.removeSemanticDups(withExtra, centroids, threshold = 0.95)
+    assert(clean.columns.toSeq == Seq("id", "vec", "src"))
+    assert(clean.select($"id").as[Long].collect().sorted.toSeq == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("threshold 1.0-ish keeps everything distinct; tiny threshold merges a cell") {
+    val strict = SemDeDup.semanticDedup(corpus, centroids, threshold = 0.999999)
+    assert(strict.filter($"keep").count() == corpus.count())
+    val loose = SemDeDup.semanticDedup(corpus, centroids, threshold = 0.01)
+    // cluster 0 = {1,2,3,5} all pairwise within 44 deg (cos > 0.01): one rep
+    val byId = loose.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Seq(1L, 2L, 3L, 5L).map(byId) == Seq(1L, 1L, 1L, 1L))
+    assert(byId(4L) == 4L && byId(6L) == 4L) // cluster 1 = {4, 6}
+  }
+
+  test("semanticDedupAuto recovers planted duplicate groups end to end") {
+    // two tight planted groups far apart + one singleton
+    val planted = Seq(
+      (10L, Seq(1.0, 0.0, 0.0, 0.0)), (11L, unit(3)), (12L, unit(-3)),
+      (20L, Seq(0.0, 1.0, 0.0, 0.0)), (21L, Seq(0.001, 0.999, 0.0, 0.0)),
+      (30L, Seq(0.0, 0.0, 1.0, 0.0))
+    ).toDF("id", "vec")
+    val got = SemDeDup.semanticDedupAuto(planted, dim = 4, k = 3, iters = 4, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(Seq(10L, 11L, 12L).map(got) == Seq(10L, 10L, 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got(30L) == 30L)
+  }
+}

@@ -130,4 +130,39 @@ class TextPipelinesSpec extends SparkSpec {
       (2L, 1L, r6(nll(2, 3, 3))),
       (3L, 1L, r6(nll(1, 3, 3)))))
   }
+
+  test("dsirScores: hand-computed likelihood ratios; short docs score 0 with 0 features") {
+    val raw = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "x y"), (4L, "z")
+    ).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" <= 2)
+    val out = TextPipelines.dsirScores(raw, target).orderBy($"doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    // c_r(ab)=2 c_r(xy)=1, N_r=3; c_t(ab)=2, N_t=2; V=2, k=0.5
+    val s1 = math.log((2 + 0.5) / (2 + 0.5 * 2)) - math.log((2 + 0.5) / (3 + 0.5 * 2))
+    val s3 = math.log((0 + 0.5) / (2 + 0.5 * 2)) - math.log((1 + 0.5) / (3 + 0.5 * 2))
+    assert(out.map(t => (t._1, t._2)) == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L)))
+    assert(math.abs(out(0)._3 - s1) < 1e-6 && math.abs(out(2)._3 - s3) < 1e-6)
+    assert(out(3)._3 == 0.0)
+    // target-like beats off-target
+    assert(out(0)._3 > out(2)._3)
+  }
+
+  test("dsirSelect: deterministic top-n by (score desc, id), all columns kept") {
+    val raw = Seq(
+      (1L, "a b", "m1"), (2L, "a b", "m2"), (3L, "x y", "m3"), (4L, "a b", "m4")
+    ).toDF("doc_id", "text", "meta")
+    val target = raw.filter($"doc_id" === 1).select($"doc_id", $"text")
+    val picked = TextPipelines.dsirSelect(raw, target, n = 2)
+    assert(picked.columns.toSeq == Seq("doc_id", "text", "meta"))
+    // docs 1/2/4 tie on score; id tie-break keeps 1 and 2
+    assert(picked.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("dsirScores covers EVERY raw doc exactly once") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = TextPipelines.dsirScores(docs, docs.filter($"lang" === "en"))
+    assert(out.count() == docs.count())
+    assert(out.select($"doc_id").distinct().count() == docs.count())
+  }
 }
