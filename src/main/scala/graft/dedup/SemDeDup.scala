@@ -47,10 +47,13 @@ object SemDeDup {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(threshold > 0.0, s"threshold must be positive, got $threshold")
     val spark = corpus.sparkSession
-    val assigned = Similarity.assignEmbeddings(corpus, centroids)
-      .select(col("id"), col("cluster"))
+    // persisted: the assignment cross join feeds BOTH sides of the cell
+    // self-join and the output frame — unpersisted it would replan (and
+    // re-score every corpus vector against every centroid) three times
     val withCell = corpus.select(col("id"), col("vec"))
-      .join(assigned, "id")
+      .join(Similarity.assignEmbeddings(corpus, centroids)
+        .select(col("id"), col("cluster")), "id")
+      .persist()
     // quadratic ONLY within a cell: equi-join on cluster, upper triangle
     val lhs = withCell.select(col("cluster"),
       col("id").as("id_a"), col("vec").as("vec_a"))
@@ -61,10 +64,12 @@ object SemDeDup {
       .filter(Similarity.nativeCosine(spark, col("vec_a"), col("vec_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
     val comps = graft.ops.Graph.connectedComponents(edges) // (id, rep) — rep = component min
-    assigned.join(comps, Seq("id"), "left")
+    val out = withCell.select(col("id"), col("cluster"))
+      .join(comps, Seq("id"), "left")
       .select(col("id"), col("cluster"),
         coalesce(col("rep"), col("id")).as("rep_id"))
       .withColumn("keep", col("id") === col("rep_id"))
+    graft.util.Caching.materialize(out, withCell)
   }
 
   /** [[semanticDedup]] with the centroids trained on the corpus itself by
