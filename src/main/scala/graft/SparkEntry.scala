@@ -567,6 +567,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- span-level contamination excision: cut ONLY the 8-token windows
+    // that verbatim-overlap the benchmark slice (benchmark-member docs
+    // excise to empty — their every window matches); survivors reassemble
+    // in order over the canonical lowercased token space ----
+    "q156_excise_contaminated" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0).select(col("text"))
+      graft.dedup.Decontaminate.exciseContaminated(docs, bench, n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- z-order (Morton) values for two-column layout clustering: the
     // interleave is a pure function, so the native expression is fully
     // oracle-checkable; ops/Layout.clusterByZ uses it to range-partition +
@@ -2878,6 +2889,36 @@ object SparkEntry {
         |SELECT a.id, a.cluster, COALESCE(r.rep, a.id) AS rep_id,
         |  COALESCE(r.rep, a.id) = a.id AS keep
         |FROM ass a LEFT JOIN reps r USING (id) ORDER BY a.id""".stripMargin,
+
+    // q156: excision truth — gram start positions over token STRINGS,
+    // every token in a matching [p, p+7] window removed, ordered
+    // reassembly; benchmark-member docs come back empty.
+    "q156_excise_contaminated" ->
+      s"""WITH toks AS (SELECT doc_id, $ToksCte AS t
+        |              FROM (SELECT doc_id, LOWER(text) AS text FROM documents)),
+        |pos AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS i, unnest(t) AS w FROM toks),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS p,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |    t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS s
+        |  FROM (SELECT doc_id, t,
+        |          UNNEST(generate_series(1, GREATEST(LEN(t) - 7, 0))) AS i
+        |        FROM toks)),
+        |bench AS (SELECT DISTINCT s FROM g WHERE doc_id % 17 = 0),
+        |hits AS (SELECT DISTINCT g.doc_id, g.p FROM g JOIN bench USING (s)),
+        |removed AS (
+        |  SELECT DISTINCT pos.doc_id, pos.i FROM pos
+        |  JOIN hits ON hits.doc_id = pos.doc_id
+        |           AND pos.i >= hits.p AND pos.i < hits.p + 8),
+        |kept AS (SELECT pos.doc_id, pos.i, pos.w FROM pos
+        |         ANTI JOIN removed USING (doc_id, i)),
+        |outp AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |           string_agg(w, ' ' ORDER BY i) AS clean_text
+        |         FROM kept GROUP BY 1)
+        |SELECT tk.doc_id, COALESCE(outp.clean_text, '') AS clean_text,
+        |  CAST(LEN(tk.t) AS BIGINT) AS n_tokens,
+        |  CAST(LEN(tk.t) - COALESCE(outp.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM toks tk LEFT JOIN outp USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
 
     // q154: exact-substring span dedup truth over 8-gram STRINGS (Spark
     // groups xxhash64 hashes — identical ownership modulo collisions):

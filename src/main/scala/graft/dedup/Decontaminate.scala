@@ -74,6 +74,67 @@ object Decontaminate {
       .withColumn("contaminated", col("n_hit") >= minHits)
   }
 
+  /** Span-level contamination EXCISION: instead of dropping a contaminated
+    * document wholesale ([[removeContaminated]]), cut ONLY the token
+    * windows that verbatim-overlap the benchmark — the decontamination
+    * variant large pipelines use when whole-doc removal would throw away
+    * too much clean text around a quoted benchmark snippet. Every token
+    * covered by ANY matching n-gram window [p, p+n-1] is removed; the
+    * survivors reassemble in original order.
+    *
+    * Token space is the dedup stack's canonical one (lowercased whitespace
+    * tokens — same normalization as [[ngramOverlap]]'s shingles), so
+    * `clean_text` is canonical-token text, not a byte-identical substring
+    * of the input.
+    *
+    * Scale shape: fully relational — positions explode once, benchmark
+    * grams aggregate once (hash-keyed join; string equality modulo
+    * xxhash64 collisions, the stack's standard argument), coverage is a
+    * per-doc equi+range anti-join, and reassembly is the
+    * [[Dedup.paragraphDedup]] min-shuffle pattern (sort a collected
+    * (pos, token) struct list per doc — bounded by doc length). No
+    * windows, no per-row UDFs, nothing corpus-sized on the driver.
+    *
+    * @return every corpus doc: (doc_id, clean_text, n_tokens, n_removed)
+    */
+  def exciseContaminated(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      benchTextCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).as("doc_id"),
+      graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("toks"))
+    val pos = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "w")))
+    // gram start positions: shingles() emits index order, so pos = start
+    val grams = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.shingles(spark, col(textCol), n)).as(Seq("p", "s")))
+      .select(col("doc_id"), col("p"), xxhash64(col("s")).as("h"))
+    val benchGrams = benchmark
+      .select(explode(TextFunctions.shingleHashes(spark, col(benchTextCol), n)).as("h"))
+      .distinct()
+    val hits = grams.join(benchGrams, "h")
+      .select(col("doc_id"), col("p")).distinct()
+    val kept = pos.join(hits,
+      pos("doc_id") === hits("doc_id") &&
+        pos("i") >= hits("p") && pos("i") < hits("p") + n,
+      "left_anti")
+    val rebuilt = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("i"), col("w")))),
+            x => x.getField("w"))).as("clean_text"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** The corpus with contaminated documents REMOVED — the pipeline's
     * actionable form of [[ngramOverlap]] (all original columns kept).
     */

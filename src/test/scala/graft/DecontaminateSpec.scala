@@ -86,6 +86,43 @@ class DecontaminateSpec extends SparkSpec {
     assert(Decontaminate.removeContaminated(corpus, emptyBench, n = 4).count() == corpus.count())
   }
 
+  test("exciseContaminated cuts exactly the matching window, reassembles in order") {
+    val d = Seq(
+      (1L, "a b c d e"),   // hit at p=1 covers tokens 1..3 → "a e"
+      (2L, "x y z w v"),   // clean
+      (3L, "a b c d e f")  // hit at p=1 covers 1..3 → "a e f"
+    ).toDF("doc_id", "text")
+    val bench = Seq("b c d").toDF("text")
+    val out = Decontaminate.exciseContaminated(d, bench, n = 3).orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a e", 5L, 3L),
+      (2L, "x y z w v", 5L, 0L),
+      (3L, "a e f", 6L, 3L)))
+  }
+
+  test("exciseContaminated: overlapping hit windows merge (a token is cut once)") {
+    val d = Seq((3L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq("a b c", "c d e").toDF("text") // hits p=0 (0..2) and p=2 (2..4)
+    val out = Decontaminate.exciseContaminated(d, bench, n = 3)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((3L, "f", 6L, 5L)))
+  }
+
+  test("exciseContaminated: benchmark-member doc excises to empty; short docs untouched") {
+    val d = Seq(
+      (1L, "p q r s t u"),
+      (2L, "a b"),             // under n tokens: no windows, untouched
+      (3L, "Mixed CASE Tokens Here Output Lowercases")
+    ).toDF("doc_id", "text")
+    val bench = d.filter($"doc_id" === 1).select($"text")
+    val out = Decontaminate.exciseContaminated(d, bench, n = 3).orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out(0) == ((1L, "", 6L, 6L)))
+    assert(out(1) == ((2L, "a b", 2L, 0L)))
+    assert(out(2) == ((3L, "mixed case tokens here output lowercases", 6L, 0L)))
+  }
+
   test("agrees with Dedup.contaminationFlags on the shared semantics") {
     // same shingle length + threshold: the two formulations (bloom-prefiltered
     // vs plain join) must flag the same docs with the same counts
