@@ -106,6 +106,7 @@ object Decontaminate {
       benchTextCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     val spark = docs.sparkSession
+    graft.extensions.GraftExtensions.register(spark) // ws_tokens below
     val toks = docs.select(col(idCol).as("doc_id"),
       graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("toks"))
     val pos = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "w")))
