@@ -578,6 +578,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- quality-aware dedup representative: each near-dup cluster re-keys
+    // to its HIGHEST-quality member (min-id ships a boilerplate-mangled
+    // copy whenever it sorts first); shares q59's memoized verified pairs,
+    // scores with the q32 quality signal, argmax per cluster ----
+    "q157_quality_aware_dedup" -> ((s, dir) => {
+      val corpus = docsWithNearDups(s, dir)
+      val clusters = graft.ops.Graph.connectedComponents(
+          nearDupPairs(s, dir).select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("rep").as("rep_id"))
+      val full = corpus.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      val scores = corpus.select(col("doc_id"),
+        TextFunctions.statsQualityScore(
+          TextFunctions.langStats(s, col("text")), col("text")).as("score"))
+      Dedup.qualityAwareReps(full, scores).orderBy(col("doc_id"))
+    }),
+
     // ---- z-order (Morton) values for two-column layout clustering: the
     // interleave is a pure function, so the native expression is fully
     // oracle-checkable; ops/Layout.clusterByZ uses it to range-partition +
@@ -2889,6 +2907,46 @@ object SparkEntry {
         |SELECT a.id, a.cluster, COALESCE(r.rep, a.id) AS rep_id,
         |  COALESCE(r.rep, a.id) = a.id AS keep
         |FROM ass a LEFT JOIN reps r USING (id) ORDER BY a.id""".stripMargin,
+
+    // q157: quality-aware rep truth — q59's transitive closure over the
+    // twin-augmented corpus, every doc defaulting to rep=self, re-keyed to
+    // the member with the q32 quality score's argmax (ties to min doc_id).
+    "q157_quality_aware_dedup" ->
+      s"""WITH RECURSIVE $ShingleCommonCtes,
+        |pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION ALL SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |reach AS (
+        |  SELECT id, id AS lab FROM nodes
+        |  UNION
+        |  SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+        |reps AS (SELECT id AS doc_id, MIN(lab) AS rep0 FROM reach GROUP BY 1),
+        |fa AS (SELECT b.doc_id, COALESCE(r.rep0, b.doc_id) AS rep0
+        |       FROM base b LEFT JOIN reps r USING (doc_id)),
+        |qt AS (SELECT doc_id, text, $ToksCte AS toks FROM base),
+        |qs AS (SELECT doc_id, LEN(toks) AS n,
+        |  LEN(list_filter(list_transform(toks, x -> LOWER(x)),
+        |      x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS n_stop,
+        |  CASE WHEN LENGTH(text) = 0 THEN 0.0
+        |       ELSE CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,!?;:''"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / LENGTH(text) END AS praw
+        |  FROM qt),
+        |sc AS (SELECT doc_id,
+        |  ROUND((LEAST(CAST(n AS DOUBLE) / 100.0, 1.0)
+        |       + LEAST(CASE WHEN n = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n END * 5.0, 1.0)
+        |       + GREATEST(1.0 - praw * 10.0, 0.0)) / 3.0, 6) AS score
+        |  FROM qs),
+        |m AS (SELECT fa.doc_id, fa.rep0, sc.score FROM fa JOIN sc USING (doc_id)),
+        |best AS (SELECT rep0, doc_id AS best_doc, score AS best_score FROM (
+        |  SELECT rep0, doc_id, score,
+        |    ROW_NUMBER() OVER (PARTITION BY rep0 ORDER BY score DESC, doc_id) AS rn
+        |  FROM m) WHERE rn = 1)
+        |SELECT m.doc_id, best.best_doc AS rep_id, best.best_score,
+        |  m.doc_id = best.best_doc AS keep
+        |FROM m JOIN best USING (rep0) ORDER BY m.doc_id""".stripMargin,
 
     // q156: excision truth — gram start positions over token STRINGS,
     // every token in a matching [p, p+7] window removed, ordered

@@ -769,6 +769,41 @@ object Dedup {
         (coalesce(col("n_dup_spans"), lit(0L)) > 0).as("dup_of_earlier"))
   }
 
+  /** QUALITY-AWARE representative selection: production dedup keeps the
+    * BEST document of each near-dup cluster, not an arbitrary one — when a
+    * boilerplate-mangled copy has a lower id than the clean original,
+    * min-id selection ships the mangled text to training. Re-keys every
+    * cluster to its member with the highest quality score (ties to the
+    * LOWEST doc id, so the choice is deterministic and degrades to plain
+    * min-id when scores tie across a cluster).
+    *
+    * Scale shape: one join of the assignment to the per-doc scores, one
+    * hash-groupBy max(struct(score, −doc_id, doc_id)) per cluster (struct
+    * ordering implements the argmax + tie-break; partial aggregation
+    * collapses hot clusters map-side), one join back — never a window over
+    * the cluster key.
+    *
+    * @param clusters (doc_id, rep_id) — any assignment whose rep ids key
+    *                 clusters ([[graft.ops.Graph.connectedComponents]]'
+    *                 output shape); singleton docs map to themselves
+    * @param scores   (doc_id, score) — any deterministic per-doc quality
+    *                 signal ([[TextFunctions.statsQualityScore]] is the
+    *                 stack's default)
+    * @return (doc_id, rep_id = the cluster's best doc, best_score,
+    *         keep = doc_id == rep_id) for every assignment row
+    */
+  def qualityAwareReps(clusters: DataFrame, scores: DataFrame): DataFrame = {
+    val best = clusters.join(scores, "doc_id")
+      .groupBy(col("rep_id"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("neg"),
+        col("doc_id").as("best_doc"))).as("m"))
+      .select(col("rep_id"),
+        col("m.best_doc").as("best_doc"), col("m.score").as("best_score"))
+    clusters.join(best, "rep_id")
+      .select(col("doc_id"), col("best_doc").as("rep_id"), col("best_score"),
+        (col("doc_id") === col("best_doc")).as("keep"))
+  }
+
   /** The corpus with later-doc span duplicates REMOVED — the earliest
     * holder of every span survives; all original columns kept.
     */

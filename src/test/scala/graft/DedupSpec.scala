@@ -261,6 +261,26 @@ class DedupSpec extends SparkSpec {
     assert(clean.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
   }
 
+  test("qualityAwareReps: argmax by score, ties to min id, singletons keep themselves") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("doc_id", "rep_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (4L, 0.7)).toDF("doc_id", "score")
+    val out = Dedup.qualityAwareReps(clusters, scores).orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 0.9, false), // doc 2 beats 1; ties doc 3 on score, wins on id
+      (2L, 2L, 0.9, true),
+      (3L, 2L, 0.9, false),
+      (4L, 4L, 0.7, true)))
+  }
+
+  test("qualityAwareReps: equal scores degrade to plain min-id selection") {
+    val clusters = Seq((5L, 3L), (3L, 3L), (9L, 3L)).toDF("doc_id", "rep_id")
+    val scores = Seq((5L, 0.4), (3L, 0.4), (9L, 0.4)).toDF("doc_id", "score")
+    val reps = Dedup.qualityAwareReps(clusters, scores)
+      .select($"rep_id").distinct().as[Long].collect().toSeq
+    assert(reps == Seq(3L))
+  }
+
   test("exactSpanDedupFlags: ownership ties go to the LOWEST doc id (the earliest holder is never flagged)") {
     val d = docs(
       (7L, "m n o p"),
