@@ -788,7 +788,10 @@ object Dedup {
     *                 output shape); singleton docs map to themselves
     * @param scores   (doc_id, score) — any deterministic per-doc quality
     *                 signal ([[TextFunctions.statsQualityScore]] is the
-    *                 stack's default)
+    *                 stack's default). Every assignment doc is expected to
+    *                 have a score row: an unscored member can't win the
+    *                 argmax, and a cluster with NO scored member has no
+    *                 best and drops from the output (inner-join contract)
     * @return (doc_id, rep_id = the cluster's best doc, best_score,
     *         keep = doc_id == rep_id) for every assignment row
     */
