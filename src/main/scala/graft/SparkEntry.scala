@@ -916,6 +916,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- context-window chunking: 32-token windows, stride 24 (overlap 8)
+    // over every document — the curation-to-training handoff; fixture docs
+    // run 40-100 tokens so most emit several chunks with a short tail ----
+    "q158_chunk_tokens" -> ((s, dir) =>
+      graft.text.TextPipelines.chunkTokens(Tables.documents(s, dir),
+        maxLen = 32, stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))),
+
     // ---- BPE-ish regex tokenization ----
     "q50_bpe_tokens" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -2907,6 +2915,22 @@ object SparkEntry {
         |SELECT a.id, a.cluster, COALESCE(r.rep, a.id) AS rep_id,
         |  COALESCE(r.rep, a.id) = a.id AS keep
         |FROM ass a LEFT JOIN reps r USING (id) ORDER BY a.id""".stripMargin,
+
+    // q158: chunking truth — 1-based list slices at starts 1, 1+stride, …;
+    // tokens split on whitespace with NO lowercasing (chunk text must be
+    // the original tokens).
+    "q158_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, $ToksCte AS toks FROM documents),
+        |nz AS (SELECT doc_id, toks, LEN(toks) AS n FROM t WHERE LEN(toks) > 0),
+        |st AS (SELECT * FROM (
+        |         SELECT doc_id, toks, n, UNNEST(generate_series(1, n, 24)) AS s FROM nz)
+        |       WHERE s = 1 OR s - 1 < n - (32 - 24))
+        |SELECT doc_id,
+        |  CAST((s - 1) / 24 AS INT) AS chunk_id,
+        |  CAST(s - 1 AS INT) AS start_tok,
+        |  CAST(LEN(toks[s:LEAST(s + 31, n)]) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(toks[s:LEAST(s + 31, n)], ' ') AS chunk_text
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
 
     // q157: quality-aware rep truth — q59's transitive closure over the
     // twin-augmented corpus, every doc defaulting to rep=self, re-keyed to

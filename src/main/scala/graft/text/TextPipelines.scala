@@ -553,6 +553,57 @@ object TextPipelines {
     graft.util.Caching.materialize(out, rawG)
   }
 
+  /** Fixed-length token CHUNKING with stride — the context-window
+    * preprocessing step between curation and training: long documents
+    * split into `maxLen`-token windows whose starts advance by `stride`
+    * (stride < maxLen gives the BERT-style overlap that keeps boundary
+    * context; stride == maxLen gives disjoint GPT-style blocks). Start
+    * offsets are 0, stride, 2·stride, … but a window adding NO new tokens
+    * over its predecessor (a tail fully inside the previous window) is not
+    * emitted — so every token lands in at least one chunk, the final chunk
+    * may run short, chunk ids stay contiguous, and a doc at or under
+    * `maxLen` yields exactly one chunk (itself). Empty docs yield no
+    * chunks.
+    *
+    * Scale shape: one `sequence` + `explode` per doc — output-linear, no
+    * shuffles at all until the caller aggregates (the chunk columns derive
+    * from the doc row by `slice`, inside whole-stage codegen). Chunk ids
+    * are per-doc ordinals, deterministic by construction.
+    *
+    * @return (doc_id, chunk_id, start_tok, n_chunk_tokens, chunk_text) —
+    *         start_tok 0-based, chunk_text the space-joined token window
+    */
+  def chunkTokens(
+      docs: DataFrame,
+      maxLen: Int,
+      stride: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be positive, got $maxLen")
+    require(stride >= 1 && stride <= maxLen,
+      s"stride must be in [1, maxLen], got $stride (maxLen $maxLen)")
+    val spark = docs.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+    val toks = docs.select(col(idCol).as("doc_id"),
+      graft.extensions.GraftExtensions.ws_tokens(col(textCol)).as("toks"))
+    toks
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(stride))).as("start_tok"))
+      // drop windows adding no new tokens: for s > 0 the predecessor
+      // already covers [0, s - stride + maxLen), so the window only earns
+      // its keep when the doc extends past that
+      .filter(col("start_tok") === 0 ||
+        col("start_tok") < size(col("toks")) - (maxLen - stride))
+      .select(col("doc_id"),
+        (col("start_tok") / stride).cast("int").as("chunk_id"),
+        col("start_tok"),
+        slice(col("toks"), col("start_tok") + 1, lit(maxLen)).as("__c"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("__c")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__c")).as("chunk_text"))
+  }
+
   /** The deterministic selection form of [[dsirScores]]: the `n` most
     * target-like raw docs by (score DESC, doc_id) — the rank tie-break
     * makes the cut stable across engines and runs.

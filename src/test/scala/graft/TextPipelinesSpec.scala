@@ -159,6 +159,45 @@ class TextPipelinesSpec extends SparkSpec {
     assert(picked.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("chunkTokens: sliding windows with stride overlap, redundant tail dropped") {
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val out = TextPipelines.chunkTokens(d, maxLen = 4, stride = 3)
+      .orderBy($"chunk_id").as[(Long, Int, Int, Long, String)].collect().toSeq
+    // starts 0, 3, 6; start 9's window [t9] adds nothing over [t6..t9]
+    assert(out == Seq(
+      (1L, 0, 0, 4L, "t0 t1 t2 t3"),
+      (1L, 1, 3, 4L, "t3 t4 t5 t6"),
+      (1L, 2, 6, 4L, "t6 t7 t8 t9")))
+  }
+
+  test("chunkTokens: doc at or under maxLen is one chunk; empty doc none; case preserved") {
+    val d = Seq((1L, "A B c D"), (2L, "   "), (3L, "x")).toDF("doc_id", "text")
+    val out = TextPipelines.chunkTokens(d, maxLen = 4, stride = 3)
+      .orderBy($"doc_id").as[(Long, Int, Int, Long, String)].collect().toSeq
+    assert(out == Seq((1L, 0, 0, 4L, "A B c D"), (3L, 0, 0, 1L, "x")))
+  }
+
+  test("chunkTokens: stride == maxLen gives disjoint full-coverage blocks with a short tail") {
+    val d = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val out = TextPipelines.chunkTokens(d, maxLen = 3, stride = 3)
+      .orderBy($"chunk_id").as[(Long, Int, Int, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 0, 3L, "a b c"),
+      (1L, 1, 3, 3L, "d e f"),
+      (1L, 2, 6, 1L, "g")))
+  }
+
+  test("chunkTokens covers every token at least once on fixture docs") {
+    val docs = Tables.documents(spark, sfDir)
+    val chunks = TextPipelines.chunkTokens(docs, maxLen = 32, stride = 24)
+    val covered = chunks.groupBy($"doc_id")
+      .agg(max($"start_tok" + $"n_chunk_tokens").as("covered"))
+    val totals = docs.select($"doc_id",
+      graft.extensions.GraftExtensions.ws_tokens($"text").as("t"))
+      .select($"doc_id", size($"t").cast("long").as("n")).filter($"n" > 0)
+    assert(totals.join(covered, "doc_id").filter($"covered" =!= $"n").count() == 0)
+  }
+
   test("dsirScores covers EVERY raw doc exactly once") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextPipelines.dsirScores(docs, docs.filter($"lang" === "en"))
