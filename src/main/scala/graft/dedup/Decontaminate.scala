@@ -116,13 +116,17 @@ object Decontaminate {
       idCol: String = "doc_id"): (DataFrame, Long) => Unit = (batch, _) => {
     val flagged = ngramOverlapPrepared(batch, prep, minHits, textCol, idCol)
       .filter(col("contaminated")).select(col(idCol))
-    val clean = batch.join(flagged, Seq(idCol), "left_anti")
+    // persisted: the emptiness probe and the append would otherwise each
+    // run the full sweep — 2x the batch cost
+    val clean = batch.join(flagged, Seq(idCol), "left_anti").persist()
     val spark = batch.sparkSession
-    if (!clean.isEmpty) {
-      if (graft.catalog.SnapshotTable.exists(spark, outDir))
-        graft.catalog.SnapshotTable.append(spark, clean, outDir)
-      else graft.catalog.SnapshotTable.write(spark, clean, outDir)
-    }
+    try {
+      if (!clean.isEmpty) {
+        if (graft.catalog.SnapshotTable.exists(spark, outDir))
+          graft.catalog.SnapshotTable.append(spark, clean, outDir)
+        else graft.catalog.SnapshotTable.write(spark, clean, outDir)
+      }
+    } finally clean.unpersist(blocking = false)
     ()
   }
 
