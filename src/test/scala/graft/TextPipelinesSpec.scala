@@ -198,6 +198,34 @@ class TextPipelinesSpec extends SparkSpec {
     assert(totals.join(covered, "doc_id").filter($"covered" =!= $"n").count() == 0)
   }
 
+  test("chunkTokens fuzz: coverage, contiguous ids, ordered starts, disjoint-mode reassembly") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(60)
+      val maxLen = 1 + rnd.nextInt(12)
+      val stride = 1 + rnd.nextInt(maxLen)
+      val words = (0 until n).map(i => s"w$i")
+      val d = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val out = TextPipelines.chunkTokens(d, maxLen, stride)
+        .orderBy($"chunk_id").as[(Long, Int, Int, Long, String)].collect().toSeq
+      val label = s"n=$n maxLen=$maxLen stride=$stride"
+      // ids contiguous from 0, starts at stride spacing, windows in-bounds
+      assert(out.map(_._2) == out.indices.toSeq, label)
+      assert(out.forall(c => c._3 == c._2 * stride), label)
+      assert(out.forall(c => c._3 + c._4 <= n && c._4 >= 1 && c._4 <= maxLen), label)
+      // every token covered
+      val covered = out.flatMap(c => c._3 until (c._3 + c._4.toInt)).toSet
+      assert(covered == (0 until n).toSet, label)
+      // each chunk is the exact token window
+      out.foreach { c =>
+        assert(c._5 == words.slice(c._3, c._3 + c._4.toInt).mkString(" "), label)
+      }
+      // disjoint mode: chunks reassemble the doc verbatim
+      if (stride == maxLen)
+        assert(out.map(_._5).mkString(" ") == words.mkString(" "), label)
+    }
+  }
+
   test("dsirScores covers EVERY raw doc exactly once") {
     val docs = Tables.documents(spark, sfDir)
     val out = TextPipelines.dsirScores(docs, docs.filter($"lang" === "en"))
