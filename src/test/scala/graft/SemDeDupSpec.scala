@@ -68,6 +68,45 @@ class SemDeDupSpec extends SparkSpec {
     assert(byId(4L) == 4L && byId(6L) == 4L) // cluster 1 = {4, 6}
   }
 
+  test("semanticDedup fuzz: equals an independent driver-side reference on random corpora") {
+    val rnd = new scala.util.Random(7)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      val d = math.sqrt(na) * math.sqrt(nb); if (d == 0.0) 0.0 else dot / d
+    }
+    for (round <- 1 to 3) {
+      val dim = 4
+      val base = (0 until 30 + rnd.nextInt(30)).map { i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextDouble() - 0.5))
+      }
+      val twins = base.filter(_._1 % 3 == 0).map { case (id, v) =>
+        (id + 1000L, v.updated(0, v.head + 0.0005)) }
+      val all = base ++ twins
+      val centroids = base.filter(_._1 % 10 == 0).map(_._2)
+      val threshold = 0.995
+      // independent reference: plain-Scala argmax assignment, within-cell
+      // pairs, union-find with min-id representatives
+      val assign = all.map { case (id, v) =>
+        val scored = centroids.zipWithIndex.map { case (c, ci) => (cos(v, c), ci) }
+        id -> scored.max._2 // max (score, cid): same tie-break as the engine
+      }.toMap
+      val parent = scala.collection.mutable.Map(all.map(d => d._1 -> d._1): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      for {
+        (ia, va) <- all; (ib, vb) <- all
+        if ia < ib && assign(ia) == assign(ib) && cos(va, vb) >= threshold
+      } {
+        val (ra, rb) = (find(ia), find(ib))
+        if (ra != rb) { val (lo, hi) = (math.min(ra, rb), math.max(ra, rb)); parent(hi) = lo }
+      }
+      val expect = all.map(d => (d._1, assign(d._1), find(d._1), find(d._1) == d._1)).sortBy(_._1)
+      val got = SemDeDup.semanticDedup(all.toDF("id", "vec"), centroids, threshold)
+        .orderBy($"id").as[(Long, Int, Long, Boolean)].collect().toSeq
+      assert(got == expect, s"fuzz round $round diverged from the reference")
+    }
+  }
+
   test("semanticDedupAuto recovers planted duplicate groups end to end") {
     // two tight planted groups far apart + one singleton
     val planted = Seq(
