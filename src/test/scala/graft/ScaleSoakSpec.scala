@@ -840,6 +840,34 @@ class ScaleSoakSpec extends SparkSpec {
     val m4 = measure(() => noop(Dedup.exactSpanDedupFlags(scaledDocs(4), k = 8)))
     assertScaling("span_dedup", m1, m4)
   }
+
+  test("soak: DSIR scoring scales near-linearly, no disk spill") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // two model fits (map-side-combined counts) + one keyed join per bigram
+    // occurrence; the target slice scales with the corpus
+    def run(factor: Int): Unit = {
+      val docs = scaledDocs(factor)
+      noop(graft.text.TextPipelines.dsirScores(
+        docs, docs.filter(pmod(col("doc_id"), lit(5)) === 0)))
+    }
+    val m1 = measure(() => run(1))
+    val m4 = measure(() => run(4))
+    assertScaling("dsir", m1, m4)
+  }
+
+  test("soak: span-level contamination excision scales near-linearly, no disk spill") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // positions explode one row per token; hit windows broadcast into the
+    // per-doc range anti-join; reassembly shuffles each doc's kept tokens
+    // once — the benchmark stays fixed-size while the corpus scales
+    val bench = Tables.documents(spark, sf01)
+      .filter(pmod(col("doc_id"), lit(17)) === 0).select(col("text"))
+    val m1 = measure(() => noop(
+      graft.dedup.Decontaminate.exciseContaminated(scaledDocs(1), bench, n = 8)))
+    val m4 = measure(() => noop(
+      graft.dedup.Decontaminate.exciseContaminated(scaledDocs(4), bench, n = 8)))
+    assertScaling("excise", m1, m4)
+  }
 }
 
 /** Accumulates each soak's measured metrics and persists them as
