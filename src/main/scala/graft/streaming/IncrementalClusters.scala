@@ -22,7 +22,8 @@ import graft.ops.Graph
   * assignment with ONE broadcast-join pass (the rep→new-rep table is
   * batch-sized) plus the batch's brand-new docs. Component-merging
   * iteration only ever touches batch-sized frames; the corpus-sized
-  * assignment is read and written exactly once per fold.
+  * assignment is scanned once per fold (persisted across the fold's
+  * joins, released on commit) and rewritten once.
   *
   * The assignment lives in a snapshot table (schema `doc_id, rep_id` —
   * q59's shape), so readers get OCC-consistent versions, time travel over
@@ -55,8 +56,13 @@ object IncrementalClusters {
           .select(col("id").as("doc_id"), col("rep").as("rep_id")),
         clustersDir)
     } else {
+      // persisted for the fold: the contract joins (both endpoints), the
+      // remap pass, and the new-doc anti-join would otherwise each re-scan
+      // the corpus-sized assignment — four table scans per fold instead of
+      // one scan + cached reads (spill-safe default storage level; released
+      // the moment the rewrite commits)
       val prev = SnapshotTable.read(spark, clustersDir)
-        .select(col("doc_id"), col("rep_id"))
+        .select(col("doc_id"), col("rep_id")).persist()
       // contract each delta endpoint to its current rep (absent → itself:
       // a brand-new doc is its own node); same-component pairs become
       // self-loops, which connectedComponents keeps as rep=self nodes, so
@@ -77,7 +83,8 @@ object IncrementalClusters {
         .union(newEdges.select(col("id_b"))).distinct()
         .join(prev.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .join(ccd.select(col("id").as("doc_id"), col("rep").as("rep_id")), Seq("doc_id"))
-      SnapshotTable.write(spark, updated.union(newDocs), clustersDir)
+      try SnapshotTable.write(spark, updated.union(newDocs), clustersDir)
+      finally prev.unpersist(blocking = false)
     }
   }
 
