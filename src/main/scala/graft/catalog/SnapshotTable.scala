@@ -1835,6 +1835,154 @@ object SnapshotTable {
     }
   }
 
+  /** Keyed MERGE (update-else-insert) on an ARBITRARY single key column —
+    * [[merge]]'s general form for tables with no dt partition (the
+    * incremental-clusters assignment keyed by `doc_id`, a reps side table
+    * keyed by `rep_id`, any entity-keyed state table). Only files whose
+    * manifest key bounds can contain a batch key are rewritten; every other
+    * file moves to the new snapshot by reference — so merge I/O tracks the
+    * BATCH's key footprint, never the table size.
+    *
+    * Pruning stays driver-cheap at 100 TB file counts: the batch's distinct
+    * keys are collected once (capped at `maxExactKeys`, past which pruning
+    * degrades to the batch's [min, max] key RANGE — conservative, never
+    * wrong) and each file's bounds are probed by BINARY SEARCH over the
+    * sorted key set — O(files × log keys), never O(files × keys). Files
+    * without stats on the key column rewrite conservatively.
+    *
+    * Preconditions (standard MERGE rules): `batch` has no NULL keys and at
+    * most one row per key (enforce upstream; several all survive). Key
+    * types: numerics, strings, dates — the stat-eligible scalar domains.
+    * Commit discipline matches [[merge]]: a concurrent commit that ADDED
+    * files intersecting the batch's key footprint is a conflict (this
+    * merge's insert-vs-update decisions never saw those rows), raced
+    * appends outside the footprint rebase and land.
+    */
+  def mergeByKey(spark: SparkSession, batch: DataFrame, dir: String,
+      key: String, maxExactKeys: Int = 100000): Long = {
+    require(batch.columns.contains(key), s"mergeByKey: batch has no column '$key'")
+    require(batch.filter(col(s"`$key`").isNull).isEmpty, "mergeByKey: batch has NULL keys")
+    val keyType = batch.schema(key).dataType
+    require(FileStats.eligible(keyType) && keyType != org.apache.spark.sql.types.BooleanType,
+      s"mergeByKey key '$key' must be numeric/string/date/timestamp, got ${keyType.sql}")
+    val kind = FileStats.kindOf(keyType)
+
+    // one bounded collect: distinct keys in the stat comparison domain
+    // ("num" → Double, "str" → UTF-8-ordered string); an over-cap batch
+    // falls back to range pruning off the same collected rows' min/max
+    // plus one extra agg for the true bounds
+    def repr(v: Any): String = v match {
+      case d: java.sql.Date => d.toString
+      case ld: java.time.LocalDate => ld.toString
+      case other => other.toString
+    }
+    val keyRows = batch.select(col(s"`$key`")).distinct().limit(maxExactKeys + 1).collect()
+    if (keyRows.isEmpty) { // empty batch: no-op, current version (0 if absent)
+      return versions(spark, dir).sorted.lastOption.getOrElse(0L)
+    }
+    val exact = keyRows.length <= maxExactKeys
+    // NaN keys defeat ordered pruning (every comparison is false, which
+    // would wrongly SKIP the files holding them) — disable pruning entirely
+    val unprunable = kind == "num" && keyRows.exists(r => {
+      val s = repr(r.get(0)); s == "NaN" || s == "-NaN"
+    })
+    val hitFile: FileEntry => Boolean =
+      if (unprunable) _ => true
+      else if (exact) {
+        if (kind == "num") {
+          val ks = keyRows.map(r => repr(r.get(0)).toDouble).sorted
+          e => keyBounds(e, key) match {
+            case Some((lo, hi)) =>
+              val i = lowerBoundD(ks, lo.toDouble)
+              i < ks.length && ks(i) <= hi.toDouble
+            case None => true
+          }
+        } else {
+          val ks = keyRows.map(r => repr(r.get(0)))
+            .sortWith(FileStats.cmpUtf8(_, _) < 0)
+          e => keyBounds(e, key) match {
+            case Some((lo, hi)) =>
+              val i = lowerBoundS(ks, lo)
+              i < ks.length && FileStats.cmpUtf8(ks(i), hi) <= 0
+            case None => true
+          }
+        }
+      } else {
+        val r = batch.agg(min(col(s"`$key`")), max(col(s"`$key`"))).collect()(0)
+        val (bLo, bHi) = (repr(r.get(0)), repr(r.get(1)))
+        e => keyBounds(e, key) match {
+          case Some((lo, hi)) =>
+            if (kind == "num") !(bHi.toDouble < lo.toDouble || bLo.toDouble > hi.toDouble)
+            else !(FileStats.cmpUtf8(bHi, lo) < 0 || FileStats.cmpUtf8(bLo, hi) > 0)
+          case None => true
+        }
+      }
+
+    retryingRewrite(dir) {
+      currentManifest(spark, dir) match {
+        case None =>
+          val entries = writeData(spark, batch, dir)
+          commitLoop(spark, dir, op = "merge") { cur =>
+            if (cur.isDefined) throw new SnapshotConflictException(
+              s"table at $dir appeared concurrently; re-running merge against it")
+            Some((entries, Map.empty[String, Long], Some(batch.schema.toDDL)))
+          }.get
+        case Some(m) =>
+          enforceOnBatch(spark, dir, Some(m), batch, s"merge into $dir")
+          val rewrite = m.entries.filter(hitFile)
+          val base =
+            if (rewrite.isEmpty) batch.limit(0)
+            else readEntries(spark, dir, rewrite, m.schemaDdl, mappingOf(Some(m)))
+          val out = IncrementalLoader.upsert(base, batch, Seq(key))
+          mergeSchemas(priorSchema(spark, dir, Some(m)), out.schema, reservedPhysicals(Some(m)))
+          val entries = writeData(spark, out, dir, m.partitionCols.getOrElse(Seq.empty),
+            mapping = mappingOf(Some(m)))
+          val removed = rewrite.map(_.path).toSet
+          val basePaths = m.entries.map(_.path).toSet
+          commitLoop(spark, dir, op = "merge") { cur =>
+            val addedSince = cur.map(_.entries).getOrElse(Seq.empty)
+              .filterNot(e => basePaths.contains(e.path))
+            val overlap = addedSince.filter(hitFile)
+            if (overlap.nonEmpty) throw new SnapshotConflictException(
+              s"concurrent commit at $dir added ${overlap.length} file(s) intersecting this " +
+                s"merge's key footprint (e.g. ${overlap.take(3).map(_.path).mkString(", ")}); " +
+                "re-running the merge against the new snapshot")
+            val merged = mergeSchemas(priorSchema(spark, dir, cur), out.schema, reservedPhysicals(cur))
+            Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
+              txnOf(cur), Some(merged.toDDL)))
+          }.get
+      }
+    }
+  }
+
+  /** A file's key bounds for [[mergeByKey]] pruning: Some((lo, hi)) when
+    * the manifest carries both bounds for the column, None (conservative)
+    * otherwise.
+    */
+  private def keyBounds(e: FileEntry, key: String): Option[(String, String)] =
+    for {
+      s <- e.stats.flatMap(_.get(key)); lo <- s.lo; hi <- s.hi
+    } yield (lo, hi)
+
+  /** Index of the first element >= target (array length when none). */
+  private def lowerBoundD(a: Array[Double], target: Double): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (a(mid) < target) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  private def lowerBoundS(a: Array[String], target: String): Int = {
+    var lo = 0; var hi = a.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (FileStats.cmpUtf8(a(mid), target) < 0) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
   /** Rewrite the current snapshot into ⌈total bytes / targetBytes⌉ files and
     * commit — the concurrent-reader-safe form of [[graft.ops.Layout.compact]]:
     * readers of the old snapshot keep their files (nothing is deleted here;

@@ -13,17 +13,19 @@ import graft.ops.Graph
   * [[graft.ops.Graph]]'s own rationale); the actionable output is every
   * doc mapped to its connected component's representative.
   *
-  * The fold never re-runs components over the accumulated pair set, and
-  * never runs component ROUNDS over the assignment either. Each batch:
-  * (1) maps the delta pairs' endpoints through the current assignment —
-  * two same-component nodes contract to their reps; (2) runs
-  * [[Graph.connectedComponents]] on that contracted graph, whose size is
-  * O(|Δ| endpoints) regardless of corpus size; (3) rewrites the
-  * assignment with ONE broadcast-join pass (the rep→new-rep table is
-  * batch-sized) plus the batch's brand-new docs. Component-merging
-  * iteration only ever touches batch-sized frames; the corpus-sized
-  * assignment is scanned once per fold (persisted across the fold's
-  * joins, released on commit) and rewritten once.
+  * The fold is O(Δ) in BOTH compute and I/O. Compute: (1) delta pairs'
+  * endpoints map through the current assignment — two same-component nodes
+  * contract to their reps; (2) [[Graph.connectedComponents]] runs on that
+  * contracted graph, whose size is O(|Δ| endpoints) regardless of corpus
+  * size; component-merging iteration only ever touches batch-sized frames.
+  * I/O: the corpus-sized assignment is SCANNED once per fold (persisted
+  * across the fold's joins, released on commit) and the rewrite goes
+  * through [[SnapshotTable.mergeByKey]] with ONLY the changed rows — docs
+  * whose rep actually moved (members of clusters merged by this batch)
+  * plus the batch's brand-new docs — so only data files whose doc_id
+  * bounds intersect the touched docs are rewritten; the rest of the
+  * assignment moves to the new snapshot BY REFERENCE. A fold that changes
+  * nothing (replayed batch, all-redundant edges) publishes NO version.
   *
   * The assignment lives in a snapshot table (schema `doc_id, rep_id` —
   * q59's shape), so readers get OCC-consistent versions, time travel over
@@ -33,16 +35,54 @@ import graft.ops.Graph
   *
   * Re-folding an already-incorporated batch is IDEMPOTENT by construction:
   * its pairs connect nodes the assignment already places in one component,
-  * so the recomputed assignment is unchanged (a crash-replayed foreachBatch
-  * rewrites an equal snapshot version, never corrupts the clustering).
+  * so every contracted pair is a self-loop, the remap is empty, no row
+  * changes, and the fold publishes no new version (a crash-replayed
+  * foreachBatch never corrupts the clustering — or even churns a version).
   */
 object IncrementalClusters {
 
+  /** One fold's delta against the current assignment: `remap` = old rep →
+    * new rep for components this batch MERGED (genuine moves only — never
+    * identity rows), `newDocs` = (doc_id, rep_id) for ids the assignment
+    * has never seen. Both are bounded by the batch (remap) or the batch
+    * plus its touched clusters (the callers' changed-row joins).
+    */
+  private case class FoldDelta(remap: DataFrame, newDocs: DataFrame)
+
+  /** Contract the batch against `prev` (the persisted current assignment)
+    * and run components on the batch-sized contracted graph.
+    */
+  private def foldDelta(newEdges: DataFrame, prev: DataFrame): FoldDelta = {
+    // contract each delta endpoint to its current rep (absent → itself:
+    // a brand-new doc is its own node); same-component pairs become
+    // self-loops, which connectedComponents keeps as rep=self nodes, so
+    // every touched rep and new doc gets a row in the tiny result
+    val mapped = newEdges
+      .join(prev.select(col("doc_id").as("id_a"), col("rep_id").as("ra")), Seq("id_a"), "left")
+      .join(prev.select(col("doc_id").as("id_b"), col("rep_id").as("rb")), Seq("id_b"), "left")
+      .select(coalesce(col("ra"), col("id_a")).as("id_a"),
+        coalesce(col("rb"), col("id_b")).as("id_b"))
+    val ccd = Graph.connectedComponents(mapped)
+    // a component's rep is always its min DOC id: member reps are their
+    // old components' minima and new docs bring their own ids, so the
+    // min over the contracted component is the min over the merged one.
+    // Identity rows (id == rep: untouched components, self-loop-only
+    // nodes) are excluded — they move nothing, and keeping them would
+    // make every member of every TOUCHED-but-unmerged cluster a "change"
+    val remap = broadcast(ccd.filter(col("id") =!= col("rep"))
+      .select(col("id").as("rep_id"), col("rep").as("new_rep")))
+    val newDocs = newEdges.select(col("id_a").as("doc_id"))
+      .union(newEdges.select(col("id_b"))).distinct()
+      .join(prev.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(ccd.select(col("id").as("doc_id"), col("rep").as("rep_id")), Seq("doc_id"))
+    FoldDelta(remap, newDocs)
+  }
+
   /** Fold one batch of candidate pairs (columns `id_a`, `id_b`; extras
-    * ignored) into the clusters table at `clustersDir`, replacing the
-    * assignment snapshot. Returns the committed snapshot version. An empty
-    * batch against an existing table is a no-op (current version, no new
-    * snapshot).
+    * ignored) into the clusters table at `clustersDir`, merging ONLY the
+    * changed rows into the assignment snapshot. Returns the committed (or,
+    * for a no-change fold, current) snapshot version. An empty batch — or
+    * a batch whose pairs are all already-connected — publishes no version.
     */
   def foldPairs(spark: SparkSession, clustersDir: String, pairs: DataFrame): Long = {
     val newEdges = pairs
@@ -57,34 +97,24 @@ object IncrementalClusters {
         clustersDir)
     } else {
       // persisted for the fold: the contract joins (both endpoints), the
-      // remap pass, and the new-doc anti-join would otherwise each re-scan
-      // the corpus-sized assignment — four table scans per fold instead of
-      // one scan + cached reads (spill-safe default storage level; released
-      // the moment the rewrite commits)
+      // moved-row join, and the new-doc anti-join would otherwise each
+      // re-scan the corpus-sized assignment (spill-safe default storage
+      // level; released the moment the merge commits)
       val prev = SnapshotTable.read(spark, clustersDir)
         .select(col("doc_id"), col("rep_id")).persist()
-      // contract each delta endpoint to its current rep (absent → itself:
-      // a brand-new doc is its own node); same-component pairs become
-      // self-loops, which connectedComponents keeps as rep=self nodes, so
-      // every touched rep and new doc gets a row in the tiny result
-      val mapped = newEdges
-        .join(prev.select(col("doc_id").as("id_a"), col("rep_id").as("ra")), Seq("id_a"), "left")
-        .join(prev.select(col("doc_id").as("id_b"), col("rep_id").as("rb")), Seq("id_b"), "left")
-        .select(coalesce(col("ra"), col("id_a")).as("id_a"),
-          coalesce(col("rb"), col("id_b")).as("id_b"))
-      val ccd = Graph.connectedComponents(mapped)
-      // a component's rep is always its min DOC id: member reps are their
-      // old components' minima and new docs bring their own ids, so the
-      // min over the contracted component is the min over the merged one
-      val remap = broadcast(ccd.select(col("id").as("rep_id"), col("rep").as("new_rep")))
-      val updated = prev.join(remap, Seq("rep_id"), "left")
-        .select(col("doc_id"), coalesce(col("new_rep"), col("rep_id")).as("rep_id"))
-      val newDocs = newEdges.select(col("id_a").as("doc_id"))
-        .union(newEdges.select(col("id_b"))).distinct()
-        .join(prev.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .join(ccd.select(col("id").as("doc_id"), col("rep").as("rep_id")), Seq("doc_id"))
-      try SnapshotTable.write(spark, updated.union(newDocs), clustersDir)
-      finally prev.unpersist(blocking = false)
+      try {
+        val d = foldDelta(newEdges, prev)
+        // changed rows only: members of merged clusters re-keyed to the
+        // new rep, plus brand-new docs — the merge rewrites just the data
+        // files whose doc_id bounds contain them
+        val moved = prev.join(d.remap, Seq("rep_id"))
+          .select(col("doc_id"), col("new_rep").as("rep_id"))
+        val changes = moved.unionByName(d.newDocs).persist()
+        try {
+          if (changes.isEmpty) SnapshotTable.versions(spark, clustersDir).max
+          else SnapshotTable.mergeByKey(spark, changes, clustersDir, "doc_id")
+        } finally changes.unpersist(blocking = false)
+      } finally prev.unpersist(blocking = false)
     }
   }
 

@@ -52,9 +52,42 @@ class IncrementalClustersSpec extends SparkSpec {
     // empty fold: no new snapshot version
     IncrementalClusters.foldPairs(spark, dir, Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
     assert(SnapshotTable.versions(spark, dir).max == v1)
-    // replaying an already-folded batch rewrites an EQUAL assignment
+    // replaying an already-folded batch changes NOTHING — not even a
+    // version (the contracted pairs are all self-loops, the merge delta
+    // is empty, no snapshot publishes)
     IncrementalClusters.foldPairs(spark, dir, Seq((1L, 2L)).toDF("id_a", "id_b"))
     assert(assignment(dir) == a1)
+    assert(SnapshotTable.versions(spark, dir).max == v1)
+  }
+
+  test("a fold rewrites ONLY data files containing touched docs") {
+    // the O(Δ) I/O contract: the assignment snapshot's untouched files
+    // must move to the post-fold version BY REFERENCE, never by rewrite —
+    // at a corpus-scale assignment this is the difference between a
+    // micro-batch costing O(batch) and O(corpus)
+    val dir = tmp("io")
+    // three disjoint doc_id ranges, one file each (singleton clusters)
+    SnapshotTable.write(spark,
+      (0L until 100L).map(i => (i, i)).toDF("doc_id", "rep_id").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (1000L until 1100L).map(i => (i, i)).toDF("doc_id", "rep_id").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (2000L until 2100L).map(i => (i, i)).toDF("doc_id", "rep_id").repartition(1), dir)
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    assert(m.entries.size == 3)
+    val untouched = m.entries.filter(e =>
+      e.stats.get("doc_id").hi.get.toDouble < 1000.0 ||
+        e.stats.get("doc_id").lo.get.toDouble >= 2000.0).map(_.path).toSet
+    assert(untouched.size == 2)
+    // merge two singletons in the middle range: touched docs = {1051}
+    // (1050 is the new rep and keeps its row), plus no new docs
+    IncrementalClusters.foldPairs(spark, dir, Seq((1050L, 1051L)).toDF("id_a", "id_b"))
+    val after = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    assert(untouched.subsetOf(after),
+      s"untouched files were rewritten: ${untouched -- after}")
+    assert(assignment(dir).view.filterKeys(k => k == 1050L || k == 1051L).toMap ==
+      Map(1050L -> 1050L, 1051L -> 1050L))
+    assert(IncrementalClusters.clusters(spark, dir).count() == 300)
   }
 
   test("streamed corpus: foreachBatch fold equals the batch dedup pipeline's clusters") {

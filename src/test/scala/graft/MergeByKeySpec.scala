@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.SnapshotTable
+
+/** [[SnapshotTable.mergeByKey]] — the arbitrary-key MERGE: update-else-
+  * insert semantics, file-level carry-by-reference for files whose key
+  * bounds cannot contain a batch key (exact binary-search pruning AND the
+  * over-cap range fallback), create-path, and string keys.
+  */
+class MergeByKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-mbk-$tag").toString
+
+  private def content(dir: String): Map[Long, String] =
+    SnapshotTable.read(spark, dir).as[(Long, String)].collect().toMap
+
+  private def paths(dir: String): Set[String] =
+    SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+
+  test("update-else-insert semantics, idempotent on replay") {
+    val dir = tmp("sem")
+    SnapshotTable.write(spark, Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), dir)
+    val batch = Seq((2L, "B"), (9L, "i")).toDF("id", "v")
+    SnapshotTable.mergeByKey(spark, batch, dir, "id")
+    assert(content(dir) == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "i"))
+    SnapshotTable.mergeByKey(spark, batch, dir, "id") // replay: equal content
+    assert(content(dir) == Map(1L -> "a", 2L -> "B", 3L -> "c", 9L -> "i"))
+  }
+
+  test("files whose key bounds miss the batch carry by reference") {
+    val dir = tmp("prune")
+    // three appends = three disjoint key-range file groups
+    SnapshotTable.write(spark,
+      (0L until 100L).map(i => (i, "lo")).toDF("id", "v").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (1000L until 1100L).map(i => (i, "mid")).toDF("id", "v").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (2000L until 2100L).map(i => (i, "hi")).toDF("id", "v").repartition(1), dir)
+    val before = paths(dir)
+    assert(before.size == 3)
+    val loHi = SnapshotTable.currentManifest(spark, dir).get.entries
+      .filter(e => { val b = e.stats.get("id"); b.lo.get.toDouble >= 2000.0 })
+      .map(_.path).toSet ++
+      SnapshotTable.currentManifest(spark, dir).get.entries
+        .filter(e => e.stats.get("id").hi.get.toDouble < 1000.0).map(_.path).toSet
+    assert(loHi.size == 2)
+    SnapshotTable.mergeByKey(spark,
+      Seq((1050L, "MID"), (1500L, "new")).toDF("id", "v"), dir, "id")
+    val after = paths(dir)
+    // the lo and hi files survive by path; the mid file was rewritten
+    assert(loHi.subsetOf(after), s"carried files rewritten: ${loHi -- after}")
+    assert((before -- loHi).intersect(after).isEmpty, "touched file not rewritten")
+    assert(content(dir).view.filterKeys(k => k == 1050L || k == 1500L).toMap ==
+      Map(1050L -> "MID", 1500L -> "new"))
+    assert(SnapshotTable.read(spark, dir).count() == 301)
+  }
+
+  test("over-cap batches degrade to range pruning, still correct and still carry misses") {
+    val dir = tmp("range")
+    SnapshotTable.write(spark,
+      (0L until 50L).map(i => (i, "lo")).toDF("id", "v").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (1000L until 1050L).map(i => (i, "hi")).toDF("id", "v").repartition(1), dir)
+    val loFile = SnapshotTable.currentManifest(spark, dir).get.entries
+      .filter(_.stats.get("id").hi.get.toDouble < 1000.0).map(_.path).toSet
+    assert(loFile.size == 1)
+    // cap 3 < 10 distinct keys -> range mode; batch range [1000, 1009]
+    SnapshotTable.mergeByKey(spark,
+      (1000L until 1010L).map(i => (i, "HI")).toDF("id", "v"), dir, "id", maxExactKeys = 3)
+    assert(loFile.subsetOf(paths(dir)))
+    val got = content(dir)
+    assert((1000L until 1010L).forall(i => got(i) == "HI"))
+    assert((1010L until 1050L).forall(i => got(i) == "hi"))
+    assert((0L until 50L).forall(i => got(i) == "lo"))
+  }
+
+  test("string keys merge and prune") {
+    val dir = tmp("str")
+    SnapshotTable.write(spark,
+      Seq(("alpha", 1L), ("beta", 2L)).toDF("k", "n").repartition(1), dir)
+    SnapshotTable.append(spark,
+      Seq(("omega", 3L), ("sigma", 4L)).toDF("k", "n").repartition(1), dir)
+    val early = SnapshotTable.currentManifest(spark, dir).get.entries
+      .filter(_.stats.get("k").hi.get < "m").map(_.path).toSet
+    assert(early.size == 1)
+    SnapshotTable.mergeByKey(spark, Seq(("omega", 30L), ("zeta", 5L)).toDF("k", "n"), dir, "k")
+    assert(early.subsetOf(paths(dir)))
+    assert(SnapshotTable.read(spark, dir).as[(String, Long)].collect().toMap ==
+      Map("alpha" -> 1L, "beta" -> 2L, "omega" -> 30L, "sigma" -> 4L, "zeta" -> 5L))
+  }
+
+  test("create path and empty batch") {
+    val dir = tmp("create")
+    val v = SnapshotTable.mergeByKey(spark, Seq((1L, "a")).toDF("id", "v"), dir, "id")
+    assert(v == 1L)
+    assert(content(dir) == Map(1L -> "a"))
+    // empty batch: no version published
+    SnapshotTable.mergeByKey(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir, "id")
+    assert(SnapshotTable.versions(spark, dir).max == 1L)
+  }
+
+  test("NULL keys are refused") {
+    val dir = tmp("null")
+    SnapshotTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
+    val bad = Seq((Some(2L), "b"), (None, "x")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeByKey(spark, bad, dir, "id")
+    }
+  }
+}
