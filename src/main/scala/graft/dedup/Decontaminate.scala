@@ -185,13 +185,16 @@ object Decontaminate {
     * `clean_text` is canonical-token text, not a byte-identical substring
     * of the input.
     *
-    * Scale shape: fully relational — positions explode once, benchmark
-    * grams aggregate once (hash-keyed join; string equality modulo
-    * xxhash64 collisions, the stack's standard argument), coverage is a
-    * per-doc equi+range anti-join, and reassembly is the
-    * [[Dedup.paragraphDedup]] min-shuffle pattern (sort a collected
-    * (pos, token) struct list per doc — bounded by doc length). No
-    * windows, no per-row UDFs, nothing corpus-sized on the driver.
+    * Scale shape: fully relational — positions stay INSIDE each doc's token
+    * array (never exploded against hits), benchmark grams aggregate once
+    * (hash-keyed join; string equality modulo xxhash64 collisions, the
+    * stack's standard argument), and the per-doc hit windows MERGE INTO
+    * DISJOINT INTERVALS first (one groupBy + one sorted array fold, bounded
+    * by the doc's hit count), so coverage is an array-local check of
+    * O(tokens × merged-intervals) per doc — a long document quoting the
+    * benchmark end-to-end collapses to ONE interval and costs O(tokens),
+    * where a positions×hits join would cost O(len²). No windows, no
+    * per-row UDFs, nothing corpus-sized on the driver.
     *
     * @return every corpus doc: (doc_id, clean_text, n_tokens, n_removed)
     */
@@ -207,7 +210,6 @@ object Decontaminate {
     graft.extensions.GraftExtensions.register(spark) // ws_tokens below
     val toks = docs.select(col(idCol).as("doc_id"),
       graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("toks"))
-    val pos = toks.select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "w")))
     // gram start positions: shingles() emits index order, so pos = start
     val grams = docs.select(col(idCol).as("doc_id"),
       posexplode(TextFunctions.shingles(spark, col(textCol), n)).as(Seq("p", "s")))
@@ -217,21 +219,33 @@ object Decontaminate {
       .distinct()
     val hits = grams.join(benchGrams, "h")
       .select(col("doc_id"), col("p")).distinct()
-    val kept = pos.join(hits,
-      pos("doc_id") === hits("doc_id") &&
-        pos("i") >= hits("p") && pos("i") < hits("p") + n,
-      "left_anti")
-    val rebuilt = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_kept"),
-        concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("i"), col("w")))),
-            x => x.getField("w"))).as("clean_text"))
-    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
+    // merge each doc's hit windows [p, p+n-1] into disjoint intervals:
+    // starts sort ascending, and a window whose start falls at or inside
+    // the running interval (+1 for adjacency — the coverage union is the
+    // same either way) extends it. Intervals ≤ hits, usually FAR fewer —
+    // contiguous contamination collapses to one.
+    val emptyIvs = expr("cast(array() as array<struct<s:int,e:int>>)")
+    val ivs = hits.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("p"))).as("ps"))
       .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        aggregate(col("ps"), emptyIvs, (acc, p) => {
+          val last = element_at(acc, -1)
+          val end = (p + lit(n) - 1).cast("int")
+          when(size(acc) > 0 && p <= last.getField("e") + 1,
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(last.getField("s").as("s"), end.as("e")))))
+            .otherwise(concat(acc, array(struct(p.cast("int").as("s"), end.as("e")))))
+        }).as("ivs"))
+    // coverage is array-local: a token survives when no interval holds its
+    // index; survivors keep original order, so the rebuild is a plain join
+    val withIvs = toks.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"), coalesce(col("ivs"), emptyIvs).as("ivs"))
+    val kept = filter(col("toks"), (_, i) =>
+      !exists(col("ivs"), v => i >= v.getField("s") && i <= v.getField("e")))
+    withIvs.select(col("doc_id"),
+      concat_ws(" ", kept).as("clean_text"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      (size(col("toks")) - size(kept)).cast("long").as("n_removed"))
   }
 
   /** The corpus with contaminated documents REMOVED — the pipeline's

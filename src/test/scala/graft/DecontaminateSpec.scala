@@ -123,6 +123,28 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(2) == ((3L, "mixed case tokens here output lowercases", 6L, 0L)))
   }
 
+  test("exciseContaminated: a long ~fully-contaminated doc is interval-bounded, not O(len^2)") {
+    // one 30k-token doc quoting the benchmark end-to-end: every window
+    // hits, so positions x hits would be ~9x10^8 comparisons on one task.
+    // The merged-interval path collapses the hits to ONE interval and
+    // finishes in linear time; a clean tail after the quote must survive.
+    val quote = (0 until 30000).map(i => s"w${i % 4096}").mkString(" ")
+    val d = Seq(
+      (1L, quote),                    // 100% contaminated
+      (2L, quote + " clean tail here tokens")  // contaminated prefix, clean suffix
+    ).toDF("doc_id", "text")
+    val bench = Seq(quote).toDF("text")
+    val t0 = System.nanoTime()
+    val out = Decontaminate.exciseContaminated(d, bench, n = 8).orderBy($"doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out(0) == ((1L, "", 30000L, 30000L)))
+    // windows mixing quote and tail tokens are NOT benchmark members, so
+    // the hit union is exactly [0, 29999] and the tail survives whole
+    assert(out(1) == ((2L, "clean tail here tokens", 30004L, 30000L)))
+    assert(secs < 90.0, f"long-doc excision took $secs%.1f s - interval merge regressed?")
+  }
+
   test("agrees with Dedup.contaminationFlags on the shared semantics") {
     // same shingle length + threshold: the two formulations (bloom-prefiltered
     // vs plain join) must flag the same docs with the same counts
