@@ -916,6 +916,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- DSIR over the paper's FIXED hashed feature space: bigrams hash
+    // into 256 md5-prefix buckets, so both multinomial fits are ≤256 rows
+    // no matter the corpus — the bounded-model-state deploy option ----
+    "q159_dsir_hashed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.text.TextPipelines.dsirScoresHashed(docs, docs.filter(col("lang") === "en"),
+        hexChars = 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- context-window chunking: 32-token windows, stride 24 (overlap 8)
     // over every document — the curation-to-training handoff; fixture docs
     // run 40-100 tokens so most emit several chunks with a short tail ----
@@ -3049,6 +3059,34 @@ object SparkEntry {
         |            - LN((c_r + 0.5) / (n_r + 0.5 * v))), 6) AS dsir_score
         |  FROM g JOIN cr USING (bg) LEFT JOIN ct USING (bg)
         |  CROSS JOIN nr CROSS JOIN nt CROSS JOIN v
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+        |  COALESCE(sc.dsir_score, 0) AS dsir_score
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // q159: hashed-feature DSIR truth — identical recipe to q155 but the
+    // feature is substr(md5(bigram), 1, 2) (256 buckets; md5 hex agrees
+    // across engines) and the smoothing vocabulary is the FIXED bucket
+    // count 256, not the observed distinct features.
+    "q159_dsir_hashed" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |t2 AS (SELECT doc_id, lang, toks FROM t WHERE LEN(toks) >= 2),
+        |p AS (SELECT doc_id, lang, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM t2),
+        |g AS (SELECT a.doc_id, a.lang, substr(md5(a.w || ' ' || b.w), 1, 2) AS f
+        |      FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+        |cr AS (SELECT f, COUNT(*) AS c_r FROM g GROUP BY 1),
+        |ct AS (SELECT f, COUNT(*) AS c_t FROM g WHERE lang = 'en' GROUP BY 1),
+        |nr AS (SELECT COUNT(*) AS n_r FROM g),
+        |nt AS (SELECT COUNT(*) AS n_t FROM g WHERE lang = 'en'),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    ROUND(AVG(LN((COALESCE(c_t, 0) + 0.5) / (n_t + 0.5 * 256))
+        |            - LN((c_r + 0.5) / (n_r + 0.5 * 256))), 6) AS dsir_score
+        |  FROM g JOIN cr USING (f) LEFT JOIN ct USING (f)
+        |  CROSS JOIN nr CROSS JOIN nt
         |  GROUP BY doc_id)
         |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
         |  COALESCE(sc.dsir_score, 0) AS dsir_score

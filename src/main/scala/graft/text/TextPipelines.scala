@@ -507,6 +507,21 @@ object TextPipelines {
     * count, never all-pairs); the three scalars (N_raw, N_target, |V|) ride
     * as broadcast 1-row frames, so nothing corpus-sized touches the driver.
     */
+  /** One row per bigram OCCURRENCE: (doc_id, bg) — the shared feature
+    * extraction of [[dsirScores]] and [[dsirScoresHashed]].
+    */
+  private def bigramOccurrences(df: DataFrame, id: Column, textCol: String): DataFrame = {
+    val toks = df
+      .select(id.as("doc_id"),
+        graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("toks"))
+      .filter(size(col("toks")) >= 2)
+    toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+  }
+
   def dsirScores(
       raw: DataFrame,
       target: DataFrame,
@@ -516,19 +531,8 @@ object TextPipelines {
     require(addK > 0, s"addK must be > 0 for smoothing, got $addK")
     val spark = raw.sparkSession
     graft.extensions.GraftExtensions.register(spark)
-    def grams(df: DataFrame, id: Column): DataFrame = {
-      val toks = df
-        .select(id.as("doc_id"),
-          graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("toks"))
-        .filter(size(col("toks")) >= 2)
-      toks.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => concat(a, lit(" "), b))).as("bg"))
-    }
-    val rawG = grams(raw, col(idCol)).persist()
-    val tgtG = grams(target, lit(0L))
+    val rawG = bigramOccurrences(raw, col(idCol), textCol).persist()
+    val tgtG = bigramOccurrences(target, lit(0L), textCol)
     val cR = rawG.groupBy(col("bg")).agg(count(lit(1)).as("c_r"))
     val cT = tgtG.groupBy(col("bg")).agg(count(lit(1)).as("c_t"))
     val nR = rawG.agg(count(lit(1)).as("n_r"))
@@ -544,6 +548,59 @@ object TextPipelines {
         round(avg(
           log((coalesce(col("c_t"), lit(0L)) + addK) / (col("n_t") + col("v") * addK)) -
             log((col("c_r") + addK) / (col("n_r") + col("v") * addK))), 6)
+          .as("dsir_score"))
+    val out = raw.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
+    graft.util.Caching.materialize(out, rawG)
+  }
+
+  /** [[dsirScores]] over the paper's actual FIXED feature space: bigrams
+    * hash into `16^hexChars` buckets (Xie et al. 2023 hash features into
+    * 10k buckets precisely so the model state is memory-bounded), so both
+    * multinomials are at most `16^hexChars` rows REGARDLESS of corpus
+    * vocabulary — the option a 100 TB raw side wants, where exact bigram
+    * equality classes make the model frames O(union vocabulary). The
+    * smoothing vocabulary is the full bucket space (a fixed literal — one
+    * less corpus-wide aggregate than the exact path's countDistinct).
+    *
+    * The bucket function is the stack's engine-portable hash discipline
+    * ([[deterministicSplit]]): the first `hexChars` hex chars of
+    * `md5(bigram)` — any engine computes the identical bucket, so the
+    * scores stay oracle-checkable end to end.
+    */
+  def dsirScoresHashed(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      addK: Double = 0.5,
+      hexChars: Int = 2): DataFrame = {
+    require(addK > 0, s"addK must be > 0 for smoothing, got $addK")
+    require(hexChars >= 1 && hexChars <= 12,
+      s"hexChars must be in [1, 12] (16^12 buckets already overshoots any corpus), got $hexChars")
+    val spark = raw.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+    val buckets = math.pow(16.0, hexChars.toDouble).toLong
+    def feat(g: DataFrame): DataFrame =
+      g.withColumn("f", substring(md5(col("bg")), 1, hexChars)).drop("bg")
+    val rawG = feat(bigramOccurrences(raw, col(idCol), textCol)).persist()
+    val tgtG = feat(bigramOccurrences(target, lit(0L), textCol))
+    val cR = rawG.groupBy(col("f")).agg(count(lit(1)).as("c_r"))
+    val cT = tgtG.groupBy(col("f")).agg(count(lit(1)).as("c_t"))
+    val nR = rawG.agg(count(lit(1)).as("n_r"))
+    val nT = tgtG.agg(count(lit(1)).as("n_t"))
+    val scored = rawG
+      .join(cR, "f") // every raw bucket is in the raw model by construction
+      .join(cT, Seq("f"), "left") // absent from target → count 0, smoothing floors it
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(
+          log((coalesce(col("c_t"), lit(0L)) + addK) / (col("n_t") + lit(buckets) * addK)) -
+            log((col("c_r") + addK) / (col("n_r") + lit(buckets) * addK))), 6)
           .as("dsir_score"))
     val out = raw.select(col(idCol).as("doc_id"))
       .join(scored, Seq("doc_id"), "left")

@@ -148,6 +148,41 @@ class TextPipelinesSpec extends SparkSpec {
     assert(out(0)._3 > out(2)._3)
   }
 
+  test("dsirScoresHashed: equals a MessageDigest bucket replay with the FIXED vocabulary") {
+    val raw = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "x y q r"), (4L, "z")
+    ).toDF("doc_id", "text")
+    val target = raw.filter($"doc_id" <= 2)
+    val hexChars = 2
+    val buckets = 256L
+    def bucket(bg: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(
+        bg.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      d.map("%02x".format(_)).mkString.take(hexChars)
+    }
+    def bigrams(t: String): Seq[String] = {
+      val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (w.length < 2) Seq.empty else w.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val rawOcc = Seq(1L -> "a b c", 2L -> "a b", 3L -> "x y q r", 4L -> "z")
+      .flatMap { case (id, t) => bigrams(t).map(bg => (id, bucket(bg))) }
+    val tgtOcc = rawOcc.filter(_._1 <= 2).map(_._2)
+    val cR = rawOcc.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val cT = tgtOcc.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val (nR, nT, k) = (rawOcc.size.toDouble, tgtOcc.size.toDouble, 0.5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (1L to 4L).map { id =>
+      val fs = rawOcc.filter(_._1 == id).map(_._2)
+      if (fs.isEmpty) (id, 0L, 0.0)
+      else (id, fs.size.toLong, r6(fs.map(f =>
+        math.log((cT.getOrElse(f, 0.0) + k) / (nT + buckets * k)) -
+          math.log((cR(f) + k) / (nR + buckets * k))).sum / fs.size))
+    }
+    val got = TextPipelines.dsirScoresHashed(raw, target, hexChars = hexChars)
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
   test("dsirSelect: deterministic top-n by (score desc, id), all columns kept") {
     val raw = Seq(
       (1L, "a b", "m1"), (2L, "a b", "m2"), (3L, "x y", "m3"), (4L, "a b", "m4")
