@@ -894,6 +894,32 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- streaming SemDeDup (semantic dedup-on-ingest) in batch mode —
+    // E111's treatment for the paraphrase tier: the cell-state pair
+    // generator runs on the q153 fixture corpus, components + assignment
+    // reassemble q153's exact output shape, and the SAME recursive-CTE
+    // oracle must hash-match (generator ≡ batch edge set) ----
+    "q160_streaming_semdedup" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val pert1 = base.filter(col("id") < 50).select((col("id") + 1000000).as("id"),
+        transform(col("vec"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("vec"))
+      val pert2 = base.filter(col("id") < 25).select((col("id") + 2000000).as("id"),
+        transform(col("vec"), (x, i) => when(i === 0, x + 0.02).otherwise(x)).as("vec"))
+      val corpus = base.union(pert1).union(pert2)
+      val centroids = base.filter(pmod(col("id"), lit(50)) === 0).orderBy(col("id"))
+        .collect().map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+      val pairs = graft.streaming.StreamingSemDeDup
+        .semanticPairs(corpus, centroids, threshold = 0.99)
+        .toDF().select(col("id_a"), col("id_b"))
+      val comps = graft.ops.Graph.connectedComponents(pairs)
+      Similarity.assignEmbeddings(corpus, centroids).select(col("id"), col("cluster"))
+        .join(comps.select(col("id"), col("rep")), Seq("id"), "left")
+        .select(col("id"), col("cluster"), coalesce(col("rep"), col("id")).as("rep_id"))
+        .withColumn("keep", col("id") === col("rep_id"))
+        .orderBy(col("id"))
+    }),
+
     // ---- exact-substring span dedup (Lee et al. ExactSubstr, hash-grouped):
     // each doc carries an appended copy of doc (id % 100)'s text, so every
     // doc whose id exceeds its donor repeats that block's verbatim 8-token
@@ -2343,6 +2369,47 @@ object SparkEntry {
       |SELECT v, ROUND(r, 6) AS rank FROM r$iters ORDER BY v""".stripMargin
   }
 
+  /** SemDeDup truth, shared by q153 (batch operator) and q160 (the
+    * streaming-shaped generator run in batch mode): deterministic
+    * centroids (every 50th vector, cid = rank), spherical argmax
+    * assignment with the same (score DESC, cid DESC) tie-break as
+    * assignEmbeddings' max-struct, within-cluster cosine pairs,
+    * transitive closure, min-id rep.
+    */
+  private val SemanticDedupOracleSql: String =
+    """WITH RECURSIVE v AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |pert1 AS (SELECT id + 1000000 AS id,
+      |  list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS vec
+      |  FROM v WHERE id < 50),
+      |pert2 AS (SELECT id + 2000000 AS id,
+      |  list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.02 ELSE x END) AS vec
+      |  FROM v WHERE id < 25),
+      |corpus AS (SELECT * FROM v UNION ALL SELECT * FROM pert1 UNION ALL SELECT * FROM pert2),
+      |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+      |         FROM v WHERE id % 50 = 0),
+      |scored AS (SELECT c.id, ct.cid, list_cosine_similarity(c.vec, ct.cvec) AS s
+      |           FROM corpus c CROSS JOIN cent ct),
+      |ass AS (SELECT id, cid AS cluster FROM (
+      |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
+      |  FROM scored) WHERE rn = 1),
+      |cellv AS (SELECT a.id, a.cluster, c.vec FROM ass a JOIN corpus c USING (id)),
+      |pairs AS (
+      |  SELECT x.id AS id_a, y.id AS id_b FROM cellv x JOIN cellv y
+      |  ON x.cluster = y.cluster AND x.id < y.id
+      |  WHERE list_cosine_similarity(x.vec, y.vec) >= 0.99),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+      |          UNION ALL SELECT id_b, id_a FROM pairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |reach AS (
+      |  SELECT id, id AS lab FROM nodes
+      |  UNION
+      |  SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
+      |reps AS (SELECT id, MIN(lab) AS rep FROM reach GROUP BY 1)
+      |SELECT a.id, a.cluster, COALESCE(r.rep, a.id) AS rep_id,
+      |  COALESCE(r.rep, a.id) = a.id AS keep
+      |FROM ass a LEFT JOIN reps r USING (id) ORDER BY a.id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q114_kmeans_assign" -> kmeansAssignOracle(KmeansCentroids),
     "q115_bpe_apply" -> bpeApplyOracle(BpeFixedMerges),
@@ -2892,39 +2959,13 @@ object SparkEntry {
     // vector, cid = rank), spherical argmax assignment with the same
     // (score DESC, cid DESC) tie-break as assignEmbeddings' max-struct,
     // within-cluster cosine pairs, transitive closure, min-id rep.
-    "q153_semantic_dedup" ->
-      """WITH RECURSIVE v AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |pert1 AS (SELECT id + 1000000 AS id,
-        |  list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS vec
-        |  FROM v WHERE id < 50),
-        |pert2 AS (SELECT id + 2000000 AS id,
-        |  list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.02 ELSE x END) AS vec
-        |  FROM v WHERE id < 25),
-        |corpus AS (SELECT * FROM v UNION ALL SELECT * FROM pert1 UNION ALL SELECT * FROM pert2),
-        |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
-        |         FROM v WHERE id % 50 = 0),
-        |scored AS (SELECT c.id, ct.cid, list_cosine_similarity(c.vec, ct.cvec) AS s
-        |           FROM corpus c CROSS JOIN cent ct),
-        |ass AS (SELECT id, cid AS cluster FROM (
-        |  SELECT id, cid, ROW_NUMBER() OVER (PARTITION BY id ORDER BY s DESC, cid DESC) AS rn
-        |  FROM scored) WHERE rn = 1),
-        |cellv AS (SELECT a.id, a.cluster, c.vec FROM ass a JOIN corpus c USING (id)),
-        |pairs AS (
-        |  SELECT x.id AS id_a, y.id AS id_b FROM cellv x JOIN cellv y
-        |  ON x.cluster = y.cluster AND x.id < y.id
-        |  WHERE list_cosine_similarity(x.vec, y.vec) >= 0.99),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |          UNION ALL SELECT id_b, id_a FROM pairs),
-        |nodes AS (SELECT DISTINCT src AS id FROM edges),
-        |reach AS (
-        |  SELECT id, id AS lab FROM nodes
-        |  UNION
-        |  SELECT e.src AS id, r.lab FROM edges e JOIN reach r ON r.id = e.dst),
-        |reps AS (SELECT id, MIN(lab) AS rep FROM reach GROUP BY 1)
-        |SELECT a.id, a.cluster, COALESCE(r.rep, a.id) AS rep_id,
-        |  COALESCE(r.rep, a.id) = a.id AS keep
-        |FROM ass a LEFT JOIN reps r USING (id) ORDER BY a.id""".stripMargin,
+    "q153_semantic_dedup" -> SemanticDedupOracleSql,
+
+    // q160: the SAME truth gates the streaming-shaped generator — the
+    // cell-state pair emitter must reproduce the batch edge set exactly,
+    // so the identical recursive-CTE oracle applies.
+    "q160_streaming_semdedup" -> SemanticDedupOracleSql,
+
 
     // q158: chunking truth — 1-based list slices at starts 1, 1+stride, …;
     // tokens split on whitespace with NO lowercasing (chunk text must be

@@ -1,0 +1,165 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** SEMANTIC dedup-on-ingest: the streaming complement of
+  * [[graft.dedup.SemDeDup]] — the paraphrase-tier sibling of
+  * [[StreamingDedup]]'s verbatim near-dup detection.
+  *
+  * SemDeDup's cluster-scoped structure is incremental by construction, the
+  * same way LSH banding is: a document can only be a semantic duplicate of
+  * documents assigned to the SAME centroid cell (Abbas et al. 2023 compare
+  * within k-means cells only), so per-cell embedding state is the complete
+  * sufficient statistic and ingest cost tracks cell occupancy — never
+  * corpus size. Each arriving vector assigns to its cell against the
+  * BROADCAST centroids (k × dim model state in the task closure, one fused
+  * loop per centroid) and scores only against that cell's retained
+  * embeddings.
+  *
+  * Same formulas end to end as the batch path, so streamed and batch
+  * results can never silently diverge: the cosine loop is
+  * [[graft.expressions.CosineSimilarity]]'s evaluation order exactly
+  * (index-order accumulation, `sqrt(na)·sqrt(nb)` denominator, ÷0 → 0),
+  * and the assignment tie-break is
+  * [[graft.similarity.Similarity.assignEmbeddings]]'s max-(score, cid)
+  * struct (higher cosine wins, ties to the larger cid) — spec'd in
+  * StreamingSemDeDupSpec by literal pair-set equality against the batch
+  * [[graft.dedup.SemDeDup.semanticDedup]] edge set, batch AND
+  * streamed-in-halves.
+  *
+  * Emitted pairs feed [[IncrementalClusters.foldPairs]] unchanged (the
+  * same (id_a, id_b) shape [[StreamingDedup]] emits), which closes the
+  * ingest loop for the semantic tier: arriving paraphrases land in the
+  * same incrementally-maintained cluster assignment as verbatim near-dups.
+  *
+  * RE-INGEST IDEMPOTENCE and STATE BOUNDS follow [[StreamingDedup]]'s
+  * discipline: a doc id re-delivered to its cell is a structural no-op
+  * (retained ids plus [[TombstonesPerDoc]] × cap id-only tombstones);
+  * per-cell state is capped at `maxPerCell` embeddings (newest retained —
+  * a cell past the cap holds that many same-cell documents, and new
+  * arrivals still score against the retained ones). Works unchanged on a
+  * BATCH frame (state starts empty, every pair is within-batch).
+  */
+object StreamingSemDeDup {
+
+  /** One retained embedding: doc id + its vector. */
+  case class CellDoc(id: Long, vec: Array[Double])
+
+  /** Per-cell state: retained embeddings (newest first, capped) plus
+    * id-only tombstones of cap-evicted docs (re-delivery stays a no-op
+    * well past the cap).
+    */
+  case class CellState(docs: List[CellDoc], tomb: List[Long])
+
+  /** An emitted semantic-duplicate candidate: id_a < id_b,
+    * cos = their exact cosine (already ≥ the threshold — no downstream
+    * verify needed, unlike MinHash's estimate).
+    */
+  case class SemPair(id_a: Long, id_b: Long, cos: Double)
+
+  /** Tombstone budget per retained embedding slot — one Long against a
+    * dim-sized vector, same 8-bytes-vs-payload argument as
+    * [[StreamingDedup.TombstonesPerSig]].
+    */
+  val TombstonesPerDoc = 64
+
+  /** [[graft.expressions.CosineSimilarity]]'s evaluation, replicated
+    * bit-for-bit (index-order accumulation, min-length prefix, ÷0 → 0) so
+    * streamed pairs carry the exact cosine the batch plan computes.
+    */
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = a(i); val yi = b(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Semantic-duplicate pairs over a STREAMING (or batch) embedding frame,
+    * emitted incrementally as vectors arrive.
+    *
+    * Semantics per micro-batch: every arriving vector assigns to its
+    * nearest-by-cosine centroid cell and scores against (a) cell-mates
+    * from earlier batches (cell state) and (b) earlier docs of the same
+    * batch; pairs at or above `threshold` emit once (one cell per doc —
+    * never the per-band duplicates LSH banding emits).
+    *
+    * @param docs       (idCol, vecCol) — vecCol castable to array<double>
+    * @param centroids  cluster centers (k × dim) — caller-supplied model
+    *                   state ([[graft.similarity.Similarity.trainCentroids]]
+    *                   or any external fit), broadcast in the task closure
+    * @param threshold  within-cell cosine at or above which two docs are
+    *                   semantic duplicates (the paper sweeps 0.9–0.95+)
+    * @param maxPerCell retained embeddings per cell (newest kept)
+    */
+  def semanticPairs(
+      docs: DataFrame,
+      centroids: Seq[Seq[Double]],
+      threshold: Double,
+      vecCol: String = "vec",
+      idCol: String = "id",
+      maxPerCell: Int = 4096): Dataset[SemPair] = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    require(maxPerCell >= 1, "maxPerCell must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
+    val th = threshold
+    val cap = maxPerCell
+    val tombCap = TombstonesPerDoc * maxPerCell
+
+    val assigned: Dataset[(Int, CellDoc)] = docs
+      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) =>
+        val vec = v.toArray
+        // assignEmbeddings' max-(score, cid) struct: strictly-greater
+        // score wins, equal score falls to the LARGER cid — iterating
+        // cells upward with >= replicates both (Double.compare orders NaN
+        // greatest, matching Spark's struct ordering)
+        var bestC = 0
+        var bestS = cosine(vec, cents(0))
+        var c = 1
+        while (c < cents.length) {
+          val s = cosine(vec, cents(c))
+          if (java.lang.Double.compare(s, bestS) >= 0) { bestS = s; bestC = c }
+          c += 1
+        }
+        (bestC, CellDoc(id, vec))
+      }
+
+    assigned
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Int, it: Iterator[(Int, CellDoc)], state: GroupState[CellState]) => {
+          val prior = state.getOption.getOrElse(CellState(Nil, Nil))
+          val seen = prior.docs.map(_.id).toSet ++ prior.tomb
+          // deterministic arrival order inside the batch; re-delivered ids no-op
+          val fresh = it.map(_._2).filter(d => !seen.contains(d.id))
+            .toSeq.distinctBy(_.id).sortBy(_.id)
+          val out = Seq.newBuilder[SemPair]
+          var held = prior.docs
+          fresh.foreach { d =>
+            held.foreach { o =>
+              val s = cosine(d.vec, o.vec)
+              if (s >= th)
+                out += (if (d.id < o.id) SemPair(d.id, o.id, s)
+                        else SemPair(o.id, d.id, s))
+            }
+            held = d :: held
+          }
+          val (kept, capEvicted) = held.splitAt(cap)
+          val tomb = (capEvicted.map(_.id) ++ prior.tomb).take(tombCap)
+          state.update(CellState(kept, tomb))
+          out.result().iterator
+        })
+  }
+}
