@@ -118,6 +118,108 @@ object IncrementalClusters {
     }
   }
 
+  /** [[foldPairs]] plus incremental QUALITY-AWARE representative
+    * maintenance ([[graft.dedup.Dedup.qualityAwareReps]]'s signal, kept
+    * as mergeable per-cluster state): alongside the assignment at
+    * `clustersDir`, a cluster-level side table at `repsDir` —
+    * `(rep_id, best_doc, best_score)` — tracks each cluster's argmax
+    * member, so selecting production representatives after a fold never
+    * re-joins the corpus-sized assignment against a corpus-sized score
+    * frame. Per-cluster best is MERGEABLE state (max of maxes = max of
+    * all — the same struct-max argmax as the batch operator, score ties
+    * to min doc id), so a fold only touches the clusters the batch
+    * touched: absorbed clusters' bests re-key through the remap, target
+    * clusters' own bests re-enter the argmax, the batch's new docs bring
+    * their scores, and stale rep rows (absorbed cluster keys) delete —
+    * every step batch-bounded, committed through the same
+    * stats-pruned keyed MERGE as the assignment.
+    *
+    * `scores` must cover the batch's NEW doc ids with one deterministic
+    * `(doc_id, score)` row each (the ingest pipeline computes them at
+    * arrival — unscored members can't win, matching the batch operator's
+    * inner-join contract). After any number of folds the reps table
+    * equals the batch recomputation over the full assignment and all
+    * scores (spec'd in IncrementalClustersSpec).
+    *
+    * The two tables commit separately (assignment first): a crash between
+    * them leaves reps one fold behind, and because replays are structural
+    * no-ops they heal the assignment but not reps — rebuild reps with the
+    * batch operator if that window matters.
+    */
+  def foldPairsScored(
+      spark: SparkSession,
+      clustersDir: String,
+      repsDir: String,
+      pairs: DataFrame,
+      scores: DataFrame): Long = {
+    val newEdges = pairs
+      .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
+    val sc = scores.select(col("doc_id").cast("long").as("doc_id"), col("score"))
+    val existing = SnapshotTable.exists(spark, clustersDir)
+    require(SnapshotTable.exists(spark, repsDir) == existing,
+      s"clusters ($clustersDir) and reps ($repsDir) tables must be created together " +
+        "(bootstrapping reps for an existing assignment needs corpus-wide scores: " +
+        "use Dedup.qualityAwareReps once, then fold)")
+    def bestOf(candidates: DataFrame): DataFrame = candidates
+      .groupBy(col("rep_id"))
+      .agg(max(struct(col("score"), (-col("doc_id")).as("neg"),
+        col("doc_id").as("best_doc"))).as("m"))
+      .select(col("rep_id"), col("m.best_doc").as("best_doc"),
+        col("m.score").as("best_score"))
+    if (existing && newEdges.isEmpty) {
+      SnapshotTable.versions(spark, clustersDir).max
+    } else if (!existing) {
+      val assignment = Graph.connectedComponents(newEdges)
+        .select(col("id").as("doc_id"), col("rep").as("rep_id")).persist()
+      try {
+        val v = SnapshotTable.write(spark, assignment, clustersDir)
+        SnapshotTable.write(spark, bestOf(assignment.join(sc, "doc_id")), repsDir)
+        v
+      } finally assignment.unpersist(blocking = false)
+    } else {
+      val prev = SnapshotTable.read(spark, clustersDir)
+        .select(col("doc_id"), col("rep_id")).persist()
+      try {
+        val d = foldDelta(newEdges, prev)
+        val moved = prev.join(d.remap, Seq("rep_id"))
+          .select(col("doc_id"), col("new_rep").as("rep_id"))
+        val changes = moved.unionByName(d.newDocs).persist()
+        try {
+          if (changes.isEmpty) SnapshotTable.versions(spark, clustersDir).max
+          else {
+            val v = SnapshotTable.mergeByKey(spark, changes, clustersDir, "doc_id")
+            val oldBests = SnapshotTable.read(spark, repsDir)
+              .select(col("rep_id"), col("best_doc"), col("best_score"))
+            // candidates for every TOUCHED target cluster: absorbed
+            // clusters' bests re-keyed through the remap, the targets' own
+            // current bests, and the new docs' scores — all batch-bounded
+            val targets = changes.select(col("rep_id")).distinct()
+            val movedBests = oldBests.join(d.remap, Seq("rep_id"))
+              .select(col("new_rep").as("rep_id"),
+                col("best_score").as("score"), col("best_doc").as("doc_id"))
+            val survivorBests = oldBests.join(broadcast(targets), Seq("rep_id"), "left_semi")
+              .select(col("rep_id"),
+                col("best_score").as("score"), col("best_doc").as("doc_id"))
+            val newScores = d.newDocs.join(sc, "doc_id")
+              .select(col("rep_id"), col("score"), col("doc_id"))
+            val repRows = bestOf(movedBests.unionByName(survivorBests).unionByName(newScores))
+            if (!repRows.isEmpty) SnapshotTable.mergeByKey(spark, repRows, repsDir, "rep_id")
+            // absorbed clusters are no longer reps: their rows go
+            // (batch-bounded literal — the remap is O(|Δ| endpoints))
+            val stale = d.remap.select(col("rep_id")).collect().map(_.getLong(0))
+            if (stale.nonEmpty)
+              SnapshotTable.delete(spark, repsDir, col("rep_id").isin(stale.toIndexedSeq: _*))
+            v
+          }
+        } finally changes.unpersist(blocking = false)
+      } finally prev.unpersist(blocking = false)
+    }
+  }
+
+  /** The current per-cluster best members (rep_id, best_doc, best_score). */
+  def reps(spark: SparkSession, repsDir: String): DataFrame =
+    SnapshotTable.read(spark, repsDir)
+
   /** `foreachBatch` sink over a candidate-pair stream:
     * {{{
     * StreamingDedup.nearDupCandidates(docs).writeStream

@@ -90,6 +90,45 @@ class IncrementalClustersSpec extends SparkSpec {
     assert(IncrementalClusters.clusters(spark, dir).count() == 300)
   }
 
+  test("foldPairsScored: reps table equals the batch argmax after every fold") {
+    val cdir = tmp("scored-c"); val rdir = tmp("scored-r")
+    // deterministic quality signal; ties exercised via duplicate scores
+    def score(id: Long): Double = ((id * 37) % 7).toDouble
+    val batches = Seq(
+      Seq((1L, 2L), (10L, 11L)),
+      Seq((3L, 4L), (10L, 12L)),
+      Seq((2L, 3L)),             // merges {1,2} and {3,4}
+      Seq((20L, 21L), (1L, 4L))) // redundant edge inside a component
+    val sofar = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    batches.foreach { b =>
+      sofar ++= b
+      val ids = b.flatMap(p => Seq(p._1, p._2)).distinct
+      val scores = ids.map(id => (id, score(id))).toDF("doc_id", "score")
+      IncrementalClusters.foldPairsScored(spark, cdir, rdir, b.toDF("id_a", "id_b"), scores)
+      // batch truth: argmax (score, -id) per component over ALL docs so far
+      val allIds = sofar.flatMap(p => Seq(p._1, p._2)).distinct.toSeq
+      val cc = Graph.connectedComponents(sofar.toSeq.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      val want = allIds.groupBy(cc).map { case (rep, members) =>
+        val best = members.map(id => (score(id), -id, id)).max
+        (rep, (best._3, best._1))
+      }
+      val got = IncrementalClusters.reps(spark, rdir)
+        .as[(Long, Long, Double)].collect().map(r => (r._1, (r._2, r._3))).toMap
+      assert(got == want, s"reps diverged after batch $b")
+      assert(assignment(cdir) == cc)
+    }
+    // replayed batch: no version churn, reps unchanged
+    val v = SnapshotTable.versions(spark, cdir).max
+    val repsBefore = IncrementalClusters.reps(spark, rdir)
+      .as[(Long, Long, Double)].collect().toSet
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      Seq((1L, 2L)).toDF("id_a", "id_b"), Seq((1L, score(1L))).toDF("doc_id", "score"))
+    assert(SnapshotTable.versions(spark, cdir).max == v)
+    assert(IncrementalClusters.reps(spark, rdir)
+      .as[(Long, Long, Double)].collect().toSet == repsBefore)
+  }
+
   test("streamed corpus: foreachBatch fold equals the batch dedup pipeline's clusters") {
     // the full loop: docs stream in halves → stateful LSH candidates →
     // exact-verify each micro-batch → fold into the clusters table; the
