@@ -703,6 +703,107 @@ class ScaleSoakSpec extends SparkSpec {
       f"probe ingest follows CORPUS, not bucket occupancy: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
   }
 
+  test("soak: streaming SemDeDup probe ingest is cap-bounded as resident state scales") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // The semantic tier's honest scale bound: a cell holds EVERY same-cell
+    // vector (unlike LSH buckets, where distinct docs rarely collide), so
+    // per-arrival cost is cell occupancy UNTIL the cap — then flat at the
+    // cap. Both scales sit above cap x k here, so the SAME 1k-vector probe
+    // must cost about the same against 4x resident state.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = 16
+    def vec(seed: Long): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian())
+    }
+    val centroids: Seq[Seq[Double]] = (0 until 16).map(i => vec(900000L + i))
+    def metricsFor(resident: Int): RunMetrics = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = graft.streaming.StreamingSemDeDup
+        .semanticPairs(mem.toDF.toDF("id", "vec"), centroids,
+          threshold = 0.99, maxPerCell = 512)
+        .writeStream.format("memory").queryName(s"ssd_soak_$resident")
+        .outputMode("append").start()
+      try {
+        mem.addData((0 until resident).map(i => (i.toLong, vec(i.toLong))): _*)
+        q.processAllAvailable() // resident state build — untimed
+        measureOnce { () =>
+          mem.addData((0 until 1000).map(i =>
+            ((10000000 + i).toLong, vec((5000000 + i).toLong))): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    val m1 = metricsFor(20000)
+    val m4 = metricsFor(80000)
+    SoakReport.record("streaming_semdedup",
+      Map("sec" -> m1.sec, "shuffle_write_bytes" -> m1.shuffleWriteBytes,
+        "disk_spill_bytes" -> m1.diskSpill, "mem_spill_bytes" -> m1.memSpill,
+        "peak_task_mem_bytes" -> m1.peakMem),
+      Map("sec" -> m4.sec, "shuffle_write_bytes" -> m4.shuffleWriteBytes,
+        "disk_spill_bytes" -> m4.diskSpill, "mem_spill_bytes" -> m4.memSpill,
+        "peak_task_mem_bytes" -> m4.peakMem),
+      Map("resident_x1" -> 20000L, "resident_x4" -> 80000L, "probe" -> 1000L,
+        "max_per_cell" -> 512L))
+    info(s"streaming_semdedup 1x: ${m1.pretty}")
+    info(s"streaming_semdedup 4x: ${m4.pretty}")
+    assert(m4.diskSpill == 0L, s"probe ingest spilled ${m4.diskSpill} bytes at 4x state")
+    assert(m4.sec <= 2.5 * math.max(m1.sec, 0.5),
+      f"probe ingest follows CORPUS, not the cell cap: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
+  }
+
+  test("soak: incremental-clusters fold REWRITE stays flat as the assignment grows 4x") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // E112's r16 scale claim measured: folding the SAME batch of pairs into
+    // a 1x vs 4x assignment must rewrite about the same rows/files — the
+    // keyed MERGE prunes by per-file doc_id bounds, so the write side
+    // follows the batch's key footprint, not the table. Files are built at
+    // FIXED size with file count growing with the table (how a real table
+    // grows); the fold still scans the assignment once (documented), so
+    // only the rewrite volume is asserted flat, times are recorded.
+    import graft.catalog.SnapshotTable
+    val chunkRows = 12500L
+    def build(dir: String, chunks: Int): Unit = (0 until chunks).foreach { i =>
+      val df = spark.range(i * chunkRows, (i + 1) * chunkRows)
+        .select(col("id").as("doc_id"), col("id").as("rep_id")).repartition(2)
+      if (i == 0) SnapshotTable.write(spark, df, dir) else SnapshotTable.append(spark, df, dir)
+    }
+    def foldAndMeasure(dir: String): (RunMetrics, Long, Long) = {
+      val before = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+      // 500 singleton merges confined to doc_ids [0, 2000) — one chunk's range
+      val batch = (0L until 500L).map(i => (4 * i, 4 * i + 1)).toDF("id_a", "id_b")
+      val m = measureOnce { () =>
+        graft.streaming.IncrementalClusters.foldPairs(spark, dir, batch); ()
+      }
+      val newFiles = SnapshotTable.currentManifest(spark, dir).get.entries
+        .filterNot(e => before.contains(e.path))
+      (m, newFiles.map(_.rows).sum, newFiles.size.toLong)
+    }
+    val d1 = s"$soakRoot/incc_x1"; val d4 = s"$soakRoot/incc_x4"
+    build(d1, 16) // 200k rows
+    build(d4, 64) // 800k rows, same file size
+    val (m1, rows1, files1) = foldAndMeasure(d1)
+    val (m4, rows4, files4) = foldAndMeasure(d4)
+    SoakReport.record("incc_fold",
+      Map("sec" -> m1.sec, "shuffle_write_bytes" -> m1.shuffleWriteBytes,
+        "disk_spill_bytes" -> m1.diskSpill, "mem_spill_bytes" -> m1.memSpill,
+        "peak_task_mem_bytes" -> m1.peakMem),
+      Map("sec" -> m4.sec, "shuffle_write_bytes" -> m4.shuffleWriteBytes,
+        "disk_spill_bytes" -> m4.diskSpill, "mem_spill_bytes" -> m4.memSpill,
+        "peak_task_mem_bytes" -> m4.peakMem),
+      Map("table_rows_x1" -> 16 * chunkRows, "table_rows_x4" -> 64 * chunkRows,
+        "rewritten_rows_x1" -> rows1, "rewritten_rows_x4" -> rows4,
+        "rewritten_files_x1" -> files1, "rewritten_files_x4" -> files4))
+    info(f"incc_fold 1x: ${m1.pretty} rewrittenRows=$rows1 files=$files1")
+    info(f"incc_fold 4x: ${m4.pretty} rewrittenRows=$rows4 files=$files4")
+    assert(m4.diskSpill == 0L, s"fold spilled ${m4.diskSpill} bytes at 4x")
+    assert(rows4 <= 2L * math.max(rows1, 1L),
+      s"fold rewrite follows TABLE size, not batch footprint: $rows1 -> $rows4 rows")
+    assert(rows4 < 16 * chunkRows / 2,
+      s"fold rewrote $rows4 rows of an ${64 * chunkRows}-row table - pruning broke")
+  }
+
   test("soak: fuzzy self-join cost follows the block histogram; domain blocking divides it") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     // q94's fixture is the OPERATOR'S documented degenerate case: TPC-H
