@@ -1860,63 +1860,11 @@ object SnapshotTable {
     */
   def mergeByKey(spark: SparkSession, batch: DataFrame, dir: String,
       key: String, maxExactKeys: Int = 100000): Long = {
-    require(batch.columns.contains(key), s"mergeByKey: batch has no column '$key'")
-    require(batch.filter(col(s"`$key`").isNull).isEmpty, "mergeByKey: batch has NULL keys")
-    val keyType = batch.schema(key).dataType
-    require(FileStats.eligible(keyType) && keyType != org.apache.spark.sql.types.BooleanType,
-      s"mergeByKey key '$key' must be numeric/string/date/timestamp, got ${keyType.sql}")
-    val kind = FileStats.kindOf(keyType)
-
-    // one bounded collect: distinct keys in the stat comparison domain
-    // ("num" → Double, "str" → UTF-8-ordered string); an over-cap batch
-    // falls back to range pruning off the same collected rows' min/max
-    // plus one extra agg for the true bounds
-    def repr(v: Any): String = v match {
-      case d: java.sql.Date => d.toString
-      case ld: java.time.LocalDate => ld.toString
-      case other => other.toString
+    val hitFile = keyFootprint(batch, key, maxExactKeys, "mergeByKey") match {
+      case Some(f) => f
+      case None => // empty batch: no-op, current version (0 if absent)
+        return versions(spark, dir).sorted.lastOption.getOrElse(0L)
     }
-    val keyRows = batch.select(col(s"`$key`")).distinct().limit(maxExactKeys + 1).collect()
-    if (keyRows.isEmpty) { // empty batch: no-op, current version (0 if absent)
-      return versions(spark, dir).sorted.lastOption.getOrElse(0L)
-    }
-    val exact = keyRows.length <= maxExactKeys
-    // NaN keys defeat ordered pruning (every comparison is false, which
-    // would wrongly SKIP the files holding them) — disable pruning entirely
-    val unprunable = kind == "num" && keyRows.exists(r => {
-      val s = repr(r.get(0)); s == "NaN" || s == "-NaN"
-    })
-    val hitFile: FileEntry => Boolean =
-      if (unprunable) _ => true
-      else if (exact) {
-        if (kind == "num") {
-          val ks = keyRows.map(r => repr(r.get(0)).toDouble).sorted
-          e => keyBounds(e, key) match {
-            case Some((lo, hi)) =>
-              val i = lowerBoundD(ks, lo.toDouble)
-              i < ks.length && ks(i) <= hi.toDouble
-            case None => true
-          }
-        } else {
-          val ks = keyRows.map(r => repr(r.get(0)))
-            .sortWith(FileStats.cmpUtf8(_, _) < 0)
-          e => keyBounds(e, key) match {
-            case Some((lo, hi)) =>
-              val i = lowerBoundS(ks, lo)
-              i < ks.length && FileStats.cmpUtf8(ks(i), hi) <= 0
-            case None => true
-          }
-        }
-      } else {
-        val r = batch.agg(min(col(s"`$key`")), max(col(s"`$key`"))).collect()(0)
-        val (bLo, bHi) = (repr(r.get(0)), repr(r.get(1)))
-        e => keyBounds(e, key) match {
-          case Some((lo, hi)) =>
-            if (kind == "num") !(bHi.toDouble < lo.toDouble || bLo.toDouble > hi.toDouble)
-            else !(FileStats.cmpUtf8(bHi, lo) < 0 || FileStats.cmpUtf8(bLo, hi) > 0)
-          case None => true
-        }
-      }
 
     retryingRewrite(dir) {
       currentManifest(spark, dir) match {
@@ -1953,6 +1901,162 @@ object SnapshotTable {
           }.get
       }
     }
+  }
+
+  /** [[mergeByKey]] MERGE-ON-READ: matched rows' positions become deletion
+    * vectors on their files (no data file rewritten — the same MoR tier as
+    * [[deleteMoR]]/[[updateMoR]]) and ALL batch rows append as new files,
+    * one atomic commit. Write cost is strictly O(batch rows + touched-file
+    * DV blobs) at ANY table size — the copy-on-write [[mergeByKey]]
+    * rewrites whole files containing matches (keeping them clean); this
+    * one wins when matches are sparse across big files, e.g. a streaming
+    * fold upserting a few thousand keys into a billion-row assignment.
+    * [[compact]] purges the vectors on the normal maintenance cadence.
+    *
+    * Same semantics and preconditions as [[mergeByKey]] (update-else-
+    * insert, one row per key, no NULL keys); the key footprint prunes the
+    * candidate scan the same way, and the commit carries BOTH conflict
+    * disciplines: a touched file must still be live with the same vector
+    * (MoR serializability), and a concurrent commit ADDING files inside
+    * the key footprint conflicts (insert-vs-update decisions never saw
+    * those rows).
+    */
+  def mergeByKeyMoR(spark: SparkSession, batch: DataFrame, dir: String,
+      key: String, maxExactKeys: Int = 100000): Long = {
+    val hitFile = keyFootprint(batch, key, maxExactKeys, "mergeByKeyMoR") match {
+      case Some(f) => f
+      case None => return versions(spark, dir).sorted.lastOption.getOrElse(0L)
+    }
+    retryingRewrite(dir) {
+      currentManifest(spark, dir) match {
+        case None =>
+          val entries = writeData(spark, batch, dir)
+          commitLoop(spark, dir, op = "merge") { cur =>
+            if (cur.isDefined) throw new SnapshotConflictException(
+              s"table at $dir appeared concurrently; re-running merge against it")
+            Some((entries, Map.empty[String, Long], Some(batch.schema.toDDL)))
+          }.get
+        case Some(m) =>
+          enforceOnBatch(spark, dir, Some(m), batch, s"MoR merge into $dir")
+          // align the batch to the table's column set/order (extra batch
+          // columns drop — upsert's contract) BEFORE the schema guard
+          val tableCols = m.schemaDdl
+            .map(d => org.apache.spark.sql.types.StructType.fromDDL(d).fieldNames.toSeq)
+            .getOrElse(batch.columns.toSeq)
+          val missing = tableCols.filterNot(batch.columns.contains)
+          require(missing.isEmpty,
+            s"MoR merge batch lacks table columns: ${missing.mkString(", ")}")
+          val aligned = batch.select(tableCols.map(c => col(s"`$c`")): _*)
+          // refuse type-changing batches BEFORE any blob/file writes
+          mergeSchemas(priorSchema(spark, dir, Some(m)), aligned.schema,
+            reservedPhysicals(Some(m)))
+          val candidates = m.entries.filter(hitFile)
+          val commitName = "c-" + java.util.UUID.randomUUID().toString.take(12)
+          val touched =
+            if (candidates.isEmpty) Seq.empty[DvTouch]
+            else {
+              val base = withPosAndDv(spark, dir, candidates, m.schemaDdl, mappingOf(Some(m)))
+              val matched = base
+                .join(broadcast(batch.select(col(s"`$key`")).distinct()), Seq(key), "left_semi")
+                .select(col(PosFileCol), col(PosIdxCol))
+              writeDvBlobs(spark, dir, commitName, matched, candidates)
+            }
+          val newEntries = writeData(spark, aligned, dir, m.partitionCols.getOrElse(Seq.empty),
+            mapping = mappingOf(Some(m)))
+          val byPath = touched.map(t => t.path -> t).toMap
+          val basePaths = m.entries.map(_.path).toSet
+          commitLoop(spark, dir, op = "merge") { cur =>
+            val curEntries = cur.map(_.entries).getOrElse(Seq.empty)
+            val curByPath = curEntries.map(e => e.path -> e).toMap
+            // MoR serializability: every touched file still live, same vector
+            byPath.values.foreach { t =>
+              val curE = curByPath.getOrElse(t.path, throw new SnapshotConflictException(
+                s"concurrent commit at $dir removed ${t.path} this MoR merge read; re-running"))
+              if (curE.dv.map(_.path) != t.priorDv) throw new SnapshotConflictException(
+                s"concurrent commit at $dir changed the deletion vector of ${t.path}; re-running")
+            }
+            // key-uniqueness serializability: adds inside the footprint conflict
+            val addedSince = curEntries.filterNot(e => basePaths.contains(e.path))
+            val overlap = addedSince.filter(hitFile)
+            if (overlap.nonEmpty) throw new SnapshotConflictException(
+              s"concurrent commit at $dir added ${overlap.length} file(s) intersecting this " +
+                s"merge's key footprint (e.g. ${overlap.take(3).map(_.path).mkString(", ")}); " +
+                "re-running the merge against the new snapshot")
+            val mergedNow = mergeSchemas(priorSchema(spark, dir, cur), aligned.schema,
+              reservedPhysicals(cur))
+            Some((curEntries.map(e => byPath.get(e.path).fold(e)(t => e.copy(dv = Some(t.dv))))
+              ++ newEntries,
+              txnOf(cur), Some(mergedNow.toDDL)))
+          }.get
+      }
+    }
+  }
+
+  /** The batch's key-footprint probe for the keyed merges: validates the
+    * key column, collects the batch's distinct keys ONCE (capped at
+    * `maxExactKeys`, past which pruning degrades to the batch's [min, max]
+    * key RANGE — conservative, never wrong), and returns the per-file
+    * intersection test — binary search over the sorted key set, O(log
+    * keys) per file. None for an EMPTY batch (callers no-op). NaN keys
+    * defeat ordered pruning (every comparison is false, which would
+    * wrongly SKIP the files holding them) — they disable pruning entirely.
+    */
+  private def keyFootprint(batch: DataFrame, key: String, maxExactKeys: Int,
+      opName: String): Option[FileEntry => Boolean] = {
+    require(batch.columns.contains(key), s"$opName: batch has no column '$key'")
+    val keyType = batch.schema(key).dataType
+    require(FileStats.eligible(keyType) && keyType != org.apache.spark.sql.types.BooleanType,
+      s"$opName key '$key' must be numeric/string/date/timestamp, got ${keyType.sql}")
+    val kind = FileStats.kindOf(keyType)
+    def repr(v: Any): String = v match {
+      case d: java.sql.Date => d.toString
+      case ld: java.time.LocalDate => ld.toString
+      case other => other.toString
+    }
+    // ONE bounded job serves emptiness, the NULL-key guard (a null is one
+    // distinct value, so within the cap it is always among the collected
+    // rows; the over-cap agg below re-checks), and the pruning key set
+    val keyRows = batch.select(col(s"`$key`")).distinct().limit(maxExactKeys + 1).collect()
+    if (keyRows.isEmpty) return None
+    require(!keyRows.exists(_.isNullAt(0)), s"$opName: batch has NULL keys")
+    val exact = keyRows.length <= maxExactKeys
+    val unprunable = kind == "num" && keyRows.exists(r => {
+      val s = repr(r.get(0)); s == "NaN" || s == "-NaN"
+    })
+    Some(
+      if (unprunable) _ => true
+      else if (exact) {
+        if (kind == "num") {
+          val ks = keyRows.map(r => repr(r.get(0)).toDouble).sorted
+          e => keyBounds(e, key) match {
+            case Some((lo, hi)) =>
+              val i = lowerBoundD(ks, lo.toDouble)
+              i < ks.length && ks(i) <= hi.toDouble
+            case None => true
+          }
+        } else {
+          val ks = keyRows.map(r => repr(r.get(0)))
+            .sortWith(FileStats.cmpUtf8(_, _) < 0)
+          e => keyBounds(e, key) match {
+            case Some((lo, hi)) =>
+              val i = lowerBoundS(ks, lo)
+              i < ks.length && FileStats.cmpUtf8(ks(i), hi) <= 0
+            case None => true
+          }
+        }
+      } else {
+        val r = batch.agg(min(col(s"`$key`")), max(col(s"`$key`")),
+          count(when(col(s"`$key`").isNull, lit(1)))).collect()(0)
+        // the capped collect can miss a null beyond its row budget
+        require(r.getLong(2) == 0L, s"$opName: batch has NULL keys")
+        val (bLo, bHi) = (repr(r.get(0)), repr(r.get(1)))
+        e => keyBounds(e, key) match {
+          case Some((lo, hi)) =>
+            if (kind == "num") !(bHi.toDouble < lo.toDouble || bLo.toDouble > hi.toDouble)
+            else !(FileStats.cmpUtf8(bHi, lo) < 0 || FileStats.cmpUtf8(bLo, hi) > 0)
+          case None => true
+        }
+      })
   }
 
   /** A file's key bounds for [[mergeByKey]] pruning: Some((lo, hi)) when

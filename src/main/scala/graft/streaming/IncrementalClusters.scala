@@ -83,8 +83,17 @@ object IncrementalClusters {
     * changed rows into the assignment snapshot. Returns the committed (or,
     * for a no-change fold, current) snapshot version. An empty batch — or
     * a batch whose pairs are all already-connected — publishes no version.
+    *
+    * `mor = true` commits the merge MERGE-ON-READ
+    * ([[SnapshotTable.mergeByKeyMoR]]): superseded assignment rows become
+    * deletion vectors and only the changed rows write as new files — fold
+    * write cost strictly O(Δ) even when changed docs scatter across many
+    * big files; schedule [[SnapshotTable.compact]] to purge the vectors.
+    * Default (copy-on-write) rewrites the touched files whole, keeping
+    * them clean.
     */
-  def foldPairs(spark: SparkSession, clustersDir: String, pairs: DataFrame): Long = {
+  def foldPairs(spark: SparkSession, clustersDir: String, pairs: DataFrame,
+      mor: Boolean = false): Long = {
     val newEdges = pairs
       .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
     val existing = SnapshotTable.exists(spark, clustersDir)
@@ -110,8 +119,11 @@ object IncrementalClusters {
         val moved = prev.join(d.remap, Seq("rep_id"))
           .select(col("doc_id"), col("new_rep").as("rep_id"))
         val changes = moved.unionByName(d.newDocs).persist()
+        // no emptiness pre-probe: the merge's own footprint collect detects
+        // an empty delta and no-ops (returning the current version) — one
+        // less job per fold
         try {
-          if (changes.isEmpty) SnapshotTable.versions(spark, clustersDir).max
+          if (mor) SnapshotTable.mergeByKeyMoR(spark, changes, clustersDir, "doc_id")
           else SnapshotTable.mergeByKey(spark, changes, clustersDir, "doc_id")
         } finally changes.unpersist(blocking = false)
       } finally prev.unpersist(blocking = false)
@@ -226,9 +238,9 @@ object IncrementalClusters {
     *   .foreachBatch(IncrementalClusters.sink(dir)).start()
     * }}}
     */
-  def sink(clustersDir: String)
+  def sink(clustersDir: String, mor: Boolean = false)
       : (org.apache.spark.sql.Dataset[StreamingDedup.CandidatePair], Long) => Unit =
-    (batch, _) => { foldPairs(batch.sparkSession, clustersDir, batch.toDF()); () }
+    (batch, _) => { foldPairs(batch.sparkSession, clustersDir, batch.toDF(), mor); () }
 
   /** The current assignment (doc_id, rep_id). */
   def clusters(spark: SparkSession, clustersDir: String): DataFrame =

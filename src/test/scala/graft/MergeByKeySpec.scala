@@ -103,6 +103,70 @@ class MergeByKeySpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, dir).max == 1L)
   }
 
+  test("MoR merge: same content as COW, ZERO data files rewritten, matched rows vectored") {
+    val dir = tmp("mor")
+    SnapshotTable.write(spark,
+      (0L until 100L).map(i => (i, "lo")).toDF("id", "v").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (1000L until 1100L).map(i => (i, "mid")).toDF("id", "v").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (2000L until 2100L).map(i => (i, "hi")).toDF("id", "v").repartition(1), dir)
+    val before = paths(dir)
+    SnapshotTable.mergeByKeyMoR(spark,
+      Seq((1050L, "MID"), (1500L, "new")).toDF("id", "v"), dir, "id")
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    // every pre-merge file survives BY PATH (the MoR contract), plus new files
+    assert(before.subsetOf(m.entries.map(_.path).toSet),
+      s"MoR merge rewrote data files: ${before -- m.entries.map(_.path).toSet}")
+    // exactly the key-footprint file carries a deletion vector
+    val vectored = m.entries.filter(_.dv.isDefined)
+    assert(vectored.map(_.dv.get.deleted).sum == 1L, s"expected 1 vectored row, got $vectored")
+    val got = content(dir)
+    assert(got(1050L) == "MID" && got(1500L) == "new")
+    assert(SnapshotTable.read(spark, dir).count() == 301)
+    // replay: content unchanged (the appended row vectors, the batch re-appends)
+    SnapshotTable.mergeByKeyMoR(spark,
+      Seq((1050L, "MID"), (1500L, "new")).toDF("id", "v"), dir, "id")
+    assert(content(dir) == got)
+    // compaction purges the vectors; content survives
+    SnapshotTable.compact(spark, dir)
+    assert(SnapshotTable.currentManifest(spark, dir).get.entries.forall(_.dv.isEmpty))
+    assert(content(dir) == got)
+  }
+
+  test("MoR merge: pure insert appends only; create path; empty batch no-op") {
+    val dir = tmp("mor-ins")
+    val v = SnapshotTable.mergeByKeyMoR(spark, Seq((1L, "a")).toDF("id", "v"), dir, "id")
+    assert(v == 1L && content(dir) == Map(1L -> "a"))
+    SnapshotTable.mergeByKeyMoR(spark, Seq((9L, "i")).toDF("id", "v"), dir, "id")
+    val m = SnapshotTable.currentManifest(spark, dir).get
+    assert(m.entries.forall(_.dv.isEmpty), "pure insert attached a vector")
+    assert(content(dir) == Map(1L -> "a", 9L -> "i"))
+    SnapshotTable.mergeByKeyMoR(spark, Seq.empty[(Long, String)].toDF("id", "v"), dir, "id")
+    assert(SnapshotTable.versions(spark, dir).max == 2L)
+  }
+
+  test("foldPairs(mor = true): assignment content equals the COW fold, no file rewrites") {
+    import graft.streaming.IncrementalClusters
+    val cow = tmp("fold-cow"); val mor = tmp("fold-mor")
+    val batches = Seq(
+      Seq((1L, 2L), (10L, 11L)),
+      Seq((3L, 4L), (2L, 3L)),
+      Seq((20L, 21L), (1L, 4L)))
+    batches.foreach { b =>
+      IncrementalClusters.foldPairs(spark, cow, b.toDF("id_a", "id_b"))
+      val before = SnapshotTable.currentManifest(spark, mor).map(_.entries.map(_.path).toSet)
+      IncrementalClusters.foldPairs(spark, mor, b.toDF("id_a", "id_b"), mor = true)
+      before.foreach { bs =>
+        val after = SnapshotTable.currentManifest(spark, mor).get.entries.map(_.path).toSet
+        assert(bs.subsetOf(after), s"MoR fold rewrote files: ${bs -- after}")
+      }
+      val a = IncrementalClusters.clusters(spark, cow).as[(Long, Long)].collect().toMap
+      val c = IncrementalClusters.clusters(spark, mor).as[(Long, Long)].collect().toMap
+      assert(a == c, s"diverged after batch $b")
+    }
+  }
+
   test("NULL keys are refused") {
     val dir = tmp("null")
     SnapshotTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
