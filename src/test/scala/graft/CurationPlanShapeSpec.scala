@@ -95,6 +95,19 @@ class CurationPlanShapeSpec extends SparkSpec {
     assert(!nodes.exists(_.contains("Window")), nodes.distinct.mkString(", "))
   }
 
+  test("dsirScoresHashed: fixed feature space drops the vocabulary aggregate; no windows") {
+    // the hashed variant broadcasts only the TWO total scalars (|V| is a
+    // literal — one less corpus-wide aggregate than the exact path) and
+    // keeps the feature joins keyed
+    val nodes = executedNodesDuring {
+      TextPipelines.dsirScoresHashed(docs, docs.limit(50)).collect(); ()
+    }
+    assert(nodes.count(_.contains("BroadcastNestedLoopJoin")) >= 2,
+      nodes.distinct.mkString(", "))
+    assert(!nodes.exists(_.contains("Window")), nodes.distinct.mkString(", "))
+    assert(!nodes.exists(_.contains("CartesianProduct")), nodes.distinct.mkString(", "))
+  }
+
   test("semanticDedup: centroid scoring is ONE broadcast nested loop; cell join is keyed") {
     val corpus = Tables.embeddings(spark, sfDir)
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vec"))
