@@ -156,14 +156,20 @@ object IncrementalClusters {
     * The two tables commit separately (assignment first): a crash between
     * them leaves reps one fold behind, and because replays are structural
     * no-ops they heal the assignment but not reps — rebuild reps with the
-    * batch operator if that window matters.
+    * batch operator if that window matters. `mor = true` routes BOTH
+    * tables' merges through [[SnapshotTable.mergeByKeyMoR]] (stale rep
+    * deletes stay copy-on-write — the reps table is #clusters-sized).
     */
   def foldPairsScored(
       spark: SparkSession,
       clustersDir: String,
       repsDir: String,
       pairs: DataFrame,
-      scores: DataFrame): Long = {
+      scores: DataFrame,
+      mor: Boolean = false): Long = {
+    def mergeInto(batch: DataFrame, dir: String, key: String): Long =
+      if (mor) SnapshotTable.mergeByKeyMoR(spark, batch, dir, key)
+      else SnapshotTable.mergeByKey(spark, batch, dir, key)
     val newEdges = pairs
       .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
     val sc = scores.select(col("doc_id").cast("long").as("doc_id"), col("score"))
@@ -199,7 +205,7 @@ object IncrementalClusters {
         try {
           if (changes.isEmpty) SnapshotTable.versions(spark, clustersDir).max
           else {
-            val v = SnapshotTable.mergeByKey(spark, changes, clustersDir, "doc_id")
+            val v = mergeInto(changes, clustersDir, "doc_id")
             val oldBests = SnapshotTable.read(spark, repsDir)
               .select(col("rep_id"), col("best_doc"), col("best_score"))
             // candidates for every TOUCHED target cluster: absorbed
@@ -215,7 +221,7 @@ object IncrementalClusters {
             val newScores = d.newDocs.join(sc, "doc_id")
               .select(col("rep_id"), col("score"), col("doc_id"))
             val repRows = bestOf(movedBests.unionByName(survivorBests).unionByName(newScores))
-            if (!repRows.isEmpty) SnapshotTable.mergeByKey(spark, repRows, repsDir, "rep_id")
+            if (!repRows.isEmpty) mergeInto(repRows, repsDir, "rep_id")
             // absorbed clusters are no longer reps: their rows go
             // (batch-bounded literal — the remap is O(|Δ| endpoints))
             val stale = d.remap.select(col("rep_id")).collect().map(_.getLong(0))

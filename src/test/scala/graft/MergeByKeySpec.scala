@@ -167,6 +167,25 @@ class MergeByKeySpec extends SparkSpec {
     }
   }
 
+  test("foldPairsScored(mor = true): assignment and reps equal the COW scored fold") {
+    import graft.streaming.IncrementalClusters
+    def score(id: Long): Double = ((id * 37) % 7).toDouble
+    val dirs = Seq(false, true).map { mor =>
+      val c = tmp(s"sf-c-$mor"); val r = tmp(s"sf-r-$mor")
+      Seq(Seq((1L, 2L), (10L, 11L)), Seq((3L, 4L), (2L, 3L))).foreach { b =>
+        val ids = b.flatMap(p => Seq(p._1, p._2)).distinct
+        IncrementalClusters.foldPairsScored(spark, c, r, b.toDF("id_a", "id_b"),
+          ids.map(id => (id, score(id))).toDF("doc_id", "score"), mor = mor)
+      }
+      (c, r)
+    }
+    val Seq((cowC, cowR), (morC, morR)) = dirs
+    assert(SnapshotTable.read(spark, cowC).as[(Long, Long)].collect().toMap ==
+      SnapshotTable.read(spark, morC).as[(Long, Long)].collect().toMap)
+    assert(SnapshotTable.read(spark, cowR).as[(Long, Long, Double)].collect().toSet ==
+      SnapshotTable.read(spark, morR).as[(Long, Long, Double)].collect().toSet)
+  }
+
   test("NULL keys are refused") {
     val dir = tmp("null")
     SnapshotTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
