@@ -610,6 +610,120 @@ object TextPipelines {
     graft.util.Caching.materialize(out, rawG)
   }
 
+  /** DSIR models PREPARED for repeated scoring sweeps — the select-on-
+    * ingest sibling of [[graft.dedup.Decontaminate.PreparedBenchmark]]: an
+    * ingest pipeline scores every arriving batch against FROZEN reference
+    * models (re-fitting per micro-batch would make scores drift with
+    * arrival order), so the two count frames persist once and the three
+    * scalars collect once. `feat` is the feature extractor (identity
+    * bigram or md5-prefix bucket), shared so prepared and one-shot paths
+    * can never diverge.
+    */
+  final case class DsirModel(
+      cR: DataFrame, cT: DataFrame, nR: Long, nT: Long, v: Long,
+      addK: Double, hexChars: Option[Int]) {
+    def release(): Unit = { cR.unpersist(blocking = false); cT.unpersist(blocking = false); () }
+  }
+
+  private def dsirFeat(g: DataFrame, hexChars: Option[Int]): DataFrame = hexChars match {
+    case Some(h) => g.withColumn("f", substring(md5(col("bg")), 1, h)).drop("bg")
+    case None => g.withColumnRenamed("bg", "f")
+  }
+
+  /** Fit both DSIR models ONCE over reference corpora: persisted per-
+    * feature count frames plus the scalars (N_raw, N_target, |V| — three
+    * longs, legitimate driver-side model state like k-means centroids).
+    * `hexChars = Some(h)` fits the fixed `16^h`-bucket hashed space
+    * ([[dsirScoresHashed]]); None fits exact bigram classes
+    * ([[dsirScores]]).
+    */
+  def dsirPrepare(
+      raw: DataFrame,
+      target: DataFrame,
+      textCol: String = "text",
+      addK: Double = 0.5,
+      hexChars: Option[Int] = None): DsirModel = {
+    require(addK > 0, s"addK must be > 0 for smoothing, got $addK")
+    hexChars.foreach(h => require(h >= 1 && h <= 12, s"hexChars must be in [1, 12], got $h"))
+    val spark = raw.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+    val rawG = dsirFeat(bigramOccurrences(raw, lit(0L), textCol), hexChars)
+    val tgtG = dsirFeat(bigramOccurrences(target, lit(0L), textCol), hexChars)
+    val cR = rawG.groupBy(col("f")).agg(count(lit(1)).as("c_r")).persist()
+    val cT = tgtG.groupBy(col("f")).agg(count(lit(1)).as("c_t")).persist()
+    val nR = cR.agg(coalesce(sum(col("c_r")), lit(0L))).collect()(0).getLong(0)
+    val nT = cT.agg(coalesce(sum(col("c_t")), lit(0L))).collect()(0).getLong(0)
+    val v = hexChars match {
+      case Some(h) => math.pow(16.0, h.toDouble).toLong
+      case None => cR.select(col("f")).union(cT.select(col("f")))
+        .agg(countDistinct(col("f"))).collect()(0).getLong(0)
+    }
+    DsirModel(cR, cT, nR, nT, v, addK, hexChars)
+  }
+
+  /** Score any frame against a [[DsirModel]] — identical formula to
+    * [[dsirScores]], with one ingest-specific generalization: a feature the
+    * frozen RAW model never saw scores with c_r = 0 (the smoothing floor),
+    * because an arriving document is not part of the reference fit. On the
+    * fit corpus itself every feature is in the raw model, so prepared
+    * scores EQUAL the one-shot path (spec'd).
+    */
+  def dsirScorePrepared(
+      docs: DataFrame,
+      model: DsirModel,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    graft.extensions.GraftExtensions.register(spark)
+    val g = dsirFeat(bigramOccurrences(docs, col(idCol), textCol), model.hexChars)
+    val k = model.addK
+    val scored = g
+      .join(model.cR, Seq("f"), "left")
+      .join(model.cT, Seq("f"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(
+          log((coalesce(col("c_t"), lit(0L)) + k) / (model.nT + model.v * k)) -
+            log((coalesce(col("c_r"), lit(0L)) + k) / (model.nR + model.v * k))), 6)
+          .as("dsir_score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
+  }
+
+  /** Select-on-ingest (`foreachBatch` sink): every micro-batch scores
+    * against the frozen models and only docs at or above `minScore` append
+    * to the snapshot table at `outDir` — the data-selection member of the
+    * ingest tier (dedup-on-ingest, decontaminate-on-ingest, select-on-
+    * ingest). Stateless across batches by design (a doc is judged against
+    * the FIXED models alone); an all-rejected or empty batch publishes NO
+    * version; at-least-once on replay — compose with exact dedup or MERGE
+    * where exactly-once matters.
+    */
+  def dsirSink(
+      model: DsirModel,
+      outDir: String,
+      minScore: Double,
+      textCol: String = "text",
+      idCol: String = "doc_id"): (DataFrame, Long) => Unit = (batch, _) => {
+    val keep = dsirScorePrepared(batch, model, textCol, idCol)
+      .filter(col("dsir_score") >= minScore).select(col("doc_id").as(idCol))
+    // persisted: the emptiness probe and the append would otherwise each
+    // re-run the scoring sweep
+    val selected = batch.join(keep, Seq(idCol), "left_semi").persist()
+    val spark = batch.sparkSession
+    try {
+      if (!selected.isEmpty) {
+        if (graft.catalog.SnapshotTable.exists(spark, outDir))
+          graft.catalog.SnapshotTable.append(spark, selected, outDir)
+        else graft.catalog.SnapshotTable.write(spark, selected, outDir)
+      }
+    } finally selected.unpersist(blocking = false)
+    ()
+  }
+
   /** Fixed-length token CHUNKING with stride — the context-window
     * preprocessing step between curation and training: long documents
     * split into `maxLen`-token windows whose starts advance by `stride`
