@@ -251,4 +251,17 @@ object IncrementalClusters {
   /** The current assignment (doc_id, rep_id). */
   def clusters(spark: SparkSession, clustersDir: String): DataFrame =
     SnapshotTable.read(spark, clustersDir)
+
+  /** Assignment maintenance: compact the fold-fragmented file tail and
+    * RANGE-CLUSTER by doc_id, so every data file covers a tight doc_id
+    * span — [[SnapshotTable.mergeByKey]]'s file-bounds pruning then
+    * rewrites the MINIMUM file set per fold (a batch touching k docs hits
+    * only the files whose spans contain them, instead of every file whose
+    * accidental id mixture overlaps). Run on the normal compaction cadence;
+    * in MoR mode this also purges accumulated deletion vectors. Returns
+    * (files before, files after).
+    */
+  def maintain(spark: SparkSession, clustersDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    SnapshotTable.compact(spark, clustersDir, targetBytes, zorderBy = Seq("doc_id"))
 }

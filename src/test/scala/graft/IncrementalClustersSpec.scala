@@ -90,6 +90,30 @@ class IncrementalClustersSpec extends SparkSpec {
     assert(IncrementalClusters.clusters(spark, dir).count() == 300)
   }
 
+  test("maintain range-clusters by doc_id: post-maintenance folds rewrite the minimum file set") {
+    val dir = tmp("maint")
+    // hash-layout start: 4 files, EVERY file spans the whole doc_id range,
+    // so any fold's key footprint overlaps all of them
+    SnapshotTable.write(spark,
+      (0L until 20000L).map(i => (i, i)).toDF("doc_id", "rep_id").repartition(4), dir)
+    val m0 = SnapshotTable.currentManifest(spark, dir).get
+    assert(m0.entries.size >= 4)
+    IncrementalClusters.foldPairs(spark, dir, Seq((100L, 101L)).toDF("id_a", "id_b"))
+    val afterBlind = SnapshotTable.currentManifest(spark, dir).get
+    val blindRewrites = m0.entries.map(_.path).toSet -- afterBlind.entries.map(_.path).toSet
+    assert(blindRewrites.size >= 4, s"hash layout should overlap everywhere: $blindRewrites")
+    // range-cluster, then the same-shape fold must touch exactly ONE file
+    val (_, nAfter) = IncrementalClusters.maintain(spark, dir, targetBytes = 32 * 1024)
+    assert(nAfter >= 3, s"need several clustered files to prove pruning, got $nAfter")
+    val m1 = SnapshotTable.currentManifest(spark, dir).get
+    IncrementalClusters.foldPairs(spark, dir, Seq((200L, 201L)).toDF("id_a", "id_b"))
+    val m2 = SnapshotTable.currentManifest(spark, dir).get
+    val rewrites = m1.entries.map(_.path).toSet -- m2.entries.map(_.path).toSet
+    assert(rewrites.size == 1, s"clustered fold rewrote ${rewrites.size} files: $rewrites")
+    assert(assignment(dir).view.filterKeys(k => k >= 100L && k <= 201L).toMap ==
+      ((100L to 201L).map(i => i -> i).toMap ++ Map(101L -> 100L, 201L -> 200L)))
+  }
+
   test("foldPairsScored: reps table equals the batch argmax after every fold") {
     val cdir = tmp("scored-c"); val rdir = tmp("scored-r")
     // deterministic quality signal; ties exercised via duplicate scores
