@@ -769,22 +769,30 @@ class ScaleSoakSpec extends SparkSpec {
         .select(col("id").as("doc_id"), col("id").as("rep_id")).repartition(2)
       if (i == 0) SnapshotTable.write(spark, df, dir) else SnapshotTable.append(spark, df, dir)
     }
-    def foldAndMeasure(dir: String): (RunMetrics, Long, Long) = {
+    def foldAndMeasure(dir: String, mor: Boolean = false): (RunMetrics, Long, Long) = {
       val before = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
       // 500 singleton merges confined to doc_ids [0, 2000) — one chunk's range
       val batch = (0L until 500L).map(i => (4 * i, 4 * i + 1)).toDF("id_a", "id_b")
       val m = measureOnce { () =>
-        graft.streaming.IncrementalClusters.foldPairs(spark, dir, batch); ()
+        graft.streaming.IncrementalClusters.foldPairs(spark, dir, batch, mor); ()
       }
       val newFiles = SnapshotTable.currentManifest(spark, dir).get.entries
         .filterNot(e => before.contains(e.path))
       (m, newFiles.map(_.rows).sum, newFiles.size.toLong)
     }
     val d1 = s"$soakRoot/incc_x1"; val d4 = s"$soakRoot/incc_x4"
+    val dm1 = s"$soakRoot/incc_mor_x1"; val dm4 = s"$soakRoot/incc_mor_x4"
     build(d1, 16) // 200k rows
     build(d4, 64) // 800k rows, same file size
+    build(dm1, 16); build(dm4, 64)
     val (m1, rows1, files1) = foldAndMeasure(d1)
     val (m4, rows4, files4) = foldAndMeasure(d4)
+    // merge-on-read: written rows per fold = the 500 changed rows alone
+    // (superseded rows become vectors), at BOTH table sizes
+    val (_, morRows1, _) = foldAndMeasure(dm1, mor = true)
+    val (_, morRows4, _) = foldAndMeasure(dm4, mor = true)
+    assert(morRows1 == 500L && morRows4 == 500L,
+      s"MoR fold should write exactly the 500 changed rows: $morRows1 / $morRows4")
     SoakReport.record("incc_fold",
       Map("sec" -> m1.sec, "shuffle_write_bytes" -> m1.shuffleWriteBytes,
         "disk_spill_bytes" -> m1.diskSpill, "mem_spill_bytes" -> m1.memSpill,
@@ -794,7 +802,8 @@ class ScaleSoakSpec extends SparkSpec {
         "peak_task_mem_bytes" -> m4.peakMem),
       Map("table_rows_x1" -> 16 * chunkRows, "table_rows_x4" -> 64 * chunkRows,
         "rewritten_rows_x1" -> rows1, "rewritten_rows_x4" -> rows4,
-        "rewritten_files_x1" -> files1, "rewritten_files_x4" -> files4))
+        "rewritten_files_x1" -> files1, "rewritten_files_x4" -> files4,
+        "mor_written_rows_x1" -> morRows1, "mor_written_rows_x4" -> morRows4))
     info(f"incc_fold 1x: ${m1.pretty} rewrittenRows=$rows1 files=$files1")
     info(f"incc_fold 4x: ${m4.pretty} rewrittenRows=$rows4 files=$files4")
     assert(m4.diskSpill == 0L, s"fold spilled ${m4.diskSpill} bytes at 4x")
