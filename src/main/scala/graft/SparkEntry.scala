@@ -942,6 +942,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- select-on-ingest's scoring core in batch mode: frozen PREPARED
+    // models (fit once, persisted counts + collected scalars) swept over
+    // the fit corpus must reproduce the one-shot q155 scores exactly, so
+    // the identical oracle applies — E124's oracle gate ----
+    "q161_dsir_prepared" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val model = graft.text.TextPipelines.dsirPrepare(docs, docs.filter(col("lang") === "en"))
+      try graft.util.Caching.materialize(
+        graft.text.TextPipelines.dsirScorePrepared(docs, model).orderBy(col("doc_id")))
+      finally model.release()
+    }),
+
     // ---- DSIR over the paper's FIXED hashed feature space: bigrams hash
     // into 256 md5-prefix buckets, so both multinomial fits are ≤256 rows
     // no matter the corpus — the bounded-model-state deploy option ----
@@ -2410,6 +2422,35 @@ object SparkEntry {
       |  COALESCE(r.rep, a.id) = a.id AS keep
       |FROM ass a LEFT JOIN reps r USING (id) ORDER BY a.id""".stripMargin
 
+  /** DSIR truth over exact bigram classes, shared by q155 (one-shot) and
+    * q161 (frozen prepared models swept over the fit corpus — identical
+    * scores by construction, spec'd in StreamingDsirSpec).
+    */
+  private val DsirOracleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |t2 AS (SELECT doc_id, lang, toks FROM t WHERE LEN(toks) >= 2),
+      |p AS (SELECT doc_id, lang, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM t2),
+      |g AS (SELECT a.doc_id, a.lang, a.w || ' ' || b.w AS bg
+      |      FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+      |cr AS (SELECT bg, COUNT(*) AS c_r FROM g GROUP BY 1),
+      |ct AS (SELECT bg, COUNT(*) AS c_t FROM g WHERE lang = 'en' GROUP BY 1),
+      |nr AS (SELECT COUNT(*) AS n_r FROM g),
+      |nt AS (SELECT COUNT(*) AS n_t FROM g WHERE lang = 'en'),
+      |v AS (SELECT COUNT(DISTINCT bg) AS v FROM g),
+      |sc AS (
+      |  SELECT doc_id, COUNT(*) AS n_bigrams,
+      |    ROUND(AVG(LN((COALESCE(c_t, 0) + 0.5) / (n_t + 0.5 * v))
+      |            - LN((c_r + 0.5) / (n_r + 0.5 * v))), 6) AS dsir_score
+      |  FROM g JOIN cr USING (bg) LEFT JOIN ct USING (bg)
+      |  CROSS JOIN nr CROSS JOIN nt CROSS JOIN v
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(sc.dsir_score, 0) AS dsir_score
+      |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q114_kmeans_assign" -> kmeansAssignOracle(KmeansCentroids),
     "q115_bpe_apply" -> bpeApplyOracle(BpeFixedMerges),
@@ -3080,30 +3121,9 @@ object SparkEntry {
     // q155: DSIR truth — bigram models over strings (target = lang 'en',
     // a subset of raw, so the union vocabulary is raw's), add-0.5
     // smoothing, mean per-occurrence log-likelihood ratio rounded at 6.
-    "q155_dsir_scores" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
-        |t2 AS (SELECT doc_id, lang, toks FROM t WHERE LEN(toks) >= 2),
-        |p AS (SELECT doc_id, lang, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM t2),
-        |g AS (SELECT a.doc_id, a.lang, a.w || ' ' || b.w AS bg
-        |      FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
-        |cr AS (SELECT bg, COUNT(*) AS c_r FROM g GROUP BY 1),
-        |ct AS (SELECT bg, COUNT(*) AS c_t FROM g WHERE lang = 'en' GROUP BY 1),
-        |nr AS (SELECT COUNT(*) AS n_r FROM g),
-        |nt AS (SELECT COUNT(*) AS n_t FROM g WHERE lang = 'en'),
-        |v AS (SELECT COUNT(DISTINCT bg) AS v FROM g),
-        |sc AS (
-        |  SELECT doc_id, COUNT(*) AS n_bigrams,
-        |    ROUND(AVG(LN((COALESCE(c_t, 0) + 0.5) / (n_t + 0.5 * v))
-        |            - LN((c_r + 0.5) / (n_r + 0.5 * v))), 6) AS dsir_score
-        |  FROM g JOIN cr USING (bg) LEFT JOIN ct USING (bg)
-        |  CROSS JOIN nr CROSS JOIN nt CROSS JOIN v
-        |  GROUP BY doc_id)
-        |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
-        |  COALESCE(sc.dsir_score, 0) AS dsir_score
-        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    "q155_dsir_scores" -> DsirOracleSql,
+
+    "q161_dsir_prepared" -> DsirOracleSql,
 
     // q159: hashed-feature DSIR truth — identical recipe to q155 but the
     // feature is substr(md5(bigram), 1, 2) (256 buckets; md5 hex agrees
