@@ -1859,8 +1859,19 @@ object SnapshotTable {
     * appends outside the footprint rebase and land.
     */
   def mergeByKey(spark: SparkSession, batch: DataFrame, dir: String,
-      key: String, maxExactKeys: Int = 100000): Long = {
-    val hitFile = keyFootprint(batch, key, maxExactKeys, "mergeByKey") match {
+      key: String, maxExactKeys: Int = 100000): Long =
+    mergeByKeys(spark, batch, dir, Seq(key), maxExactKeys)
+
+  /** [[mergeByKey]] on a COMPOSITE key (e.g. `(source, doc_id)` entity
+    * keys): one distinct-tuple collect derives a per-COLUMN footprint
+    * probe, files must pass every column's probe to rewrite (independent
+    * per-column tests are conservative — a file holding both key parts but
+    * never the combination rewrites harmlessly), and the upsert anti-joins
+    * on the full key list.
+    */
+  def mergeByKeys(spark: SparkSession, batch: DataFrame, dir: String,
+      keys: Seq[String], maxExactKeys: Int = 100000): Long = {
+    val hitFile = keyFootprint(batch, keys, maxExactKeys, "mergeByKeys") match {
       case Some(f) => f
       case None => // empty batch: no-op, current version (0 if absent)
         return versions(spark, dir).sorted.lastOption.getOrElse(0L)
@@ -1881,7 +1892,7 @@ object SnapshotTable {
           val base =
             if (rewrite.isEmpty) batch.limit(0)
             else readEntries(spark, dir, rewrite, m.schemaDdl, mappingOf(Some(m)))
-          val out = IncrementalLoader.upsert(base, batch, Seq(key))
+          val out = IncrementalLoader.upsert(base, batch, keys)
           mergeSchemas(priorSchema(spark, dir, Some(m)), out.schema, reservedPhysicals(Some(m)))
           val entries = writeData(spark, out, dir, m.partitionCols.getOrElse(Seq.empty),
             mapping = mappingOf(Some(m)))
@@ -1922,8 +1933,15 @@ object SnapshotTable {
     * those rows).
     */
   def mergeByKeyMoR(spark: SparkSession, batch: DataFrame, dir: String,
-      key: String, maxExactKeys: Int = 100000): Long = {
-    val hitFile = keyFootprint(batch, key, maxExactKeys, "mergeByKeyMoR") match {
+      key: String, maxExactKeys: Int = 100000): Long =
+    mergeByKeysMoR(spark, batch, dir, Seq(key), maxExactKeys)
+
+  /** [[mergeByKeyMoR]] on a COMPOSITE key — [[mergeByKeys]]' pruning and
+    * upsert semantics with the MoR write shape.
+    */
+  def mergeByKeysMoR(spark: SparkSession, batch: DataFrame, dir: String,
+      keys: Seq[String], maxExactKeys: Int = 100000): Long = {
+    val hitFile = keyFootprint(batch, keys, maxExactKeys, "mergeByKeysMoR") match {
       case Some(f) => f
       case None => return versions(spark, dir).sorted.lastOption.getOrElse(0L)
     }
@@ -1957,7 +1975,8 @@ object SnapshotTable {
             else {
               val base = withPosAndDv(spark, dir, candidates, m.schemaDdl, mappingOf(Some(m)))
               val matched = base
-                .join(broadcast(batch.select(col(s"`$key`")).distinct()), Seq(key), "left_semi")
+                .join(broadcast(batch.select(keys.map(k => col(s"`$k`")): _*).distinct()),
+                  keys, "left_semi")
                 .select(col(PosFileCol), col(PosIdxCol))
               writeDvBlobs(spark, dir, commitName, matched, candidates)
             }
@@ -2001,43 +2020,62 @@ object SnapshotTable {
     * defeat ordered pruning (every comparison is false, which would
     * wrongly SKIP the files holding them) — they disable pruning entirely.
     */
-  private def keyFootprint(batch: DataFrame, key: String, maxExactKeys: Int,
+  private def keyFootprint(batch: DataFrame, keys: Seq[String], maxExactKeys: Int,
       opName: String): Option[FileEntry => Boolean] = {
-    require(batch.columns.contains(key), s"$opName: batch has no column '$key'")
-    val keyType = batch.schema(key).dataType
-    require(FileStats.eligible(keyType) && keyType != org.apache.spark.sql.types.BooleanType,
-      s"$opName key '$key' must be numeric/string/date/timestamp, got ${keyType.sql}")
-    val kind = FileStats.kindOf(keyType)
+    require(keys.nonEmpty, s"$opName: needs at least one key column")
+    keys.foreach { key =>
+      require(batch.columns.contains(key), s"$opName: batch has no column '$key'")
+      val keyType = batch.schema(key).dataType
+      require(FileStats.eligible(keyType) && keyType != org.apache.spark.sql.types.BooleanType,
+        s"$opName key '$key' must be numeric/string/date/timestamp, got ${keyType.sql}")
+    }
     def repr(v: Any): String = v match {
       case d: java.sql.Date => d.toString
       case ld: java.time.LocalDate => ld.toString
       case other => other.toString
     }
     // ONE bounded job serves emptiness, the NULL-key guard (a null is one
-    // distinct value, so within the cap it is always among the collected
-    // rows; the over-cap agg below re-checks), and the pruning key set
-    val keyRows = batch.select(col(s"`$key`")).distinct().limit(maxExactKeys + 1).collect()
+    // distinct value per column, so within the cap it is always among the
+    // collected tuples; the over-cap agg below re-checks), and the pruning
+    // key sets — per-COLUMN probes derived from the distinct key TUPLES
+    // (independent per-column tests are conservative for composite keys:
+    // a file passing every column may still lack the combination — it is
+    // rewritten, never wrongly skipped)
+    val keyRows = batch.select(keys.map(k => col(s"`$k`")): _*)
+      .distinct().limit(maxExactKeys + 1).collect()
     if (keyRows.isEmpty) return None
-    require(!keyRows.exists(_.isNullAt(0)), s"$opName: batch has NULL keys")
+    require(!keyRows.exists(r => keys.indices.exists(r.isNullAt)),
+      s"$opName: batch has NULL keys")
     val exact = keyRows.length <= maxExactKeys
-    val unprunable = kind == "num" && keyRows.exists(r => {
-      val s = repr(r.get(0)); s == "NaN" || s == "-NaN"
-    })
-    Some(
-      if (unprunable) _ => true
+    // over-cap fallback: one agg yields every column's [min, max] plus the
+    // null re-check the capped collect may have missed
+    lazy val rangeRow = {
+      val aggs = keys.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`")),
+        count(when(col(s"`$k`").isNull, lit(1)))))
+      val r = batch.agg(aggs.head, aggs.tail: _*).collect()(0)
+      keys.indices.foreach(i => require(r.getLong(3 * i + 2) == 0L,
+        s"$opName: batch has NULL keys"))
+      r
+    }
+    val probes: Seq[FileEntry => Boolean] = keys.zipWithIndex.map { case (key, ki) =>
+      val kind = FileStats.kindOf(batch.schema(key).dataType)
+      val unprunable = kind == "num" && keyRows.exists(r => {
+        val s = repr(r.get(ki)); s == "NaN" || s == "-NaN"
+      })
+      if (unprunable) (_: FileEntry) => true
       else if (exact) {
         if (kind == "num") {
-          val ks = keyRows.map(r => repr(r.get(0)).toDouble).sorted
-          e => keyBounds(e, key) match {
+          val ks = keyRows.map(r => repr(r.get(ki)).toDouble).distinct.sorted
+          (e: FileEntry) => keyBounds(e, key) match {
             case Some((lo, hi)) =>
               val i = lowerBoundD(ks, lo.toDouble)
               i < ks.length && ks(i) <= hi.toDouble
             case None => true
           }
         } else {
-          val ks = keyRows.map(r => repr(r.get(0)))
+          val ks = keyRows.map(r => repr(r.get(ki))).distinct
             .sortWith(FileStats.cmpUtf8(_, _) < 0)
-          e => keyBounds(e, key) match {
+          (e: FileEntry) => keyBounds(e, key) match {
             case Some((lo, hi)) =>
               val i = lowerBoundS(ks, lo)
               i < ks.length && FileStats.cmpUtf8(ks(i), hi) <= 0
@@ -2045,18 +2083,16 @@ object SnapshotTable {
           }
         }
       } else {
-        val r = batch.agg(min(col(s"`$key`")), max(col(s"`$key`")),
-          count(when(col(s"`$key`").isNull, lit(1)))).collect()(0)
-        // the capped collect can miss a null beyond its row budget
-        require(r.getLong(2) == 0L, s"$opName: batch has NULL keys")
-        val (bLo, bHi) = (repr(r.get(0)), repr(r.get(1)))
-        e => keyBounds(e, key) match {
+        val (bLo, bHi) = (repr(rangeRow.get(3 * ki)), repr(rangeRow.get(3 * ki + 1)))
+        (e: FileEntry) => keyBounds(e, key) match {
           case Some((lo, hi)) =>
             if (kind == "num") !(bHi.toDouble < lo.toDouble || bLo.toDouble > hi.toDouble)
             else !(FileStats.cmpUtf8(bHi, lo) < 0 || FileStats.cmpUtf8(bLo, hi) > 0)
           case None => true
         }
-      })
+      }
+    }
+    Some(e => probes.forall(_(e)))
   }
 
   /** A file's key bounds for [[mergeByKey]] pruning: Some((lo, hi)) when

@@ -186,6 +186,40 @@ class MergeByKeySpec extends SparkSpec {
       SnapshotTable.read(spark, morR).as[(Long, Long, Double)].collect().toSet)
   }
 
+  test("composite keys: update-else-insert on (source, id); per-column footprint prunes") {
+    val dir = tmp("multi")
+    SnapshotTable.write(spark,
+      (0L until 50L).map(i => ("web", i, "a")).toDF("src", "id", "v").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (0L until 50L).map(i => ("books", i, "b")).toDF("src", "id", "v").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (1000L until 1050L).map(i => ("web", i, "c")).toDF("src", "id", "v").repartition(1), dir)
+    val before = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    // the id-range probe alone exonerates the third file (ids >= 1000);
+    // src='books' file survives the REWRITE but its rows are keyed apart
+    val idLow = SnapshotTable.currentManifest(spark, dir).get.entries
+      .filter(_.stats.get("id").lo.get.toDouble >= 1000.0).map(_.path).toSet
+    assert(idLow.size == 1)
+    SnapshotTable.mergeByKeys(spark,
+      Seq(("web", 7L, "A"), ("news", 7L, "n")).toDF("src", "id", "v"), dir, Seq("src", "id"))
+    val after = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    assert(idLow.subsetOf(after), "id-footprint-exonerated file was rewritten")
+    val got = SnapshotTable.read(spark, dir).as[(String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("web", 7L)) == "A")     // updated
+    assert(got(("books", 7L)) == "b")   // same id, different src: untouched
+    assert(got(("news", 7L)) == "n")    // inserted
+    assert(got.size == 151)
+    // MoR composite: same semantics, zero rewrites
+    val beforeMor = SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet
+    SnapshotTable.mergeByKeysMoR(spark,
+      Seq(("books", 7L, "B")).toDF("src", "id", "v"), dir, Seq("src", "id"))
+    assert(beforeMor.subsetOf(SnapshotTable.currentManifest(spark, dir).get.entries.map(_.path).toSet))
+    val got2 = SnapshotTable.read(spark, dir).as[(String, Long, String)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got2(("books", 7L)) == "B" && got2(("web", 7L)) == "A" && got2.size == 151)
+  }
+
   test("NULL keys are refused") {
     val dir = tmp("null")
     SnapshotTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir)
