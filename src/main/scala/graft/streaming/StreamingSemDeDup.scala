@@ -16,7 +16,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * corpus size. Each arriving vector assigns to its cell against the
   * BROADCAST centroids (k × dim model state in the task closure, one fused
   * loop per centroid) and scores only against that cell's retained
-  * embeddings.
+  * embeddings. Total state is bounded by k × `maxPerCell` × dim even
+  * without retention — cells are fixed in number, unlike LSH buckets.
   *
   * Same formulas end to end as the batch path, so streamed and batch
   * results can never silently diverge: the cosine loop is
@@ -39,13 +40,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (retained ids plus [[TombstonesPerDoc]] × cap id-only tombstones);
   * per-cell state is capped at `maxPerCell` embeddings (newest retained —
   * a cell past the cap holds that many same-cell documents, and new
-  * arrivals still score against the retained ones). Works unchanged on a
-  * BATCH frame (state starts empty, every pair is within-batch).
+  * arrivals still score against the retained ones). RETENTION
+  * (`retention = Some(d)`) is E111's event-time window verbatim: a pair
+  * emits only when the two docs' event times lie within `d` of each other
+  * (deterministic — never watermark-timing-dependent), cell entries evict
+  * once the watermark passes ts + `d`, and event-time timeouts GC idle
+  * cells — dedup against a sliding window instead of all history. Works
+  * unchanged on a BATCH frame (state starts empty, every pair is
+  * within-batch; in retention mode the within-`d` rule still applies).
   */
 object StreamingSemDeDup {
 
-  /** One retained embedding: doc id + its vector. */
-  case class CellDoc(id: Long, vec: Array[Double])
+  /** One retained embedding: doc id + its vector + event-time millis
+    * (0 outside retention mode).
+    */
+  case class CellDoc(id: Long, vec: Array[Double], ts: Long)
 
   /** Per-cell state: retained embeddings (newest first, capped) plus
     * id-only tombstones of cap-evicted docs (re-delivery stays a no-op
@@ -98,6 +107,11 @@ object StreamingSemDeDup {
     * @param threshold  within-cell cosine at or above which two docs are
     *                   semantic duplicates (the paper sweeps 0.9–0.95+)
     * @param maxPerCell retained embeddings per cell (newest kept)
+    * @param retention  Some(d): sliding event-time dedup window (see class
+    *                   doc); None (default): dedup against all history
+    * @param eventTimeCol event-time column (cast to timestamp) read in
+    *                   retention mode
+    * @param watermarkDelay watermark applied in streaming retention mode
     */
   def semanticPairs(
       docs: DataFrame,
@@ -105,21 +119,37 @@ object StreamingSemDeDup {
       threshold: Double,
       vecCol: String = "vec",
       idCol: String = "id",
-      maxPerCell: Int = 4096): Dataset[SemPair] = {
+      maxPerCell: Int = 4096,
+      retention: Option[java.time.Duration] = None,
+      eventTimeCol: String = "event_ts",
+      watermarkDelay: String = "0 seconds"): Dataset[SemPair] = {
     require(centroids.nonEmpty, "centroids must be non-empty")
     require(threshold > 0.0, s"threshold must be positive, got $threshold")
     require(maxPerCell >= 1, "maxPerCell must be positive")
+    retention.foreach(d => require(!d.isNegative && !d.isZero,
+      "retention must be a positive duration"))
     val spark = docs.sparkSession
     import spark.implicits._
     val cents: Array[Array[Double]] = centroids.map(_.toArray).toArray
     val th = threshold
     val cap = maxPerCell
     val tombCap = TombstonesPerDoc * maxPerCell
+    val retMs = retention.map(_.toMillis)
+    val streaming = docs.isStreaming
 
-    val assigned: Dataset[(Int, CellDoc)] = docs
-      .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .as[(Long, Seq[Double])]
-      .map { case (id, v) =>
+    val tsCol = retention match {
+      case Some(_) => unix_millis(col(eventTimeCol).cast("timestamp"))
+      case None => lit(0L)
+    }
+    // the third element re-materializes event time as a TIMESTAMP column:
+    // watermark metadata cannot survive the object-pipeline boundary of
+    // the map, so in retention mode the watermark is (re)declared on the
+    // keyed frame itself — the attribute the stateful operator checks
+    val assigned: Dataset[(Int, CellDoc, java.sql.Timestamp)] = docs
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"), tsCol.as("ts"))
+      .as[(Long, Seq[Double], Long)]
+      .map { case (id, v, ts) =>
         val vec = v.toArray
         // assignEmbeddings' max-(score, cid) struct: strictly-greater
         // score wins, equal score falls to the LARGER cid — iterating
@@ -133,33 +163,63 @@ object StreamingSemDeDup {
           if (java.lang.Double.compare(s, bestS) >= 0) { bestS = s; bestC = c }
           c += 1
         }
-        (bestC, CellDoc(id, vec))
+        (bestC, CellDoc(id, vec, ts), new java.sql.Timestamp(ts))
       }
+    val tagged =
+      if (retMs.isDefined && streaming) assigned.withWatermark("_3", watermarkDelay)
+      else assigned
 
-    assigned
+    val timeoutConf =
+      if (retMs.isDefined && streaming) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    tagged
       .groupByKey(_._1)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: Int, it: Iterator[(Int, CellDoc)], state: GroupState[CellState]) => {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (_: Int, it: Iterator[(Int, CellDoc, java.sql.Timestamp)],
+            state: GroupState[CellState]) => {
           val prior = state.getOption.getOrElse(CellState(Nil, Nil))
-          val seen = prior.docs.map(_.id).toSet ++ prior.tomb
-          // deterministic arrival order inside the batch; re-delivered ids no-op
-          val fresh = it.map(_._2).filter(d => !seen.contains(d.id))
-            .toSeq.distinctBy(_.id).sortBy(_.id)
-          val out = Seq.newBuilder[SemPair]
-          var held = prior.docs
-          fresh.foreach { d =>
-            held.foreach { o =>
-              val s = cosine(d.vec, o.vec)
-              if (s >= th)
-                out += (if (d.id < o.id) SemPair(d.id, o.id, s)
-                        else SemPair(o.id, d.id, s))
-            }
-            held = d :: held
+          // retention eviction: an entry whose ts + retention is behind the
+          // watermark can no longer pair with any non-late arrival
+          val wm = if (retMs.isDefined && streaming) state.getCurrentWatermarkMs() else Long.MinValue
+          val docsLive = retMs match {
+            case Some(r) if wm > Long.MinValue => prior.docs.filter(_.ts + r >= wm)
+            case _ => prior.docs
           }
-          val (kept, capEvicted) = held.splitAt(cap)
-          val tomb = (capEvicted.map(_.id) ++ prior.tomb).take(tombCap)
-          state.update(CellState(kept, tomb))
-          out.result().iterator
+          if (state.hasTimedOut) {
+            // no new data since the timeout was armed: GC what expired
+            if (docsLive.isEmpty) state.remove()
+            else {
+              state.update(CellState(docsLive, prior.tomb))
+              state.setTimeoutTimestamp(docsLive.map(_.ts).max + retMs.get + 1)
+            }
+            Iterator.empty
+          } else {
+            val seen = docsLive.map(_.id).toSet ++ prior.tomb
+            // deterministic arrival order inside the batch; re-delivered ids no-op
+            val fresh = it.map(_._2).filter(d => !seen.contains(d.id))
+              .toSeq.distinctBy(_.id).sortBy(_.id)
+            val out = Seq.newBuilder[SemPair]
+            var held = docsLive
+            fresh.foreach { d =>
+              held.foreach { o =>
+                val inWindow = retMs.forall(r => math.abs(d.ts - o.ts) <= r)
+                if (inWindow) {
+                  val s = cosine(d.vec, o.vec)
+                  if (s >= th)
+                    out += (if (d.id < o.id) SemPair(d.id, o.id, s)
+                            else SemPair(o.id, d.id, s))
+                }
+              }
+              held = d :: held
+            }
+            val (kept, capEvicted) = held.splitAt(cap)
+            val tomb = (capEvicted.map(_.id) ++ prior.tomb).take(tombCap)
+            state.update(CellState(kept, tomb))
+            if (retMs.isDefined && streaming && kept.nonEmpty)
+              state.setTimeoutTimestamp(kept.map(_.ts).max + retMs.get + 1)
+            out.result().iterator
+          }
         })
   }
 }

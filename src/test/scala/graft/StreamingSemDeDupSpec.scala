@@ -96,6 +96,48 @@ class StreamingSemDeDupSpec extends SparkSpec {
     assert(got.toSet == batchPairs(0.99))
   }
 
+  test("retention: emitted pairs equal the batch edge set restricted to the event-time window") {
+    // arrival order puts each pert1 twin right after its base (Δts one
+    // 100s step — inside the 250s window) and every pert2 doc at the END
+    // (Δts far past retention → its pairs must drop); timestamps advance
+    // monotonically so no pair straddles a watermark-evicted partner
+    val rows0 = corpus.as[(Long, Seq[Double])].collect().toMap
+    val baseIds = rows0.keys.filter(_ < 1000000L).toSeq.sorted
+    val ordered = baseIds.flatMap(i =>
+      Seq(i) ++ (if (rows0.contains(1000000L + i)) Seq(1000000L + i) else Nil)) ++
+      rows0.keys.filter(_ >= 2000000L).toSeq.sorted
+    val ts: Map[Long, Long] = ordered.zipWithIndex
+      .map { case (id, i) => id -> (1700000000000L + i * 100000L) }.toMap
+    val retention = java.time.Duration.ofMillis(250000L)
+    val rows = ordered.map(id => (id, rows0(id), new java.sql.Timestamp(ts(id))))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+    val sinkTable = s"ssd_ttl_${System.nanoTime()}"
+    val q = StreamingSemDeDup.semanticPairs(
+        mem.toDF.toDF("id", "vec", "event_ts"), centroids, threshold = 0.99,
+        retention = Some(retention))
+      .writeStream.format("memory").queryName(sinkTable).outputMode("append").start()
+    try {
+      rows.grouped(120).foreach { g => mem.addData(g: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table(sinkTable)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val all = batchPairs(0.99).map(p => (p._1, p._2))
+    val want = all.filter { case (a, b) => math.abs(ts(a) - ts(b)) <= retention.toMillis }
+    val dropped = all -- want
+    assert(want.nonEmpty && dropped.nonEmpty,
+      s"fixture must keep some pairs in-window and push others out (${all.size} total)")
+    assert(got == want, s"only-stream=${got -- want} only-batch=${want -- got}")
+
+    // batch mode applies the same window rule (no watermark machinery)
+    val batchGot = StreamingSemDeDup.semanticPairs(
+        rows.toDF("id", "vec", "event_ts"), centroids, threshold = 0.99,
+        retention = Some(retention))
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(batchGot == want)
+  }
+
   test("ingest loop: streamed pairs folded into IncrementalClusters equal semanticDedup reps") {
     val dir = tmp("loop")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
