@@ -1888,11 +1888,24 @@ object SnapshotTable {
           }.get
         case Some(m) =>
           enforceOnBatch(spark, dir, Some(m), batch, s"merge into $dir")
+          // align to the table's column set/order up front (extra batch
+          // columns drop — upsert's contract), so a batch LACKING a table
+          // column is refused uniformly — not "silently null when every
+          // file was pruned, AnalysisException otherwise" (the base frame
+          // degenerates to batch.limit(0) on a fully-pruned rewrite set,
+          // which would otherwise let the narrow schema through)
+          val tableCols = m.schemaDdl
+            .map(d => org.apache.spark.sql.types.StructType.fromDDL(d).fieldNames.toSeq)
+            .getOrElse(batch.columns.toSeq)
+          val missingCols = tableCols.filterNot(batch.columns.contains)
+          require(missingCols.isEmpty,
+            s"merge batch lacks table columns: ${missingCols.mkString(", ")}")
+          val aligned = batch.select(tableCols.map(c => col(s"`$c`")): _*)
           val rewrite = m.entries.filter(hitFile)
           val base =
-            if (rewrite.isEmpty) batch.limit(0)
+            if (rewrite.isEmpty) aligned.limit(0)
             else readEntries(spark, dir, rewrite, m.schemaDdl, mappingOf(Some(m)))
-          val out = IncrementalLoader.upsert(base, batch, keys)
+          val out = IncrementalLoader.upsert(base, aligned, keys)
           mergeSchemas(priorSchema(spark, dir, Some(m)), out.schema, reservedPhysicals(Some(m)))
           val entries = writeData(spark, out, dir, m.partitionCols.getOrElse(Seq.empty),
             mapping = mappingOf(Some(m)))
@@ -2026,8 +2039,14 @@ object SnapshotTable {
     keys.foreach { key =>
       require(batch.columns.contains(key), s"$opName: batch has no column '$key'")
       val keyType = batch.schema(key).dataType
-      require(FileStats.eligible(keyType) && keyType != org.apache.spark.sql.types.BooleanType,
-        s"$opName key '$key' must be numeric/string/date/timestamp, got ${keyType.sql}")
+      // timestamps refused: their stat bounds live in epoch-micros while a
+      // collected key is a wall-clock object — a mismatch that could only
+      // prune wrongly; temporal merges belong on the dt-keyed [[merge]]
+      val timestampish = keyType == org.apache.spark.sql.types.TimestampType ||
+        keyType == org.apache.spark.sql.types.TimestampNTZType
+      require(FileStats.eligible(keyType) && !timestampish &&
+          keyType != org.apache.spark.sql.types.BooleanType,
+        s"$opName key '$key' must be numeric/string/date, got ${keyType.sql}")
     }
     def repr(v: Any): String = v match {
       case d: java.sql.Date => d.toString
@@ -2068,8 +2087,12 @@ object SnapshotTable {
           val ks = keyRows.map(r => repr(r.get(ki)).toDouble).distinct.sorted
           (e: FileEntry) => keyBounds(e, key) match {
             case Some((lo, hi)) =>
+              // Double.compare, not <=: a NaN bound (all-NaN column, or a
+              // legacy collector that let NaN through) must read as the
+              // GREATEST value — raw <= against NaN is false and would
+              // wrongly SKIP the file (FileStats.cmp's own discipline)
               val i = lowerBoundD(ks, lo.toDouble)
-              i < ks.length && ks(i) <= hi.toDouble
+              i < ks.length && java.lang.Double.compare(ks(i), hi.toDouble) <= 0
             case None => true
           }
         } else {
@@ -2109,7 +2132,8 @@ object SnapshotTable {
     var lo = 0; var hi = a.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
-      if (a(mid) < target) lo = mid + 1 else hi = mid
+      // NaN-total order (NaN greatest), matching the probe's comparisons
+      if (java.lang.Double.compare(a(mid), target) < 0) lo = mid + 1 else hi = mid
     }
     lo
   }

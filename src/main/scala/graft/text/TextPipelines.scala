@@ -584,10 +584,10 @@ object TextPipelines {
     val spark = raw.sparkSession
     graft.extensions.GraftExtensions.register(spark)
     val buckets = math.pow(16.0, hexChars.toDouble).toLong
-    def feat(g: DataFrame): DataFrame =
-      g.withColumn("f", substring(md5(col("bg")), 1, hexChars)).drop("bg")
-    val rawG = feat(bigramOccurrences(raw, col(idCol), textCol)).persist()
-    val tgtG = feat(bigramOccurrences(target, lit(0L), textCol))
+    // ONE bucket-expression definition ([[dsirFeat]]) serves this one-shot
+    // path and the prepared E124 path — they can never silently diverge
+    val rawG = dsirFeat(bigramOccurrences(raw, col(idCol), textCol), Some(hexChars)).persist()
+    val tgtG = dsirFeat(bigramOccurrences(target, lit(0L), textCol), Some(hexChars))
     val cR = rawG.groupBy(col("f")).agg(count(lit(1)).as("c_r"))
     val cT = tgtG.groupBy(col("f")).agg(count(lit(1)).as("c_t"))
     val nR = rawG.agg(count(lit(1)).as("n_r"))

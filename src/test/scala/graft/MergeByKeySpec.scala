@@ -228,4 +228,26 @@ class MergeByKeySpec extends SparkSpec {
       SnapshotTable.mergeByKey(spark, bad, dir, "id")
     }
   }
+
+  test("timestamp keys are refused; a batch lacking a table column is refused uniformly") {
+    val dir = tmp("guards")
+    SnapshotTable.write(spark, Seq((1L, "a", 3L)).toDF("id", "v", "extra"), dir)
+    // timestamp key: stat bounds are epoch-micros, a collected key is a
+    // wall-clock object — refused loudly, never wrongly pruned
+    val ts = Seq((java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "x"))
+      .toDF("tk", "v")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeByKey(spark, ts, dir, "tk")
+    }
+    // narrow batch: refused in BOTH write shapes, even when the key
+    // footprint prunes every file (where the COW base degenerates to an
+    // empty frame and the narrow schema would otherwise slip through)
+    val narrow = Seq((999999L, "far")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeByKey(spark, narrow, dir, "id")
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeByKeyMoR(spark, narrow, dir, "id")
+    }
+  }
 }
