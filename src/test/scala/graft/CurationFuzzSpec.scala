@@ -126,4 +126,34 @@ class CurationFuzzSpec extends SparkSpec {
       assert(got == expect, s"round $round: $got vs $expect")
     }
   }
+
+  test("fuzz: exciseContaminated equals a brute-force window-coverage replay on random corpora") {
+    // guards the r16 interval-merge rewrite: the merged-interval coverage
+    // must equal the naive positions x hit-windows union on ANY input —
+    // adjacent windows, nested overlaps, all-contaminated docs, short docs
+    val r = new scala.util.Random(20260815L)
+    (0 until 6).foreach { round =>
+      val n = 2 + r.nextInt(4) // window length 2..5
+      val vocab = (0 until 8).map(i => s"w$i")
+      def text(len: Int): String = Seq.fill(len)(vocab(r.nextInt(vocab.size))).mkString(" ")
+      val docs = (0L until 25L).map(id => (id, text(r.nextInt(20))))
+      val bench = (0 until 5).map(_ => text(3 + r.nextInt(10)))
+      val benchGrams: Set[Seq[String]] = bench.flatMap { t =>
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        if (toks.length < n) Seq.empty else toks.sliding(n).map(_.toSeq).toSeq
+      }.toSet
+      val expect = docs.map { case (id, t) =>
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        val covered = (0 to toks.length - n)
+          .filter(p => benchGrams.contains(toks.slice(p, p + n)))
+          .flatMap(p => p until p + n).toSet
+        val kept = toks.zipWithIndex.collect { case (w, i) if !covered.contains(i) => w }
+        (id, kept.mkString(" "), toks.length.toLong, covered.size.toLong)
+      }
+      val got = graft.dedup.Decontaminate.exciseContaminated(
+          docs.toDF("doc_id", "text"), bench.toDF("text"), n = n)
+        .orderBy($"doc_id").as[(Long, String, Long, Long)].collect().toSeq
+      assert(got == expect, s"round $round (n=$n)")
+    }
+  }
 }
