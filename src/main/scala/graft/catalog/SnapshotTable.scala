@@ -2066,21 +2066,35 @@ object SnapshotTable {
     require(!keyRows.exists(r => keys.indices.exists(r.isNullAt)),
       s"$opName: batch has NULL keys")
     val exact = keyRows.length <= maxExactKeys
-    // over-cap fallback: one agg yields every column's [min, max] plus the
-    // null re-check the capped collect may have missed
-    lazy val rangeRow = {
-      val aggs = keys.flatMap(k => Seq(min(col(s"`$k`")), max(col(s"`$k`")),
-        count(when(col(s"`$k`").isNull, lit(1)))))
+    // over-cap fallback: ONE EAGER agg yields every column's [min, max],
+    // the null re-check the capped collect may have missed, and a NaN
+    // count for floating keys. Eager, not lazy: the NULL guard must fire
+    // even when every column's probe short-circuits to always-true, and
+    // NaN detection cannot rely on the truncated sample — a NaN beyond
+    // the cap would otherwise leave range pruning ON while file stats
+    // never bound NaN, wrongly skipping the file that holds it (the stale
+    // row survives and the batch inserts a duplicate key)
+    val rangeRow: Option[org.apache.spark.sql.Row] = if (exact) None else {
+      val aggs = keys.flatMap { k =>
+        val dt = batch.schema(k).dataType
+        val nanCount =
+          if (dt == org.apache.spark.sql.types.DoubleType ||
+              dt == org.apache.spark.sql.types.FloatType)
+            count(when(isnan(col(s"`$k`")), lit(1)))
+          else count(lit(null))
+        Seq(min(col(s"`$k`")), max(col(s"`$k`")),
+          count(when(col(s"`$k`").isNull, lit(1))), nanCount)
+      }
       val r = batch.agg(aggs.head, aggs.tail: _*).collect()(0)
-      keys.indices.foreach(i => require(r.getLong(3 * i + 2) == 0L,
+      keys.indices.foreach(i => require(r.getLong(4 * i + 2) == 0L,
         s"$opName: batch has NULL keys"))
-      r
+      Some(r)
     }
     val probes: Seq[FileEntry => Boolean] = keys.zipWithIndex.map { case (key, ki) =>
       val kind = FileStats.kindOf(batch.schema(key).dataType)
-      val unprunable = kind == "num" && keyRows.exists(r => {
+      val unprunable = kind == "num" && (keyRows.exists(r => {
         val s = repr(r.get(ki)); s == "NaN" || s == "-NaN"
-      })
+      }) || rangeRow.exists(_.getLong(4 * ki + 3) > 0L))
       if (unprunable) (_: FileEntry) => true
       else if (exact) {
         if (kind == "num") {
@@ -2106,7 +2120,8 @@ object SnapshotTable {
           }
         }
       } else {
-        val (bLo, bHi) = (repr(rangeRow.get(3 * ki)), repr(rangeRow.get(3 * ki + 1)))
+        val row = rangeRow.get
+        val (bLo, bHi) = (repr(row.get(4 * ki)), repr(row.get(4 * ki + 1)))
         (e: FileEntry) => keyBounds(e, key) match {
           case Some((lo, hi)) =>
             if (kind == "num") !(bHi.toDouble < lo.toDouble || bLo.toDouble > hi.toDouble)

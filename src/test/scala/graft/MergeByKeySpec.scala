@@ -250,4 +250,48 @@ class MergeByKeySpec extends SparkSpec {
       SnapshotTable.mergeByKeyMoR(spark, narrow, dir, "id")
     }
   }
+
+  test("over-cap NaN keys disable pruning even when absent from the sample") {
+    val dir = tmp("nanrange")
+    // the stale NaN row lives in a file whose STAT bounds are real-valued
+    // (file stats never bound NaN) and sit BELOW the batch's real min —
+    // exactly the file a range probe built from min/max alone would skip
+    SnapshotTable.write(spark,
+      Seq((1.0, "a"), (2.0, "b"), (Double.NaN, "stale"))
+        .toDF("id", "v").repartition(1), dir)
+    SnapshotTable.append(spark,
+      Seq((5000.0, "far")).toDF("id", "v").repartition(1), dir)
+    val before = paths(dir)
+    // 11 distinct real keys + NaN > cap 3 -> range mode; whether or not the
+    // truncated sample happens to include the NaN, the eager over-cap agg
+    // must detect it and fall back to rewrite-everything
+    val batch = ((100L until 111L).map(i => (i.toDouble, "new")) :+ ((Double.NaN, "FRESH")))
+      .toDF("id", "v")
+    SnapshotTable.mergeByKey(spark, batch, dir, "id", maxExactKeys = 3)
+    // pruning was disabled: every pre-merge file rewrote
+    assert(before.intersect(paths(dir)).isEmpty,
+      s"NaN batch carried files by reference: ${before.intersect(paths(dir))}")
+    val rows = SnapshotTable.read(spark, dir)
+      .as[(Double, String)].collect()
+    val nanRows = rows.filter { case (k, _) => k.isNaN }
+    // compare fields, not tuples: Scala's NaN != NaN defeats tuple equality
+    assert(nanRows.length == 1 && nanRows.head._2 == "FRESH",
+      s"stale NaN row not replaced: ${nanRows.toSeq}")
+    assert(rows.length == 2 + 1 + 11 + 1) // a,b + far + 11 new + one NaN
+  }
+
+  test("over-cap NULL keys are refused even when NaN short-circuits every probe") {
+    val dir = tmp("nullrange")
+    SnapshotTable.write(spark, Seq((1.0, "a")).toDF("id", "v"), dir)
+    // > cap distinct keys (range mode), NaN present (pre-fix this made the
+    // probe always-true WITHOUT forcing the lazy agg that held the NULL
+    // re-check), and a NULL key that may fall beyond the collected sample
+    val batch = ((0L until 10L).map(i => (java.lang.Double.valueOf(i.toDouble), "x"))
+      ++ Seq((java.lang.Double.valueOf(Double.NaN), "n"),
+        (null.asInstanceOf[java.lang.Double], "bad")))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.mergeByKey(spark, batch, dir, "id", maxExactKeys = 3)
+    }
+  }
 }
