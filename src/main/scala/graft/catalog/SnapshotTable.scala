@@ -1871,11 +1871,12 @@ object SnapshotTable {
     */
   def mergeByKeys(spark: SparkSession, batch: DataFrame, dir: String,
       keys: Seq[String], maxExactKeys: Int = 100000): Long = {
-    val hitFile = keyFootprint(batch, keys, maxExactKeys, "mergeByKeys") match {
+    val fp = keyFootprint(batch, keys, maxExactKeys, "mergeByKeys") match {
       case Some(f) => f
       case None => // empty batch: no-op, current version (0 if absent)
         return versions(spark, dir).sorted.lastOption.getOrElse(0L)
     }
+    val hitFile = fp.hitFile
 
     retryingRewrite(dir) {
       currentManifest(spark, dir) match {
@@ -1905,13 +1906,27 @@ object SnapshotTable {
           val base =
             if (rewrite.isEmpty) aligned.limit(0)
             else readEntries(spark, dir, rewrite, m.schemaDdl, mappingOf(Some(m)))
-          val out = IncrementalLoader.upsert(base, aligned, keys)
+          // under the cap, the footprint collect IS the anti-join's build
+          // side: a local relation of the batch's distinct keys, broadcast —
+          // the batch plan is never re-evaluated for the join and the build
+          // side never shuffles (plain equality suffices: the footprint
+          // already refused NULL batch keys, and a NULL-keyed TARGET row
+          // never matches either way, so it survives — upsert's semantics)
+          val out0 = fp.exactKeys match {
+            case Some(keyDf) =>
+              aligned.unionByName(base.join(broadcast(keyDf(spark)), keys.toSeq, "left_anti"))
+            case None => IncrementalLoader.upsert(base, aligned, keys)
+          }
+          // size the rewrite's output files from its byte volume (a no-op
+          // past the footprint cap, or when natural partitioning is finer)
+          val out = fp.exactCount.fold(out0)(n =>
+            out0.coalesce(mergeOutParts(rewrite, n.toLong)))
           mergeSchemas(priorSchema(spark, dir, Some(m)), out.schema, reservedPhysicals(Some(m)))
           val entries = writeData(spark, out, dir, m.partitionCols.getOrElse(Seq.empty),
             mapping = mappingOf(Some(m)))
           val removed = rewrite.map(_.path).toSet
           val basePaths = m.entries.map(_.path).toSet
-          commitLoop(spark, dir, op = "merge") { cur =>
+          commitLoop(spark, dir, op = "merge", knownCurrent = Some(m)) { cur =>
             val addedSince = cur.map(_.entries).getOrElse(Seq.empty)
               .filterNot(e => basePaths.contains(e.path))
             val overlap = addedSince.filter(hitFile)
@@ -1954,10 +1969,11 @@ object SnapshotTable {
     */
   def mergeByKeysMoR(spark: SparkSession, batch: DataFrame, dir: String,
       keys: Seq[String], maxExactKeys: Int = 100000): Long = {
-    val hitFile = keyFootprint(batch, keys, maxExactKeys, "mergeByKeysMoR") match {
+    val fp = keyFootprint(batch, keys, maxExactKeys, "mergeByKeysMoR") match {
       case Some(f) => f
       case None => return versions(spark, dir).sorted.lastOption.getOrElse(0L)
     }
+    val hitFile = fp.hitFile
     retryingRewrite(dir) {
       currentManifest(spark, dir) match {
         case None =>
@@ -1987,17 +2003,25 @@ object SnapshotTable {
             if (candidates.isEmpty) Seq.empty[DvTouch]
             else {
               val base = withPosAndDv(spark, dir, candidates, m.schemaDdl, mappingOf(Some(m)))
+              // under the cap, the footprint collect IS the semi-join's
+              // build side (same reuse as the COW path)
+              val buildSide = fp.exactKeys.map(_(spark))
+                .getOrElse(batch.select(keys.map(k => col(s"`$k`")): _*).distinct())
               val matched = base
-                .join(broadcast(batch.select(keys.map(k => col(s"`$k`")): _*).distinct()),
-                  keys, "left_semi")
+                .join(broadcast(buildSide), keys, "left_semi")
                 .select(col(PosFileCol), col(PosIdxCol))
               writeDvBlobs(spark, dir, commitName, matched, candidates)
             }
-          val newEntries = writeData(spark, aligned, dir, m.partitionCols.getOrElse(Seq.empty),
-            mapping = mappingOf(Some(m)))
+          // size the appended files from the batch's (known, under-cap) row
+          // count — a fold-sized MoR batch otherwise writes
+          // O(shuffle.partitions) near-empty files per commit
+          val alignedSized = fp.exactCount.fold(aligned)(n =>
+            aligned.coalesce(mergeOutParts(Seq.empty, n.toLong)))
+          val newEntries = writeData(spark, alignedSized, dir,
+            m.partitionCols.getOrElse(Seq.empty), mapping = mappingOf(Some(m)))
           val byPath = touched.map(t => t.path -> t).toMap
           val basePaths = m.entries.map(_.path).toSet
-          commitLoop(spark, dir, op = "merge") { cur =>
+          commitLoop(spark, dir, op = "merge", knownCurrent = Some(m)) { cur =>
             val curEntries = cur.map(_.entries).getOrElse(Seq.empty)
             val curByPath = curEntries.map(e => e.path -> e).toMap
             // MoR serializability: every touched file still live, same vector
@@ -2024,6 +2048,16 @@ object SnapshotTable {
     }
   }
 
+  /** What [[keyFootprint]] learned from its one bounded collect: the
+    * per-file intersection probe, plus (under the cap) a builder for the
+    * batch's distinct-key tuples as a LOCAL relation — the merge paths
+    * reuse it as their join build side instead of re-evaluating the batch
+    * plan and shuffling a distinct.
+    */
+  private case class KeyFootprint(hitFile: FileEntry => Boolean,
+      exactKeys: Option[SparkSession => DataFrame],
+      exactCount: Option[Int])
+
   /** The batch's key-footprint probe for the keyed merges: validates the
     * key column, collects the batch's distinct keys ONCE (capped at
     * `maxExactKeys`, past which pruning degrades to the batch's [min, max]
@@ -2034,7 +2068,7 @@ object SnapshotTable {
     * wrongly SKIP the files holding them) — they disable pruning entirely.
     */
   private def keyFootprint(batch: DataFrame, keys: Seq[String], maxExactKeys: Int,
-      opName: String): Option[FileEntry => Boolean] = {
+      opName: String): Option[KeyFootprint] = {
     require(keys.nonEmpty, s"$opName: needs at least one key column")
     keys.foreach { key =>
       require(batch.columns.contains(key), s"$opName: batch has no column '$key'")
@@ -2130,7 +2164,33 @@ object SnapshotTable {
         }
       }
     }
-    Some(e => probes.forall(_(e)))
+    val exactKeysDf: Option[SparkSession => DataFrame] =
+      if (!exact) None
+      else {
+        val keySchema = org.apache.spark.sql.types.StructType(keys.map(batch.schema(_)))
+        val rowsList = java.util.Arrays.asList(keyRows: _*)
+        Some(s => s.createDataFrame(rowsList, keySchema))
+      }
+    Some(KeyFootprint(e => probes.forall(_(e)), exactKeysDf,
+      if (exact) Some(keyRows.length) else None))
+  }
+
+  /** Output-partition sizing for a keyed merge's rewrite: enough parts
+    * that each file lands near `targetBytes`, never more than the work
+    * needs. Only applies when the batch's row count is KNOWN (under the
+    * footprint cap — one row per key); over-cap batches keep their natural
+    * partitioning rather than guess. Without this, a fold-sized rewrite
+    * (k rows into a few files) inherits the batch's shuffle-partition
+    * count and writes O(shuffle.partitions) near-empty files per commit —
+    * the small-file explosion that compounds across micro-batches.
+    */
+  private def mergeOutParts(rewrite: Seq[FileEntry], batchRows: Long,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val rewriteBytes = rewrite.map(_.bytes).sum
+    val rewriteRows = math.max(1L, rewrite.map(_.rows).sum)
+    val avgRow = if (rewrite.nonEmpty) rewriteBytes.toDouble / rewriteRows else 256.0
+    val estBytes = rewriteBytes + batchRows * avgRow
+    math.max(1, math.ceil(estBytes / targetBytes).toInt)
   }
 
   /** A file's key bounds for [[mergeByKey]] pruning: Some((lo, hi)) when
@@ -2211,9 +2271,13 @@ object SnapshotTable {
         case None => (m.entries, Seq.empty[FileEntry])
         case Some(bound) => m.entries.partition(e => e.bytes < bound || e.dv.isDefined)
       }
-      // nothing to gain: one clean candidate merges with nothing (a lone
-      // vectored file still rewrites — purging the vector IS the gain)
-      if (rewrite.isEmpty || (rewrite.length == 1 && rewrite.head.dv.isEmpty))
+      // nothing to gain: one clean WITHIN-TARGET candidate merges with
+      // nothing (a lone vectored file still rewrites — purging the vector
+      // IS the gain; a lone oversized file still rewrites — SPLITTING to
+      // the target, e.g. re-clustering a merge's single-file rewrite, is
+      // the gain)
+      if (rewrite.isEmpty || (rewrite.length == 1 && rewrite.head.dv.isEmpty &&
+          rewrite.head.bytes <= targetBytes))
         return (m.entries.length, m.entries.length)
       val totalBytes = rewrite.map(_.bytes).sum
       val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -2800,7 +2864,12 @@ object SnapshotTable {
       // identity everywhere except RENAME COLUMN (moves a logical name),
       // DROP COLUMN (sheds the dropped logical's entry), and replace
       // (clears — all files are new, written under their logical names)
-      reviseMapping: Option[Map[String, String]] => Option[Map[String, String]] = identity)(
+      reviseMapping: Option[Map[String, String]] => Option[Map[String, String]] = identity,
+      // the manifest the operation already parsed: reused verbatim when the
+      // log listing still shows its version as current (the uncontended
+      // path skips one manifest re-read + parse per commit); any newer
+      // version re-reads as always — correctness never rests on the hint
+      knownCurrent: Option[Manifest] = None)(
       mk: Option[Manifest] => Option[(Seq[FileEntry], Map[String, Long], Option[String])])
       : Option[Long] = {
     val fs = fsFor(spark, dir)
@@ -2810,7 +2879,9 @@ object SnapshotTable {
     while (attempt < MaxCasAttempts) {
       attempt += 1
       val curPair = manifestVersions(fs, dir).lastOption
-      val cur = curPair.map { case (_, p) => readManifest(fs, p) }
+      val cur = curPair.map { case (v, p) =>
+        knownCurrent.filter(_.version == v).getOrElse(readManifest(fs, p))
+      }
       val version = curPair.map(_._1 + 1).getOrElse(1L)
       mk(cur) match {
         case None => return None

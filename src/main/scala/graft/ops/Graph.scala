@@ -70,6 +70,60 @@ object Graph {
     out
   }
 
+  /** [[connectedComponents]] with a SMALL-GRAPH fast path: when the edge
+    * list fits under `driverMax` rows it is collected ONCE and solved by
+    * driver union-find — same (id, rep) contract, one Spark job instead of
+    * the iterative engine's ~10-20 (label rounds + star rounds +
+    * checkpoint/probe jobs each plan a query). Past the cap the collected
+    * sample is discarded and the distributed engine runs — on graphs that
+    * size, its per-round jobs are amortized by real work.
+    *
+    * Built for BATCH-BOUNDED graphs — the incremental fold's contracted
+    * delta ([[graft.streaming.IncrementalClusters]]), whose size is
+    * O(micro-batch endpoints) by construction regardless of corpus size:
+    * at 100 TB the corpus-sized assignment never flows through here, only
+    * the per-batch contraction, and the cap (default 1M edges ≈ 16 MB)
+    * keeps the driver safe if a caller feeds an unbounded graph anyway.
+    */
+  def connectedComponentsAuto(edges: DataFrame, driverMax: Int = 1 << 20): DataFrame = {
+    val all = edges
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+    val sample = all.limit(driverMax + 1).collect()
+    if (sample.length > driverMax) return connectedComponents(edges)
+    // union-find with path halving; rep = component MIN id (found by a
+    // min-fold per root after the unions — union order never matters)
+    val parent = new java.util.HashMap[Long, Long](sample.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        parent.put(r, parent.get(parent.get(r)))
+        r = parent.get(r)
+      }
+      r
+    }
+    sample.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val roots = new java.util.HashMap[Long, Long]() // root -> min member id
+    parent.keySet().forEach { id =>
+      val r = find(id)
+      val cur = roots.get(r)
+      roots.put(r, if (roots.containsKey(r)) math.min(cur, id) else id)
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+    parent.keySet().forEach { id =>
+      rows.add(org.apache.spark.sql.Row(id, roots.get(find(id))))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),
+      org.apache.spark.sql.types.StructField("rep", org.apache.spark.sql.types.LongType, false)))
+    edges.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** The LARGE-STAR / SMALL-STAR contraction engine (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14): converges
     * in O(log n) rounds on ANY topology, where min-label propagation

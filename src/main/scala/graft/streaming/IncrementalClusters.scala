@@ -62,7 +62,10 @@ object IncrementalClusters {
       .join(prev.select(col("doc_id").as("id_b"), col("rep_id").as("rb")), Seq("id_b"), "left")
       .select(coalesce(col("ra"), col("id_a")).as("id_a"),
         coalesce(col("rb"), col("id_b")).as("id_b"))
-    val ccd = Graph.connectedComponents(mapped)
+    // batch-bounded by construction -> the small-graph driver fast path
+    // (one collect job instead of the iterative engine's ~15 round jobs;
+    // distributed fallback past the cap)
+    val ccd = Graph.connectedComponentsAuto(mapped)
     // a component's rep is always its min DOC id: member reps are their
     // old components' minima and new docs bring their own ids, so the
     // min over the contracted component is the min over the merged one.
@@ -101,7 +104,7 @@ object IncrementalClusters {
       SnapshotTable.versions(spark, clustersDir).max
     } else if (!existing) {
       SnapshotTable.write(spark,
-        Graph.connectedComponents(newEdges)
+        Graph.connectedComponentsAuto(newEdges)
           .select(col("id").as("doc_id"), col("rep").as("rep_id")),
         clustersDir)
     } else {
@@ -187,7 +190,7 @@ object IncrementalClusters {
     if (existing && newEdges.isEmpty) {
       SnapshotTable.versions(spark, clustersDir).max
     } else if (!existing) {
-      val assignment = Graph.connectedComponents(newEdges)
+      val assignment = Graph.connectedComponentsAuto(newEdges)
         .select(col("id").as("doc_id"), col("rep").as("rep_id")).persist()
       try {
         val v = SnapshotTable.write(spark, assignment, clustersDir)
