@@ -1862,6 +1862,29 @@ object SnapshotTable {
       key: String, maxExactKeys: Int = 100000): Long =
     mergeByKeys(spark, batch, dir, Seq(key), maxExactKeys)
 
+  /** The highest batch id recorded for `appId` on the table's CURRENT
+    * version (the exactly-once marker [[appendExactlyOnce]] and the
+    * txn-carrying merges stamp), None when never recorded.
+    */
+  def lastTxn(spark: SparkSession, dir: String, appId: String): Option[Long] =
+    txnOf(currentManifest(spark, dir)).get(appId)
+
+  /** The EARLIEST retained version whose txn map records exactly
+    * (appId -> batchId) — the commit that APPLIED that batch (markers
+    * carry forward, so every later manifest shows it too). None when no
+    * retained manifest records that exact id: the batch never committed,
+    * committed as a structural no-op (no version), or its manifest was
+    * vacuumed. Crash-recovery primitive: `version - 1` is the table as the
+    * batch's writer saw it.
+    */
+  def versionRecordingTxn(spark: SparkSession, dir: String,
+      appId: String, batchId: Long): Option[Long] = {
+    val fs = fsFor(spark, dir)
+    manifestVersions(fs, dir).collectFirst {
+      case (v, p) if readManifest(fs, p).txn.exists(_.get(appId).contains(batchId)) => v
+    }
+  }
+
   /** [[mergeByKey]] on a COMPOSITE key (e.g. `(source, doc_id)` entity
     * keys): one distinct-tuple collect derives a per-COLUMN footprint
     * probe, files must pass every column's probe to rewrite (independent
@@ -1870,14 +1893,35 @@ object SnapshotTable {
     * on the full key list.
     */
   def mergeByKeys(spark: SparkSession, batch: DataFrame, dir: String,
-      keys: Seq[String], maxExactKeys: Int = 100000): Long = {
+      keys: Seq[String], maxExactKeys: Int = 100000,
+      // exactly-once marker (appId -> batchId), [[appendExactlyOnce]]'s
+      // protocol on the MERGE commit: a batch the table already records
+      // (same or later id for the appId) is a structural no-op returning
+      // the current version. Batch ids must be monotonic per appId.
+      txn: Option[(String, Long)] = None,
+      // key tuples (aligned with `keys`, properly typed, driver-side) whose
+      // target rows are REMOVED in the SAME commit as the upsert — the
+      // atomic delete+merge a two-table fold needs (a separate delete
+      // commit opens a crash window no replay can heal). A key in both the
+      // batch and deleteKeys UPSERTS (the batch wins). Files holding
+      // delete keys join the rewrite footprint.
+      deleteKeys: Seq[Seq[Any]] = Nil): Long = {
+    txn.foreach { case (app, b) =>
+      if (txnOf(currentManifest(spark, dir)).get(app).exists(_ >= b))
+        return versions(spark, dir).max
+    }
     val fp = keyFootprint(batch, keys, maxExactKeys, "mergeByKeys") match {
       case Some(f) => f
       case None => // empty batch: no-op, current version (0 if absent)
+        require(deleteKeys.isEmpty,
+          "mergeByKeys: deleteKeys with an EMPTY batch is unsupported — use delete()")
         return versions(spark, dir).sorted.lastOption.getOrElse(0L)
     }
-    val hitFile = fp.hitFile
+    val extras = extrasFootprint(spark, batch, keys, deleteKeys, "mergeByKeys")
+    val hitFile: FileEntry => Boolean =
+      extras.fold(fp.hitFile)(x => e => fp.hitFile(e) || x.hitFile(e))
 
+    val txnMap = txn.map { case (app, b) => Map(app -> b) }.getOrElse(Map.empty[String, Long])
     retryingRewrite(dir) {
       currentManifest(spark, dir) match {
         case None =>
@@ -1885,7 +1929,7 @@ object SnapshotTable {
           commitLoop(spark, dir, op = "merge") { cur =>
             if (cur.isDefined) throw new SnapshotConflictException(
               s"table at $dir appeared concurrently; re-running merge against it")
-            Some((entries, Map.empty[String, Long], Some(batch.schema.toDDL)))
+            Some((entries, txnMap, Some(batch.schema.toDDL)))
           }.get
         case Some(m) =>
           enforceOnBatch(spark, dir, Some(m), batch, s"merge into $dir")
@@ -1912,11 +1956,16 @@ object SnapshotTable {
           // side never shuffles (plain equality suffices: the footprint
           // already refused NULL batch keys, and a NULL-keyed TARGET row
           // never matches either way, so it survives — upsert's semantics)
-          val out0 = fp.exactKeys match {
+          val kept0 = fp.exactKeys match {
             case Some(keyDf) =>
-              aligned.unionByName(base.join(broadcast(keyDf(spark)), keys.toSeq, "left_anti"))
-            case None => IncrementalLoader.upsert(base, aligned, keys)
+              base.join(broadcast(keyDf(spark)), keys.toSeq, "left_anti")
+            case None => IncrementalLoader.newRowsNullSafe(base,
+              aligned.select(keys.map(k => col(s"`$k`")): _*), keys)
           }
+          // deleteKeys: drop their rows in the SAME rewrite (never re-added)
+          val kept = extras.flatMap(_.exactKeys).fold(kept0)(x =>
+            kept0.join(broadcast(x(spark)), keys.toSeq, "left_anti"))
+          val out0 = aligned.unionByName(kept)
           // size the rewrite's output files from its byte volume (a no-op
           // past the footprint cap, or when natural partitioning is finer)
           val out = fp.exactCount.fold(out0)(n =>
@@ -1927,17 +1976,22 @@ object SnapshotTable {
           val removed = rewrite.map(_.path).toSet
           val basePaths = m.entries.map(_.path).toSet
           commitLoop(spark, dir, op = "merge", knownCurrent = Some(m)) { cur =>
-            val addedSince = cur.map(_.entries).getOrElse(Seq.empty)
-              .filterNot(e => basePaths.contains(e.path))
-            val overlap = addedSince.filter(hitFile)
-            if (overlap.nonEmpty) throw new SnapshotConflictException(
-              s"concurrent commit at $dir added ${overlap.length} file(s) intersecting this " +
-                s"merge's key footprint (e.g. ${overlap.take(3).map(_.path).mkString(", ")}); " +
-                "re-running the merge against the new snapshot")
-            val merged = mergeSchemas(priorSchema(spark, dir, cur), out.schema, reservedPhysicals(cur))
-            Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
-              txnOf(cur), Some(merged.toDDL)))
-          }.get
+            // raced delivery of the SAME batch: the winner already recorded
+            // the marker — abandon (the current version is the answer)
+            if (txn.exists { case (app, b) => txnOf(cur).get(app).exists(_ >= b) }) None
+            else {
+              val addedSince = cur.map(_.entries).getOrElse(Seq.empty)
+                .filterNot(e => basePaths.contains(e.path))
+              val overlap = addedSince.filter(hitFile)
+              if (overlap.nonEmpty) throw new SnapshotConflictException(
+                s"concurrent commit at $dir added ${overlap.length} file(s) intersecting this " +
+                  s"merge's key footprint (e.g. ${overlap.take(3).map(_.path).mkString(", ")}); " +
+                  "re-running the merge against the new snapshot")
+              val merged = mergeSchemas(priorSchema(spark, dir, cur), out.schema, reservedPhysicals(cur))
+              Some((rebasedEntries(dir, Some(m), cur, removed, removed, entries),
+                txnOf(cur) ++ txnMap, Some(merged.toDDL)))
+            }
+          }.getOrElse(versions(spark, dir).max)
       }
     }
   }
@@ -1968,12 +2022,27 @@ object SnapshotTable {
     * upsert semantics with the MoR write shape.
     */
   def mergeByKeysMoR(spark: SparkSession, batch: DataFrame, dir: String,
-      keys: Seq[String], maxExactKeys: Int = 100000): Long = {
+      keys: Seq[String], maxExactKeys: Int = 100000,
+      // exactly-once marker — [[mergeByKeys]]' protocol, same semantics
+      txn: Option[(String, Long)] = None,
+      // same-commit key deletes — [[mergeByKeys]]' protocol; here the
+      // deleted rows become deletion-vector positions like any match
+      deleteKeys: Seq[Seq[Any]] = Nil): Long = {
+    txn.foreach { case (app, b) =>
+      if (txnOf(currentManifest(spark, dir)).get(app).exists(_ >= b))
+        return versions(spark, dir).max
+    }
     val fp = keyFootprint(batch, keys, maxExactKeys, "mergeByKeysMoR") match {
       case Some(f) => f
-      case None => return versions(spark, dir).sorted.lastOption.getOrElse(0L)
+      case None =>
+        require(deleteKeys.isEmpty,
+          "mergeByKeysMoR: deleteKeys with an EMPTY batch is unsupported — use deleteMoR()")
+        return versions(spark, dir).sorted.lastOption.getOrElse(0L)
     }
-    val hitFile = fp.hitFile
+    val extras = extrasFootprint(spark, batch, keys, deleteKeys, "mergeByKeysMoR")
+    val hitFile: FileEntry => Boolean =
+      extras.fold(fp.hitFile)(x => e => fp.hitFile(e) || x.hitFile(e))
+    val txnMap = txn.map { case (app, b) => Map(app -> b) }.getOrElse(Map.empty[String, Long])
     retryingRewrite(dir) {
       currentManifest(spark, dir) match {
         case None =>
@@ -1981,7 +2050,7 @@ object SnapshotTable {
           commitLoop(spark, dir, op = "merge") { cur =>
             if (cur.isDefined) throw new SnapshotConflictException(
               s"table at $dir appeared concurrently; re-running merge against it")
-            Some((entries, Map.empty[String, Long], Some(batch.schema.toDDL)))
+            Some((entries, txnMap, Some(batch.schema.toDDL)))
           }.get
         case Some(m) =>
           enforceOnBatch(spark, dir, Some(m), batch, s"MoR merge into $dir")
@@ -2004,9 +2073,13 @@ object SnapshotTable {
             else {
               val base = withPosAndDv(spark, dir, candidates, m.schemaDdl, mappingOf(Some(m)))
               // under the cap, the footprint collect IS the semi-join's
-              // build side (same reuse as the COW path)
-              val buildSide = fp.exactKeys.map(_(spark))
+              // build side (same reuse as the COW path); deleteKeys rows
+              // vector out exactly like matches — they are just never
+              // re-appended
+              val batchSide = fp.exactKeys.map(_(spark))
                 .getOrElse(batch.select(keys.map(k => col(s"`$k`")): _*).distinct())
+              val buildSide = extras.flatMap(_.exactKeys)
+                .fold(batchSide)(x => batchSide.unionByName(x(spark)))
               val matched = base
                 .join(broadcast(buildSide), keys, "left_semi")
                 .select(col(PosFileCol), col(PosIdxCol))
@@ -2022,28 +2095,32 @@ object SnapshotTable {
           val byPath = touched.map(t => t.path -> t).toMap
           val basePaths = m.entries.map(_.path).toSet
           commitLoop(spark, dir, op = "merge", knownCurrent = Some(m)) { cur =>
-            val curEntries = cur.map(_.entries).getOrElse(Seq.empty)
-            val curByPath = curEntries.map(e => e.path -> e).toMap
-            // MoR serializability: every touched file still live, same vector
-            byPath.values.foreach { t =>
-              val curE = curByPath.getOrElse(t.path, throw new SnapshotConflictException(
-                s"concurrent commit at $dir removed ${t.path} this MoR merge read; re-running"))
-              if (curE.dv.map(_.path) != t.priorDv) throw new SnapshotConflictException(
-                s"concurrent commit at $dir changed the deletion vector of ${t.path}; re-running")
+            // raced delivery of the SAME batch: abandon, winner already did it
+            if (txn.exists { case (app, b) => txnOf(cur).get(app).exists(_ >= b) }) None
+            else {
+              val curEntries = cur.map(_.entries).getOrElse(Seq.empty)
+              val curByPath = curEntries.map(e => e.path -> e).toMap
+              // MoR serializability: every touched file still live, same vector
+              byPath.values.foreach { t =>
+                val curE = curByPath.getOrElse(t.path, throw new SnapshotConflictException(
+                  s"concurrent commit at $dir removed ${t.path} this MoR merge read; re-running"))
+                if (curE.dv.map(_.path) != t.priorDv) throw new SnapshotConflictException(
+                  s"concurrent commit at $dir changed the deletion vector of ${t.path}; re-running")
+              }
+              // key-uniqueness serializability: adds inside the footprint conflict
+              val addedSince = curEntries.filterNot(e => basePaths.contains(e.path))
+              val overlap = addedSince.filter(hitFile)
+              if (overlap.nonEmpty) throw new SnapshotConflictException(
+                s"concurrent commit at $dir added ${overlap.length} file(s) intersecting this " +
+                  s"merge's key footprint (e.g. ${overlap.take(3).map(_.path).mkString(", ")}); " +
+                  "re-running the merge against the new snapshot")
+              val mergedNow = mergeSchemas(priorSchema(spark, dir, cur), aligned.schema,
+                reservedPhysicals(cur))
+              Some((curEntries.map(e => byPath.get(e.path).fold(e)(t => e.copy(dv = Some(t.dv))))
+                ++ newEntries,
+                txnOf(cur) ++ txnMap, Some(mergedNow.toDDL)))
             }
-            // key-uniqueness serializability: adds inside the footprint conflict
-            val addedSince = curEntries.filterNot(e => basePaths.contains(e.path))
-            val overlap = addedSince.filter(hitFile)
-            if (overlap.nonEmpty) throw new SnapshotConflictException(
-              s"concurrent commit at $dir added ${overlap.length} file(s) intersecting this " +
-                s"merge's key footprint (e.g. ${overlap.take(3).map(_.path).mkString(", ")}); " +
-                "re-running the merge against the new snapshot")
-            val mergedNow = mergeSchemas(priorSchema(spark, dir, cur), aligned.schema,
-              reservedPhysicals(cur))
-            Some((curEntries.map(e => byPath.get(e.path).fold(e)(t => e.copy(dv = Some(t.dv))))
-              ++ newEntries,
-              txnOf(cur), Some(mergedNow.toDDL)))
-          }.get
+          }.getOrElse(versions(spark, dir).max)
       }
     }
   }
@@ -2057,6 +2134,25 @@ object SnapshotTable {
   private case class KeyFootprint(hitFile: FileEntry => Boolean,
       exactKeys: Option[SparkSession => DataFrame],
       exactCount: Option[Int])
+
+  /** Footprint + local key relation for a merge's `deleteKeys`: the tuples
+    * are validated (arity, no NULLs) and probed through the same
+    * [[keyFootprint]] machinery — they are driver-side, so always exact.
+    * None when empty.
+    */
+  private def extrasFootprint(spark: SparkSession, batch: DataFrame, keys: Seq[String],
+      deleteKeys: Seq[Seq[Any]], opName: String): Option[KeyFootprint] = {
+    if (deleteKeys.isEmpty) return None
+    deleteKeys.foreach { t =>
+      require(t.length == keys.length,
+        s"$opName: deleteKeys tuple arity ${t.length} != ${keys.length} key columns")
+      require(!t.contains(null), s"$opName: deleteKeys contains NULLs")
+    }
+    val keySchema = org.apache.spark.sql.types.StructType(keys.map(batch.schema(_)))
+    val rows = deleteKeys.map(t => org.apache.spark.sql.Row(t: _*))
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), keySchema)
+    keyFootprint(df, keys, math.max(deleteKeys.length, 1), opName)
+  }
 
   /** The batch's key-footprint probe for the keyed merges: validates the
     * key column, collects the batch's distinct keys ONCE (capped at

@@ -104,16 +104,21 @@ object Decontaminate {
     * Stateless across batches by design (a doc is judged against the FIXED
     * benchmark alone, never against other docs), so the sweep cost per
     * batch is one pass over the batch; an all-contaminated or empty batch
-    * publishes NO table version. At-least-once on replay: a re-delivered
-    * batch re-appends its clean docs — compose with exact dedup or MERGE
-    * where exactly-once matters.
+    * publishes NO table version. With `appId` set the append is
+    * EXACTLY-ONCE ([[graft.catalog.SnapshotTable.appendExactlyOnce]]'s
+    * manifest-recorded (appId → batchId) marker — a crash-replayed
+    * micro-batch is a structural no-op; use a stable id per pipeline and a
+    * FRESH one if the checkpoint is ever reset, since batch ids restart
+    * from 0). Without it, at-least-once on replay — compose with exact
+    * dedup or MERGE where that matters.
     */
   def sink(
       prep: PreparedBenchmark,
       outDir: String,
       minHits: Int = 1,
       textCol: String = "text",
-      idCol: String = "doc_id"): (DataFrame, Long) => Unit = (batch, _) => {
+      idCol: String = "doc_id",
+      appId: Option[String] = None): (DataFrame, Long) => Unit = (batch, batchId) => {
     val flagged = ngramOverlapPrepared(batch, prep, minHits, textCol, idCol)
       .filter(col("contaminated")).select(col(idCol))
     // persisted: the emptiness probe and the append would otherwise each
@@ -121,10 +126,15 @@ object Decontaminate {
     val clean = batch.join(flagged, Seq(idCol), "left_anti").persist()
     val spark = batch.sparkSession
     try {
-      if (!clean.isEmpty) {
-        if (graft.catalog.SnapshotTable.exists(spark, outDir))
-          graft.catalog.SnapshotTable.append(spark, clean, outDir)
-        else graft.catalog.SnapshotTable.write(spark, clean, outDir)
+      if (!clean.isEmpty) appId match {
+        case Some(app) =>
+          graft.catalog.SnapshotTable.appendExactlyOnce(spark, clean, outDir, app, batchId)
+          ()
+        case None =>
+          if (graft.catalog.SnapshotTable.exists(spark, outDir))
+            graft.catalog.SnapshotTable.append(spark, clean, outDir)
+          else graft.catalog.SnapshotTable.write(spark, clean, outDir)
+          ()
       }
     } finally clean.unpersist(blocking = false)
     ()

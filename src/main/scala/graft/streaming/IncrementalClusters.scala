@@ -156,12 +156,27 @@ object IncrementalClusters {
     * equals the batch recomputation over the full assignment and all
     * scores (spec'd in IncrementalClustersSpec).
     *
-    * The two tables commit separately (assignment first): a crash between
-    * them leaves reps one fold behind, and because replays are structural
-    * no-ops they heal the assignment but not reps — rebuild reps with the
-    * batch operator if that window matters. `mor = true` routes BOTH
-    * tables' merges through [[SnapshotTable.mergeByKeyMoR]] (stale rep
-    * deletes stay copy-on-write — the reps table is #clusters-sized).
+    * CRASH SAFETY: the two tables commit separately (assignment first).
+    * Without `txn`, a crash between them leaves reps one fold behind, and
+    * because replays are structural no-ops they heal the assignment but
+    * not reps — rebuild reps with the batch operator if that window
+    * matters. WITH `txn = Some((appId, batchId))` (monotonic ids —
+    * Structured Streaming's foreachBatch contract) the fold is
+    * exactly-once end-to-end: the assignment merge records an
+    * `appId#assign` marker and the reps merge an `appId#reps` marker, so a
+    * re-delivered batch (a) skips cleanly when both landed, (b) re-runs
+    * the whole fold when neither did, and (c) REPAIRS the half-applied
+    * state when only the assignment committed — the fold's delta is
+    * recomputed against the assignment AS OF the version before the
+    * marker's commit (time travel; vacuum retention must still cover it)
+    * and the reps leg re-runs. The reps leg is ONE commit — the stale-rep
+    * deletes ride the merge itself ([[SnapshotTable.mergeByKeys]]'
+    * `deleteKeys`) — so there is no state a crash can half-apply within
+    * the leg.
+    *
+    * `mor = true` routes BOTH tables' merges through
+    * [[SnapshotTable.mergeByKeyMoR]] (stale rep rows become deletion-
+    * vector positions in the same commit).
     */
   def foldPairsScored(
       spark: SparkSession,
@@ -169,32 +184,57 @@ object IncrementalClusters {
       repsDir: String,
       pairs: DataFrame,
       scores: DataFrame,
-      mor: Boolean = false): Long = {
-    def mergeInto(batch: DataFrame, dir: String, key: String): Long =
-      if (mor) SnapshotTable.mergeByKeyMoR(spark, batch, dir, key)
-      else SnapshotTable.mergeByKey(spark, batch, dir, key)
+      mor: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val newEdges = pairs
       .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
     val sc = scores.select(col("doc_id").cast("long").as("doc_id"), col("score"))
+    val assignTxn = txn.map { case (a, b) => (s"$a#assign", b) }
+    val repsTxn = txn.map { case (a, b) => (s"$a#reps", b) }
     val existing = SnapshotTable.exists(spark, clustersDir)
-    require(SnapshotTable.exists(spark, repsDir) == existing,
+    val repsExisting = SnapshotTable.exists(spark, repsDir)
+
+    // txn dispatch: the assignment already carries this batch -> the reps
+    // leg is the only possibly-missing piece; repair it from the
+    // assignment's HISTORY instead of re-running the fold (whose delta
+    // against the post-fold assignment would be empty)
+    assignTxn match {
+      case Some((aApp, b)) if existing &&
+          SnapshotTable.lastTxn(spark, clustersDir, aApp).exists(_ >= b) =>
+        val repsDone = repsExisting &&
+          repsTxn.exists { case (rApp, _) =>
+            SnapshotTable.lastTxn(spark, repsDir, rApp).exists(_ >= b) }
+        return if (repsDone) SnapshotTable.versions(spark, clustersDir).max
+          else healRepsLeg(spark, clustersDir, repsDir, prev =>
+            foldDeltaChanges(newEdges, prev), sc, aApp, b, mor, repsTxn)
+      case _ => ()
+    }
+
+    require(repsExisting == existing,
       s"clusters ($clustersDir) and reps ($repsDir) tables must be created together " +
         "(bootstrapping reps for an existing assignment needs corpus-wide scores: " +
-        "use Dedup.qualityAwareReps once, then fold)")
-    def bestOf(candidates: DataFrame): DataFrame = candidates
-      .groupBy(col("rep_id"))
-      .agg(max(struct(col("score"), (-col("doc_id")).as("neg"),
-        col("doc_id").as("best_doc"))).as("m"))
-      .select(col("rep_id"), col("m.best_doc").as("best_doc"),
-        col("m.score").as("best_score"))
+        "use Dedup.qualityAwareReps once, then fold; a txn-carrying fold heals its " +
+        "own crash windows automatically)")
+
     if (existing && newEdges.isEmpty) {
       SnapshotTable.versions(spark, clustersDir).max
     } else if (!existing) {
       val assignment = Graph.connectedComponentsAuto(newEdges)
         .select(col("id").as("doc_id"), col("rep").as("rep_id")).persist()
       try {
-        val v = SnapshotTable.write(spark, assignment, clustersDir)
-        SnapshotTable.write(spark, bestOf(assignment.join(sc, "doc_id")), repsDir)
+        // with a marker, the create goes through the marker-carrying merge
+        // (a merge against an absent table IS a create) so the crash window
+        // between the two creates is detectable and heals on replay
+        val v = txn match {
+          case Some(_) => mergeInto(spark, assignment, clustersDir, "doc_id", mor, assignTxn)
+          case None => SnapshotTable.write(spark, assignment, clustersDir)
+        }
+        crashSeam("afterAssignmentCommit")
+        val repRows = bestOf(assignment.join(sc, "doc_id"))
+        txn match {
+          case Some(_) => mergeInto(spark, repRows, repsDir, "rep_id", mor, repsTxn)
+          case None => SnapshotTable.write(spark, repRows, repsDir)
+        }
         v
       } finally assignment.unpersist(blocking = false)
     } else {
@@ -208,34 +248,135 @@ object IncrementalClusters {
         try {
           if (changes.isEmpty) SnapshotTable.versions(spark, clustersDir).max
           else {
-            val v = mergeInto(changes, clustersDir, "doc_id")
-            val oldBests = SnapshotTable.read(spark, repsDir)
-              .select(col("rep_id"), col("best_doc"), col("best_score"))
-            // candidates for every TOUCHED target cluster: absorbed
-            // clusters' bests re-keyed through the remap, the targets' own
-            // current bests, and the new docs' scores — all batch-bounded
-            val targets = changes.select(col("rep_id")).distinct()
-            val movedBests = oldBests.join(d.remap, Seq("rep_id"))
-              .select(col("new_rep").as("rep_id"),
-                col("best_score").as("score"), col("best_doc").as("doc_id"))
-            val survivorBests = oldBests.join(broadcast(targets), Seq("rep_id"), "left_semi")
-              .select(col("rep_id"),
-                col("best_score").as("score"), col("best_doc").as("doc_id"))
-            val newScores = d.newDocs.join(sc, "doc_id")
-              .select(col("rep_id"), col("score"), col("doc_id"))
-            val repRows = bestOf(movedBests.unionByName(survivorBests).unionByName(newScores))
-            if (!repRows.isEmpty) mergeInto(repRows, repsDir, "rep_id")
-            // absorbed clusters are no longer reps: their rows go
-            // (batch-bounded literal — the remap is O(|Δ| endpoints))
-            val stale = d.remap.select(col("rep_id")).collect().map(_.getLong(0))
-            if (stale.nonEmpty)
-              SnapshotTable.delete(spark, repsDir, col("rep_id").isin(stale.toIndexedSeq: _*))
+            val v = mergeInto(spark, changes, clustersDir, "doc_id", mor, assignTxn)
+            crashSeam("afterAssignmentCommit")
+            applyRepsLeg(spark, repsDir, d, changes, sc, mor, repsTxn)
             v
           }
         } finally changes.unpersist(blocking = false)
       } finally prev.unpersist(blocking = false)
     }
   }
+
+  private def mergeInto(spark: SparkSession, batch: DataFrame, dir: String,
+      key: String, mor: Boolean, marker: Option[(String, Long)],
+      deleteKeys: Seq[Long] = Nil): Long =
+    if (mor) SnapshotTable.mergeByKeysMoR(spark, batch, dir, Seq(key), txn = marker,
+      deleteKeys = deleteKeys.map(Seq[Any](_)))
+    else SnapshotTable.mergeByKeys(spark, batch, dir, Seq(key), txn = marker,
+      deleteKeys = deleteKeys.map(Seq[Any](_)))
+
+  /** Per-cluster argmax: max (score, -doc_id) struct — score ties resolve
+    * to the MIN doc id, matching [[graft.dedup.Dedup.qualityAwareReps]].
+    */
+  private def bestOf(candidates: DataFrame): DataFrame = candidates
+    .groupBy(col("rep_id"))
+    .agg(max(struct(col("score"), (-col("doc_id")).as("neg"),
+      col("doc_id").as("best_doc"))).as("m"))
+    .select(col("rep_id"), col("m.best_doc").as("best_doc"),
+      col("m.score").as("best_score"))
+
+  /** (delta, changes) for a batch folded against `prev` — the shared core
+    * of the normal fold and the crash-repair path.
+    */
+  private def foldDeltaChanges(newEdges: DataFrame, prev: DataFrame)
+      : (FoldDelta, DataFrame) = {
+    val d = foldDelta(newEdges, prev)
+    val moved = prev.join(d.remap, Seq("rep_id"))
+      .select(col("doc_id"), col("new_rep").as("rep_id"))
+    (d, moved.unionByName(d.newDocs))
+  }
+
+  /** The reps-side half of a scored fold, committed as ONE keyed merge:
+    * argmax candidates for every touched target cluster upsert, and the
+    * absorbed clusters' stale rows delete IN THE SAME COMMIT
+    * ([[SnapshotTable.mergeByKeys]]' `deleteKeys`). One commit means one
+    * txn marker covers the whole leg — there is no window where a crash
+    * can strand the delete and the merge apart, and a replayed leg either
+    * fully applied (marker present, skip) or re-runs from unmodified
+    * inputs.
+    */
+  private def applyRepsLeg(spark: SparkSession, repsDir: String, d: FoldDelta,
+      changes: DataFrame, sc: DataFrame, mor: Boolean,
+      repsTxn: Option[(String, Long)]): Unit = {
+    val oldBests = SnapshotTable.read(spark, repsDir)
+      .select(col("rep_id"), col("best_doc"), col("best_score"))
+    // candidates for every TOUCHED target cluster: absorbed clusters'
+    // bests re-keyed through the remap, the targets' own current bests,
+    // and the new docs' scores — all batch-bounded
+    val targets = changes.select(col("rep_id")).distinct()
+    val movedBests = oldBests.join(d.remap, Seq("rep_id"))
+      .select(col("new_rep").as("rep_id"),
+        col("best_score").as("score"), col("best_doc").as("doc_id"))
+    val survivorBests = oldBests.join(broadcast(targets), Seq("rep_id"), "left_semi")
+      .select(col("rep_id"),
+        col("best_score").as("score"), col("best_doc").as("doc_id"))
+    val newScores = d.newDocs.join(sc, "doc_id")
+      .select(col("rep_id"), col("score"), col("doc_id"))
+    val repRows = bestOf(movedBests.unionByName(survivorBests).unionByName(newScores))
+    // absorbed clusters are no longer reps: their rows delete in the same
+    // commit (batch-bounded literal — the remap is O(|Δ| endpoints))
+    val stale = d.remap.select(col("rep_id")).collect().map(_.getLong(0))
+    if (!repRows.isEmpty)
+      mergeInto(spark, repRows, repsDir, "rep_id", mor, repsTxn, deleteKeys = stale.toSeq)
+    ()
+  }
+
+  /** Repair the reps table after a crash inside a txn-carrying scored
+    * fold: the assignment records (appId#assign -> batchId) but the reps
+    * marker is missing. The fold's delta is recomputed against the
+    * assignment AS OF the version BEFORE the marker's commit (time
+    * travel — vacuum retention must still cover it); [[foldDelta]] is
+    * deterministic given (prev, batch), so the repair equals what the
+    * crashed fold would have committed.
+    */
+  private def healRepsLeg(spark: SparkSession, clustersDir: String, repsDir: String,
+      deltaOf: DataFrame => (FoldDelta, DataFrame), sc: DataFrame,
+      assignApp: String, batchId: Long, mor: Boolean,
+      repsTxn: Option[(String, Long)]): Long = {
+    val curV = SnapshotTable.versions(spark, clustersDir).max
+    SnapshotTable.versionRecordingTxn(spark, clustersDir, assignApp, batchId) match {
+      case None =>
+        // marker >= batchId without the exact id retained: either that
+        // batch structurally no-op'd on the assignment (empty delta -> no
+        // reps work either) or its manifest was vacuumed along with every
+        // LATER one that still records it — impossible while the current
+        // manifest records >= batchId, since markers carry forward
+        curV
+      case Some(v) if v <= 1L =>
+        // create-fold crash: batch 0 covered EVERY doc the assignment
+        // holds, so reps rebuild from the full (first-batch-sized)
+        // assignment and the batch's scores
+        val repRows = bestOf(SnapshotTable.read(spark, clustersDir)
+          .select(col("doc_id"), col("rep_id")).join(sc, "doc_id"))
+        mergeInto(spark, repRows, repsDir, "rep_id", mor, repsTxn)
+        curV
+      case Some(v) =>
+        require(SnapshotTable.exists(spark, repsDir),
+          s"reps table at $repsDir is missing while the assignment at $clustersDir " +
+            s"is $v folds deep — repair needs corpus-wide scores: rebuild with " +
+            "Dedup.qualityAwareReps, then resume folding")
+        val prev = SnapshotTable.readVersion(spark, clustersDir, v - 1)
+          .select(col("doc_id"), col("rep_id")).persist()
+        try {
+          val (d, changes0) = deltaOf(prev)
+          val changes = changes0.persist()
+          try applyRepsLeg(spark, repsDir, d, changes, sc, mor, repsTxn)
+          finally changes.unpersist(blocking = false)
+        } finally prev.unpersist(blocking = false)
+        curV
+    }
+  }
+
+  /** Test seams for the two-table fold's crash-recovery specs: a name in
+    * this set throws at the matching point. Production code never
+    * populates it.
+    */
+  private[graft] val crashSeams: java.util.Set[String] =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def crashSeam(name: String): Unit =
+    if (crashSeams.contains(name))
+      throw new IllegalStateException(s"injected crash: $name")
 
   /** The current per-cluster best members (rep_id, best_doc, best_score). */
   def reps(spark: SparkSession, repsDir: String): DataFrame =

@@ -699,15 +699,21 @@ object TextPipelines {
     * ingest tier (dedup-on-ingest, decontaminate-on-ingest, select-on-
     * ingest). Stateless across batches by design (a doc is judged against
     * the FIXED models alone); an all-rejected or empty batch publishes NO
-    * version; at-least-once on replay — compose with exact dedup or MERGE
-    * where exactly-once matters.
+    * version. With `appId` set the append is EXACTLY-ONCE
+    * ([[graft.catalog.SnapshotTable.appendExactlyOnce]]'s manifest-recorded
+    * (appId → batchId) marker — a crash-replayed micro-batch is a
+    * structural no-op; use a stable id per pipeline, e.g. derived from the
+    * checkpoint path, and a FRESH one if the checkpoint is ever reset,
+    * since batch ids restart from 0). Without it, at-least-once on
+    * replay — compose with exact dedup or MERGE where that matters.
     */
   def dsirSink(
       model: DsirModel,
       outDir: String,
       minScore: Double,
       textCol: String = "text",
-      idCol: String = "doc_id"): (DataFrame, Long) => Unit = (batch, _) => {
+      idCol: String = "doc_id",
+      appId: Option[String] = None): (DataFrame, Long) => Unit = (batch, batchId) => {
     val keep = dsirScorePrepared(batch, model, textCol, idCol)
       .filter(col("dsir_score") >= minScore).select(col("doc_id").as(idCol))
     // persisted: the emptiness probe and the append would otherwise each
@@ -715,10 +721,15 @@ object TextPipelines {
     val selected = batch.join(keep, Seq(idCol), "left_semi").persist()
     val spark = batch.sparkSession
     try {
-      if (!selected.isEmpty) {
-        if (graft.catalog.SnapshotTable.exists(spark, outDir))
-          graft.catalog.SnapshotTable.append(spark, selected, outDir)
-        else graft.catalog.SnapshotTable.write(spark, selected, outDir)
+      if (!selected.isEmpty) appId match {
+        case Some(app) =>
+          graft.catalog.SnapshotTable.appendExactlyOnce(spark, selected, outDir, app, batchId)
+          ()
+        case None =>
+          if (graft.catalog.SnapshotTable.exists(spark, outDir))
+            graft.catalog.SnapshotTable.append(spark, selected, outDir)
+          else graft.catalog.SnapshotTable.write(spark, selected, outDir)
+          ()
       }
     } finally selected.unpersist(blocking = false)
     ()

@@ -197,4 +197,91 @@ class IncrementalClustersSpec extends SparkSpec {
     assert(want.nonEmpty)
     assert(assignment(dir) == want)
   }
+
+  // ---- txn-marker crash recovery (the two-table fold's exactly-once) ----
+
+  private def score(id: Long): Double = ((id * 37) % 7).toDouble
+  private def scoresOf(b: Seq[(Long, Long)]) =
+    b.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(id => (id, score(id))).toDF("doc_id", "score")
+  private def reps(rdir: String): Map[Long, (Long, Double)] =
+    IncrementalClusters.reps(spark, rdir)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, (r._2, r._3))).toMap
+  private def repsTruth(edges: Seq[(Long, Long)]): Map[Long, (Long, Double)] = {
+    val cc = Graph.connectedComponents(edges.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    edges.flatMap(p => Seq(p._1, p._2)).distinct.groupBy(cc).map {
+      case (rep, members) =>
+        val best = members.map(id => (score(id), -id, id)).max
+        (rep, (best._3, best._1))
+    }
+  }
+
+  test("txn fold: kill between the two commits, re-deliver, reps heal to the batch argmax") {
+    val cdir = tmp("txn-c"); val rdir = tmp("txn-r")
+    val b0 = Seq((1L, 2L), (10L, 11L))
+    val b1 = Seq((2L, 10L), (20L, 21L)) // merges {1,2}+{10,11}, adds {20,21}
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b0.toDF("id_a", "id_b"), scoresOf(b0), txn = Some(("app", 0L)))
+    assert(reps(rdir) == repsTruth(b0))
+    // crash AFTER batch 1's assignment commit, before any reps work
+    IncrementalClusters.crashSeams.add("afterAssignmentCommit")
+    try intercept[IllegalStateException] {
+      IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+        b1.toDF("id_a", "id_b"), scoresOf(b1), txn = Some(("app", 1L)))
+    } finally IncrementalClusters.crashSeams.remove("afterAssignmentCommit")
+    // half-applied: assignment carries batch 1, reps still at batch 0
+    assert(SnapshotTable.lastTxn(spark, cdir, "app#assign").contains(1L))
+    assert(!SnapshotTable.lastTxn(spark, rdir, "app#reps").exists(_ >= 1L))
+    assert(reps(rdir) == repsTruth(b0), "reps should be one fold behind, not corrupt")
+    // re-delivery repairs the reps leg from the assignment's history
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b1.toDF("id_a", "id_b"), scoresOf(b1), txn = Some(("app", 1L)))
+    assert(reps(rdir) == repsTruth(b0 ++ b1))
+    assert(assignment(cdir) == Graph.connectedComponents((b0 ++ b1).toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap)
+    // further replays (same or older batch) churn NOTHING on either table
+    val (vc, vr) = (SnapshotTable.versions(spark, cdir).max, SnapshotTable.versions(spark, rdir).max)
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b1.toDF("id_a", "id_b"), scoresOf(b1), txn = Some(("app", 1L)))
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b0.toDF("id_a", "id_b"), scoresOf(b0), txn = Some(("app", 0L)))
+    assert(SnapshotTable.versions(spark, cdir).max == vc)
+    assert(SnapshotTable.versions(spark, rdir).max == vr)
+  }
+
+  test("reps leg is ONE commit: stale-rep delete rides the merge (no strandable window)") {
+    val cdir = tmp("txn2-c"); val rdir = tmp("txn2-r")
+    val b0 = Seq((1L, 2L), (10L, 11L))
+    val b1 = Seq((2L, 10L)) // merges the clusters -> rep 10's row must go
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b0.toDF("id_a", "id_b"), scoresOf(b0), txn = Some(("app2", 0L)))
+    val vr0 = SnapshotTable.versions(spark, rdir).max
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b1.toDF("id_a", "id_b"), scoresOf(b1), txn = Some(("app2", 1L)))
+    // exactly ONE reps version for the fold — upsert AND stale delete
+    assert(SnapshotTable.versions(spark, rdir).max == vr0 + 1,
+      "the reps merge and the stale-rep delete must share one commit")
+    assert(reps(rdir) == repsTruth(b0 ++ b1))
+    assert(!reps(rdir).contains(10L), "absorbed cluster's rep row must be gone")
+  }
+
+  test("txn fold: create-fold crash (assignment written, reps missing) heals on re-delivery") {
+    val cdir = tmp("txn3-c"); val rdir = tmp("txn3-r")
+    val b0 = Seq((1L, 2L), (10L, 11L), (5L, 5L))
+    IncrementalClusters.crashSeams.add("afterAssignmentCommit")
+    try intercept[IllegalStateException] {
+      IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+        b0.toDF("id_a", "id_b"), scoresOf(b0), txn = Some(("app3", 0L)))
+    } finally IncrementalClusters.crashSeams.remove("afterAssignmentCommit")
+    assert(SnapshotTable.exists(spark, cdir) && !SnapshotTable.exists(spark, rdir))
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b0.toDF("id_a", "id_b"), scoresOf(b0), txn = Some(("app3", 0L)))
+    assert(reps(rdir) == repsTruth(b0))
+    // non-txn folds on the healed tables keep working
+    val b1 = Seq((2L, 10L))
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b1.toDF("id_a", "id_b"), scoresOf(b1))
+    assert(reps(rdir) == repsTruth(b0 ++ b1))
+  }
 }

@@ -251,6 +251,49 @@ class MergeByKeySpec extends SparkSpec {
     }
   }
 
+  test("deleteKeys: same-commit delete+upsert, footprint covers delete-only files") {
+    val dir = tmp("delkeys")
+    // three disjoint key-range files; the batch touches only the mid range
+    // but a deleteKey hits the LO file — it must join the rewrite footprint
+    SnapshotTable.write(spark,
+      (0L until 100L).map(i => (i, "lo")).toDF("id", "v").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (1000L until 1100L).map(i => (i, "mid")).toDF("id", "v").repartition(1), dir)
+    SnapshotTable.append(spark,
+      (2000L until 2100L).map(i => (i, "hi")).toDF("id", "v").repartition(1), dir)
+    val hiFile = SnapshotTable.currentManifest(spark, dir).get.entries
+      .filter(_.stats.get("id").lo.get.toDouble >= 2000.0).map(_.path).toSet
+    val v0 = SnapshotTable.versions(spark, dir).max
+    SnapshotTable.mergeByKeys(spark,
+      Seq((1050L, "MID"), (3000L, "new")).toDF("id", "v"), dir, Seq("id"),
+      deleteKeys = Seq(Seq[Any](5L), Seq[Any](6L), Seq[Any](1060L)))
+    // ONE commit for upsert + delete
+    assert(SnapshotTable.versions(spark, dir).max == v0 + 1)
+    // untouched hi file carried by reference
+    assert(hiFile.subsetOf(SnapshotTable.currentManifest(spark, dir).get.entries
+      .map(_.path).toSet))
+    val got = content(dir)
+    assert(!got.contains(5L) && !got.contains(6L) && !got.contains(1060L))
+    assert(got(1050L) == "MID" && got(3000L) == "new" && got(0L) == "lo")
+    assert(got.size == 300 - 3 + 1)
+    // MoR twin: same semantics, zero data files rewritten
+    val dir2 = tmp("delkeys-mor")
+    SnapshotTable.write(spark,
+      (0L until 100L).map(i => (i, "a")).toDF("id", "v").repartition(1), dir2)
+    val before2 = paths(dir2)
+    SnapshotTable.mergeByKeysMoR(spark,
+      Seq((7L, "UP")).toDF("id", "v"), dir2, Seq("id"),
+      deleteKeys = Seq(Seq[Any](3L)))
+    assert(before2.subsetOf(paths(dir2)), "MoR rewrote a data file")
+    val got2 = content(dir2)
+    assert(!got2.contains(3L) && got2(7L) == "UP" && got2.size == 99)
+    // a key in both batch and deleteKeys: the batch wins (upsert)
+    SnapshotTable.mergeByKeys(spark,
+      Seq((0L, "WINS")).toDF("id", "v"), dir2, Seq("id"),
+      deleteKeys = Seq(Seq[Any](0L)))
+    assert(content(dir2)(0L) == "WINS")
+  }
+
   test("over-cap NaN keys disable pruning even when absent from the sample") {
     val dir = tmp("nanrange")
     // the stale NaN row lives in a file whose STAT bounds are real-valued

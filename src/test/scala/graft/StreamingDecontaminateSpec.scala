@@ -88,4 +88,27 @@ class StreamingDecontaminateSpec extends SparkSpec {
       assert(landed.toSeq == Seq(3L, 6L))
     } finally prep.release()
   }
+
+  test("appId sink: a crash-replayed batch appends NOTHING (exactly-once)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdecon3").toString + "/t"
+    val prep = Decontaminate.prepare(bench, n = 4)
+    try {
+      val sink = Decontaminate.sink(prep, dir, appId = Some("decon-eo"))
+      sink(corpus.filter($"doc_id" <= 3), 0L)
+      val v0 = SnapshotTable.versions(spark, dir).max
+      val rows0 = SnapshotTable.read(spark, dir).select($"doc_id").as[Long].collect().sorted.toSeq
+      // forced re-delivery of the SAME batch: no duplicate rows, no version
+      sink(corpus.filter($"doc_id" <= 3), 0L)
+      assert(SnapshotTable.versions(spark, dir).max == v0)
+      assert(SnapshotTable.read(spark, dir).select($"doc_id")
+        .as[Long].collect().sorted.toSeq == rows0)
+      // the NEXT batch still lands
+      sink(corpus.filter($"doc_id" > 3), 1L)
+      val all = SnapshotTable.read(spark, dir).select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(all == Seq(3L, 4L, 6L), s"got $all") // 1, 2, 5 contaminated
+      // replaying batch 1 after batch 1 committed: still a no-op
+      sink(corpus.filter($"doc_id" > 3), 1L)
+      assert(SnapshotTable.read(spark, dir).count() == 3)
+    } finally prep.release()
+  }
 }

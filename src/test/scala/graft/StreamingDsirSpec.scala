@@ -97,4 +97,27 @@ class StreamingDsirSpec extends SparkSpec {
       assert(SnapshotTable.versions(spark, dir).max == v)
     } finally m.release()
   }
+
+  test("appId sink: a crash-replayed batch appends NOTHING (exactly-once)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdsir3").toString + "/t"
+    val m = TextPipelines.dsirPrepare(raw, target)
+    try {
+      val sink = TextPipelines.dsirSink(m, dir, minScore = -1e9, appId = Some("dsir-eo"))
+      val (b1, b2) = (raw.filter($"doc_id" % 2 === 0), raw.filter($"doc_id" % 2 =!= 0))
+      sink(b1, 0L)
+      val v0 = SnapshotTable.versions(spark, dir).max
+      val n0 = SnapshotTable.read(spark, dir).count()
+      assert(n0 > 0)
+      // forced re-delivery: no duplicate rows, no extra version
+      sink(b1, 0L)
+      assert(SnapshotTable.versions(spark, dir).max == v0)
+      assert(SnapshotTable.read(spark, dir).count() == n0)
+      // next batch lands; replaying it is again a no-op
+      sink(b2, 1L)
+      val nAll = SnapshotTable.read(spark, dir).count()
+      assert(nAll > n0)
+      sink(b2, 1L)
+      assert(SnapshotTable.read(spark, dir).count() == nAll)
+    } finally m.release()
+  }
 }
