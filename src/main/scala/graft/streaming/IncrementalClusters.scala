@@ -96,10 +96,26 @@ object IncrementalClusters {
     * them clean.
     */
   def foldPairs(spark: SparkSession, clustersDir: String, pairs: DataFrame,
-      mor: Boolean = false): Long = {
+      mor: Boolean = false,
+      // operational compaction cadence for MoR folds: after a fold
+      // commits, if the assignment's deletion-vector positions exceed this
+      // fraction of its physical rows (read from the MANIFEST — no data
+      // scan), [[maintain]] runs, purging vectors and re-clustering by
+      // doc_id. Closes the MoR loop without an external scheduler: read
+      // amplification stays bounded by the ratio across any number of
+      // folds. None (default) leaves maintenance to the caller's cadence.
+      maintainAboveDvRatio: Option[Double] = None): Long = {
+    maintainAboveDvRatio.foreach(r => require(r > 0.0 && r < 1.0,
+      s"maintainAboveDvRatio must be in (0, 1), got $r"))
     val newEdges = pairs
       .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
     val existing = SnapshotTable.exists(spark, clustersDir)
+    def maintained(v: Long): Long = maintainAboveDvRatio match {
+      case Some(r) if dvRatio(spark, clustersDir) > r =>
+        maintain(spark, clustersDir)
+        SnapshotTable.versions(spark, clustersDir).max
+      case _ => v
+    }
     if (existing && newEdges.isEmpty) {
       SnapshotTable.versions(spark, clustersDir).max
     } else if (!existing) {
@@ -126,8 +142,9 @@ object IncrementalClusters {
         // an empty delta and no-ops (returning the current version) — one
         // less job per fold
         try {
-          if (mor) SnapshotTable.mergeByKeyMoR(spark, changes, clustersDir, "doc_id")
-          else SnapshotTable.mergeByKey(spark, changes, clustersDir, "doc_id")
+          maintained(
+            if (mor) SnapshotTable.mergeByKeyMoR(spark, changes, clustersDir, "doc_id")
+            else SnapshotTable.mergeByKey(spark, changes, clustersDir, "doc_id"))
         } finally changes.unpersist(blocking = false)
       } finally prev.unpersist(blocking = false)
     }
@@ -388,13 +405,31 @@ object IncrementalClusters {
     *   .foreachBatch(IncrementalClusters.sink(dir)).start()
     * }}}
     */
-  def sink(clustersDir: String, mor: Boolean = false)
+  def sink(clustersDir: String, mor: Boolean = false,
+      maintainAboveDvRatio: Option[Double] = None)
       : (org.apache.spark.sql.Dataset[StreamingDedup.CandidatePair], Long) => Unit =
-    (batch, _) => { foldPairs(batch.sparkSession, clustersDir, batch.toDF(), mor); () }
+    (batch, _) => {
+      foldPairs(batch.sparkSession, clustersDir, batch.toDF(), mor, maintainAboveDvRatio)
+      ()
+    }
 
   /** The current assignment (doc_id, rep_id). */
   def clusters(spark: SparkSession, clustersDir: String): DataFrame =
     SnapshotTable.read(spark, clustersDir)
+
+  /** Deleted-position fraction of the assignment's PHYSICAL rows, read
+    * from the manifest alone (no data scan) — the MoR fold's
+    * read-amplification signal and [[foldPairs]]' `maintainAboveDvRatio`
+    * trigger. 0.0 for clean or absent tables.
+    */
+  def dvRatio(spark: SparkSession, clustersDir: String): Double =
+    SnapshotTable.currentManifest(spark, clustersDir) match {
+      case None => 0.0
+      case Some(m) =>
+        val phys = m.entries.map(_.rows).sum
+        if (phys == 0L) 0.0
+        else m.entries.map(_.dv.map(_.deleted).getOrElse(0L)).sum.toDouble / phys
+    }
 
   /** Assignment maintenance: compact the fold-fragmented file tail and
     * RANGE-CLUSTER by doc_id, so every data file covers a tight doc_id

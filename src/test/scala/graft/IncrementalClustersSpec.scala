@@ -198,6 +198,31 @@ class IncrementalClustersSpec extends SparkSpec {
     assert(assignment(dir) == want)
   }
 
+  test("MoR folds auto-maintain on the DV-ratio trigger: vectors purge, ratio stays bounded") {
+    val dir = tmp("automaint")
+    SnapshotTable.write(spark,
+      (0L until 4000L).map(i => (i, i)).toDF("doc_id", "rep_id").repartition(2), dir)
+    val thr = 0.004
+    var maxRatio = 0.0
+    var maintains = 0
+    (0 until 12).foreach { k =>
+      val pairs = (0 until 4).map { j => val p = (k * 4 + j).toLong; (2 * p, 2 * p + 1) }
+        .toDF("id_a", "id_b")
+      val vBefore = SnapshotTable.versions(spark, dir).max
+      IncrementalClusters.foldPairs(spark, dir, pairs, mor = true,
+        maintainAboveDvRatio = Some(thr))
+      if (SnapshotTable.versions(spark, dir).max > vBefore + 1) maintains += 1
+      maxRatio = math.max(maxRatio, IncrementalClusters.dvRatio(spark, dir))
+    }
+    // each fold vectors 4 rows of ~4000 physical; the trigger fires every
+    // ~4 folds, so the POST-FOLD ratio never exceeds the threshold
+    assert(maxRatio <= thr, f"post-fold DV ratio $maxRatio%.5f above trigger $thr")
+    assert(maintains >= 2, s"auto-maintain fired only $maintains times in 12 folds")
+    val got = assignment(dir)
+    (0 until 48).foreach { p => assert(got(2L * p + 1) == 2L * p) }
+    assert(got.size == 4000)
+  }
+
   // ---- txn-marker crash recovery (the two-table fold's exactly-once) ----
 
   private def score(id: Long): Double = ((id * 37) % 7).toDouble

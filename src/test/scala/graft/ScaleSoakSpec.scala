@@ -813,6 +813,58 @@ class ScaleSoakSpec extends SparkSpec {
       s"fold rewrote $rows4 rows of an ${64 * chunkRows}-row table - pruning broke")
   }
 
+  test("soak: 50 MoR folds with auto-maintain keep read amplification bounded") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // E112's operational loop closed: MoR folds accumulate deletion
+    // vectors; foldPairs(maintainAboveDvRatio) purges them from the
+    // manifest-read ratio alone. 50 folds at two assignment sizes — the
+    // POST-FOLD ratio must never exceed the trigger (read amplification
+    // bounded by the knob), maintenance must actually fire, and the live
+    // file count must stay bounded instead of growing one file per fold.
+    import graft.streaming.IncrementalClusters
+    val thr = 0.005
+    def loop(n: Long, tag: String): (RunMetrics, Double, Long, Int) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-soak-am-$tag").toString
+      graft.catalog.SnapshotTable.write(spark,
+        spark.range(n).select(col("id").as("doc_id"), col("id").as("rep_id"))
+          .repartition(8), dir)
+      var maxRatio = 0.0; var maxFiles = 0L; var maintains = 0
+      val m = measureOnce { () =>
+        (0 until 50).foreach { k =>
+          val pairs = (0 until 10).map { j =>
+            val p = (k * 10 + j).toLong; (2 * p, 2 * p + 1)
+          }.toDF("id_a", "id_b")
+          val vb = graft.catalog.SnapshotTable.versions(spark, dir).max
+          IncrementalClusters.foldPairs(spark, dir, pairs, mor = true,
+            maintainAboveDvRatio = Some(thr))
+          if (graft.catalog.SnapshotTable.versions(spark, dir).max > vb + 1) maintains += 1
+          maxRatio = math.max(maxRatio, IncrementalClusters.dvRatio(spark, dir))
+          maxFiles = math.max(maxFiles, graft.catalog.SnapshotTable
+            .currentManifest(spark, dir).get.entries.length.toLong)
+        }
+      }
+      (m, maxRatio, maxFiles, maintains)
+    }
+    val (m1, r1, f1, n1) = loop(20000L, "x1")
+    val (m4, r4, f4, n4) = loop(80000L, "x4")
+    def named(m: RunMetrics) = Map[String, Any]("sec" -> m.sec,
+      "shuffle_write_bytes" -> m.shuffleWriteBytes, "disk_spill_bytes" -> m.diskSpill,
+      "mem_spill_bytes" -> m.memSpill, "peak_task_mem_bytes" -> m.peakMem)
+    SoakReport.record("incc_mor_automaintain", named(m1), named(m4), Map(
+      "folds" -> 50L, "max_dv_ratio_ppm_x1" -> (r1 * 1e6).toLong,
+      "max_dv_ratio_ppm_x4" -> (r4 * 1e6).toLong,
+      "max_files_x1" -> f1, "max_files_x4" -> f4,
+      "maintains_x1" -> n1.toLong, "maintains_x4" -> n4.toLong))
+    info(f"incc_mor_automaintain 1x: ${m1.pretty} maxRatio=$r1%.5f files<=$f1 maintains=$n1")
+    info(f"incc_mor_automaintain 4x: ${m4.pretty} maxRatio=$r4%.5f files<=$f4 maintains=$n4")
+    assert(r1 <= thr && r4 <= thr,
+      f"post-fold DV ratio exceeded the trigger: $r1%.5f / $r4%.5f > $thr")
+    assert(n1 >= 3, s"auto-maintain fired only $n1 times over 50 folds at 1x")
+    assert(n4 >= 1, s"auto-maintain never fired at 4x ($n4)")
+    assert(f1 <= 40L && f4 <= 70L,
+      s"live file count unbounded under MoR folds: $f1 / $f4")
+  }
+
   test("soak: fuzzy self-join cost follows the block histogram; domain blocking divides it") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     // q94's fixture is the OPERATOR'S documented degenerate case: TPC-H
