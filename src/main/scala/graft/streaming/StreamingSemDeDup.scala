@@ -37,7 +37,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * RE-INGEST IDEMPOTENCE and STATE BOUNDS follow [[StreamingDedup]]'s
   * discipline: a doc id re-delivered to its cell is a structural no-op
-  * (retained ids plus [[TombstonesPerDoc]] × cap id-only tombstones);
+  * (retained ids plus [[TombstonesPerDoc]] × cap id-only tombstones,
+  * covering BOTH cap- and retention-evicted ids — so the no-op contract
+  * holds as far as the tombstone budget reaches, not just within the
+  * retention window);
   * per-cell state is capped at `maxPerCell` embeddings (newest retained —
   * a cell past the cap holds that many same-cell documents, and new
   * arrivals still score against the retained ones). RETENTION
@@ -89,6 +92,47 @@ object StreamingSemDeDup {
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** Per-cell occupancy of a [[semanticPairs]] query, read from its OWN
+    * state store (Spark's `statestore` data source over the checkpoint —
+    * no touch on the running stream): one row per live cell,
+    * `(cell, retained, tombstones)`.
+    *
+    * This is the CENTROID-DRIFT alarm for a months-long ingest: with a
+    * healthy fit, cells hold ~N/k retained docs each; as the embedding
+    * distribution drifts, arrivals concentrate in few cells — more cosine
+    * comparisons per arrival (cost) and one mega-cell scoring against its
+    * cap while other cells starve (recall). Alert when max/mean retained
+    * occupancy exceeds a small factor ([[occupancySkew]]). The RE-FIT
+    * recipe needs no state migration: train fresh centroids on a recent
+    * embedding window ([[graft.similarity.Similarity.trainCentroids]]),
+    * start a NEW [[semanticPairs]] query (fresh checkpoint) against them,
+    * and keep folding its pairs into the SAME clusters table —
+    * [[IncrementalClusters.foldPairs]] is idempotent to re-emitted pairs
+    * (already-clustered pairs contract to self-loops), so overlap between
+    * the old and new queries folds as a no-op.
+    *
+    * @param checkpoint the query's `checkpointLocation`
+    */
+  def cellOccupancy(spark: org.apache.spark.sql.SparkSession, checkpoint: String): DataFrame =
+    spark.read.format("statestore").option("path", checkpoint).load()
+      // flatMapGroupsWithState state rows: key = the group key ("value"
+      // for a primitive), value.groupState = the CellState product
+      .select(col("key.value").as("cell"),
+        size(col("value.groupState.docs")).as("retained"),
+        size(col("value.groupState.tomb")).as("tombstones"))
+
+  /** max/mean retained occupancy over ALL `k` cells (empty cells count —
+    * a fully-collapsed stream has k-fold skew, not 1.0) — 1.0 is perfectly
+    * balanced; alert upward of ~3-4x (pick per fleet). 0.0 for empty state.
+    */
+  def occupancySkew(occupancy: DataFrame, k: Int): Double = {
+    require(k >= 1, s"k must be positive, got $k")
+    val r = occupancy.agg(
+      coalesce(max(col("retained")), lit(0)).cast("double"),
+      coalesce(sum(col("retained")), lit(0L)).cast("double")).collect()(0)
+    if (r.getDouble(1) == 0.0) 0.0 else r.getDouble(0) / (r.getDouble(1) / k)
   }
 
   /** Semantic-duplicate pairs over a STREAMING (or batch) embedding frame,
@@ -180,22 +224,32 @@ object StreamingSemDeDup {
             state: GroupState[CellState]) => {
           val prior = state.getOption.getOrElse(CellState(Nil, Nil))
           // retention eviction: an entry whose ts + retention is behind the
-          // watermark can no longer pair with any non-late arrival
+          // watermark can no longer pair with any non-late arrival. Evicted
+          // ids TOMBSTONE under the same budget as cap evictions, so a doc
+          // re-delivered after its window closed (admitted by a non-zero
+          // watermarkDelay) stays a structural no-op instead of re-entering
+          // state and re-emitting pairs — the no-op contract holds as far
+          // as the tombstone budget reaches, not just the retention window
           val wm = if (retMs.isDefined && streaming) state.getCurrentWatermarkMs() else Long.MinValue
-          val docsLive = retMs match {
-            case Some(r) if wm > Long.MinValue => prior.docs.filter(_.ts + r >= wm)
-            case _ => prior.docs
+          val (docsLive, retEvicted) = retMs match {
+            case Some(r) if wm > Long.MinValue => prior.docs.partition(_.ts + r >= wm)
+            case _ => (prior.docs, Nil)
           }
+          val priorTomb =
+            if (retEvicted.isEmpty) prior.tomb
+            else (retEvicted.map(_.id) ++ prior.tomb).take(tombCap)
           if (state.hasTimedOut) {
-            // no new data since the timeout was armed: GC what expired
+            // no new data since the timeout was armed: GC what expired —
+            // including tombstones, whose useful life ends with the cell's
+            // last live entry (a later re-delivery is beyond any replay)
             if (docsLive.isEmpty) state.remove()
             else {
-              state.update(CellState(docsLive, prior.tomb))
+              state.update(CellState(docsLive, priorTomb))
               state.setTimeoutTimestamp(docsLive.map(_.ts).max + retMs.get + 1)
             }
             Iterator.empty
           } else {
-            val seen = docsLive.map(_.id).toSet ++ prior.tomb
+            val seen = docsLive.map(_.id).toSet ++ priorTomb
             // deterministic arrival order inside the batch; re-delivered ids no-op
             val fresh = it.map(_._2).filter(d => !seen.contains(d.id))
               .toSeq.distinctBy(_.id).sortBy(_.id)
@@ -214,7 +268,7 @@ object StreamingSemDeDup {
               held = d :: held
             }
             val (kept, capEvicted) = held.splitAt(cap)
-            val tomb = (capEvicted.map(_.id) ++ prior.tomb).take(tombCap)
+            val tomb = (capEvicted.map(_.id) ++ priorTomb).take(tombCap)
             state.update(CellState(kept, tomb))
             if (retMs.isDefined && streaming && kept.nonEmpty)
               state.setTimeoutTimestamp(kept.map(_.ts).max + retMs.get + 1)

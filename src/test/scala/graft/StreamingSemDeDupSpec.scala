@@ -170,4 +170,43 @@ class StreamingSemDeDupSpec extends SparkSpec {
     val paired = batchPairs(0.99).flatMap(p => Seq(p._1, p._2))
     assert(paired.subsetOf(got.keySet))
   }
+
+  test("centroid drift: occupancy alarm reads the query's own state; a re-fit restores balance") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dim = 16
+    def axis(j: Int): Seq[Double] = Seq.tabulate(dim)(i => if (i == j) 1.0 else 0.0)
+    // DRIFTED corpus: 8 sub-blobs s_j = 0.8*e0 + 0.6*e(8+j) (+ tiny seeded
+    // noise), id i in sub-blob i%8. Against the ORIGINAL centroids (the
+    // unit axes e0..e7) every doc scores 0.8 on e0 and ~0 elsewhere — the
+    // whole stream lands in ONE cell
+    val oldCents: Seq[Seq[Double]] = (0 until 8).map(axis)
+    val docs: Seq[(Long, Seq[Double])] = (0 until 400).map { i =>
+      val r = new scala.util.Random(i * 17L + 3)
+      val j = i % 8
+      (i.toLong, Seq.tabulate(dim)(d =>
+        0.8 * (if (d == 0) 1.0 else 0.0) + 0.6 * (if (d == 8 + j) 1.0 else 0.0)
+          + 0.01 * r.nextGaussian()))
+    }
+    def runAndMeasure(cents: Seq[Seq[Double]], tag: String): Double = {
+      val ckpt = tmp(s"drift-$tag")
+      val mem = MemoryStream[(Long, Seq[Double])]
+      val q = StreamingSemDeDup.semanticPairs(
+          mem.toDF.toDF("id", "vec"), cents, threshold = 0.999)
+        .writeStream.format("memory").queryName(s"ssd_drift_$tag")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+      val occ = StreamingSemDeDup.cellOccupancy(spark, ckpt)
+      // total retained over all live cells equals the corpus (cap not hit)
+      assert(occ.agg(sum($"retained")).head().getLong(0) == docs.length.toLong)
+      StreamingSemDeDup.occupancySkew(occ, cents.length)
+    }
+    val skewBefore = runAndMeasure(oldCents, "before")
+    assert(skewBefore >= 4.0, f"drift alarm should fire: skew $skewBefore%.2f")
+    // RE-FIT on the recent window (no state migration — a new query with
+    // fresh centroids; its re-emitted pairs fold as no-ops downstream)
+    val window = docs.toDF("id", "vec")
+    val refit = Similarity.trainCentroids(window, dim, nlist = 8, iters = 2)
+    val skewAfter = runAndMeasure(refit, "after")
+    assert(skewAfter <= 2.0, f"re-fit should rebalance cells: skew $skewAfter%.2f")
+  }
 }
