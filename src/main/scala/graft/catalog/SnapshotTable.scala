@@ -217,11 +217,19 @@ object SnapshotTable {
     manifestVersions(fs, dir).lastOption.map { case (_, p) => readManifest(fs, p) }
   }
 
-  private[catalog] def readManifest(fs: FileSystem, p: Path): Manifest = {
+  /** Parse one manifest file WITHOUT resolving its segment list — enough
+    * for metadata probes (txn markers, commit stamps) that never touch
+    * `entries`; [[readManifest]] adds the segment resolution.
+    */
+  private def parseManifest(fs: FileSystem, p: Path): Manifest = {
     val in = fs.open(p)
-    val raw = try org.json4s.jackson.Serialization.read[Manifest](
+    try org.json4s.jackson.Serialization.read[Manifest](
       new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
     finally in.close()
+  }
+
+  private[catalog] def readManifest(fs: FileSystem, p: Path): Manifest = {
+    val raw = parseManifest(fs, p)
     raw.segments match {
       case None => raw
       case Some(names) =>
@@ -347,7 +355,8 @@ object SnapshotTable {
     */
   def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Option[Long])] = {
     val fs = fsFor(spark, dir)
-    manifestVersions(fs, dir).map { case (v, p) => (v, readManifest(fs, p).commitTimeMs) }
+    // metadata probe: commit stamps are inline — skip segment resolution
+    manifestVersions(fs, dir).map { case (v, p) => (v, parseManifest(fs, p).commitTimeMs) }
   }
 
   /** `TIMESTAMP AS OF` resolution: the LATEST retained version whose
@@ -1880,9 +1889,25 @@ object SnapshotTable {
   def versionRecordingTxn(spark: SparkSession, dir: String,
       appId: String, batchId: Long): Option[Long] = {
     val fs = fsFor(spark, dir)
+    // txn maps are inline in the manifest record — the probe never
+    // resolves segment lists, so a long history costs one JSON parse per
+    // retained version, not a re-read of the historical segment set
     manifestVersions(fs, dir).collectFirst {
-      case (v, p) if readManifest(fs, p).txn.exists(_.get(appId).contains(batchId)) => v
+      case (v, p) if parseManifest(fs, p).txn.exists(_.get(appId).contains(batchId)) => v
     }
+  }
+
+  /** The txn marker recorded for `appId` at a SPECIFIC retained version —
+    * None when that version carries no marker for it; throws when the
+    * version itself is not retained.
+    */
+  def lastTxnAt(spark: SparkSession, dir: String, version: Long,
+      appId: String): Option[Long] = {
+    val fs = fsFor(spark, dir)
+    val p = manifestVersions(fs, dir).collectFirst { case (v, path) if v == version => path }
+      .getOrElse(throw new IllegalStateException(
+        s"version $version not available at $dir (never committed, or expired by vacuum)"))
+    parseManifest(fs, p).txn.getOrElse(Map.empty).get(appId)
   }
 
   /** [[mergeByKey]] on a COMPOSITE key (e.g. `(source, doc_id)` entity
@@ -1917,7 +1942,7 @@ object SnapshotTable {
           "mergeByKeys: deleteKeys with an EMPTY batch is unsupported — use delete()")
         return versions(spark, dir).sorted.lastOption.getOrElse(0L)
     }
-    val extras = extrasFootprint(spark, batch, keys, deleteKeys, "mergeByKeys")
+    val extras = extrasFootprint(batch, keys, deleteKeys, "mergeByKeys")
     val hitFile: FileEntry => Boolean =
       extras.fold(fp.hitFile)(x => e => fp.hitFile(e) || x.hitFile(e))
 
@@ -2039,7 +2064,7 @@ object SnapshotTable {
           "mergeByKeysMoR: deleteKeys with an EMPTY batch is unsupported — use deleteMoR()")
         return versions(spark, dir).sorted.lastOption.getOrElse(0L)
     }
-    val extras = extrasFootprint(spark, batch, keys, deleteKeys, "mergeByKeysMoR")
+    val extras = extrasFootprint(batch, keys, deleteKeys, "mergeByKeysMoR")
     val hitFile: FileEntry => Boolean =
       extras.fold(fp.hitFile)(x => e => fp.hitFile(e) || x.hitFile(e))
     val txnMap = txn.map { case (app, b) => Map(app -> b) }.getOrElse(Map.empty[String, Long])
@@ -2136,11 +2161,13 @@ object SnapshotTable {
       exactCount: Option[Int])
 
   /** Footprint + local key relation for a merge's `deleteKeys`: the tuples
-    * are validated (arity, no NULLs) and probed through the same
-    * [[keyFootprint]] machinery — they are driver-side, so always exact.
+    * are validated (arity, no NULLs — values must carry the key columns'
+    * runtime types) and fed STRAIGHT into [[buildFootprint]] — they are
+    * already driver-side and always exact, so no Spark round-trip (no
+    * createDataFrame → distinct → collect job on the fold's commit path).
     * None when empty.
     */
-  private def extrasFootprint(spark: SparkSession, batch: DataFrame, keys: Seq[String],
+  private def extrasFootprint(batch: DataFrame, keys: Seq[String],
       deleteKeys: Seq[Seq[Any]], opName: String): Option[KeyFootprint] = {
     if (deleteKeys.isEmpty) return None
     deleteKeys.foreach { t =>
@@ -2148,10 +2175,8 @@ object SnapshotTable {
         s"$opName: deleteKeys tuple arity ${t.length} != ${keys.length} key columns")
       require(!t.contains(null), s"$opName: deleteKeys contains NULLs")
     }
-    val keySchema = org.apache.spark.sql.types.StructType(keys.map(batch.schema(_)))
-    val rows = deleteKeys.map(t => org.apache.spark.sql.Row(t: _*))
-    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*), keySchema)
-    keyFootprint(df, keys, math.max(deleteKeys.length, 1), opName)
+    val rows = deleteKeys.map(t => org.apache.spark.sql.Row(t: _*)).toArray
+    Some(buildFootprint(rows, batch.schema, keys, exact = true, rangeRow = None))
   }
 
   /** The batch's key-footprint probe for the keyed merges: validates the
@@ -2177,11 +2202,6 @@ object SnapshotTable {
       require(FileStats.eligible(keyType) && !timestampish &&
           keyType != org.apache.spark.sql.types.BooleanType,
         s"$opName key '$key' must be numeric/string/date, got ${keyType.sql}")
-    }
-    def repr(v: Any): String = v match {
-      case d: java.sql.Date => d.toString
-      case ld: java.time.LocalDate => ld.toString
-      case other => other.toString
     }
     // ONE bounded job serves emptiness, the NULL-key guard (a null is one
     // distinct value per column, so within the cap it is always among the
@@ -2220,8 +2240,25 @@ object SnapshotTable {
         s"$opName: batch has NULL keys"))
       Some(r)
     }
+    Some(buildFootprint(keyRows, batch.schema, keys, exact, rangeRow))
+  }
+
+  /** The probe + build-side construction shared by [[keyFootprint]]
+    * (collected batch tuples) and [[extrasFootprint]] (driver-supplied
+    * delete tuples, always exact): per-column binary-search probes in
+    * exact mode, [min, max] interval tests in range mode, and the local
+    * key relation for the merge's join build side.
+    */
+  private def buildFootprint(keyRows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType, keys: Seq[String],
+      exact: Boolean, rangeRow: Option[org.apache.spark.sql.Row]): KeyFootprint = {
+    def repr(v: Any): String = v match {
+      case d: java.sql.Date => d.toString
+      case ld: java.time.LocalDate => ld.toString
+      case other => other.toString
+    }
     val probes: Seq[FileEntry => Boolean] = keys.zipWithIndex.map { case (key, ki) =>
-      val kind = FileStats.kindOf(batch.schema(key).dataType)
+      val kind = FileStats.kindOf(schema(key).dataType)
       val unprunable = kind == "num" && (keyRows.exists(r => {
         val s = repr(r.get(ki)); s == "NaN" || s == "-NaN"
       }) || rangeRow.exists(_.getLong(4 * ki + 3) > 0L))
@@ -2263,12 +2300,12 @@ object SnapshotTable {
     val exactKeysDf: Option[SparkSession => DataFrame] =
       if (!exact) None
       else {
-        val keySchema = org.apache.spark.sql.types.StructType(keys.map(batch.schema(_)))
+        val keySchema = org.apache.spark.sql.types.StructType(keys.map(schema(_)))
         val rowsList = java.util.Arrays.asList(keyRows: _*)
         Some(s => s.createDataFrame(rowsList, keySchema))
       }
-    Some(KeyFootprint(e => probes.forall(_(e)), exactKeysDf,
-      if (exact) Some(keyRows.length) else None))
+    KeyFootprint(e => probes.forall(_(e)), exactKeysDf,
+      if (exact) Some(keyRows.length) else None)
   }
 
   /** Output-partition sizing for a keyed merge's rewrite: enough parts

@@ -119,24 +119,30 @@ object Decontaminate {
       textCol: String = "text",
       idCol: String = "doc_id",
       appId: Option[String] = None): (DataFrame, Long) => Unit = (batch, batchId) => {
-    val flagged = ngramOverlapPrepared(batch, prep, minHits, textCol, idCol)
-      .filter(col("contaminated")).select(col(idCol))
-    // persisted: the emptiness probe and the append would otherwise each
-    // run the full sweep — 2x the batch cost
-    val clean = batch.join(flagged, Seq(idCol), "left_anti").persist()
     val spark = batch.sparkSession
-    try {
-      if (!clean.isEmpty) appId match {
-        case Some(app) =>
-          graft.catalog.SnapshotTable.appendExactlyOnce(spark, clean, outDir, app, batchId)
-          ()
-        case None =>
-          if (graft.catalog.SnapshotTable.exists(spark, outDir))
-            graft.catalog.SnapshotTable.append(spark, clean, outDir)
-          else graft.catalog.SnapshotTable.write(spark, clean, outDir)
-          ()
-      }
-    } finally clean.unpersist(blocking = false)
+    // a crash-replayed batch no-ops on the MARKER alone — before the sweep
+    // (the sink's dominant cost), not after it inside appendExactlyOnce
+    val replayed = appId.exists(app => graft.catalog.SnapshotTable
+      .lastTxn(spark, outDir, app).exists(_ >= batchId))
+    if (!replayed) {
+      val flagged = ngramOverlapPrepared(batch, prep, minHits, textCol, idCol)
+        .filter(col("contaminated")).select(col(idCol))
+      // persisted: the emptiness probe and the append would otherwise each
+      // run the full sweep — 2x the batch cost
+      val clean = batch.join(flagged, Seq(idCol), "left_anti").persist()
+      try {
+        if (!clean.isEmpty) appId match {
+          case Some(app) =>
+            graft.catalog.SnapshotTable.appendExactlyOnce(spark, clean, outDir, app, batchId)
+            ()
+          case None =>
+            if (graft.catalog.SnapshotTable.exists(spark, outDir))
+              graft.catalog.SnapshotTable.append(spark, clean, outDir)
+            else graft.catalog.SnapshotTable.write(spark, clean, outDir)
+            ()
+        }
+      } finally clean.unpersist(blocking = false)
+    }
     ()
   }
 

@@ -82,17 +82,26 @@ object Graph {
     * delta ([[graft.streaming.IncrementalClusters]]), whose size is
     * O(micro-batch endpoints) by construction regardless of corpus size:
     * at 100 TB the corpus-sized assignment never flows through here, only
-    * the per-batch contraction, and the cap (default 1M edges ≈ 16 MB)
-    * keeps the driver safe if a caller feeds an unbounded graph anyway.
+    * the per-batch contraction. The cap (default 262k edges — ~4 MB
+    * retained as primitive arrays, with the collected Rows' transient
+    * boxing an order of magnitude above that, which is why the default is
+    * NOT in the millions) bounds the driver if a caller feeds an
+    * unbounded graph anyway.
     */
-  def connectedComponentsAuto(edges: DataFrame, driverMax: Int = 1 << 20): DataFrame = {
+  def connectedComponentsAuto(edges: DataFrame, driverMax: Int = 1 << 18): DataFrame = {
     val all = edges
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
     val sample = all.limit(driverMax + 1).collect()
     if (sample.length > driverMax) return connectedComponents(edges)
-    // union-find with path halving; rep = component MIN id (found by a
-    // min-fold per root after the unions — union order never matters)
-    val parent = new java.util.HashMap[Long, Long](sample.length * 2)
+    // primitive edge arrays — the boxed Rows release to GC immediately
+    val n = sample.length
+    val ea = new Array[Long](n); val eb = new Array[Long](n)
+    var i = 0
+    while (i < n) { ea(i) = sample(i).getLong(0); eb(i) = sample(i).getLong(1); i += 1 }
+    // union-find with path halving; every union keeps the SMALLER root
+    // and every node starts as its own root, so find(id) IS the
+    // component's min id — no separate min-fold needed
+    val parent = new java.util.HashMap[Long, Long](n * 2)
     def find(x: Long): Long = {
       var r = x
       while (parent.get(r) != r) {
@@ -101,22 +110,18 @@ object Graph {
       }
       r
     }
-    sample.foreach { r =>
-      val (a, b) = (r.getLong(0), r.getLong(1))
+    i = 0
+    while (i < n) {
+      val a = ea(i); val b = eb(i)
       parent.putIfAbsent(a, a)
       parent.putIfAbsent(b, b)
-      val (ra, rb) = (find(a), find(b))
+      val ra = find(a); val rb = find(b)
       if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-    }
-    val roots = new java.util.HashMap[Long, Long]() // root -> min member id
-    parent.keySet().forEach { id =>
-      val r = find(id)
-      val cur = roots.get(r)
-      roots.put(r, if (roots.containsKey(r)) math.min(cur, id) else id)
+      i += 1
     }
     val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
     parent.keySet().forEach { id =>
-      rows.add(org.apache.spark.sql.Row(id, roots.get(find(id))))
+      rows.add(org.apache.spark.sql.Row(id, find(id)))
     }
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false),

@@ -373,6 +373,18 @@ object IncrementalClusters {
           s"reps table at $repsDir is missing while the assignment at $clustersDir " +
             s"is $v folds deep — repair needs corpus-wide scores: rebuild with " +
             "Dedup.qualityAwareReps, then resume folding")
+        // sanity: v must be the commit that INTRODUCED the marker, i.e.
+        // v-1 predates the batch. Retention drops manifests oldest-first,
+        // so this cannot trip on a healthy log — but if the true marker
+        // commit were ever gone while a later carry-forward manifest
+        // matched, repairing against a POST-fold snapshot would compute an
+        // empty delta and silently leave reps stale; refuse loudly instead
+        if (SnapshotTable.lastTxnAt(spark, clustersDir, v - 1, assignApp)
+            .exists(_ >= batchId))
+          throw new IllegalStateException(
+            s"assignment log at $clustersDir no longer retains batch $batchId's marker " +
+              s"commit (version ${v - 1} already records it) — the pre-fold snapshot is " +
+              "gone; rebuild reps with Dedup.qualityAwareReps, then resume folding")
         val prev = SnapshotTable.readVersion(spark, clustersDir, v - 1)
           .select(col("doc_id"), col("rep_id")).persist()
         try {

@@ -714,24 +714,31 @@ object TextPipelines {
       textCol: String = "text",
       idCol: String = "doc_id",
       appId: Option[String] = None): (DataFrame, Long) => Unit = (batch, batchId) => {
-    val keep = dsirScorePrepared(batch, model, textCol, idCol)
-      .filter(col("dsir_score") >= minScore).select(col("doc_id").as(idCol))
-    // persisted: the emptiness probe and the append would otherwise each
-    // re-run the scoring sweep
-    val selected = batch.join(keep, Seq(idCol), "left_semi").persist()
     val spark = batch.sparkSession
-    try {
-      if (!selected.isEmpty) appId match {
-        case Some(app) =>
-          graft.catalog.SnapshotTable.appendExactlyOnce(spark, selected, outDir, app, batchId)
-          ()
-        case None =>
-          if (graft.catalog.SnapshotTable.exists(spark, outDir))
-            graft.catalog.SnapshotTable.append(spark, selected, outDir)
-          else graft.catalog.SnapshotTable.write(spark, selected, outDir)
-          ()
-      }
-    } finally selected.unpersist(blocking = false)
+    // a crash-replayed batch no-ops on the MARKER alone — before the
+    // scoring sweep (the sink's dominant cost), not after it inside
+    // appendExactlyOnce
+    val replayed = appId.exists(app => graft.catalog.SnapshotTable
+      .lastTxn(spark, outDir, app).exists(_ >= batchId))
+    if (!replayed) {
+      val keep = dsirScorePrepared(batch, model, textCol, idCol)
+        .filter(col("dsir_score") >= minScore).select(col("doc_id").as(idCol))
+      // persisted: the emptiness probe and the append would otherwise each
+      // re-run the scoring sweep
+      val selected = batch.join(keep, Seq(idCol), "left_semi").persist()
+      try {
+        if (!selected.isEmpty) appId match {
+          case Some(app) =>
+            graft.catalog.SnapshotTable.appendExactlyOnce(spark, selected, outDir, app, batchId)
+            ()
+          case None =>
+            if (graft.catalog.SnapshotTable.exists(spark, outDir))
+              graft.catalog.SnapshotTable.append(spark, selected, outDir)
+            else graft.catalog.SnapshotTable.write(spark, selected, outDir)
+            ()
+        }
+      } finally selected.unpersist(blocking = false)
+    }
     ()
   }
 
