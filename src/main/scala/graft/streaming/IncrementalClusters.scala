@@ -425,6 +425,27 @@ object IncrementalClusters {
       ()
     }
 
+  /** `foreachBatch` sink for the SCORED fold — wires the stream's batchId
+    * into the txn marker, so the two-table fold is exactly-once
+    * end-to-end under crash replays (see [[foldPairsScored]]):
+    * {{{
+    * scoredPairs.writeStream.foreachBatch(
+    *   IncrementalClusters.scoredSink(cdir, rdir, appId = "ingest-1",
+    *     scoresOf = b => b.select(col("doc_id"), col("score")))).start()
+    * }}}
+    * The batch frame must carry (id_a, id_b) candidate pairs; `scoresOf`
+    * extracts one deterministic (doc_id, score) row per NEW doc from the
+    * same frame (the ingest pipeline computes scores at arrival —
+    * [[foldPairsScored]]'s contract).
+    */
+  def scoredSink(clustersDir: String, repsDir: String, appId: String,
+      scoresOf: DataFrame => DataFrame, mor: Boolean = false)
+      : (DataFrame, Long) => Unit = (batch, batchId) => {
+    foldPairsScored(batch.sparkSession, clustersDir, repsDir, batch,
+      scoresOf(batch), mor, txn = Some((appId, batchId)))
+    ()
+  }
+
   /** The current assignment (doc_id, rep_id). */
   def clusters(spark: SparkSession, clustersDir: String): DataFrame =
     SnapshotTable.read(spark, clustersDir)

@@ -291,6 +291,30 @@ class IncrementalClustersSpec extends SparkSpec {
     assert(!reps(rdir).contains(10L), "absorbed cluster's rep row must be gone")
   }
 
+  test("scoredSink: streamed batches fold exactly-once; direct re-delivery is a no-op") {
+    val cdir = tmp("ssink-c"); val rdir = tmp("ssink-r")
+    // batch frames carry pairs + per-doc scores side by side: pairs as
+    // (id_a, id_b), scores recoverable via the deterministic score fn
+    val sink = IncrementalClusters.scoredSink(cdir, rdir, appId = "ssink",
+      scoresOf = b => {
+        val ids = b.select(col("id_a").as("doc_id"))
+          .unionByName(b.select(col("id_b").as("doc_id"))).distinct()
+        ids.select(col("doc_id"), (pmod(col("doc_id") * 37, lit(7)).cast("double")).as("score"))
+      })
+    val b0 = Seq((1L, 2L), (10L, 11L))
+    val b1 = Seq((2L, 10L), (20L, 21L))
+    sink(b0.toDF("id_a", "id_b"), 0L)
+    sink(b1.toDF("id_a", "id_b"), 1L)
+    assert(reps(rdir) == repsTruth(b0 ++ b1))
+    // crash-replay of both batches: no rows change, no versions publish
+    val (vc, vr) = (SnapshotTable.versions(spark, cdir).max, SnapshotTable.versions(spark, rdir).max)
+    sink(b0.toDF("id_a", "id_b"), 0L)
+    sink(b1.toDF("id_a", "id_b"), 1L)
+    assert(SnapshotTable.versions(spark, cdir).max == vc)
+    assert(SnapshotTable.versions(spark, rdir).max == vr)
+    assert(reps(rdir) == repsTruth(b0 ++ b1))
+  }
+
   test("txn fold: create-fold crash (assignment written, reps missing) heals on re-delivery") {
     val cdir = tmp("txn3-c"); val rdir = tmp("txn3-r")
     val b0 = Seq((1L, 2L), (10L, 11L), (5L, 5L))
