@@ -1889,10 +1889,35 @@ object SnapshotTable {
   def versionRecordingTxn(spark: SparkSession, dir: String,
       appId: String, batchId: Long): Option[Long] = {
     val fs = fsFor(spark, dir)
+    val vs = manifestVersions(fs, dir).toIndexedSeq
     // txn maps are inline in the manifest record — the probe never
-    // resolves segment lists, so a long history costs one JSON parse per
-    // retained version, not a re-read of the historical segment set
-    manifestVersions(fs, dir).collectFirst {
+    // resolves segment lists — and an appId's recorded batch id is
+    // MONOTONE NON-DECREASING across versions: every commit carries
+    // txnOf(cur) forward and ids are monotonic per appId (the
+    // exactly-once contract). The earliest version recording >= batchId
+    // is therefore a BINARY SEARCH — O(log versions) manifest parses on
+    // a long retained log instead of a parse per version — and under the
+    // invariant it records exactly batchId iff any retained version does.
+    // [[rollback]] is the one producer that can break the invariant (it
+    // restores an OLDER txn map by design — re-deliveries must re-apply
+    // after a rollback), so the search self-checks: a hit whose
+    // predecessor also records >= batchId, or a miss, falls back to the
+    // linear scan — never slower than the scan alone, and scan-identical
+    // on every history.
+    def markerAt(i: Int): Option[Long] =
+      parseManifest(fs, vs(i)._2).txn.flatMap(_.get(appId))
+    var lo = 0; var hi = vs.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (markerAt(mid).exists(_ >= batchId)) hi = mid else lo = mid + 1
+    }
+    val hit = lo < vs.length && markerAt(lo).contains(batchId) &&
+      (lo == 0 || !markerAt(lo - 1).exists(_ >= batchId))
+    if (hit) Some(vs(lo)._1)
+    // lo == length only via a `< batchId` comparison AT the last version,
+    // which under carry-forward means no retained version records batchId
+    else if (lo >= vs.length) None
+    else vs.collectFirst { // non-monotone neighborhood (rollback history): exact scan
       case (v, p) if parseManifest(fs, p).txn.exists(_.get(appId).contains(batchId)) => v
     }
   }
@@ -1908,6 +1933,28 @@ object SnapshotTable {
       .getOrElse(throw new IllegalStateException(
         s"version $version not available at $dir (never committed, or expired by vacuum)"))
     parseManifest(fs, p).txn.getOrElse(Map.empty).get(appId)
+  }
+
+  /** An EMPTY txn-carrying merge still RECORDS its marker, as a
+    * metadata-only commit (entries and schema unchanged): without it, an
+    * exactly-once pipeline whose leg computed zero rows would re-run that
+    * leg on every replay forever — the marker is the replay's only
+    * convergence signal. A marker-less empty merge stays a pure no-op
+    * (no version), and an absent table never materializes from an empty
+    * batch. Returns the current version either way.
+    */
+  private def emptyBatchTxn(spark: SparkSession, dir: String,
+      txn: Option[(String, Long)]): Long = {
+    txn match {
+      case Some((app, b)) if exists(spark, dir) =>
+        commitLoop(spark, dir, op = "merge") { cur =>
+          // a racer (or the earlier fast-path check) already recorded it
+          if (txnOf(cur).get(app).exists(_ >= b)) None
+          else cur.map(c => (c.entries, txnOf(cur) + (app -> b), c.schemaDdl))
+        }
+      case _ => ()
+    }
+    versions(spark, dir).sorted.lastOption.getOrElse(0L)
   }
 
   /** [[mergeByKey]] on a COMPOSITE key (e.g. `(source, doc_id)` entity
@@ -1940,7 +1987,7 @@ object SnapshotTable {
       case None => // empty batch: no-op, current version (0 if absent)
         require(deleteKeys.isEmpty,
           "mergeByKeys: deleteKeys with an EMPTY batch is unsupported — use delete()")
-        return versions(spark, dir).sorted.lastOption.getOrElse(0L)
+        return emptyBatchTxn(spark, dir, txn)
     }
     val extras = extrasFootprint(batch, keys, deleteKeys, "mergeByKeys")
     val hitFile: FileEntry => Boolean =
@@ -1994,7 +2041,7 @@ object SnapshotTable {
           // size the rewrite's output files from its byte volume (a no-op
           // past the footprint cap, or when natural partitioning is finer)
           val out = fp.exactCount.fold(out0)(n =>
-            out0.coalesce(mergeOutParts(rewrite, n.toLong)))
+            out0.coalesce(mergeOutParts(rewrite, n.toLong, avgRowHint = tableAvgRow(m))))
           mergeSchemas(priorSchema(spark, dir, Some(m)), out.schema, reservedPhysicals(Some(m)))
           val entries = writeData(spark, out, dir, m.partitionCols.getOrElse(Seq.empty),
             mapping = mappingOf(Some(m)))
@@ -2062,7 +2109,7 @@ object SnapshotTable {
       case None =>
         require(deleteKeys.isEmpty,
           "mergeByKeysMoR: deleteKeys with an EMPTY batch is unsupported — use deleteMoR()")
-        return versions(spark, dir).sorted.lastOption.getOrElse(0L)
+        return emptyBatchTxn(spark, dir, txn)
     }
     val extras = extrasFootprint(batch, keys, deleteKeys, "mergeByKeysMoR")
     val hitFile: FileEntry => Boolean =
@@ -2114,7 +2161,7 @@ object SnapshotTable {
           // count — a fold-sized MoR batch otherwise writes
           // O(shuffle.partitions) near-empty files per commit
           val alignedSized = fp.exactCount.fold(aligned)(n =>
-            aligned.coalesce(mergeOutParts(Seq.empty, n.toLong)))
+            aligned.coalesce(mergeOutParts(Seq.empty, n.toLong, avgRowHint = tableAvgRow(m))))
           val newEntries = writeData(spark, alignedSized, dir,
             m.partitionCols.getOrElse(Seq.empty), mapping = mappingOf(Some(m)))
           val byPath = touched.map(t => t.path -> t).toMap
@@ -2317,13 +2364,28 @@ object SnapshotTable {
     * count and writes O(shuffle.partitions) near-empty files per commit —
     * the small-file explosion that compounds across micro-batches.
     */
-  private def mergeOutParts(rewrite: Seq[FileEntry], batchRows: Long,
-      targetBytes: Long = 128L * 1024 * 1024): Int = {
+  private[catalog] def mergeOutParts(rewrite: Seq[FileEntry], batchRows: Long,
+      targetBytes: Long = 128L * 1024 * 1024,
+      // bytes-per-row estimate for an EMPTY rewrite set (MoR appends,
+      // fully-pruned COW rewrites): the table's manifest-observed row
+      // width — without it, wide rows (e.g. embedding columns) fall to
+      // the 256-byte default and under-partition into oversized files
+      avgRowHint: Option[Double] = None): Int = {
     val rewriteBytes = rewrite.map(_.bytes).sum
     val rewriteRows = math.max(1L, rewrite.map(_.rows).sum)
-    val avgRow = if (rewrite.nonEmpty) rewriteBytes.toDouble / rewriteRows else 256.0
+    val avgRow =
+      if (rewrite.nonEmpty) rewriteBytes.toDouble / rewriteRows
+      else avgRowHint.filter(_ > 0.0).getOrElse(256.0)
     val estBytes = rewriteBytes + batchRows * avgRow
     math.max(1, math.ceil(estBytes / targetBytes).toInt)
+  }
+
+  /** The table's observed bytes-per-row from its live manifest entries —
+    * [[mergeOutParts]]' `avgRowHint` source; None for an empty table.
+    */
+  private def tableAvgRow(m: Manifest): Option[Double] = {
+    val rows = m.entries.map(_.rows).sum
+    if (rows <= 0L) None else Some(m.entries.map(_.bytes).sum.toDouble / rows)
   }
 
   /** A file's key bounds for [[mergeByKey]] pruning: Some((lo, hi)) when

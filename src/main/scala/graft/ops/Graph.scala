@@ -97,7 +97,16 @@ object Graph {
     val n = sample.length
     val ea = new Array[Long](n); val eb = new Array[Long](n)
     var i = 0
-    while (i < n) { ea(i) = sample(i).getLong(0); eb(i) = sample(i).getLong(1); i += 1 }
+    while (i < n) {
+      val r = sample(i)
+      // a NULL id_a/id_b (or a cast-to-long failure, which also yields
+      // null) must read as a validation error, not an opaque driver NPE —
+      // the keyed merges' NULL-key discipline
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "connectedComponentsAuto: NULL edge id collected — id_a/id_b must be " +
+          "non-null values castable to long; filter or fix them upstream")
+      ea(i) = r.getLong(0); eb(i) = r.getLong(1); i += 1
+    }
     // union-find with path halving; every union keeps the SMALLER root
     // and every node starts as its own root, so find(id) IS the
     // component's min id — no separate min-fold needed

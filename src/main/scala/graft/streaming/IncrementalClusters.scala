@@ -202,7 +202,28 @@ object IncrementalClusters {
       pairs: DataFrame,
       scores: DataFrame,
       mor: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      // [[foldPairs]]' operational compaction cadence, over BOTH tables: a
+      // MoR scored pipeline accumulates deletion vectors on the assignment
+      // AND the reps table (stale-rep deletes vector out too), so after a
+      // committing fold each table whose manifest-read [[dvRatio]] exceeds
+      // this runs [[maintain]]. None (default) leaves maintenance to the
+      // caller's cadence.
+      maintainAboveDvRatio: Option[Double] = None): Long = {
+    maintainAboveDvRatio.foreach(r => require(r > 0.0 && r < 1.0,
+      s"maintainAboveDvRatio must be in (0, 1), got $r"))
+    // after a committing fold (normal, create, or heal): compact whichever
+    // table's deletion-vector ratio crossed the knob; the returned version
+    // tracks the assignment's newest when its own maintenance committed
+    def maintained(v: Long): Long = maintainAboveDvRatio match {
+      case Some(r) =>
+        val assignCompacted = dvRatio(spark, clustersDir) > r
+        if (assignCompacted) maintain(spark, clustersDir)
+        if (SnapshotTable.exists(spark, repsDir) && dvRatio(spark, repsDir) > r)
+          maintain(spark, repsDir)
+        if (assignCompacted) SnapshotTable.versions(spark, clustersDir).max else v
+      case None => v
+    }
     val newEdges = pairs
       .select(col("id_a").cast("long").as("id_a"), col("id_b").cast("long").as("id_b"))
     val sc = scores.select(col("doc_id").cast("long").as("doc_id"), col("score"))
@@ -222,8 +243,8 @@ object IncrementalClusters {
           repsTxn.exists { case (rApp, _) =>
             SnapshotTable.lastTxn(spark, repsDir, rApp).exists(_ >= b) }
         return if (repsDone) SnapshotTable.versions(spark, clustersDir).max
-          else healRepsLeg(spark, clustersDir, repsDir, prev =>
-            foldDeltaChanges(newEdges, prev), sc, aApp, b, mor, repsTxn)
+          else maintained(healRepsLeg(spark, clustersDir, repsDir, prev =>
+            foldDeltaChanges(newEdges, prev), sc, aApp, b, mor, repsTxn))
       case _ => ()
     }
 
@@ -252,7 +273,7 @@ object IncrementalClusters {
           case Some(_) => mergeInto(spark, repRows, repsDir, "rep_id", mor, repsTxn)
           case None => SnapshotTable.write(spark, repRows, repsDir)
         }
-        v
+        maintained(v)
       } finally assignment.unpersist(blocking = false)
     } else {
       val prev = SnapshotTable.read(spark, clustersDir)
@@ -268,7 +289,7 @@ object IncrementalClusters {
             val v = mergeInto(spark, changes, clustersDir, "doc_id", mor, assignTxn)
             crashSeam("afterAssignmentCommit")
             applyRepsLeg(spark, repsDir, d, changes, sc, mor, repsTxn)
-            v
+            maintained(v)
           }
         } finally changes.unpersist(blocking = false)
       } finally prev.unpersist(blocking = false)
@@ -334,8 +355,19 @@ object IncrementalClusters {
     // absorbed clusters are no longer reps: their rows delete in the same
     // commit (batch-bounded literal — the remap is O(|Δ| endpoints))
     val stale = d.remap.select(col("rep_id")).collect().map(_.getLong(0))
-    if (!repRows.isEmpty)
-      mergeInto(spark, repRows, repsDir, "rep_id", mor, repsTxn, deleteKeys = stale.toSeq)
+    // the reps invariant (every live cluster has a reps row) makes repRows
+    // non-empty whenever anything was absorbed — surface a violation loudly
+    // here instead of tripping the merge's opaque empty-batch refusal
+    if (stale.nonEmpty) require(!repRows.isEmpty,
+      s"reps invariant violated at $repsDir: ${stale.length} absorbed cluster(s) " +
+        "produced no argmax candidates — the reps table lacks rows for live " +
+        "clusters (or the batch's scores are missing); rebuild it with " +
+        "Dedup.qualityAwareReps, then resume folding")
+    // UNCONDITIONAL merge: an empty leg (stale empty too — reachable only
+    // when the scores contract was violated for score-less new docs) still
+    // records the txn marker via the merge's metadata-only commit, so a
+    // replayed batch skips instead of re-healing forever
+    mergeInto(spark, repRows, repsDir, "rep_id", mor, repsTxn, deleteKeys = stale.toSeq)
     ()
   }
 
@@ -439,10 +471,12 @@ object IncrementalClusters {
     * [[foldPairsScored]]'s contract).
     */
   def scoredSink(clustersDir: String, repsDir: String, appId: String,
-      scoresOf: DataFrame => DataFrame, mor: Boolean = false)
+      scoresOf: DataFrame => DataFrame, mor: Boolean = false,
+      maintainAboveDvRatio: Option[Double] = None)
       : (DataFrame, Long) => Unit = (batch, batchId) => {
     foldPairsScored(batch.sparkSession, clustersDir, repsDir, batch,
-      scoresOf(batch), mor, txn = Some((appId, batchId)))
+      scoresOf(batch), mor, txn = Some((appId, batchId)),
+      maintainAboveDvRatio = maintainAboveDvRatio)
     ()
   }
 

@@ -58,6 +58,48 @@ object StreamingDedup {
     */
   val TombstonesPerSig = 64
 
+  /** Per-bucket occupancy of a [[nearDupCandidates]] query, read from its
+    * OWN state store (Spark's `statestore` source over the checkpoint — no
+    * touch on the running stream): one row per live band bucket,
+    * `(band, bucket, retained, tombstones)`.
+    *
+    * This is the HOT-BUCKET alarm for a months-long ingest — the LSH
+    * tier's drift-equivalent of [[StreamingSemDeDup.cellOccupancy]]'s
+    * centroid-drift readout: on healthy diverse text, band signatures
+    * spread documents so buckets hold a handful of near-duplicates each;
+    * a boilerplate-heavy stream (templated pages, log spam) concentrates
+    * arrivals into few buckets, where each arrival pays cap-bounded
+    * comparisons (cost) and the bucket saturates `maxPerBucket` while
+    * recall past the cap erodes. Alert when [[bucketSkew]] exceeds a
+    * small factor; the remediation is upstream (strip the boilerplate
+    * before shingling, or raise `shingleK`) — bucket state needs no
+    * migration, because fresh content re-spreads on its own signatures.
+    *
+    * @param checkpoint the query's `checkpointLocation`
+    */
+  def bucketOccupancy(spark: org.apache.spark.sql.SparkSession, checkpoint: String): DataFrame =
+    spark.read.format("statestore").option("path", checkpoint).load()
+      // flatMapGroupsWithState state rows: a case-class group key reads as
+      // key.<field>, the state product as value.groupState.<field>
+      .select(col("key.band").as("band"), col("key.key").as("bucket"),
+        size(col("value.groupState.sigs")).as("retained"),
+        size(col("value.groupState.tomb")).as("tombstones"))
+
+  /** max/mean retained occupancy over the LIVE buckets — unlike
+    * [[StreamingSemDeDup.occupancySkew]]'s fixed-k denominator, LSH
+    * buckets are open-ended (one per distinct band signature), so skew is
+    * relative to the live population: ~1–2× on healthy diverse text
+    * (most buckets hold one or a few similar docs), an order of magnitude
+    * higher when boilerplate concentrates a stream into hot buckets.
+    * 0.0 for empty state.
+    */
+  def bucketSkew(occupancy: DataFrame): Double = {
+    val r = occupancy.agg(
+      coalesce(max(col("retained")), lit(0)).cast("double"),
+      coalesce(avg(col("retained")), lit(0.0))).collect()(0)
+    if (r.getDouble(1) == 0.0) 0.0 else r.getDouble(0) / r.getDouble(1)
+  }
+
   /** Near-duplicate candidate pairs over a STREAMING (or batch) document
     * frame, emitted incrementally as documents arrive.
     *
@@ -73,9 +115,9 @@ object StreamingDedup {
     * RE-INGEST IDEMPOTENCE: a doc id re-delivered to a bucket it already
     * occupies is a structural no-op. The guarantee covers ids whose
     * signature is still retained plus the newest [[TombstonesPerSig]] ×
-    * `maxPerBucket` ids evicted by the cap (kept as 8-byte tombstones);
-    * an id older than both windows — or evicted by `retention` — is
-    * treated as a fresh arrival again.
+    * `maxPerBucket` ids evicted by the cap OR by `retention` (kept as
+    * 8-byte tombstones); an id older than both windows is treated as a
+    * fresh arrival again.
     *
     * State per bucket is capped at `maxPerBucket` signatures (newest
     * retained): a bucket past the cap holds that many mutually-similar
@@ -193,22 +235,31 @@ object StreamingDedup {
             state: GroupState[BucketState]) => {
           val prior = state.getOption.getOrElse(BucketState(Nil, Nil))
           // retention eviction: an entry whose ts + retention is behind the
-          // watermark can no longer pair with any non-late arrival
+          // watermark can no longer pair with any non-late arrival. Evicted
+          // ids TOMBSTONE under the same budget as cap evictions
+          // ([[StreamingSemDeDup]]'s discipline), so a doc re-delivered
+          // after its window closed (admitted by a non-zero watermarkDelay)
+          // stays a structural no-op instead of re-entering state and
+          // re-emitting pairs — the no-op contract holds as far as the
+          // tombstone budget reaches, not just the retention window
           val wm = if (retMs.isDefined && streaming) state.getCurrentWatermarkMs() else Long.MinValue
-          val sigsLive = retMs match {
-            case Some(r) if wm > Long.MinValue => prior.sigs.filter(_.ts + r >= wm)
-            case _ => prior.sigs
+          val (sigsLive, retEvicted) = retMs match {
+            case Some(r) if wm > Long.MinValue => prior.sigs.partition(_.ts + r >= wm)
+            case _ => (prior.sigs, Nil)
           }
+          val priorTomb =
+            if (retEvicted.isEmpty) prior.tomb
+            else (retEvicted.map(_.id) ++ prior.tomb).take(tombCap)
           if (state.hasTimedOut) {
             // no new data since the timeout was armed: GC what expired
             if (sigsLive.isEmpty) state.remove()
             else {
-              state.update(BucketState(sigsLive, prior.tomb))
+              state.update(BucketState(sigsLive, priorTomb))
               state.setTimeoutTimestamp(sigsLive.map(_.ts).max + retMs.get + 1)
             }
             Iterator.empty
           } else {
-            val seen = sigsLive.map(_.id).toSet ++ prior.tomb
+            val seen = sigsLive.map(_.id).toSet ++ priorTomb
             // deterministic arrival order inside the batch; re-delivered ids no-op
             val fresh = it.map(_._2).filter(d => !seen.contains(d.id))
               .toSeq.distinctBy(_.id).sortBy(_.id)
@@ -227,7 +278,7 @@ object StreamingDedup {
               held = d :: held
             }
             val (kept, capEvicted) = held.splitAt(cap)
-            val tomb = (capEvicted.map(_.id) ++ prior.tomb).take(tombCap)
+            val tomb = (capEvicted.map(_.id) ++ priorTomb).take(tombCap)
             state.update(BucketState(kept, tomb))
             if (retMs.isDefined && streaming && kept.nonEmpty)
               state.setTimeoutTimestamp(kept.map(_.ts).max + retMs.get + 1)

@@ -133,4 +133,17 @@ class GraphSpec extends SparkSpec {
       assert(count(edges) == brute.toLong, s"mismatch vs brute force on $edges")
     }
   }
+
+  test("connectedComponentsAuto: NULL edge ids read as a validation error, not a driver NPE") {
+    import spark.implicits._
+    // surfaces the keyed merges' NULL-key discipline on the driver path
+    // (under non-ANSI sessions a failed cast-to-long yields null and takes
+    // the same guard; ANSI sessions fail the cast itself, also loudly)
+    val withNull = Seq((Some(1L), Some(2L)), (None, Some(3L)))
+      .toDF("id_a", "id_b")
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.connectedComponentsAuto(withNull).collect()
+    }
+    assert(e1.getMessage.contains("NULL edge id"))
+  }
 }

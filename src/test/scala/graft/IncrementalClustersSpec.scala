@@ -333,4 +333,58 @@ class IncrementalClustersSpec extends SparkSpec {
       b1.toDF("id_a", "id_b"), scoresOf(b1))
     assert(reps(rdir) == repsTruth(b0 ++ b1))
   }
+
+  test("EMPTY reps leg still records its marker: replay converges, never re-heals") {
+    val cdir = tmp("txn4-c"); val rdir = tmp("txn4-r")
+    val noScores = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val b0 = Seq((1L, 2L), (10L, 11L))
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b0.toDF("id_a", "id_b"), scoresOf(b0), txn = Some(("appE", 0L)))
+    val vr0 = SnapshotTable.versions(spark, rdir).max
+    // batch 1: a self-loop on a brand-new SCORE-LESS doc — the one shape
+    // that reaches the reps leg with zero argmax candidates AND zero stale
+    // deletes (a scores-contract violation the leg tolerates): the
+    // assignment gains the singleton, the reps leg is empty, and the
+    // appE#reps marker must STILL record via the metadata-only commit
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      Seq((30L, 30L)).toDF("id_a", "id_b"), noScores, txn = Some(("appE", 1L)))
+    assert(assignment(cdir)(30L) == 30L)
+    assert(reps(rdir) == repsTruth(b0), "score-less singleton must not enter reps")
+    assert(SnapshotTable.versions(spark, rdir).max == vr0 + 1,
+      "the empty leg must publish exactly its marker-only commit")
+    assert(SnapshotTable.lastTxn(spark, rdir, "appE#reps").contains(1L))
+    // replay: BOTH markers present -> structural no-op, no heal, no churn
+    val (vc, vr) = (SnapshotTable.versions(spark, cdir).max, SnapshotTable.versions(spark, rdir).max)
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      Seq((30L, 30L)).toDF("id_a", "id_b"), noScores, txn = Some(("appE", 1L)))
+    assert(SnapshotTable.versions(spark, cdir).max == vc)
+    assert(SnapshotTable.versions(spark, rdir).max == vr)
+  }
+
+  test("reps invariant violation (absorbed cluster, no candidates) refuses loudly, heals on corrected re-delivery") {
+    val cdir = tmp("txn5-c"); val rdir = tmp("txn5-r")
+    val noScores = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+    val b0 = Seq((1L, 2L), (10L, 11L))
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b0.toDF("id_a", "id_b"), scoresOf(b0), txn = Some(("appV", 0L)))
+    // batch 1 links two brand-new docs but carries NO scores: the delta's
+    // remap deletes "cluster 4" while zero argmax candidates exist — the
+    // leg must surface the broken scores contract, not trip the merge's
+    // opaque empty-batch refusal (and not silently strand the marker)
+    val b1 = Seq((3L, 4L))
+    val err = intercept[IllegalArgumentException] {
+      IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+        b1.toDF("id_a", "id_b"), noScores, txn = Some(("appV", 1L)))
+    }
+    assert(err.getMessage.contains("reps invariant violated"))
+    // the assignment leg committed before the refusal; a CORRECTED
+    // re-delivery (scores present) repairs the reps leg through the
+    // standard heal path
+    assert(SnapshotTable.lastTxn(spark, cdir, "appV#assign").contains(1L))
+    assert(!SnapshotTable.lastTxn(spark, rdir, "appV#reps").exists(_ >= 1L))
+    IncrementalClusters.foldPairsScored(spark, cdir, rdir,
+      b1.toDF("id_a", "id_b"), scoresOf(b1), txn = Some(("appV", 1L)))
+    assert(reps(rdir) == repsTruth(b0 ++ b1))
+    assert(SnapshotTable.lastTxn(spark, rdir, "appV#reps").contains(1L))
+  }
 }

@@ -337,4 +337,60 @@ class MergeByKeySpec extends SparkSpec {
       SnapshotTable.mergeByKey(spark, batch, dir, "id", maxExactKeys = 3)
     }
   }
+
+  test("EMPTY txn-carrying merge records its marker as a metadata-only commit") {
+    val dir = tmp("emptytxn")
+    SnapshotTable.write(spark, Seq((1L, "a")).toDF("id", "v"), dir) // v1
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    // marker-less empty merge: pure no-op, no version (the old contract)
+    SnapshotTable.mergeByKeys(spark, empty, dir, Seq("id"))
+    assert(SnapshotTable.versions(spark, dir).max == 1L)
+    val pathsBefore = paths(dir)
+    // txn-carrying empty merge: marker-only commit — entries and content
+    // unchanged, marker recorded, so a replayed empty leg converges
+    SnapshotTable.mergeByKeys(spark, empty, dir, Seq("id"), txn = Some(("legA", 7L)))
+    assert(SnapshotTable.versions(spark, dir).max == 2L)
+    assert(SnapshotTable.lastTxn(spark, dir, "legA").contains(7L))
+    assert(content(dir) == Map(1L -> "a"))
+    assert(paths(dir) == pathsBefore, "metadata-only commit must not touch data files")
+    // replay of the same (and of an earlier) batch id: structural no-op
+    SnapshotTable.mergeByKeys(spark, empty, dir, Seq("id"), txn = Some(("legA", 7L)))
+    SnapshotTable.mergeByKeys(spark, empty, dir, Seq("id"), txn = Some(("legA", 3L)))
+    assert(SnapshotTable.versions(spark, dir).max == 2L)
+    // MoR shape: identical protocol
+    SnapshotTable.mergeByKeysMoR(spark, empty, dir, Seq("id"), txn = Some(("legB", 1L)))
+    assert(SnapshotTable.versions(spark, dir).max == 3L)
+    assert(SnapshotTable.lastTxn(spark, dir, "legB").contains(1L))
+    SnapshotTable.mergeByKeysMoR(spark, empty, dir, Seq("id"), txn = Some(("legB", 1L)))
+    assert(SnapshotTable.versions(spark, dir).max == 3L)
+    // an ABSENT table never materializes from an empty txn-carrying batch
+    val ghost = tmp("emptytxn-ghost")
+    SnapshotTable.mergeByKeys(spark, empty, ghost, Seq("id"), txn = Some(("legC", 0L)))
+    assert(!SnapshotTable.exists(spark, ghost))
+  }
+
+  test("versionRecordingTxn: binary-search probe equals the linear contract") {
+    val dir = tmp("vrt")
+    SnapshotTable.write(spark, Seq((0L, "seed")).toDF("id", "v"), dir) // v1, no marker
+    // markers at v2(b=0), v3(b=1), ... v6(b=4); interleave a plain append
+    (0L until 5L).foreach { b =>
+      SnapshotTable.mergeByKeys(spark, Seq((100L + b, s"b$b")).toDF("id", "v"),
+        dir, Seq("id"), txn = Some(("app", b)))
+    }
+    SnapshotTable.append(spark, Seq((999L, "plain")).toDF("id", "v"), dir) // v7 carries markers
+    (0L until 5L).foreach { b =>
+      assert(SnapshotTable.versionRecordingTxn(spark, dir, "app", b).contains(2L + b),
+        s"batch $b should resolve to version ${2L + b}")
+    }
+    // never-recorded ids: below, above, and unknown appId
+    assert(SnapshotTable.versionRecordingTxn(spark, dir, "app", 99L).isEmpty)
+    assert(SnapshotTable.versionRecordingTxn(spark, dir, "ghost", 0L).isEmpty)
+    // ROLLBACK restores an older txn map (re-deliveries must re-apply) —
+    // the probe's non-monotone fallback still finds the exact commit
+    SnapshotTable.rollback(spark, dir, 3L) // v8 records app -> 1
+    assert(SnapshotTable.lastTxn(spark, dir, "app").contains(1L))
+    assert(SnapshotTable.versionRecordingTxn(spark, dir, "app", 1L).contains(3L))
+    assert(SnapshotTable.versionRecordingTxn(spark, dir, "app", 4L).contains(6L))
+  }
+
 }

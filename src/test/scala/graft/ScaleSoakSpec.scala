@@ -865,6 +865,80 @@ class ScaleSoakSpec extends SparkSpec {
       s"live file count unbounded under MoR folds: $f1 / $f4")
   }
 
+  test("soak: 50 MoR SCORED folds auto-maintain BOTH tables' DV ratios") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // the twin of incc_mor_automaintain over the TWO-TABLE scored fold:
+    // a MoR scored pipeline accumulates deletion vectors on the assignment
+    // (moved docs) AND the reps table (re-keyed argmaxes + stale-rep
+    // deletes), so foldPairsScored(maintainAboveDvRatio) must bound the
+    // POST-FOLD ratio on both from their manifest-read dvRatio alone.
+    import graft.streaming.IncrementalClusters
+    val thr = 0.005
+    def loop(n: Long, tag: String): (RunMetrics, Double, Double, Long, Long, Int) = {
+      val cdir = java.nio.file.Files.createTempDirectory(s"graft-soak-sam-$tag-c").toString
+      val rdir = java.nio.file.Files.createTempDirectory(s"graft-soak-sam-$tag-r").toString
+      // seed: n singleton clusters, each its own quality-scored rep
+      graft.catalog.SnapshotTable.write(spark,
+        spark.range(n).select(col("id").as("doc_id"), col("id").as("rep_id"))
+          .repartition(8), cdir)
+      graft.catalog.SnapshotTable.write(spark,
+        spark.range(n).select(col("id").as("rep_id"), col("id").as("best_doc"),
+          (pmod(col("id"), lit(97)) / lit(97.0)).as("best_score"))
+          .repartition(8), rdir)
+      val noScores = Seq.empty[(Long, Double)].toDF("doc_id", "score")
+      var maxCRatio = 0.0; var maxRRatio = 0.0
+      var maxCFiles = 0L; var maxRFiles = 0L; var maintains = 0
+      val m = measureOnce { () =>
+        (0 until 50).foreach { k =>
+          // each fold merges two EXISTING singleton clusters: one moved
+          // assignment row, one reps upsert + one stale-rep delete
+          val pairs = (0 until 10).map { j =>
+            val p = (k * 10 + j).toLong; (2 * p, 2 * p + 1)
+          }.toDF("id_a", "id_b")
+          val vb = graft.catalog.SnapshotTable.versions(spark, cdir).max
+          IncrementalClusters.foldPairsScored(spark, cdir, rdir, pairs, noScores,
+            mor = true, maintainAboveDvRatio = Some(thr))
+          if (graft.catalog.SnapshotTable.versions(spark, cdir).max > vb + 1) maintains += 1
+          maxCRatio = math.max(maxCRatio, IncrementalClusters.dvRatio(spark, cdir))
+          maxRRatio = math.max(maxRRatio, IncrementalClusters.dvRatio(spark, rdir))
+          maxCFiles = math.max(maxCFiles, graft.catalog.SnapshotTable
+            .currentManifest(spark, cdir).get.entries.length.toLong)
+          maxRFiles = math.max(maxRFiles, graft.catalog.SnapshotTable
+            .currentManifest(spark, rdir).get.entries.length.toLong)
+        }
+      }
+      // the fold's correctness under the churn: every merged pair's two
+      // docs share a cluster, and reps carry max-score members
+      val merged = graft.catalog.SnapshotTable.read(spark, cdir)
+        .filter(col("doc_id") < 1000L && pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("rep_id")).as[(Long, Long)].collect()
+      assert(merged.forall { case (d, r) => r == d - 1 },
+        s"merged odd docs must rep to their even partner: ${merged.take(5).toSeq}")
+      (m, maxCRatio, maxRRatio, maxCFiles max maxRFiles, maxRFiles, maintains)
+    }
+    val (m1, c1, r1, f1, _, n1) = loop(20000L, "x1")
+    val (m4, c4, r4, f4, _, n4) = loop(80000L, "x4")
+    def named(m: RunMetrics) = Map[String, Any]("sec" -> m.sec,
+      "shuffle_write_bytes" -> m.shuffleWriteBytes, "disk_spill_bytes" -> m.diskSpill,
+      "mem_spill_bytes" -> m.memSpill, "peak_task_mem_bytes" -> m.peakMem)
+    SoakReport.record("incc_scored_automaintain", named(m1), named(m4), Map(
+      "folds" -> 50L,
+      "max_assign_dv_ppm_x1" -> (c1 * 1e6).toLong, "max_reps_dv_ppm_x1" -> (r1 * 1e6).toLong,
+      "max_assign_dv_ppm_x4" -> (c4 * 1e6).toLong, "max_reps_dv_ppm_x4" -> (r4 * 1e6).toLong,
+      "max_files_x1" -> f1, "max_files_x4" -> f4,
+      "maintains_x1" -> n1.toLong, "maintains_x4" -> n4.toLong))
+    info(f"incc_scored_automaintain 1x: ${m1.pretty} assign=$c1%.5f reps=$r1%.5f files<=$f1 maintains=$n1")
+    info(f"incc_scored_automaintain 4x: ${m4.pretty} assign=$c4%.5f reps=$r4%.5f files<=$f4 maintains=$n4")
+    assert(c1 <= thr && c4 <= thr,
+      f"post-fold assignment DV ratio exceeded the trigger: $c1%.5f / $c4%.5f > $thr")
+    assert(r1 <= thr && r4 <= thr,
+      f"post-fold reps DV ratio exceeded the trigger: $r1%.5f / $r4%.5f > $thr")
+    assert(n1 >= 3, s"auto-maintain fired only $n1 times over 50 scored folds at 1x")
+    assert(n4 >= 1, s"auto-maintain never fired at 4x ($n4)")
+    assert(f1 <= 40L && f4 <= 70L,
+      s"live file count unbounded under MoR scored folds: $f1 / $f4")
+  }
+
   test("soak: fuzzy self-join cost follows the block histogram; domain blocking divides it") {
     assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
     // q94's fixture is the OPERATOR'S documented degenerate case: TPC-H

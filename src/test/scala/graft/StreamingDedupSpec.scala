@@ -214,4 +214,74 @@ class StreamingDedupSpec extends SparkSpec {
         s"docs missing from all pairs: ${(0L until 40L).filterNot(touched.contains)}")
     } finally q.stop()
   }
+
+  test("hot-bucket alarm: occupancy reads the query's own state; boilerplate skews, diverse reads ~1x") {
+    // the LSH tier's drift-equivalent readout: a boilerplate-heavy stream
+    // (half the docs share one template) concentrates into 16 hot band
+    // buckets while diverse text spreads one doc per bucket
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def uniq(i: Long): String = {
+      val r = new scala.util.Random(i * 31L + 5)
+      Seq.fill(30)("tok" + r.nextInt(100000)).mkString(" ")
+    }
+    val template = "the quick brown fox jumps over the lazy dog again and again " * 3
+    val boilerplated: Seq[(Long, String)] =
+      (0L until 40L).map(i => (i, template)) ++ (100L until 140L).map(i => (i, uniq(i)))
+    val diverse: Seq[(Long, String)] = (0L until 80L).map(i => (i, uniq(1000 + i)))
+    def runAndMeasure(docs: Seq[(Long, String)], tag: String): Double = {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft-sd-occ-$tag").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingDedup.nearDupCandidates(mem.toDF.toDF("doc_id", "text"))
+        .writeStream.format("memory").queryName(s"sdedup_occ_$tag")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try { mem.addData(docs: _*); q.processAllAvailable() } finally q.stop()
+      val occ = StreamingDedup.bucketOccupancy(spark, ckpt)
+      // every doc occupies one bucket per band (cap not hit): exact total
+      assert(occ.agg(sum($"retained")).head().getLong(0) == docs.length * 16L)
+      StreamingDedup.bucketSkew(occ)
+    }
+    val hot = runAndMeasure(boilerplated, "hot")
+    val flat = runAndMeasure(diverse, "flat")
+    assert(hot >= 8.0, f"boilerplate stream should read hot buckets: skew $hot%.2f")
+    assert(flat <= 2.5, f"diverse stream should read near-balanced: skew $flat%.2f")
+  }
+
+  test("retention-evicted ids stay no-ops through tombstones; occupancy reports them") {
+    // ids 0,1 pair inside the window, then age out of retention as later
+    // same-bucket docs arrive (eviction happens ON the data path, so the
+    // bucket's tombstones persist); re-delivering 0,1 afterwards must not
+    // re-enter state or re-emit the pair — pre-fix they re-paired
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    def at(sec: Long) = new java.sql.Timestamp(1700000000000L + sec * 1000)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sd-ttltomb").toString
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingDedup.nearDupCandidates(
+        mem.toDF.toDF("doc_id", "text", "event_ts"),
+        retention = Some(java.time.Duration.ofSeconds(100)))
+      .writeStream.format("memory").queryName("sdedup_ttltomb")
+      .option("checkpointLocation", ckpt).outputMode("append").start()
+    try {
+      mem.addData((0L, text, at(0)), (1L, text, at(50))); q.processAllAvailable()
+      mem.addData((2L, text, at(5000))); q.processAllAvailable()  // wm 50s: 0,1 live
+      mem.addData((3L, text, at(10000))); q.processAllAvailable() // wm 5000s: 0,1 evict+tombstone
+      val before = spark.table("sdedup_ttltomb")
+        .select(col("id_a"), col("id_b")).distinct().as[(Long, Long)].collect().toSet
+      assert(before == Set((0L, 1L)), s"only the in-window pair should emit: $before")
+      // re-delivery of the evicted ids (their window long closed)
+      mem.addData((0L, text, at(0)), (1L, text, at(50))); q.processAllAvailable()
+      val after = spark.table("sdedup_ttltomb")
+        .select(col("id_a"), col("id_b")).distinct().as[(Long, Long)].collect().toSet
+      assert(after == before, s"re-delivered evicted ids re-emitted: ${after -- before}")
+    } finally q.stop()
+    // the state store shows the eviction: per band bucket all 4 docs stay
+    // accounted for, with (at least) the two retention-evicted ids held as
+    // tombstones rather than re-entered signatures (the exact retained
+    // split depends on how far the watermark had advanced at the last
+    // processed batch — it lags the data by one batch)
+    val occ = StreamingDedup.bucketOccupancy(spark, ckpt)
+      .select($"retained", $"tombstones").as[(Int, Int)].collect()
+    assert(occ.length == 16 && occ.forall { case (r, t) => r + t == 4 && t >= 2 },
+      s"expected 16 buckets with 4 accounted docs and >=2 tombstones: ${occ.toSeq.distinct}")
+  }
 }
