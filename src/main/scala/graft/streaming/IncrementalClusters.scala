@@ -220,7 +220,7 @@ object IncrementalClusters {
         val assignCompacted = dvRatio(spark, clustersDir) > r
         if (assignCompacted) maintain(spark, clustersDir)
         if (SnapshotTable.exists(spark, repsDir) && dvRatio(spark, repsDir) > r)
-          maintain(spark, repsDir)
+          maintainReps(spark, repsDir)
         if (assignCompacted) SnapshotTable.versions(spark, clustersDir).max else v
       case None => v
     }
@@ -510,4 +510,12 @@ object IncrementalClusters {
   def maintain(spark: SparkSession, clustersDir: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
     SnapshotTable.compact(spark, clustersDir, targetBytes, zorderBy = Seq("doc_id"))
+
+  /** [[maintain]] for the scored fold's REPS side table: compact +
+    * range-cluster by `rep_id` — its merge key (reps rows are keyed by
+    * CLUSTER, not doc, so the assignment's doc_id layout does not apply).
+    */
+  def maintainReps(spark: SparkSession, repsDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) =
+    SnapshotTable.compact(spark, repsDir, targetBytes, zorderBy = Seq("rep_id"))
 }
