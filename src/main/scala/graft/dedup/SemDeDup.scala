@@ -63,7 +63,12 @@ object SemDeDup {
       .filter(col("id_a") < col("id_b"))
       .filter(Similarity.nativeCosine(spark, col("vec_a"), col("vec_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    val comps = graft.ops.Graph.connectedComponents(edges) // (id, rep) — rep = component min
+    // duplicate-pair edges are threshold-sparse (a small fraction of the
+    // corpus at the paper's 0.9+ thresholds), so the AUTO entry usually
+    // answers with the driver union-find's one collect; past its 262k-edge
+    // cap it self-selects the distributed engine, and the probe's partial
+    // re-evaluation of the cell join reuses the persisted `withCell`
+    val comps = graft.ops.Graph.connectedComponentsAuto(edges) // (id, rep) — rep = component min
     val out = withCell.select(col("id"), col("cluster"))
       .join(comps, Seq("id"), "left")
       .select(col("id"), col("cluster"),

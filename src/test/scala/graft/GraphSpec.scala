@@ -146,4 +146,22 @@ class GraphSpec extends SparkSpec {
     }
     assert(e1.getMessage.contains("NULL edge id"))
   }
+
+  test("connectedComponentsAuto: driver union-find equals the distributed engine on random graphs") {
+    // both sides of the cap on the SAME edge lists: a generous cap forces
+    // the driver union-find, driverMax=0 forces the distributed fallback —
+    // the (id -> rep) maps must be identical (rep = component min in both)
+    val rnd = new scala.util.Random(18L)
+    for (trial <- 0 until 5) {
+      val n = 20 + rnd.nextInt(80)
+      val edges = (0 until 2 * n)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .distinct.toDF("id_a", "id_b")
+      val driver = Graph.connectedComponentsAuto(edges)
+        .as[(Long, Long)].collect().toMap
+      val distributed = Graph.connectedComponentsAuto(edges, driverMax = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(driver == distributed, s"auto paths diverged on trial $trial (n=$n)")
+    }
+  }
 }
