@@ -584,7 +584,12 @@ object SparkEntry {
     // scores with the q32 quality signal, argmax per cluster ----
     "q157_quality_aware_dedup" -> ((s, dir) => {
       val corpus = docsWithNearDups(s, dir)
-      val clusters = graft.ops.Graph.connectedComponents(
+      // the AUTO entry point: near-dup pair sets are a small fraction of
+      // the corpus, so the driver union-find usually answers in one
+      // collect instead of the iterative engine's ~15 round jobs, and
+      // past its 262k-edge cap it self-selects the distributed engine
+      // (q59 stays on the distributed engine as that path's anchor)
+      val clusters = graft.ops.Graph.connectedComponentsAuto(
           nearDupPairs(s, dir).select(col("id_a"), col("id_b")))
         .select(col("id").as("doc_id"), col("rep").as("rep_id"))
       val full = corpus.select(col("doc_id"))
@@ -912,7 +917,9 @@ object SparkEntry {
       val pairs = graft.streaming.StreamingSemDeDup
         .semanticPairs(corpus, centroids, threshold = 0.99)
         .toDF().select(col("id_a"), col("id_b"))
-      val comps = graft.ops.Graph.connectedComponents(pairs)
+      // semantic near-dup pairs are threshold-sparse — the auto entry's
+      // driver union-find path, with the distributed engine past its cap
+      val comps = graft.ops.Graph.connectedComponentsAuto(pairs)
       Similarity.assignEmbeddings(corpus, centroids).select(col("id"), col("cluster"))
         .join(comps.select(col("id"), col("rep")), Seq("id"), "left")
         .select(col("id"), col("cluster"), coalesce(col("rep"), col("id")).as("rep_id"))
@@ -952,6 +959,18 @@ object SparkEntry {
       try graft.util.Caching.materialize(
         graft.text.TextPipelines.dsirScorePrepared(docs, model).orderBy(col("doc_id")))
       finally model.release()
+    }),
+
+    // ---- CROSS-CORPUS near-dedup (inter-dump sweep): the perturbed twins
+    // play the fresh dump, the original documents the curated corpus —
+    // every twin must flag against its source (and any near-dup of it);
+    // banded LSH across sides only, exact Jaccard on candidates ----
+    "q162_cross_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val fresh = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      Dedup.crossNearDups(fresh, d, threshold = 0.5)
+        .orderBy(col("new_id"), col("ref_id"))
     }),
 
     // ---- DSIR over the paper's FIXED hashed feature space: bigrams hash
@@ -3304,6 +3323,21 @@ object SparkEntry {
         |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q162: cross-corpus sweep under the same exhaustive truth — every
+    // CROSS-side pair (original id_a < 1000000 as reference, twin id_b ≥
+    // 1000000 as the fresh dump) above the Jaccard cut, and nothing
+    // within-side. The q40 recall argument carries over unchanged: band
+    // collisions are pure functions of each doc's signature, so the cross
+    // join finds exactly q40's pairs restricted to the split.
+    "q162_cross_dedup" ->
+      s"""WITH $ShingleCommonCtes
+        |SELECT id_b AS new_id, id_a AS ref_id,
+        |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+        |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE id_a < 1000000 AND id_b >= 1000000
+        |  AND CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+        |ORDER BY new_id, ref_id""".stripMargin,
 
     // q150: the streaming dedup operator's batch mode must reproduce q40's
     // exact result — same exhaustive-truth oracle (candidate generation

@@ -232,6 +232,213 @@ object Dedup {
     graft.util.Caching.materialize(verified, hashed)
   }
 
+  /** CROSS-CORPUS near-dup pairs: every (new, reference) doc pair whose
+    * exact shingle Jaccard ≥ `threshold` — the inter-dump dedup stage of a
+    * crawl pipeline (a fresh dump is deduped against the already-curated
+    * corpus BEFORE joining it, so recrawled pages never accumulate; the
+    * CCNet/RefinedWeb recipe). Candidate generation is
+    * [[minHashVerifiedNearDups]]' banded LSH, but the bucket join is
+    * new-side × reference-side ONLY — never within a side (within-side
+    * dedup is the existing operators' job; compose them). Both sides hash
+    * through the SAME seeded permutations, so shared content collides by
+    * construction, and a pair colliding here iff it collides in the
+    * single-corpus operator (band hashes are pure functions of each doc's
+    * signature) — the single-corpus oracle precedent carries over intact.
+    * Returns (new_id, ref_id, jaccard ≥ threshold) over distinct
+    * shingle-hash sets.
+    *
+    * 100 TB shape: per-side signatures are map-side-combined aggregates;
+    * the cross join ships only slim (band, band_hash, id) rows and
+    * shuffle-partitions on the band hash; verification touches candidate
+    * pairs only. Nothing is ever all-pairs, and the reference side is
+    * scanned once regardless of how small the new dump is — at production
+    * scale checkpoint the reference's signatures to a table and reuse them
+    * across dumps (they are deterministic in (seed, k, shingleK)).
+    */
+  def crossNearDups(
+      newDocs: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      shingleK: Int = 3): DataFrame = {
+    val prep = crossPrepare(reference, textCol, idCol, k, bands, seed, shingleK)
+    try crossNearDupsPrepared(newDocs, prep, threshold, textCol, idCol)
+    finally prep.release()
+  }
+
+  /** One side's (id, sh) distinct shingle-hash sets — one native shingling
+    * pass feeding both the MinHash signatures and the exact-Jaccard
+    * verification; docs too short to shingle carry no row.
+    */
+  private def shingleSetsOf(docs: DataFrame, textCol: String, idCol: String,
+      shingleK: Int): DataFrame = docs
+    .select(col(idCol).as("id"),
+      shingleHashes(docs.sparkSession, col(textCol), shingleK).as("sh"))
+    .filter(size(col("sh")) > 0)
+
+  /** Slim (band, band_hash, id) LSH rows from a shingle-set frame — the
+    * only thing the cross bucket join ever shuffles.
+    */
+  private def bandedRowsOf(hashed: DataFrame, k: Int, bands: Int,
+      seed: Long): DataFrame = {
+    val rows = k / bands
+    val sigs = signaturesFromHashes(
+      hashed.select(col("id"), explode(col("sh")).as("h")), k, seed)
+    val bandHashes = (0 until bands)
+      .map(b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)))
+    sigs.select(col("id"), posexplode(array(bandHashes: _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+  }
+
+  /** Reference-side state for REPEATED cross-corpus sweeps: the banded LSH
+    * rows and the distinct shingle-hash sets, both persisted once —
+    * [[crossNearDupsPrepared]]/[[crossSink]] sweep any number of dumps (or
+    * micro-batches of one) against the same reference without recomputing
+    * its signatures. Model state like [[Decontaminate.prepare]]'s benchmark:
+    * deterministic in (k, bands, seed, shingleK), so at production scale
+    * checkpoint `banded`/`sets` to tables and reuse across pipeline runs.
+    * Call [[PreparedReference.release]] when done.
+    */
+  final class PreparedReference private[dedup] (
+      val banded: DataFrame, val sets: DataFrame,
+      // the persisted shingle-set frame both views derive from
+      private val hashed: DataFrame,
+      val k: Int, val bands: Int, val seed: Long, val shingleK: Int) {
+    def release(): Unit = {
+      banded.unpersist(blocking = false)
+      sets.unpersist(blocking = false)
+      hashed.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Build the [[PreparedReference]] for [[crossNearDupsPrepared]]. */
+  def crossPrepare(
+      reference: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      shingleK: Int = 3): PreparedReference = {
+    require(k % bands == 0, "bands must divide k")
+    val hashedRef = shingleSetsOf(reference, textCol, idCol, shingleK).persist()
+    // persisted PRE-PARTITIONED on the join keys: a cached frame keeps its
+    // HashPartitioning, so every sweep's bucket join (and verification
+    // join) reads the reference side exchange-free — repeated sweeps
+    // shuffle ONLY the arriving batch, never the corpus-scale reference
+    val banded = bandedRowsOf(hashedRef, k, bands, seed)
+      .withColumnRenamed("id", "ref_id")
+      .repartition(col("band"), col("band_hash")).persist()
+    val sets = hashedRef
+      .select(col("id").as("ref_id"), col("sh"), size(col("sh")).as("n"))
+      .repartition(col("ref_id")).persist()
+    new PreparedReference(banded, sets, hashedRef, k, bands, seed, shingleK)
+  }
+
+  /** [[crossNearDups]] against a [[PreparedReference]] — the repeated-sweep
+    * form (identical pairs; the reference side just isn't recomputed).
+    */
+  def crossNearDupsPrepared(
+      newDocs: DataFrame,
+      prep: PreparedReference,
+      threshold: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val hashedNew = shingleSetsOf(newDocs, textCol, idCol, prep.shingleK).persist()
+    val candidates = bandedRowsOf(hashedNew, prep.k, prep.bands, prep.seed)
+      .withColumnRenamed("id", "new_id")
+      .join(prep.banded, Seq("band", "band_hash"))
+      .select(col("new_id"), col("ref_id"))
+      .dropDuplicates("new_id", "ref_id") // pairs sharing several bands verify once
+    val verified = candidates
+      .join(hashedNew.select(col("id").as("new_id"),
+        col("sh").as("sh_a"), size(col("sh")).as("n_a")), "new_id")
+      .join(prep.sets.select(col("ref_id"),
+        col("sh").as("sh_b"), col("n").as("n_b")), "ref_id")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("new_id"), col("ref_id"),
+        (col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+          .as("j_raw"))
+      .filter(col("j_raw") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("j_raw").as("jaccard"))
+    graft.util.Caching.materialize(verified, hashedNew)
+  }
+
+  /** Ingest-time cross-corpus dedup (`foreachBatch` sink): every
+    * micro-batch of the fresh dump is swept against the prepared reference
+    * and only docs that near-duplicate NOTHING in it append to the
+    * snapshot table at `outDir` — the inter-dump member of the ingest
+    * tier ([[graft.streaming.StreamingDedup]] dedups arrivals against each
+    * other; this dedups them against the CURATED CORPUS). Stateless across
+    * batches by design (a doc is judged against the fixed reference alone),
+    * so batch cost is one sweep; an all-dup or empty batch publishes NO
+    * version. With `appId` the append is EXACTLY-ONCE
+    * ([[graft.catalog.SnapshotTable.appendExactlyOnce]]; the marker is
+    * checked BEFORE the sweep so a crash-replayed batch costs one manifest
+    * parse). Without it, at-least-once on replay. NOTE: arrivals are NOT
+    * deduped against each other or against earlier batches — compose with
+    * [[graft.streaming.StreamingDedup]] upstream where that matters.
+    */
+  def crossSink(
+      prep: PreparedReference,
+      outDir: String,
+      threshold: Double = 0.5,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      appId: Option[String] = None): (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val replayed = appId.exists(app => graft.catalog.SnapshotTable
+      .lastTxn(spark, outDir, app).exists(_ >= batchId))
+    if (!replayed) {
+      val flagged = crossNearDupsPrepared(batch, prep, threshold, textCol, idCol)
+        .select(col("new_id").as(idCol)).distinct()
+      // persisted: the emptiness probe and the append would otherwise each
+      // re-run the sweep
+      val clean = batch.join(flagged, Seq(idCol), "left_anti").persist()
+      try {
+        if (!clean.isEmpty) appId match {
+          case Some(app) =>
+            graft.catalog.SnapshotTable.appendExactlyOnce(spark, clean, outDir, app, batchId)
+            ()
+          case None =>
+            if (graft.catalog.SnapshotTable.exists(spark, outDir))
+              graft.catalog.SnapshotTable.append(spark, clean, outDir)
+            else graft.catalog.SnapshotTable.write(spark, clean, outDir)
+            ()
+        }
+      } finally clean.unpersist(blocking = false)
+    }
+    ()
+  }
+
+  /** The filtering form of [[crossNearDups]]: `newDocs` minus every doc
+    * near-duplicating the reference corpus — what actually appends to the
+    * curated table after an inter-dump sweep. Column-preserving on
+    * `newDocs`; docs too short to shingle carry no signature and pass
+    * through (the single-corpus operators' contract).
+    */
+  def removeCrossDups(
+      newDocs: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      seed: Long = 42L,
+      shingleK: Int = 3): DataFrame = {
+    val flagged = crossNearDups(newDocs, reference, textCol, idCol,
+      k, bands, threshold, seed, shingleK)
+      .select(col("new_id").as(idCol)).distinct()
+    newDocs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** (id, sig) 64-bit SimHash signatures: bit b of the signature is 1 iff

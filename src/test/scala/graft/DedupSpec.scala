@@ -290,4 +290,41 @@ class DedupSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
     assert(!byId(2L) && byId(5L) && byId(7L))
   }
+
+  test("crossNearDups flags only CROSS-side pairs; removeCrossDups keeps fresh and short docs") {
+    val long = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+      "near the warm fire and the rain falls softly on the old roof"
+    val reference = docs(
+      (1L, long),
+      (2L, "completely different reference text about databases and storage " +
+        "engines that share no phrasing with any arriving document at all"))
+    val fresh = docs(
+      (100L, long + " zz"),           // near-dup of ref 1 → must flag
+      (101L, long + " zz yy"),        // ALSO near-dups ref 1 AND doc 100 — the
+                                      // 100~101 within-side pair must NOT appear
+      (102L, "a genuinely new document about sailing boats across the northern " +
+        "sea under a grey sky with strong winds and heavy waves all day long"),
+      (103L, "too short")) // < shingleK tokens: no signature, passes through
+    val pairs = Dedup.crossNearDups(fresh, reference, threshold = 0.5)
+      .select("new_id", "ref_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((100L, 1L), (101L, 1L)), s"got $pairs")
+    val kept = Dedup.removeCrossDups(fresh, reference, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(102L, 103L), s"got $kept")
+  }
+
+  test("crossNearDups equals the single-corpus pair set restricted to the split (q162 invariant)") {
+    // band collisions are pure functions of each doc's signature, so the
+    // cross-side bucket join must find exactly the verified single-corpus
+    // pairs that straddle the split — the q162 oracle's recall argument
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val twins = base.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"))
+    val single = Dedup.minHashVerifiedNearDups(base.union(twins), threshold = 0.5)
+      .filter(col("id_a") < 1000000 && col("id_b") >= 1000000)
+      .select(col("id_b").as("new_id"), col("id_a").as("ref_id"), col("jaccard"))
+    val cross = Dedup.crossNearDups(twins, base, threshold = 0.5)
+    assert(cross.exceptAll(single).isEmpty && single.exceptAll(cross).isEmpty,
+      "cross-corpus pairs diverge from the single-corpus split restriction")
+  }
 }

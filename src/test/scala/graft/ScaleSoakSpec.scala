@@ -1104,6 +1104,50 @@ class ScaleSoakSpec extends SparkSpec {
       graft.dedup.Decontaminate.exciseContaminated(scaledDocs(4), bench, n = 8)))
     assertScaling("excise", m1, m4)
   }
+
+  test("soak: cross-corpus sweep cost stays flat as the prepared reference grows 4x") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // E125's scale claim measured: sweeping the SAME 2k-doc fresh batch
+    // against a 1x vs 4x prepared reference must shuffle about the same —
+    // the reference side persists PRE-PARTITIONED on the join keys, so a
+    // sweep exchanges only the batch's slim banded rows + candidates,
+    // never the corpus-scale reference
+    def words(seed: Long): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(25)("w" + r.nextInt(5000)).mkString(" ")
+    }
+    val fresh = (0 until 2000)
+      .map(i => ((10000000 + i).toLong, words((5000000 + i).toLong)))
+      .toDF("doc_id", "text")
+    def metricsFor(refDocs: Int): RunMetrics = {
+      val reference = (0 until refDocs).map(i => (i.toLong, words(i.toLong)))
+        .toDF("doc_id", "text")
+      val prep = Dedup.crossPrepare(reference)
+      try {
+        // force the prepared caches OUTSIDE the timed window (persist is lazy)
+        prep.banded.count(); prep.sets.count()
+        measure(() => noop(Dedup.crossNearDupsPrepared(fresh, prep)))
+      } finally prep.release()
+    }
+    val m1 = metricsFor(20000)
+    val m4 = metricsFor(80000)
+    SoakReport.record("cross_dedup",
+      Map("sec" -> m1.sec, "shuffle_write_bytes" -> m1.shuffleWriteBytes,
+        "disk_spill_bytes" -> m1.diskSpill, "mem_spill_bytes" -> m1.memSpill,
+        "peak_task_mem_bytes" -> m1.peakMem),
+      Map("sec" -> m4.sec, "shuffle_write_bytes" -> m4.shuffleWriteBytes,
+        "disk_spill_bytes" -> m4.diskSpill, "mem_spill_bytes" -> m4.memSpill,
+        "peak_task_mem_bytes" -> m4.peakMem),
+      Map("reference_x1" -> 20000L, "reference_x4" -> 80000L, "fresh" -> 2000L))
+    info(s"cross_dedup 1x: ${m1.pretty}")
+    info(s"cross_dedup 4x: ${m4.pretty}")
+    assert(m4.diskSpill == 0L, s"cross sweep spilled ${m4.diskSpill} bytes at 4x reference")
+    assert(m4.shuffleWriteBytes <= (1.5 * math.max(m1.shuffleWriteBytes, 1L << 20)).toLong,
+      s"sweep shuffle follows the REFERENCE, not the batch: " +
+        s"${m1.shuffleWriteBytes} -> ${m4.shuffleWriteBytes}")
+    assert(m4.sec <= 2.5 * math.max(m1.sec, 0.5),
+      f"sweep time follows the REFERENCE, not the batch: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
+  }
 }
 
 /** Accumulates each soak's measured metrics and persists them as

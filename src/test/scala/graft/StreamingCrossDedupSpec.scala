@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.catalog.SnapshotTable
+import graft.dedup.Dedup
+
+/** Cross-corpus dedup on ingest: the prepared-reference sweep must emit
+  * exactly the one-shot operator's pairs, and the `foreachBatch` sink must
+  * land exactly the batch pipeline's kept set — streamed in any batching,
+  * exactly-once under replay with an appId.
+  */
+class StreamingCrossDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longA = "the quick brown fox jumps over the lazy dog while the cat " +
+    "sleeps near the warm fire and the rain falls softly on the old roof tonight"
+  private val longB = "databases keep their promises by writing a log before the " +
+    "page and replaying it after a crash so committed work is never lost at all"
+
+  private val reference = Seq((1L, longA), (2L, longB)).toDF("doc_id", "text")
+
+  private val fresh = Seq(
+    (100L, longA + " zz"), // near-dup of ref 1
+    (101L, "a genuinely new document about sailing boats across the northern " +
+      "sea under a grey sky with strong winds and heavy waves all day long"),
+    (102L, longB + " yy"), // near-dup of ref 2
+    (103L, "another clean arrival describing mountain trails and quiet lakes " +
+      "far away from any text the curated corpus has ever seen before now"),
+    (104L, "too short") // < shingleK tokens: no signature, passes through
+  ).toDF("doc_id", "text")
+
+  test("crossNearDupsPrepared emits exactly the one-shot operator's pairs") {
+    val prep = Dedup.crossPrepare(reference)
+    try {
+      val prepared = Dedup.crossNearDupsPrepared(fresh, prep).orderBy($"new_id", $"ref_id")
+      val oneShot = Dedup.crossNearDups(fresh, reference).orderBy($"new_id", $"ref_id")
+      assert(prepared.collect().toSeq == oneShot.collect().toSeq)
+      assert(prepared.select($"new_id", $"ref_id").as[(Long, Long)].collect().toSet
+        == Set((100L, 1L), (102L, 2L)))
+    } finally prep.release()
+  }
+
+  test("crossSink lands exactly removeCrossDups' kept set, streamed in halves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scross").toString + "/t"
+    val prep = Dedup.crossPrepare(reference)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF.toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        Dedup.crossSink(prep, dir)(b.toDF(), id)
+      }
+      .start()
+    try {
+      val rows = fresh.as[(Long, String)].collect().toSeq
+      val (b1, b2) = rows.partition(_._1 <= 101)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val landed = SnapshotTable.read(spark, dir)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      val batchKept = Dedup.removeCrossDups(fresh, reference)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(landed == batchKept)
+      assert(landed == Seq(101L, 103L, 104L), s"got $landed")
+    } finally {
+      q.stop()
+      prep.release()
+    }
+  }
+
+  test("prepared reference joins exchange-free: cached HashPartitioning is reused") {
+    // crossPrepare persists `banded` pre-partitioned on (band, band_hash)
+    // and `sets` on ref_id, so every sweep's joins read the corpus-scale
+    // reference side WITHOUT re-shuffling it — only the arriving batch
+    // exchanges. Pin the mechanism: with broadcast off, a join against
+    // each cached view must plan no ShuffleExchange above its cache scan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
+      val nested = p.collect {
+        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          collectAll(q.plan)(pf)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          collectAll(r.child)(pf)
+      }.flatten
+      p.collect(pf) ++ nested
+    }
+    def refSideShuffles(df: org.apache.spark.sql.DataFrame): Seq[ShuffleExchangeExec] = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val cacheScans = collectAll(plan) { case m: InMemoryTableScanExec => m }
+      assert(cacheScans.nonEmpty, s"expected a cache scan in\n$plan")
+      collectAll(plan) { case s: ShuffleExchangeExec
+        if collectAll(s.child) { case m: InMemoryTableScanExec => m }.nonEmpty => s }
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val prep = Dedup.crossPrepare(reference)
+    try {
+      val bandProbe = Seq((0, 1L), (1, 2L)).toDF("band", "band_hash")
+      assert(refSideShuffles(bandProbe.join(prep.banded, Seq("band", "band_hash"))).isEmpty,
+        "banded reference re-shuffled on a sweep join")
+      val idProbe = Seq(1L, 2L).toDF("ref_id")
+      assert(refSideShuffles(idProbe.join(prep.sets, Seq("ref_id"))).isEmpty,
+        "reference shingle sets re-shuffled on a verification join")
+    } finally {
+      prep.release()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  test("an all-dup batch publishes NO table version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scross2").toString + "/t"
+    val prep = Dedup.crossPrepare(reference)
+    try {
+      val sink = Dedup.crossSink(prep, dir)
+      sink(fresh.filter($"doc_id" === 101), 0L) // clean → version 0
+      val v0 = SnapshotTable.versions(spark, dir).max
+      sink(fresh.filter($"doc_id" === 100), 1L) // dup of ref 1 → dropped whole
+      assert(SnapshotTable.versions(spark, dir).max == v0)
+      sink(fresh.filter($"doc_id" === 103), 2L) // clean again → new version
+      assert(SnapshotTable.versions(spark, dir).max > v0)
+      val landed = SnapshotTable.read(spark, dir).select($"doc_id").as[Long].collect().sorted
+      assert(landed.toSeq == Seq(101L, 103L))
+    } finally prep.release()
+  }
+
+  test("appId crossSink: a crash-replayed batch appends NOTHING (exactly-once)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scross3").toString + "/t"
+    val prep = Dedup.crossPrepare(reference)
+    try {
+      val sink = Dedup.crossSink(prep, dir, appId = Some("cross-eo"))
+      sink(fresh.filter($"doc_id" <= 101), 0L)
+      val v0 = SnapshotTable.versions(spark, dir).max
+      val rows0 = SnapshotTable.read(spark, dir).select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(rows0 == Seq(101L)) // 100 is a dup of ref 1
+      // forced re-delivery of the SAME batch: no duplicate rows, no version
+      sink(fresh.filter($"doc_id" <= 101), 0L)
+      assert(SnapshotTable.versions(spark, dir).max == v0)
+      assert(SnapshotTable.read(spark, dir).select($"doc_id")
+        .as[Long].collect().sorted.toSeq == rows0)
+      // the NEXT batch still lands; replaying it afterwards is a no-op too
+      sink(fresh.filter($"doc_id" > 101), 1L)
+      val all = SnapshotTable.read(spark, dir).select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(all == Seq(101L, 103L, 104L), s"got $all")
+      sink(fresh.filter($"doc_id" > 101), 1L)
+      assert(SnapshotTable.read(spark, dir).count() == 3)
+    } finally prep.release()
+  }
+}
