@@ -306,13 +306,10 @@ object Dedup {
     */
   final class PreparedReference private[dedup] (
       val banded: DataFrame, val sets: DataFrame,
-      // the persisted shingle-set frame both views derive from
-      private val hashed: DataFrame,
       val k: Int, val bands: Int, val seed: Long, val shingleK: Int) {
     def release(): Unit = {
       banded.unpersist(blocking = false)
       sets.unpersist(blocking = false)
-      hashed.unpersist(blocking = false)
       ()
     }
   }
@@ -338,7 +335,13 @@ object Dedup {
     val sets = hashedRef
       .select(col("id").as("ref_id"), col("sh"), size(col("sh")).as("n"))
       .repartition(col("ref_id")).persist()
-    new PreparedReference(banded, sets, hashedRef, k, bands, seed, shingleK)
+    // force both views NOW so the intermediate shingle frame (the same
+    // arrays `sets` holds) releases immediately — a long-lived prepared
+    // reference pins two caches, not three; the first sweep would have
+    // paid these jobs anyway
+    try { banded.count(); sets.count(); () }
+    finally hashedRef.unpersist(blocking = false)
+    new PreparedReference(banded, sets, k, bands, seed, shingleK)
   }
 
   /** [[crossNearDups]] against a [[PreparedReference]] — the repeated-sweep

@@ -1122,12 +1122,9 @@ class ScaleSoakSpec extends SparkSpec {
     def metricsFor(refDocs: Int): RunMetrics = {
       val reference = (0 until refDocs).map(i => (i.toLong, words(i.toLong)))
         .toDF("doc_id", "text")
-      val prep = Dedup.crossPrepare(reference)
-      try {
-        // force the prepared caches OUTSIDE the timed window (persist is lazy)
-        prep.banded.count(); prep.sets.count()
-        measure(() => noop(Dedup.crossNearDupsPrepared(fresh, prep)))
-      } finally prep.release()
+      val prep = Dedup.crossPrepare(reference) // prepare forces its caches
+      try measure(() => noop(Dedup.crossNearDupsPrepared(fresh, prep)))
+      finally prep.release()
     }
     val m1 = metricsFor(20000)
     val m4 = metricsFor(80000)
