@@ -899,6 +899,21 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- CROSS-CORPUS semantic dedup (E125's paraphrase-tier sibling):
+    // the perturbed twins play the fresh dump, the original embeddings the
+    // curated corpus — every twin must flag against its source (and any
+    // same-cell reference above the cut); no closure, pairs ARE the output ----
+    "q163_cross_semantic" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val fresh = base.filter(col("id") < 50).select((col("id") + 1000000).as("id"),
+        transform(col("vec"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("vec"))
+      val centroids = base.filter(pmod(col("id"), lit(50)) === 0).orderBy(col("id"))
+        .collect().map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+      graft.dedup.SemDeDup.crossSemanticDups(fresh, base, centroids, threshold = 0.99)
+        .orderBy(col("new_id"), col("ref_id"))
+    }),
+
     // ---- streaming SemDeDup (semantic dedup-on-ingest) in batch mode —
     // E111's treatment for the paraphrase tier: the cell-state pair
     // generator runs on the q153 fixture corpus, components + assignment
@@ -3025,6 +3040,35 @@ object SparkEntry {
     // cell-state pair emitter must reproduce the batch edge set exactly,
     // so the identical recursive-CTE oracle applies.
     "q160_streaming_semdedup" -> SemanticDedupOracleSql,
+
+    // q163: cross-semantic truth — both sides assign through the shared
+    // every-50th centroids (same argmax + tie-break as q153's oracle), and
+    // the CROSS pairs are exhaustively enumerated per cell: every
+    // (fresh twin, reference) pair in one cell with cosine >= 0.99.
+    "q163_cross_semantic" ->
+      """WITH v AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        |fr AS (SELECT id + 1000000 AS id,
+        |  list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS vec
+        |  FROM v WHERE id < 50),
+        |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+        |         FROM v WHERE id % 50 = 0),
+        |assr AS (SELECT id, cid AS cluster FROM (
+        |  SELECT c.id, ct.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c.id
+        |      ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid DESC) AS rn
+        |  FROM v c CROSS JOIN cent ct) WHERE rn = 1),
+        |assf AS (SELECT id, cid AS cluster FROM (
+        |  SELECT c.id, ct.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c.id
+        |      ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid DESC) AS rn
+        |  FROM fr c CROSS JOIN cent ct) WHERE rn = 1)
+        |SELECT f.id AS new_id, r.id AS ref_id,
+        |  list_cosine_similarity(fv.vec, rv.vec) AS cos
+        |FROM assf f JOIN assr r ON f.cluster = r.cluster
+        |JOIN fr fv ON fv.id = f.id JOIN v rv ON rv.id = r.id
+        |WHERE list_cosine_similarity(fv.vec, rv.vec) >= 0.99
+        |ORDER BY new_id, ref_id""".stripMargin,
 
 
     // q158: chunking truth — 1-based list slices at starts 1, 1+stride, …;

@@ -101,4 +101,124 @@ object SemDeDup {
       .filter(col("keep")).select(col("id"))
     corpus.join(keep, Seq("id"), "left_semi")
   }
+
+  /** CROSS-CORPUS semantic near-dups: every (fresh, reference) pair in the
+    * SAME centroid cell with cosine ≥ `threshold` — [[crossSemanticDups]]
+    * is to [[semanticDedup]] what [[Dedup.crossNearDups]] is to the
+    * verbatim tier: the paraphrase/template half of the inter-dump sweep
+    * (a rephrased recrawl shares no shingles with the curated copy but
+    * sits next to it in embedding space). Both sides assign through the
+    * SAME centroids (model state — train once, reuse across dumps), so a
+    * fresh doc is compared exactly against the reference members of its
+    * cell: O(|fresh| × cell occupancy), never all-pairs. Cross-cell
+    * blindness is [[semanticDedup]]'s documented trade. No transitive
+    * closure — cross pairs ARE the output (new_id, ref_id, cos).
+    */
+  def crossSemanticDups(
+      fresh: DataFrame,
+      reference: DataFrame,
+      centroids: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    val prep = crossSemanticPrepare(reference, centroids)
+    try crossSemanticDupsPrepared(fresh, prep, threshold)
+    finally prep.release()
+  }
+
+  /** Reference-side state for REPEATED cross-semantic sweeps: the
+    * reference's cell assignment, persisted PRE-PARTITIONED on the cell id
+    * so every sweep's cell join reads it exchange-free (the
+    * [[Dedup.crossPrepare]] discipline — only the arriving batch
+    * shuffles). Centroids ride along so sweeps can never assign through a
+    * different model than the reference did.
+    */
+  final class PreparedCells private[dedup] (
+      val cells: DataFrame, val centroids: Seq[Seq[Double]]) {
+    def release(): Unit = { cells.unpersist(blocking = false); () }
+  }
+
+  /** Build the [[PreparedCells]] for [[crossSemanticDupsPrepared]]. */
+  def crossSemanticPrepare(
+      reference: DataFrame,
+      centroids: Seq[Seq[Double]]): PreparedCells = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    val cells = reference.select(col("id"), col("vec"))
+      .join(Similarity.assignEmbeddings(reference, centroids)
+        .select(col("id"), col("cluster")), "id")
+      .select(col("cluster"), col("id").as("ref_id"), col("vec").as("vec_b"))
+      .repartition(col("cluster")).persist()
+    cells.count() // force now: prepare-time cost, not first-sweep surprise
+    new PreparedCells(cells, centroids)
+  }
+
+  /** [[crossSemanticDups]] against [[PreparedCells]] — the repeated-sweep
+    * form (identical pairs; the reference side just isn't recomputed).
+    */
+  def crossSemanticDupsPrepared(
+      fresh: DataFrame,
+      prep: PreparedCells,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    val spark = fresh.sparkSession
+    val f = fresh.select(col("id"), col("vec"))
+      .join(Similarity.assignEmbeddings(fresh, prep.centroids)
+        .select(col("id"), col("cluster")), "id")
+      .select(col("cluster"), col("id").as("new_id"), col("vec").as("vec_a"))
+    f.join(prep.cells, Seq("cluster"))
+      .withColumn("cos", Similarity.nativeCosine(spark, col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("new_id"), col("ref_id"), col("cos"))
+  }
+
+  /** The filtering form of [[crossSemanticDups]]: `fresh` minus every doc
+    * semantically duplicating the reference — compose AFTER the verbatim
+    * [[Dedup.removeCrossDups]] in an inter-dump pipeline (verbatim first:
+    * it is cheaper and catches the bulk).
+    */
+  def removeCrossSemanticDups(
+      fresh: DataFrame,
+      reference: DataFrame,
+      centroids: Seq[Seq[Double]],
+      threshold: Double): DataFrame = {
+    val flagged = crossSemanticDups(fresh, reference, centroids, threshold)
+      .select(col("new_id").as("id")).distinct()
+    fresh.join(flagged, Seq("id"), "left_anti")
+  }
+
+  /** Ingest-time cross-semantic dedup (`foreachBatch` sink): every
+    * micro-batch sweeps against the prepared reference cells and only docs
+    * semantically duplicating NOTHING in the reference append to the
+    * snapshot table at `outDir` — [[Dedup.crossSink]]'s paraphrase-tier
+    * sibling, stateless across batches (arrivals are judged against the
+    * fixed reference alone; compose with
+    * [[graft.streaming.StreamingSemDeDup]] upstream to also dedup arrivals
+    * against each other). All-dup/empty batches publish NO version;
+    * exactly-once with `appId` (marker checked before the sweep).
+    */
+  def crossSemanticSink(
+      prep: PreparedCells,
+      outDir: String,
+      threshold: Double,
+      appId: Option[String] = None): (DataFrame, Long) => Unit = (batch, batchId) => {
+    val spark = batch.sparkSession
+    val replayed = appId.exists(app => graft.catalog.SnapshotTable
+      .lastTxn(spark, outDir, app).exists(_ >= batchId))
+    if (!replayed) {
+      val flagged = crossSemanticDupsPrepared(batch, prep, threshold)
+        .select(col("new_id").as("id")).distinct()
+      val clean = batch.join(flagged, Seq("id"), "left_anti").persist()
+      try {
+        if (!clean.isEmpty) appId match {
+          case Some(app) =>
+            graft.catalog.SnapshotTable.appendExactlyOnce(spark, clean, outDir, app, batchId)
+            ()
+          case None =>
+            if (graft.catalog.SnapshotTable.exists(spark, outDir))
+              graft.catalog.SnapshotTable.append(spark, clean, outDir)
+            else graft.catalog.SnapshotTable.write(spark, clean, outDir)
+            ()
+        }
+      } finally clean.unpersist(blocking = false)
+    }
+    ()
+  }
 }

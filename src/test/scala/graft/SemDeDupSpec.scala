@@ -120,4 +120,51 @@ class SemDeDupSpec extends SparkSpec {
     assert(got(20L) == 20L && got(21L) == 20L)
     assert(got(30L) == 30L)
   }
+
+  // cross-corpus sweep fixtures: the curated reference is `corpus`; fresh
+  // arrivals 100 (~ref 1/2, same cell), 101 (same cell as ref 4, far from
+  // it), 102 (cell 0, near ref 5 — must flag even across the 5/6 boundary
+  // case because ref 5 IS in cell 0)
+  private val freshArrivals = Seq(
+    (100L, unit(5)),  // cell 0: cos vs ref1 = cos(5) = 0.996, vs ref2 = cos(5)
+    (101L, unit(70)), // cell 1: cos vs ref4 = cos(20) = 0.94 < 0.95 — clean
+    (102L, unit(43))  // cell 0: cos vs ref5 = cos(1) = 0.9998 — flagged
+  ).toDF("id", "vec")
+
+  test("crossSemanticDups flags only CROSS pairs in the shared cell; remove keeps the clean arrival") {
+    val pairs = SemDeDup.crossSemanticDups(freshArrivals, corpus, centroids, threshold = 0.95)
+      .select($"new_id", $"ref_id").as[(Long, Long)].collect().toSet
+    // 100 ~ refs 1, 2 (cell 0; ref 3 at 20 deg: cos(15) = 0.966 — also a dup)
+    assert(pairs.contains((100L, 1L)) && pairs.contains((100L, 2L)), s"got $pairs")
+    assert(pairs.contains((102L, 5L)), s"got $pairs")
+    assert(!pairs.exists(_._1 == 101L), s"101 must be clean, got $pairs")
+    assert(!pairs.exists(p => p._1 < 100L), s"no within-reference pairs, got $pairs")
+    val kept = SemDeDup.removeCrossSemanticDups(freshArrivals, corpus, centroids, 0.95)
+      .select($"id").as[Long].collect().toSeq
+    assert(kept == Seq(101L), s"got $kept")
+  }
+
+  test("crossSemanticDupsPrepared equals the one-shot sweep; sink is exactly-once under replay") {
+    val prep = SemDeDup.crossSemanticPrepare(corpus, centroids)
+    try {
+      val prepared = SemDeDup.crossSemanticDupsPrepared(freshArrivals, prep, 0.95)
+        .orderBy($"new_id", $"ref_id").collect().toSeq
+      val oneShot = SemDeDup.crossSemanticDups(freshArrivals, corpus, centroids, 0.95)
+        .orderBy($"new_id", $"ref_id").collect().toSeq
+      assert(prepared == oneShot)
+      val dir = java.nio.file.Files.createTempDirectory("graft-xsem").toString + "/t"
+      val sink = SemDeDup.crossSemanticSink(prep, dir, threshold = 0.95,
+        appId = Some("xsem-eo"))
+      sink(freshArrivals, 0L)
+      val v0 = graft.catalog.SnapshotTable.versions(spark, dir).max
+      val rows0 = graft.catalog.SnapshotTable.read(spark, dir)
+        .select($"id").as[Long].collect().toSeq
+      assert(rows0 == Seq(101L), s"got $rows0") // 100/102 duplicate the reference
+      sink(freshArrivals, 0L) // forced re-delivery: no rows, no version
+      assert(graft.catalog.SnapshotTable.versions(spark, dir).max == v0)
+      assert(graft.catalog.SnapshotTable.read(spark, dir).count() == 1)
+      sink(freshArrivals.filter($"id" === 100L), 1L) // all-dup batch: no version
+      assert(graft.catalog.SnapshotTable.versions(spark, dir).max == v0)
+    } finally prep.release()
+  }
 }
