@@ -120,7 +120,11 @@ object SemDeDup {
       centroids: Seq[Seq[Double]],
       threshold: Double): DataFrame = {
     val prep = crossSemanticPrepare(reference, centroids)
-    try crossSemanticDupsPrepared(fresh, prep, threshold)
+    // materialize BEFORE releasing the prepared cells: the sweep is lazy,
+    // and unpersisting first would make the caller's evaluation recompute
+    // the cell assignment uncached (correct via lineage, but double work —
+    // the Dedup.crossNearDups discipline)
+    try graft.util.Caching.materialize(crossSemanticDupsPrepared(fresh, prep, threshold))
     finally prep.release()
   }
 
