@@ -100,20 +100,15 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
     // explode drops docs with <shingleK tokens (no shingles → no rows).
     // Persisted because the plan references it 4× (two band sides + two
     // signature joins); released via Caching.materialize below — at
     // production scale checkpoint sigs to a table instead.
     val sigs = minHashSignatures(docs, textCol, idCol, k, 3, seed).persist()
 
-    val bandHashes = (0 until bands).map(b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)))
     // Candidate generation carries ONLY (band, band_hash, id) — never the
     // 64-long signatures — so the bucket join's shuffle/broadcast stays slim.
-    val banded = sigs
-      .select(col("id"), posexplode(array(bandHashes: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = bandedFromSigs(sigs, k, bands)
 
     val pairs = banded
       .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "band_hash"))
@@ -150,20 +145,16 @@ object Dedup {
       seed: Long = 42L,
       shingleK: Int = 3): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    // ONE native shingling pass over the corpus: the distinct shingle-HASH
-    // array per doc feeds BOTH the MinHash signatures (explode + codegen'd
-    // multi-min aggregate) and the exact-Jaccard verification. Jaccard over
-    // the distinct hash sets equals Jaccard over the shingle strings
-    // (xxhash64 collisions are negligible, and the exhaustive string-side
-    // oracle would expose one) — and long-array intersection is far cheaper
-    // than string-array intersection. Round 2 re-shingled the corpus for
-    // verification; that second pass was most of q40's cost.
-    val hashed = docs
-      .select(col(idCol).as("id"),
-        shingleHashes(docs.sparkSession, col(textCol), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
+    // ONE native shingling pass over the corpus ([[shingleSetsOf]] — the
+    // single definition shared with the cross-corpus sweep): the distinct
+    // shingle-HASH array per doc feeds BOTH the MinHash signatures (explode
+    // + codegen'd multi-min aggregate) and the exact-Jaccard verification.
+    // Jaccard over the distinct hash sets equals Jaccard over the shingle
+    // strings (xxhash64 collisions are negligible, and the exhaustive
+    // string-side oracle would expose one) — and long-array intersection is
+    // far cheaper than string-array intersection. Round 2 re-shingled the
+    // corpus for verification; that second pass was most of q40's cost.
+    val hashed = shingleSetsOf(docs, textCol, idCol, shingleK).persist()
 
     // same explode + multi-min shape (and identical signature values) as
     // minHashSignatures, reading the cached hash arrays
@@ -171,11 +162,7 @@ object Dedup {
       hashed.select(col("id"), explode(col("sh")).as("h")), k, seed)
       .persist()
 
-    val bandHashes = (0 until bands).map(b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)))
-    val banded = sigs
-      .select(col("id"), posexplode(array(bandHashes: _*)))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "band_hash")
+    val banded = bandedFromSigs(sigs, k, bands)
     val pairs = banded
       .join(banded.withColumnRenamed("id", "id_b"), Seq("band", "band_hash"))
       .filter(col("id") < col("id_b"))
@@ -213,11 +200,7 @@ object Dedup {
       idCol: String = "doc_id",
       shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val hashed = docs
-      .select(col(idCol).as("id"),
-        shingleHashes(docs.sparkSession, col(textCol), shingleK).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist()
+    val hashed = shingleSetsOf(docs, textCol, idCol, shingleK).persist()
     val sets = hashed.select(col("id"), col("sh"), size(col("sh")).as("n"))
     val verified = pairs
       .select(col("id_a"), col("id_b"))
@@ -280,20 +263,29 @@ object Dedup {
       shingleHashes(docs.sparkSession, col(textCol), shingleK).as("sh"))
     .filter(size(col("sh")) > 0)
 
-  /** Slim (band, band_hash, id) LSH rows from a shingle-set frame — the
-    * only thing the cross bucket join ever shuffles.
+  /** Slim (band, band_hash, id) LSH rows from an (id, sig) signature frame
+    * — THE band-hash definition: every MinHash path (single-corpus
+    * candidate generation, verified pipeline, cross-corpus sweep) bands
+    * through this one expression, so a hash-scheme change can never
+    * silently diverge between them (a divergence would break the
+    * "cross collides iff single-corpus collides" recall argument).
     */
-  private def bandedRowsOf(hashed: DataFrame, k: Int, bands: Int,
-      seed: Long): DataFrame = {
+  private def bandedFromSigs(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
-    val sigs = signaturesFromHashes(
-      hashed.select(col("id"), explode(col("sh")).as("h")), k, seed)
     val bandHashes = (0 until bands)
       .map(b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b)))
     sigs.select(col("id"), posexplode(array(bandHashes: _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
   }
+
+  /** [[bandedFromSigs]] over a shingle-set frame's freshly-computed
+    * signatures — the cross-corpus sweep's per-side banding.
+    */
+  private def bandedRowsOf(hashed: DataFrame, k: Int, bands: Int,
+      seed: Long): DataFrame =
+    bandedFromSigs(signaturesFromHashes(
+      hashed.select(col("id"), explode(col("sh")).as("h")), k, seed), k, bands)
 
   /** Reference-side state for REPEATED cross-corpus sweeps: the banded LSH
     * rows and the distinct shingle-hash sets, both persisted once —
@@ -338,8 +330,17 @@ object Dedup {
     // force both views NOW so the intermediate shingle frame (the same
     // arrays `sets` holds) releases immediately — a long-lived prepared
     // reference pins two caches, not three; the first sweep would have
-    // paid these jobs anyway
+    // paid these jobs anyway. If forcing throws, unpersist BOTH pinned
+    // frames before rethrowing: PreparedReference is never constructed on
+    // that path, so its release() would be unreachable and the caches
+    // would leak into the caller's session.
     try { banded.count(); sets.count(); () }
+    catch {
+      case t: Throwable =>
+        banded.unpersist(blocking = false)
+        sets.unpersist(blocking = false)
+        throw t
+    }
     finally hashedRef.unpersist(blocking = false)
     new PreparedReference(banded, sets, k, bands, seed, shingleK)
   }
@@ -384,8 +385,14 @@ object Dedup {
     * version. With `appId` the append is EXACTLY-ONCE
     * ([[graft.catalog.SnapshotTable.appendExactlyOnce]]; the marker is
     * checked BEFORE the sweep so a crash-replayed batch costs one manifest
-    * parse). Without it, at-least-once on replay. NOTE: arrivals are NOT
-    * deduped against each other or against earlier batches — compose with
+    * parse). Without it, at-least-once on replay — and SINGLE-WRITER: the
+    * no-appId path probes exists-then-creates-or-appends, so two concurrent
+    * sinks racing the same outDir's FIRST batch could both observe "not
+    * exists" and collide on table creation (a structured-streaming
+    * `foreachBatch` runs batches serially, which is the intended caller;
+    * multi-writer deployments must pass an appId, whose path is
+    * OCC-committed end to end). NOTE: arrivals are NOT deduped against
+    * each other or against earlier batches — compose with
     * [[graft.streaming.StreamingDedup]] upstream where that matters.
     */
   def crossSink(

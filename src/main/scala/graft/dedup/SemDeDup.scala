@@ -150,7 +150,11 @@ object SemDeDup {
         .select(col("id"), col("cluster")), "id")
       .select(col("cluster"), col("id").as("ref_id"), col("vec").as("vec_b"))
       .repartition(col("cluster")).persist()
-    cells.count() // force now: prepare-time cost, not first-sweep surprise
+    // force now: prepare-time cost, not first-sweep surprise. On a forcing
+    // failure unpersist before rethrowing — PreparedCells is never
+    // constructed on that path, so release() would be unreachable.
+    try cells.count()
+    catch { case t: Throwable => cells.unpersist(blocking = false); throw t }
     new PreparedCells(cells, centroids)
   }
 
@@ -196,7 +200,9 @@ object SemDeDup {
     * fixed reference alone; compose with
     * [[graft.streaming.StreamingSemDeDup]] upstream to also dedup arrivals
     * against each other). All-dup/empty batches publish NO version;
-    * exactly-once with `appId` (marker checked before the sweep).
+    * exactly-once with `appId` (marker checked before the sweep). Without
+    * an appId the sink is additionally SINGLE-WRITER on the FIRST batch
+    * (exists-then-create race — [[Dedup.crossSink]]'s contract note).
     */
   def crossSemanticSink(
       prep: PreparedCells,

@@ -343,9 +343,15 @@ object Graph {
     * frontiers and document quality scores both start from link centrality).
     * Standard simplified recurrence, identical on both sides of the oracle
     * gate so fixed-iteration results are engine-comparable:
-    * `r_0 = 1/N`, `r_{k+1}(v) = (1−d)/N + d · Σ_{u→v} r_k(u)/outdeg(u)`
-    * (dangling mass not redistributed). A FIXED iteration count — not a
-    * convergence test — is what keeps it SQL-expressible as unrolled CTEs.
+    * `r_0 = 1/N`, `r_{k+1}(v) = (1−d)/N + d · Σ_{u→v} r_k(u)/outdeg(u)`.
+    * DANGLING-MASS CAVEAT: a sink node (no outgoing edges) contributes
+    * nothing to the next round, so unlike canonical PageRank — which adds
+    * the sink-rank sum back uniformly each iteration — total rank DECAYS by
+    * d · Σ_sinks r_k on graphs with sinks; ranks here are a relative
+    * centrality prior, not a probability distribution summing to 1. The
+    * oracle recomputes the identical recurrence, so results stay
+    * engine-comparable. A FIXED iteration count — not a convergence test —
+    * is what keeps it SQL-expressible as unrolled CTEs.
     *
     * Scale shape: each round is one (edges ⋈ ranks ⋈ out-degrees) join and
     * one map-side-combined aggregate — ranks/degrees frames carry (node,
