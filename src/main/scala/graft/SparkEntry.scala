@@ -988,6 +988,81 @@ object SparkEntry {
         .orderBy(col("new_id"), col("ref_id"))
     }),
 
+    // ---- TABLE-BACKED inter-dump sweep (verbatim tier): q162's exact
+    // pairs, but the curated corpus's signatures read from durable
+    // bucketed snapshot tables (built once — the fixture memo plays the
+    // "reference maintained across dumps" role) instead of session
+    // caches; the reference side joins exchange-free off the layout ----
+    "q164_cross_dedup_table" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val base = fixture("q164", dir) { b =>
+        Dedup.crossPrepareTable(d, s"$b/ref")
+      }
+      val fresh = d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      val prep = Dedup.crossPreparedFromTable(s, s"$base/ref")
+      Dedup.crossNearDupsPrepared(fresh, prep, threshold = 0.5)
+        .orderBy(col("new_id"), col("ref_id"))
+    }),
+
+    // ---- TABLE-BACKED cross-semantic sweep: q163's exact pairs off the
+    // durable cell table + centroid model table ----
+    "q165_cross_semantic_table" -> ((s, dir) => {
+      val base = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("id"), col("embedding").cast("array<double>").as("vec"))
+      val fresh = base.filter(col("id") < 50).select((col("id") + 1000000).as("id"),
+        transform(col("vec"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("vec"))
+      val tbl = fixture("q165", dir) { b =>
+        val centroids = base.filter(pmod(col("id"), lit(50)) === 0).orderBy(col("id"))
+          .collect().map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+        graft.dedup.SemDeDup.crossSemanticPrepareTable(base, centroids, s"$b/ref")
+      }
+      val prep = graft.dedup.SemDeDup.crossSemanticPreparedFromTable(s, s"$tbl/ref")
+      graft.dedup.SemDeDup.crossSemanticDupsPrepared(fresh, prep, threshold = 0.99)
+        .orderBy(col("new_id"), col("ref_id"))
+    }),
+
+    // ---- COMPOSED inter-dump sweep (E127): verbatim tier first, the
+    // survivors swept semantically — the full pre-admission pipeline a
+    // fresh dump runs before joining the curated corpus. Fixture: the
+    // reference is documents ⋈ embeddings (docs with both text and vec);
+    // the dump is one verbatim twin per doc (text + ' zz', vec pushed far
+    // off), one paraphrase twin per early doc (reversed text — no shared
+    // shingles — with a near-identical vec), and a band of genuinely
+    // clean arrivals that must SURVIVE both tiers. The composed kept set
+    // is gated on the exhaustive two-tier truth: fresh minus the UNION of
+    // the verbatim-Jaccard and cell-cosine flag sets ----
+    "q166_cross_all" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("vec"))
+      val corpus = d.join(e, "doc_id")
+      val centroids = e.filter(pmod(col("doc_id"), lit(50)) === 0).orderBy(col("doc_id"))
+        .collect().map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+      val verbTwins = corpus.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"),
+        transform(col("vec"), (x, i) => when(i === 0, x + 0.5).otherwise(x)).as("vec"))
+      val semTwins = corpus.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          reverse(col("text")).as("text"),
+          transform(col("vec"), (x, i) => when(i === 0, x + 0.01).otherwise(x)).as("vec"))
+      // genuinely clean arrivals (reversed text shares no shingles; a
+      // negated vector is antipodal to its source) — the survivors that
+      // make the kept set a non-trivial gate
+      val cleanDocs = corpus.filter(col("doc_id") >= 50 && col("doc_id") < 100)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          reverse(col("text")).as("text"),
+          transform(col("vec"), x => -x).as("vec"))
+      val fresh = verbTwins.union(semTwins).union(cleanDocs)
+      val vPrep = Dedup.crossPrepare(corpus)
+      val sPrep = graft.dedup.SemDeDup.crossSemanticPrepare(
+        corpus.select(col("doc_id").as("id"), col("vec")), centroids)
+      try graft.dedup.CrossSweep.removeCrossAll(fresh, vPrep, sPrep,
+          jaccardThreshold = 0.5, cosThreshold = 0.99)
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      finally { vPrep.release(); sPrep.release() }
+    }),
+
     // ---- DSIR over the paper's FIXED hashed feature space: bigrams hash
     // into 256 md5-prefix buckets, so both multinomial fits are ≤256 rows
     // no matter the corpus — the bounded-model-state deploy option ----
@@ -2415,6 +2490,52 @@ object SparkEntry {
       |SELECT v, ROUND(r, 6) AS rank FROM r$iters ORDER BY v""".stripMargin
   }
 
+  /** Cross-corpus verbatim-dedup truth, shared by q162 (cache-pinned
+    * prepared reference) and q164 (table-backed reference): every
+    * CROSS-side pair (original id < 1000000 as reference, twin ≥ 1000000
+    * as the fresh dump) above the exact-Jaccard cut, nothing within-side.
+    */
+  private lazy val CrossDedupOracleSql: String =
+    s"""WITH $ShingleCommonCtes
+      |SELECT id_b AS new_id, id_a AS ref_id,
+      |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+      |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE id_a < 1000000 AND id_b >= 1000000
+      |  AND CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+      |ORDER BY new_id, ref_id""".stripMargin
+
+  /** Cross-corpus semantic-dedup truth, shared by q163 (cache-pinned
+    * prepared cells) and q165 (table-backed cells): both sides assign
+    * through the shared every-50th centroids (same argmax + tie-break as
+    * q153's oracle) and the cross pairs are exhaustively enumerated per
+    * cell — every (fresh twin, reference) pair in one cell with cosine
+    * >= 0.99.
+    */
+  private val CrossSemanticOracleSql: String =
+    """WITH v AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+      |fr AS (SELECT id + 1000000 AS id,
+      |  list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS vec
+      |  FROM v WHERE id < 50),
+      |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
+      |         FROM v WHERE id % 50 = 0),
+      |assr AS (SELECT id, cid AS cluster FROM (
+      |  SELECT c.id, ct.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY c.id
+      |      ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid DESC) AS rn
+      |  FROM v c CROSS JOIN cent ct) WHERE rn = 1),
+      |assf AS (SELECT id, cid AS cluster FROM (
+      |  SELECT c.id, ct.cid,
+      |    ROW_NUMBER() OVER (PARTITION BY c.id
+      |      ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid DESC) AS rn
+      |  FROM fr c CROSS JOIN cent ct) WHERE rn = 1)
+      |SELECT f.id AS new_id, r.id AS ref_id,
+      |  list_cosine_similarity(fv.vec, rv.vec) AS cos
+      |FROM assf f JOIN assr r ON f.cluster = r.cluster
+      |JOIN fr fv ON fv.id = f.id JOIN v rv ON rv.id = r.id
+      |WHERE list_cosine_similarity(fv.vec, rv.vec) >= 0.99
+      |ORDER BY new_id, ref_id""".stripMargin
+
   /** SemDeDup truth, shared by q153 (batch operator) and q160 (the
     * streaming-shaped generator run in batch mode): deterministic
     * centroids (every 50th vector, cid = rank), spherical argmax
@@ -3045,30 +3166,11 @@ object SparkEntry {
     // every-50th centroids (same argmax + tie-break as q153's oracle), and
     // the CROSS pairs are exhaustively enumerated per cell: every
     // (fresh twin, reference) pair in one cell with cosine >= 0.99.
-    "q163_cross_semantic" ->
-      """WITH v AS (
-        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
-        |fr AS (SELECT id + 1000000 AS id,
-        |  list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END) AS vec
-        |  FROM v WHERE id < 50),
-        |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INT) AS cid, vec AS cvec
-        |         FROM v WHERE id % 50 = 0),
-        |assr AS (SELECT id, cid AS cluster FROM (
-        |  SELECT c.id, ct.cid,
-        |    ROW_NUMBER() OVER (PARTITION BY c.id
-        |      ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid DESC) AS rn
-        |  FROM v c CROSS JOIN cent ct) WHERE rn = 1),
-        |assf AS (SELECT id, cid AS cluster FROM (
-        |  SELECT c.id, ct.cid,
-        |    ROW_NUMBER() OVER (PARTITION BY c.id
-        |      ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid DESC) AS rn
-        |  FROM fr c CROSS JOIN cent ct) WHERE rn = 1)
-        |SELECT f.id AS new_id, r.id AS ref_id,
-        |  list_cosine_similarity(fv.vec, rv.vec) AS cos
-        |FROM assf f JOIN assr r ON f.cluster = r.cluster
-        |JOIN fr fv ON fv.id = f.id JOIN v rv ON rv.id = r.id
-        |WHERE list_cosine_similarity(fv.vec, rv.vec) >= 0.99
-        |ORDER BY new_id, ref_id""".stripMargin,
+    "q163_cross_semantic" -> CrossSemanticOracleSql,
+
+    // q165: the SAME truth gates the TABLE-BACKED prepared cells — the
+    // sweep over the durable bucketed layout must emit identical pairs.
+    "q165_cross_semantic_table" -> CrossSemanticOracleSql,
 
 
     // q158: chunking truth — 1-based list slices at starts 1, 1+stride, …;
@@ -3374,14 +3476,73 @@ object SparkEntry {
     // within-side. The q40 recall argument carries over unchanged: band
     // collisions are pure functions of each doc's signature, so the cross
     // join finds exactly q40's pairs restricted to the split.
-    "q162_cross_dedup" ->
-      s"""WITH $ShingleCommonCtes
-        |SELECT id_b AS new_id, id_a AS ref_id,
-        |  CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
-        |FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE id_a < 1000000 AND id_b >= 1000000
-        |  AND CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
-        |ORDER BY new_id, ref_id""".stripMargin,
+    "q162_cross_dedup" -> CrossDedupOracleSql,
+
+    // q164: the SAME truth gates the TABLE-BACKED prepared reference —
+    // sweeping against the durable bucketed signature tables must emit
+    // identical pairs to the cache-pinned prepare.
+    "q164_cross_dedup_table" -> CrossDedupOracleSql,
+
+    // q166: composed two-tier truth — the kept set is fresh minus the
+    // UNION of the exhaustive verbatim-Jaccard flag set (cross-side pairs
+    // over the docs⋈embeddings corpus + both twin groups) and the
+    // cell-scoped cosine flag set (same every-50th centroids and argmax
+    // tie-break as q163's oracle). Flags are per-doc independent, so
+    // survivors-only semantic sweeping equals subtracting the union.
+    "q166_cross_all" ->
+      s"""WITH b AS (
+        |  SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS vec
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |fresh AS (
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' zz' AS text,
+        |    list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.5 ELSE x END) AS vec
+        |  FROM b
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, reverse(text),
+        |    list_transform(vec, (x, i) -> CASE WHEN i = 1 THEN x + 0.01 ELSE x END)
+        |  FROM b WHERE doc_id < 50
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, reverse(text), list_transform(vec, x -> -x)
+        |  FROM b WHERE doc_id >= 50 AND doc_id < 100),
+        |alldocs AS (SELECT doc_id, text FROM b UNION ALL SELECT doc_id, text FROM fresh),
+        |toks AS (SELECT doc_id, $ToksCte AS t
+        |         FROM (SELECT doc_id, LOWER(text) AS text FROM alldocs)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    UNNEST(list_transform(generate_series(1, GREATEST(LEN(t) - 2, 0)),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+        |  FROM toks),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b2.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM sh a JOIN sh b2 ON a.s = b2.s AND a.doc_id < b2.doc_id GROUP BY 1, 2),
+        |vflag AS (
+        |  SELECT DISTINCT id_b AS doc_id
+        |  FROM common JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE id_a < 1000000 AND id_b >= 1000000
+        |    AND CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5),
+        |cent AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS INT) AS cid,
+        |                vec AS cvec
+        |         FROM b WHERE doc_id % 50 = 0),
+        |assr AS (SELECT doc_id, cid AS cluster FROM (
+        |  SELECT c.doc_id, ct.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c.doc_id
+        |      ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid DESC) AS rn
+        |  FROM b c CROSS JOIN cent ct) WHERE rn = 1),
+        |assf AS (SELECT doc_id, cid AS cluster FROM (
+        |  SELECT c.doc_id, ct.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c.doc_id
+        |      ORDER BY list_cosine_similarity(c.vec, ct.cvec) DESC, ct.cid DESC) AS rn
+        |  FROM fresh c CROSS JOIN cent ct) WHERE rn = 1),
+        |sflag AS (
+        |  SELECT DISTINCT f.doc_id
+        |  FROM assf f JOIN assr r ON f.cluster = r.cluster
+        |  JOIN fresh fv ON fv.doc_id = f.doc_id JOIN b rv ON rv.doc_id = r.doc_id
+        |  WHERE list_cosine_similarity(fv.vec, rv.vec) >= 0.99)
+        |SELECT doc_id, text FROM fresh
+        |WHERE doc_id NOT IN (SELECT doc_id FROM vflag)
+        |  AND doc_id NOT IN (SELECT doc_id FROM sflag)
+        |ORDER BY doc_id""".stripMargin,
 
     // q150: the streaming dedup operator's batch mode must reproduce q40's
     // exact result — same exhaustive-truth oracle (candidate generation

@@ -345,6 +345,121 @@ object Dedup {
     new PreparedReference(banded, sets, k, bands, seed, shingleK)
   }
 
+  /** Persist the prepared reference DURABLY: the same banded LSH rows and
+    * shingle-hash sets [[crossPrepare]] pins in caches land as SNAPSHOT
+    * TABLES under `dir` — the production form the cache-pinned prepare's
+    * scaladoc promises. At 100 TB the curated corpus's signatures must
+    * survive sessions and executor loss; rebuilding them per pipeline run
+    * was the only non-incremental cost left in the inter-dump sweep, and
+    * this removes it (signatures are deterministic in (k, bands, seed,
+    * shingleK), recorded in `dir/meta` so a loader can never sweep through
+    * a different scheme than the tables were built with).
+    *
+    * Layout is the sweep's join geometry, not an afterthought:
+    *  - `dir/banded` (band, band_hash, ref_id) partitioned
+    *    `(band, bucket(buckets, band_hash))` — the candidate bucket join's
+    *    exact keys, so with v2 bucketing the scan reports
+    *    KeyGroupedPartitioning and every sweep reads the reference side IN
+    *    PLACE (the arriving dump's slim banded rows broadcast or shuffle
+    *    into the bucket domain; the corpus-scale side never exchanges);
+    *  - `dir/sets` (ref_id, sh, n) partitioned `bucket(buckets, ref_id)` —
+    *    the verification join's key, same argument;
+    *  - `dir/meta` one params row.
+    *
+    * Incremental growth is [[crossPrepareAppend]]: newly-curated docs'
+    * banded rows/sets append under the recorded scheme and the next load
+    * sweeps against the grown reference — no rebuild, no re-shuffle of
+    * existing files.
+    */
+  def crossPrepareTable(
+      reference: DataFrame,
+      dir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L,
+      shingleK: Int = 3,
+      buckets: Int = 32): Unit = {
+    require(k % bands == 0, "bands must divide k")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = reference.sparkSession
+    import spark.implicits._
+    // one shingling pass feeds both tables (the crossPrepare discipline)
+    val hashedRef = shingleSetsOf(reference, textCol, idCol, shingleK).persist()
+    try {
+      graft.catalog.SnapshotTable.write(spark,
+        bandedRowsOf(hashedRef, k, bands, seed).withColumnRenamed("id", "ref_id"),
+        s"$dir/banded",
+        partitionCols = Some(Seq("band", s"bucket($buckets,band_hash)")))
+      graft.catalog.SnapshotTable.write(spark,
+        hashedRef.select(col("id").as("ref_id"), col("sh"), size(col("sh")).as("n")),
+        s"$dir/sets",
+        partitionCols = Some(Seq(s"bucket($buckets,ref_id)")))
+      graft.catalog.SnapshotTable.write(spark,
+        Seq((k, bands, seed, shingleK)).toDF("k", "bands", "seed", "shingle_k"),
+        s"$dir/meta")
+    } finally hashedRef.unpersist(blocking = false)
+  }
+
+  /** Grow a [[crossPrepareTable]] reference INCREMENTALLY: compute banded
+    * rows + shingle sets for `newlyCurated` docs only (under `dir/meta`'s
+    * recorded scheme — the append can never diverge from the tables'
+    * signatures) and APPEND them; existing files are untouched and the
+    * snapshot append routes the new rows into the same bucketed layout, so
+    * the next load sweeps against the grown corpus with no rebuild. This
+    * is the post-sweep bookkeeping step of an inter-dump pipeline: after
+    * [[crossSink]] lands a dump's clean docs, append exactly those docs
+    * here and the NEXT dump is deduped against them too. Caller contract:
+    * ids not already in the reference (the sweep's output guarantees it).
+    */
+  def crossPrepareAppend(
+      newlyCurated: DataFrame,
+      dir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    val spark = newlyCurated.sparkSession
+    val m = graft.catalog.SnapshotTable.read(spark, s"$dir/meta")
+      .select(col("k"), col("bands"), col("seed"), col("shingle_k"))
+      .collect().head
+    val (k, bands, seed, shingleK) = (m.getInt(0), m.getInt(1), m.getLong(2), m.getInt(3))
+    val hashed = shingleSetsOf(newlyCurated, textCol, idCol, shingleK).persist()
+    try {
+      graft.catalog.SnapshotTable.append(spark,
+        bandedRowsOf(hashed, k, bands, seed).withColumnRenamed("id", "ref_id"),
+        s"$dir/banded")
+      graft.catalog.SnapshotTable.append(spark,
+        hashed.select(col("id").as("ref_id"), col("sh"), size(col("sh")).as("n")),
+        s"$dir/sets")
+      ()
+    } finally hashed.unpersist(blocking = false)
+  }
+
+  /** A [[PreparedReference]] VIEW over [[crossPrepareTable]]'s tables —
+    * nothing recomputed, nothing cache-pinned: sweeps read the bucketed
+    * snapshot layout directly ([[crossNearDupsPrepared]]/[[crossSink]]
+    * compose unchanged, `release()` is a no-op on uncached frames).
+    * Registers the `snap` SQL catalog and enables v2 bucketing (+ the
+    * one-sided shuffle-into-bucket-domain path) on the session — the scan
+    * must report its KeyGroupedPartitioning for the reference side to join
+    * exchange-free (the q138 storage-partitioned-join precedent).
+    */
+  def crossPreparedFromTable(
+      spark: org.apache.spark.sql.SparkSession, dir: String): PreparedReference = {
+    spark.conf.set("spark.sql.catalog.snap",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val m = graft.catalog.SnapshotTable.read(spark, s"$dir/meta")
+      .select(col("k"), col("bands"), col("seed"), col("shingle_k"))
+      .collect().head
+    new PreparedReference(
+      spark.table(s"snap.`$dir/banded`"),
+      spark.table(s"snap.`$dir/sets`"),
+      k = m.getInt(0), bands = m.getInt(1), seed = m.getLong(2),
+      shingleK = m.getInt(3))
+  }
+
   /** [[crossNearDups]] against a [[PreparedReference]] — the repeated-sweep
     * form (identical pairs; the reference side just isn't recomputed).
     */

@@ -158,6 +158,58 @@ object SemDeDup {
     new PreparedCells(cells, centroids)
   }
 
+  /** Persist the prepared cells DURABLY — [[Dedup.crossPrepareTable]]'s
+    * semantic-tier sibling: the reference's cell assignment lands as a
+    * snapshot table at `dir/cells` partitioned `bucket(buckets, cluster)`
+    * (the sweep's exact join key, so with v2 bucketing the scan reports
+    * KeyGroupedPartitioning and sweeps read the corpus-scale side IN
+    * PLACE), and the centroids as a tiny model table at `dir/centroids`
+    * (the frozen-DSIR precedent — the model rides with the state, so a
+    * loader can never assign through different centroids than the
+    * reference did; doubles round-trip parquet bit-exactly). Survives
+    * sessions and executor loss; reload with
+    * [[crossSemanticPreparedFromTable]].
+    */
+  def crossSemanticPrepareTable(
+      reference: DataFrame,
+      centroids: Seq[Seq[Double]],
+      dir: String,
+      buckets: Int = 32): Unit = {
+    require(centroids.nonEmpty, "centroids must be non-empty")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val spark = reference.sparkSession
+    import spark.implicits._
+    val cells = reference.select(col("id"), col("vec"))
+      .join(Similarity.assignEmbeddings(reference, centroids)
+        .select(col("id"), col("cluster")), "id")
+      .select(col("cluster"), col("id").as("ref_id"), col("vec").as("vec_b"))
+    graft.catalog.SnapshotTable.write(spark, cells, s"$dir/cells",
+      partitionCols = Some(Seq(s"bucket($buckets,cluster)")))
+    graft.catalog.SnapshotTable.write(spark,
+      centroids.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cvec"),
+      s"$dir/centroids")
+    ()
+  }
+
+  /** [[PreparedCells]] VIEW over [[crossSemanticPrepareTable]]'s tables —
+    * nothing recomputed, nothing cache-pinned ([[crossSemanticDupsPrepared]]
+    * / [[crossSemanticSink]] compose unchanged; `release()` is a no-op on
+    * uncached frames). Registers the `snap` catalog and enables v2
+    * bucketing + the one-sided shuffle path so the cell join reads the
+    * reference exchange-free.
+    */
+  def crossSemanticPreparedFromTable(
+      spark: org.apache.spark.sql.SparkSession, dir: String): PreparedCells = {
+    spark.conf.set("spark.sql.catalog.snap",
+      classOf[graft.catalog.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    val centroids = graft.catalog.SnapshotTable.read(spark, s"$dir/centroids")
+      .select(col("cid"), col("cvec")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+    new PreparedCells(spark.table(s"snap.`$dir/cells`"), centroids)
+  }
+
   /** [[crossSemanticDups]] against [[PreparedCells]] — the repeated-sweep
     * form (identical pairs; the reference side just isn't recomputed).
     */
@@ -180,7 +232,8 @@ object SemDeDup {
   /** The filtering form of [[crossSemanticDups]]: `fresh` minus every doc
     * semantically duplicating the reference — compose AFTER the verbatim
     * [[Dedup.removeCrossDups]] in an inter-dump pipeline (verbatim first:
-    * it is cheaper and catches the bulk).
+    * it is cheaper and catches the bulk). [[CrossSweep.removeCrossAll]] IS
+    * that composition, packaged with the shared-arrivals cache discipline.
     */
   def removeCrossSemanticDups(
       fresh: DataFrame,
