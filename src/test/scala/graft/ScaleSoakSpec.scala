@@ -1145,6 +1145,55 @@ class ScaleSoakSpec extends SparkSpec {
     assert(m4.sec <= 2.5 * math.max(m1.sec, 0.5),
       f"sweep time follows the REFERENCE, not the batch: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
   }
+
+  test("soak: cross-SEMANTIC sweep cost stays flat as the prepared reference grows 4x") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // E126's scale claim measured: sweeping the SAME 2k-vector fresh batch
+    // against a 1x vs 4x prepared cell reference. Cell count scales with
+    // the corpus (the published SemDeDup deployment shape, the `semdedup`
+    // soak's precedent), so per-cell occupancy — and with it the sweep's
+    // comparison count — stays FLAT; the cells persist PRE-PARTITIONED on
+    // the cell id, so a sweep shuffles only the batch's assignment rows
+    // and the threshold-sparse output, never the corpus-scale reference.
+    val dim = 16
+    def vecs(n: Int, prefix: Long): org.apache.spark.sql.DataFrame =
+      spark.range(n).select((col("id") + prefix).as("id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          xxhash64(col("id") + prefix, j).cast("double") / lit(Long.MaxValue.toDouble))
+          .as("vec"))
+    def centroidsOf(k: Int): Seq[Seq[Double]] = {
+      val r = new scala.util.Random(7L)
+      Seq.fill(k)(Seq.fill(dim)(r.nextDouble() * 2 - 1))
+    }
+    val fresh = vecs(2000, 10000000L)
+    def metricsFor(refVectors: Int, k: Int): RunMetrics = {
+      val prep = graft.dedup.SemDeDup.crossSemanticPrepare(
+        vecs(refVectors, 0L), centroidsOf(k)) // prepare forces its cache
+      try measure(() => noop(
+        graft.dedup.SemDeDup.crossSemanticDupsPrepared(fresh, prep, threshold = 0.9)))
+      finally prep.release()
+    }
+    val m1 = metricsFor(20000, 32)
+    val m4 = metricsFor(80000, 128)
+    SoakReport.record("cross_semantic",
+      Map("sec" -> m1.sec, "shuffle_write_bytes" -> m1.shuffleWriteBytes,
+        "disk_spill_bytes" -> m1.diskSpill, "mem_spill_bytes" -> m1.memSpill,
+        "peak_task_mem_bytes" -> m1.peakMem),
+      Map("sec" -> m4.sec, "shuffle_write_bytes" -> m4.shuffleWriteBytes,
+        "disk_spill_bytes" -> m4.diskSpill, "mem_spill_bytes" -> m4.memSpill,
+        "peak_task_mem_bytes" -> m4.peakMem),
+      Map("reference_x1" -> 20000L, "reference_x4" -> 80000L, "fresh" -> 2000L,
+        "cells_x1" -> 32L, "cells_x4" -> 128L))
+    info(s"cross_semantic 1x: ${m1.pretty}")
+    info(s"cross_semantic 4x: ${m4.pretty}")
+    assert(m4.diskSpill == 0L,
+      s"cross-semantic sweep spilled ${m4.diskSpill} bytes at 4x reference")
+    assert(m4.shuffleWriteBytes <= (1.5 * math.max(m1.shuffleWriteBytes, 1L << 20)).toLong,
+      s"sweep shuffle follows the REFERENCE, not the batch: " +
+        s"${m1.shuffleWriteBytes} -> ${m4.shuffleWriteBytes}")
+    assert(m4.sec <= 2.5 * math.max(m1.sec, 0.5),
+      f"sweep time follows the REFERENCE, not the batch: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
+  }
 }
 
 /** Accumulates each soak's measured metrics and persists them as
