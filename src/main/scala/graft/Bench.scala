@@ -81,6 +81,11 @@ object Bench {
     Seq("lineitem", "documents", "embeddings")
       .foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
     Tables.events(spark, sfDir).limit(1).count()
+    // drain the warmup jobs' in-flight task-end events BEFORE the first
+    // rep's reset — a late-delivered warmup event landing after reset
+    // would nondeterministically inflate the first query's byte vector,
+    // which the byte-identity adjudication would misread as a plan change
+    settleListener()
 
     // Optional comma-separated query filter for local profiling
     // (e.g. SPARK_GRAFT_QUERIES=q40_minhash_neardups,q42_ann_lsh).

@@ -46,6 +46,16 @@ object Sessions {
       // manifest rename publishes it, and vacuum reclaims abandoned files
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+      // storage-partitioned joins ON from session start: snapshot tables
+      // written with partition transforms report KeyGroupedPartitioning
+      // and join exchange-free (one side may shuffle INTO the bucket
+      // domain). Spark defaults these off out of foreign-catalog caution;
+      // this engine's catalog is the one being read, and flipping them
+      // mid-run (as a query or loader side effect) would make the SAME
+      // query plan differently depending on what ran before it — exactly
+      // what the shuffle-byte adjudication artifacts must never depend on
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
       .config("spark.ui.enabled", "false")
     warehouseDir.foreach(d => b.config("spark.sql.warehouse.dir", d))
     val spark = b.getOrCreate()

@@ -1037,8 +1037,13 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("vec"))
       val corpus = d.join(e, "doc_id")
-      val centroids = e.filter(pmod(col("doc_id"), lit(50)) === 0).orderBy(col("doc_id"))
-        .collect().map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+      // centroids from the JOINED corpus — structurally the same frame the
+      // oracle's `cent` CTE reads, so a fixture regeneration where some
+      // embedding row lacks a document (or vice versa) can never diverge
+      // the centroid sets between the engines
+      val centroids = corpus.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .orderBy(col("doc_id")).select(col("vec"))
+        .collect().map(_.getSeq[Double](0).toIndexedSeq: Seq[Double]).toIndexedSeq
       val verbTwins = corpus.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" zz")).as("text"),
         transform(col("vec"), (x, i) => when(i === 0, x + 0.5).otherwise(x)).as("vec"))

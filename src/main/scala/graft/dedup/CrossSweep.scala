@@ -43,7 +43,11 @@ object CrossSweep {
       textCol: String = "text",
       idCol: String = "doc_id",
       vecCol: String = "vec"): DataFrame = {
-    val arrivals = fresh.persist()
+    // persist a DERIVED frame (trivial Project), never the caller's own
+    // Dataset: persisting `fresh` directly would make the trailing
+    // materialize() unpersist the CALLER's cache entry if they had pinned
+    // the same plan — a library call must not clobber external cache state
+    val arrivals = fresh.select(fresh.columns.map(col).toIndexedSeq: _*).persist()
     val vFlag = Dedup
       .crossNearDupsPrepared(arrivals, verbatim, jaccardThreshold, textCol, idCol)
       .select(col("new_id").as(idCol)).distinct()

@@ -425,12 +425,22 @@ object Dedup {
     val (k, bands, seed, shingleK) = (m.getInt(0), m.getInt(1), m.getLong(2), m.getInt(3))
     val hashed = shingleSetsOf(newlyCurated, textCol, idCol, shingleK).persist()
     try {
-      graft.catalog.SnapshotTable.append(spark,
-        bandedRowsOf(hashed, k, bands, seed).withColumnRenamed("id", "ref_id"),
-        s"$dir/banded")
+      // SETS FIRST: the two appends are separate commits, and a crash (or
+      // a concurrent load) between them must degrade SAFE. An extra sets
+      // row with no banded rows is inert — nothing generates a candidate
+      // against it; the reverse order would leave banded rows whose
+      // ref_id misses the verification join's inner side, silently
+      // DROPPING true duplicate pairs until the second append lands.
+      // Re-running the append after a crash heals the gap (banded rows
+      // commit then), at the cost of duplicate sets rows a rebuild
+      // removes — prefer re-running crossPrepareTable if exactness of
+      // the sets table matters.
       graft.catalog.SnapshotTable.append(spark,
         hashed.select(col("id").as("ref_id"), col("sh"), size(col("sh")).as("n")),
         s"$dir/sets")
+      graft.catalog.SnapshotTable.append(spark,
+        bandedRowsOf(hashed, k, bands, seed).withColumnRenamed("id", "ref_id"),
+        s"$dir/banded")
       ()
     } finally hashed.unpersist(blocking = false)
   }
@@ -439,17 +449,20 @@ object Dedup {
     * nothing recomputed, nothing cache-pinned: sweeps read the bucketed
     * snapshot layout directly ([[crossNearDupsPrepared]]/[[crossSink]]
     * compose unchanged, `release()` is a no-op on uncached frames).
-    * Registers the `snap` SQL catalog and enables v2 bucketing (+ the
-    * one-sided shuffle-into-bucket-domain path) on the session — the scan
-    * must report its KeyGroupedPartitioning for the reference side to join
-    * exchange-free (the q138 storage-partitioned-join precedent).
+    * Registers the `snap` SQL catalog (namespaced — no planner behavior
+    * change). The session must have v2 bucketing enabled for the scans'
+    * KeyGroupedPartitioning to join exchange-free
+    * (`spark.sql.sources.v2.bucketing.enabled` + `.shuffle.enabled` —
+    * [[graft.Sessions.local]] sets both from session start; a loader
+    * flipping them mid-session would make identical queries plan
+    * differently depending on run order, corrupting shuffle-byte
+    * adjudication artifacts). Without them the sweep is still CORRECT,
+    * just re-shuffles the reference side.
     */
   def crossPreparedFromTable(
       spark: org.apache.spark.sql.SparkSession, dir: String): PreparedReference = {
     spark.conf.set("spark.sql.catalog.snap",
       classOf[graft.catalog.SnapshotCatalog].getName)
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
     val m = graft.catalog.SnapshotTable.read(spark, s"$dir/meta")
       .select(col("k"), col("bands"), col("seed"), col("shingle_k"))
       .collect().head

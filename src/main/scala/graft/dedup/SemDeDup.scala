@@ -194,16 +194,17 @@ object SemDeDup {
   /** [[PreparedCells]] VIEW over [[crossSemanticPrepareTable]]'s tables —
     * nothing recomputed, nothing cache-pinned ([[crossSemanticDupsPrepared]]
     * / [[crossSemanticSink]] compose unchanged; `release()` is a no-op on
-    * uncached frames). Registers the `snap` catalog and enables v2
-    * bucketing + the one-sided shuffle path so the cell join reads the
-    * reference exchange-free.
+    * uncached frames). Registers the `snap` catalog (namespaced — no
+    * planner behavior change); the exchange-free cell join additionally
+    * needs the session's v2-bucketing confs, which
+    * [[graft.Sessions.local]] sets from session start
+    * ([[Dedup.crossPreparedFromTable]]'s contract note — a loader must
+    * not flip planner confs mid-session).
     */
   def crossSemanticPreparedFromTable(
       spark: org.apache.spark.sql.SparkSession, dir: String): PreparedCells = {
     spark.conf.set("spark.sql.catalog.snap",
       classOf[graft.catalog.SnapshotCatalog].getName)
-    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
     val centroids = graft.catalog.SnapshotTable.read(spark, s"$dir/centroids")
       .select(col("cid"), col("cvec")).collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq

@@ -29,7 +29,7 @@ object Adjudicate {
     val unknown = named.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     // all-queries mode sweeps the whole registry in name order at fewer
-    // reps — the committed quiet vector's shape (163 queries × 5 reps)
+    // reps — the committed quiet vector's shape (every query × 5 reps)
     val names = if (named.nonEmpty) named else SparkEntry.queries.keys.toSeq.sorted
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt)
       .getOrElse(if (named.nonEmpty) 10 else 5)
@@ -62,21 +62,35 @@ object Adjudicate {
       }
       spark.sparkContext.addSparkListener(listener)
       try {
+        // drain warmup events before the first rep's reset (the Bench
+        // discipline: a late warmup task-end must not inflate vector 0)
+        settle()
         names.foreach { name =>
           val fn = SparkEntry.queries(name)
-          val samples = (1 to reps).map { _ =>
-            shuffleW.reset()
-            val t0 = System.nanoTime()
-            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            val sec = (System.nanoTime() - t0) / 1e9
-            settle()
-            spark.catalog.clearCache()
-            SparkEntry.clearMemos()
-            (sec, shuffleW.sum())
+          // per-query isolation: one throwing query must not abort the
+          // rest of an all-queries sweep (nor lose the loadavg marker) —
+          // it reports as an err line and the sweep continues
+          try {
+            val samples = (1 to reps).map { _ =>
+              shuffleW.reset()
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+              val sec = (System.nanoTime() - t0) / 1e9
+              settle()
+              spark.catalog.clearCache()
+              SparkEntry.clearMemos()
+              (sec, shuffleW.sum())
+            }
+            def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+            println(s"""{"query":"$name","secs":[${samples.map(s => j(s._1)).mkString(",")}],""" +
+              s""""shuffle_bytes":[${samples.map(_._2).mkString(",")}]}""")
+          } catch {
+            case e: Throwable =>
+              spark.catalog.clearCache()
+              SparkEntry.clearMemos()
+              val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r]", " ").take(200)
+              println(s"""{"query":"$name","err":"$msg"}""")
           }
-          def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-          println(s"""{"query":"$name","secs":[${samples.map(s => j(s._1)).mkString(",")}],""" +
-            s""""shuffle_bytes":[${samples.map(_._2).mkString(",")}]}""")
         }
         // best-effort box-state marker: /proc/loadavg is Linux-only, and a
         // completed benchmark must not throw over a missing pseudo-file

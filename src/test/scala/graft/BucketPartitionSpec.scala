@@ -35,24 +35,8 @@ class BucketPartitionSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.snap.root", root)
   }
 
-  private def executed(df: DataFrame): SparkPlan = {
-    df.collect()
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-  }
-
-  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-    val nested = p.collect {
-      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        collectAll(q.plan)(pf)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        collectAll(r.child)(pf)
-    }.flatten
-    p.collect(pf) ++ nested
-  }
+  // executed / collectAll / withConf come from SparkSpec — one shared
+  // definition across every plan-shape spec
 
   private def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
     collectAll(p) { case s: ShuffleExchangeExec => s }
@@ -68,15 +52,6 @@ class BucketPartitionSpec extends SparkSpec {
           f.files.map(_.filePath.toString)
         case _ => Seq.empty
       }.toSet
-
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
 
   test("routing: every file's __pb_ directory id matches pmod(xxhash64(col), n) of its rows") {
     ensureCatalog()

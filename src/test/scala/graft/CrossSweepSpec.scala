@@ -67,15 +67,19 @@ class CrossSweepSpec extends SparkSpec {
   }
 
   test("removeCrossAll composes over TABLE-BACKED references identically") {
-    val base = java.nio.file.Files.createTempDirectory("graft-xall").toString
-    Dedup.crossPrepareTable(reference, s"$base/v", buckets = 4)
-    SemDeDup.crossSemanticPrepareTable(refVecs, centroids, s"$base/s", buckets = 4)
-    val vPrep = Dedup.crossPreparedFromTable(spark, s"$base/v")
-    val sPrep = SemDeDup.crossSemanticPreparedFromTable(spark, s"$base/s")
-    val kept = CrossSweep.removeCrossAll(fresh, vPrep, sPrep,
-      jaccardThreshold = 0.5, cosThreshold = 0.95)
-      .select($"doc_id").as[Long].collect().sorted.toSeq
-    assert(kept == Seq(103L, 104L), s"got $kept")
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+      val base = java.nio.file.Files.createTempDirectory("graft-xall").toString
+      Dedup.crossPrepareTable(reference, s"$base/v", buckets = 4)
+      SemDeDup.crossSemanticPrepareTable(refVecs, centroids, s"$base/s", buckets = 4)
+      val vPrep = Dedup.crossPreparedFromTable(spark, s"$base/v")
+      val sPrep = SemDeDup.crossSemanticPreparedFromTable(spark, s"$base/s")
+      val kept = CrossSweep.removeCrossAll(fresh, vPrep, sPrep,
+        jaccardThreshold = 0.5, cosThreshold = 0.95)
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(kept == Seq(103L, 104L), s"got $kept")
+    }
   }
 
   test("crossAllSink lands exactly the composed kept set, streamed in halves, exactly-once") {

@@ -32,24 +32,7 @@ class PartitionEvolutionSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.snap.root", root)
   }
 
-  private def executed(df: DataFrame): SparkPlan = {
-    df.collect()
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-  }
-
-  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-    val nested = p.collect {
-      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        collectAll(q.plan)(pf)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        collectAll(r.child)(pf)
-    }.flatten
-    p.collect(pf) ++ nested
-  }
+  // executed / collectAll come from SparkSpec — one shared definition
 
   private def scannedFiles(p: SparkPlan): Set[String] =
     collectAll(p) { case b: BatchScanExec => b }

@@ -203,24 +203,7 @@ class RenameColumnSpec extends SparkSpec {
 
   test("metadata fast paths survive a rename: manifest-answered aggregates and SPJ stay on") {
     ensureCatalog()
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
-      df.collect()
-      df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-    }
-    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-      val nested = p.collect {
-        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)(pf)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          collectAll(r.child)(pf)
-      }.flatten
-      p.collect(pf) ++ nested
-    }
+    // executed / collectAll come from SparkSpec
 
     // manifest-answered aggregate on a RENAMED column: still a zero-task
     // LocalTableScan plan (the answerer translates its stats lookups)

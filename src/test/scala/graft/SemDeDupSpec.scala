@@ -170,57 +170,44 @@ class SemDeDupSpec extends SparkSpec {
 
   test("table-backed prepared cells: sweep equals the one-shot operator; " +
     "the bucketed cell layout joins exchange-free on the reference side") {
-    val base = java.nio.file.Files.createTempDirectory("graft-xsemt").toString
-    SemDeDup.crossSemanticPrepareTable(corpus, centroids, s"$base/ref", buckets = 4)
-    val prep = SemDeDup.crossSemanticPreparedFromTable(spark, s"$base/ref")
-    assert(prep.centroids == centroids) // model round-trips bit-exactly
-    val swept = SemDeDup.crossSemanticDupsPrepared(freshArrivals, prep, 0.95)
-      .orderBy($"new_id", $"ref_id").collect().toSeq
-    val oneShot = SemDeDup.crossSemanticDups(freshArrivals, corpus, centroids, 0.95)
-      .orderBy($"new_id", $"ref_id").collect().toSeq
-    assert(swept == oneShot)
-    // with broadcast off, a probe join against the cell table must plan NO
-    // exchange above the snapshot scan — only the probe side shuffles into
-    // the bucket domain (the crossPrepareTable plan-pin mechanism)
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-      import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-      def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-        val nested = p.collect {
-          case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-          case q: QueryStageExec => collectAll(q.plan)(pf)
-          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-            collectAll(r.child)(pf)
-        }.flatten
-        p.collect(pf) ++ nested
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+      val base = java.nio.file.Files.createTempDirectory("graft-xsemt").toString
+      SemDeDup.crossSemanticPrepareTable(corpus, centroids, s"$base/ref", buckets = 4)
+      val prep = SemDeDup.crossSemanticPreparedFromTable(spark, s"$base/ref")
+      assert(prep.centroids == centroids) // model round-trips bit-exactly
+      val swept = SemDeDup.crossSemanticDupsPrepared(freshArrivals, prep, 0.95)
+        .orderBy($"new_id", $"ref_id").collect().toSeq
+      val oneShot = SemDeDup.crossSemanticDups(freshArrivals, corpus, centroids, 0.95)
+        .orderBy($"new_id", $"ref_id").collect().toSeq
+      assert(swept == oneShot)
+      // with broadcast off, a probe join against the cell table must plan
+      // NO exchange above the snapshot scan — only the probe side shuffles
+      // into the bucket domain (the crossPrepareTable plan-pin mechanism;
+      // executed / collectAll come from SparkSpec)
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val probe = Seq(0, 1).toDF("cluster")
+        val plan = executed(probe.join(prep.cells, Seq("cluster")))
+        assert(collectAll(plan) { case b: BatchScanExec => b }.nonEmpty,
+          s"expected a snapshot BatchScan in\n$plan")
+        assert(collectAll(plan) { case s: ShuffleExchangeExec
+          if collectAll(s.child) { case b: BatchScanExec => b }.nonEmpty => s }.isEmpty,
+          "table-backed cell reference re-shuffled on a sweep join")
       }
-      val probe = Seq(0, 1).toDF("cluster")
-      val joined = probe.join(prep.cells, Seq("cluster"))
-      joined.collect()
-      val plan = joined.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      assert(collectAll(plan) { case b: BatchScanExec => b }.nonEmpty,
-        s"expected a snapshot BatchScan in\n$plan")
-      assert(collectAll(plan) { case s: ShuffleExchangeExec
-        if collectAll(s.child) { case b: BatchScanExec => b }.nonEmpty => s }.isEmpty,
-        "table-backed cell reference re-shuffled on a sweep join")
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    // the sink composes unchanged over the table-backed view, exactly-once
-    val dir = s"$base/t"
-    val sink = SemDeDup.crossSemanticSink(prep, dir, threshold = 0.95,
-      appId = Some("xsemt-eo"))
-    sink(freshArrivals, 0L)
-    val v0 = graft.catalog.SnapshotTable.versions(spark, dir).max
-    assert(graft.catalog.SnapshotTable.read(spark, dir)
-      .select($"id").as[Long].collect().toSeq == Seq(101L))
-    sink(freshArrivals, 0L) // forced re-delivery: no rows, no version
-    assert(graft.catalog.SnapshotTable.versions(spark, dir).max == v0)
-    assert(graft.catalog.SnapshotTable.read(spark, dir).count() == 1)
+      // the sink composes unchanged over the table-backed view, exactly-once
+      val dir = s"$base/t"
+      val sink = SemDeDup.crossSemanticSink(prep, dir, threshold = 0.95,
+        appId = Some("xsemt-eo"))
+      sink(freshArrivals, 0L)
+      val v0 = graft.catalog.SnapshotTable.versions(spark, dir).max
+      assert(graft.catalog.SnapshotTable.read(spark, dir)
+        .select($"id").as[Long].collect().toSeq == Seq(101L))
+      sink(freshArrivals, 0L) // forced re-delivery: no rows, no version
+      assert(graft.catalog.SnapshotTable.versions(spark, dir).max == v0)
+      assert(graft.catalog.SnapshotTable.read(spark, dir).count() == 1)
+    }
   }
 }

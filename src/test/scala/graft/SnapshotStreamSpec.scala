@@ -383,24 +383,7 @@ class SnapshotStreamSpec extends SparkSpec {
   }
 
   test("streaming epochs into a partitioned table route per value: SPJ stays provable under ingest") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def executed(df: org.apache.spark.sql.DataFrame): SparkPlan = {
-      df.collect()
-      df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-    }
-    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-      val nested = p.collect {
-        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)(pf)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          collectAll(r.child)(pf)
-      }.flatten
-      p.collect(pf) ++ nested
-    }
+    // executed / collectAll come from SparkSpec
     def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
       collectAll(executed(df)) {
         case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }.size
@@ -526,26 +509,10 @@ class SnapshotStreamSpec extends SparkSpec {
   }
 
   test("identity-TIMESTAMP epochs route as zone-free epoch-micros dirs and keep SPJ provable") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-      val nested = p.collect {
-        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => collectAll(q.plan)(pf)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          collectAll(r.child)(pf)
-      }.flatten
-      p.collect(pf) ++ nested
-    }
-    def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
-      df.collect()
-      val executed = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      collectAll(executed) {
+    // executed / collectAll come from SparkSpec
+    def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+      collectAll(executed(df)) {
         case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }.size
-    }
 
     val base = Files.createTempDirectory("graft-stream-routed-ts").toString
     spark.conf.set("spark.sql.catalog.snap", classOf[graft.catalog.SnapshotCatalog].getName)

@@ -75,26 +75,11 @@ class StreamingCrossDedupSpec extends SparkSpec {
     // reference side WITHOUT re-shuffling it — only the arriving batch
     // exchanges. Pin the mechanism: with broadcast off, a join against
     // each cached view must plan no ShuffleExchange above its cache scan.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-      val nested = p.collect {
-        case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          collectAll(q.plan)(pf)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          collectAll(r.child)(pf)
-      }.flatten
-      p.collect(pf) ++ nested
-    }
+    // executed / collectAll come from SparkSpec
     def refSideShuffles(df: org.apache.spark.sql.DataFrame): Seq[ShuffleExchangeExec] = {
-      df.collect()
-      val plan = df.queryExecution.executedPlan match {
-        case a: AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
+      val plan = executed(df)
       val cacheScans = collectAll(plan) { case m: InMemoryTableScanExec => m }
       assert(cacheScans.nonEmpty, s"expected a cache scan in\n$plan")
       collectAll(plan) { case s: ShuffleExchangeExec
@@ -157,27 +142,14 @@ class StreamingCrossDedupSpec extends SparkSpec {
 
   // ---------------------------------------------- table-backed reference
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val olds = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally olds.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
-  private def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
-      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    val nested = p.collect {
-      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-      case q: QueryStageExec => collectAll(q.plan)(pf)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        collectAll(r.child)(pf)
-    }.flatten
-    p.collect(pf) ++ nested
-  }
+  /** The session confs the table-backed sweep's exchange-free plan shape
+    * needs (Sessions.local sets them from session start; the shared TEST
+    * session leaves them default-off so other suites' shuffle assertions
+    * see stock planning).
+    */
+  private val SpjConfs = Seq(
+    "spark.sql.sources.v2.bucketing.enabled" -> "true",
+    "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true")
 
   /** Shuffles sitting ABOVE a snapshot-table scan in `df`'s executed plan
     * — the reference side re-exchanging. The probe side's own shuffle
@@ -186,11 +158,7 @@ class StreamingCrossDedupSpec extends SparkSpec {
   private def snapSideShuffles(df: org.apache.spark.sql.DataFrame): Seq[Any] = {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    df.collect()
-    val plan = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
+    val plan = executed(df)
     assert(collectAll(plan) { case b: BatchScanExec => b }.nonEmpty,
       s"expected a snapshot BatchScan in\n$plan")
     collectAll(plan) { case s: ShuffleExchangeExec
@@ -199,57 +167,63 @@ class StreamingCrossDedupSpec extends SparkSpec {
 
   test("table-backed prepared reference: sweep equals crossNearDups; the " +
     "bucketed layout joins exchange-free on the reference side") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-scrosst").toString + "/ref"
-    Dedup.crossPrepareTable(reference, dir, buckets = 4)
-    val prep = Dedup.crossPreparedFromTable(spark, dir)
-    val swept = Dedup.crossNearDupsPrepared(fresh, prep).orderBy($"new_id", $"ref_id")
-    val oneShot = Dedup.crossNearDups(fresh, reference).orderBy($"new_id", $"ref_id")
-    assert(swept.collect().toSeq == oneShot.collect().toSeq)
-    // with broadcast off, a join against each table view must plan NO
-    // exchange above the snapshot scan: the scan reports its
-    // KeyGroupedPartitioning and only the probe side shuffles into the
-    // bucket domain (the BucketPartitionSpec one-sided-shuffle mechanism)
-    withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
-      val bandProbe = Seq((0, 1L), (1, 2L)).toDF("band", "band_hash")
-      assert(snapSideShuffles(bandProbe.join(prep.banded, Seq("band", "band_hash"))).isEmpty,
-        "table-backed banded reference re-shuffled on a sweep join")
-      val idProbe = Seq(1L, 2L).toDF("ref_id")
-      assert(snapSideShuffles(idProbe.join(prep.sets, Seq("ref_id"))).isEmpty,
-        "table-backed shingle sets re-shuffled on a verification join")
+    withConf(SpjConfs: _*) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-scrosst").toString + "/ref"
+      Dedup.crossPrepareTable(reference, dir, buckets = 4)
+      val prep = Dedup.crossPreparedFromTable(spark, dir)
+      val swept = Dedup.crossNearDupsPrepared(fresh, prep).orderBy($"new_id", $"ref_id")
+      val oneShot = Dedup.crossNearDups(fresh, reference).orderBy($"new_id", $"ref_id")
+      assert(swept.collect().toSeq == oneShot.collect().toSeq)
+      // with broadcast off, a join against each table view must plan NO
+      // exchange above the snapshot scan: the scan reports its
+      // KeyGroupedPartitioning and only the probe side shuffles into the
+      // bucket domain (the BucketPartitionSpec one-sided-shuffle mechanism)
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val bandProbe = Seq((0, 1L), (1, 2L)).toDF("band", "band_hash")
+        assert(snapSideShuffles(bandProbe.join(prep.banded, Seq("band", "band_hash"))).isEmpty,
+          "table-backed banded reference re-shuffled on a sweep join")
+        val idProbe = Seq(1L, 2L).toDF("ref_id")
+        assert(snapSideShuffles(idProbe.join(prep.sets, Seq("ref_id"))).isEmpty,
+          "table-backed shingle sets re-shuffled on a verification join")
+      }
     }
   }
 
   test("crossPrepareAppend grows the reference incrementally: sweep equals " +
     "a from-scratch prepare over the grown corpus") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-scrossg").toString + "/ref"
-    Dedup.crossPrepareTable(reference.filter($"doc_id" === 1L), dir, buckets = 4)
-    // doc 102 (near-dup of ref 2) is CLEAN against the doc-1-only reference
-    val prep0 = Dedup.crossPreparedFromTable(spark, dir)
-    assert(Dedup.crossNearDupsPrepared(fresh, prep0)
-      .select($"new_id", $"ref_id").as[(Long, Long)].collect().toSet == Set((100L, 1L)))
-    Dedup.crossPrepareAppend(reference.filter($"doc_id" === 2L), dir)
-    val prep1 = Dedup.crossPreparedFromTable(spark, dir)
-    val grown = Dedup.crossNearDupsPrepared(fresh, prep1).orderBy($"new_id", $"ref_id")
-    val scratch = Dedup.crossNearDups(fresh, reference).orderBy($"new_id", $"ref_id")
-    assert(grown.collect().toSeq == scratch.collect().toSeq)
+    withConf(SpjConfs: _*) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-scrossg").toString + "/ref"
+      Dedup.crossPrepareTable(reference.filter($"doc_id" === 1L), dir, buckets = 4)
+      // doc 102 (near-dup of ref 2) is CLEAN against the doc-1-only reference
+      val prep0 = Dedup.crossPreparedFromTable(spark, dir)
+      assert(Dedup.crossNearDupsPrepared(fresh, prep0)
+        .select($"new_id", $"ref_id").as[(Long, Long)].collect().toSet == Set((100L, 1L)))
+      Dedup.crossPrepareAppend(reference.filter($"doc_id" === 2L), dir)
+      val prep1 = Dedup.crossPreparedFromTable(spark, dir)
+      val grown = Dedup.crossNearDupsPrepared(fresh, prep1).orderBy($"new_id", $"ref_id")
+      val scratch = Dedup.crossNearDups(fresh, reference).orderBy($"new_id", $"ref_id")
+      assert(grown.collect().toSeq == scratch.collect().toSeq)
+    }
   }
 
   test("crossSink over a table-backed reference stays exactly-once under replay") {
-    val base = java.nio.file.Files.createTempDirectory("graft-scrosseo").toString
-    Dedup.crossPrepareTable(reference, s"$base/ref", buckets = 4)
-    val prep = Dedup.crossPreparedFromTable(spark, s"$base/ref")
-    val dir = s"$base/t"
-    val sink = Dedup.crossSink(prep, dir, appId = Some("cross-tbl-eo"))
-    sink(fresh.filter($"doc_id" <= 101), 0L)
-    val v0 = SnapshotTable.versions(spark, dir).max
-    assert(SnapshotTable.read(spark, dir).select($"doc_id")
-      .as[Long].collect().sorted.toSeq == Seq(101L))
-    sink(fresh.filter($"doc_id" <= 101), 0L) // forced re-delivery
-    assert(SnapshotTable.versions(spark, dir).max == v0)
-    sink(fresh.filter($"doc_id" > 101), 1L)
-    val all = SnapshotTable.read(spark, dir).select($"doc_id").as[Long].collect().sorted.toSeq
-    assert(all == Seq(101L, 103L, 104L), s"got $all")
-    sink(fresh.filter($"doc_id" > 101), 1L)
-    assert(SnapshotTable.read(spark, dir).count() == 3)
+    withConf(SpjConfs: _*) {
+      val base = java.nio.file.Files.createTempDirectory("graft-scrosseo").toString
+      Dedup.crossPrepareTable(reference, s"$base/ref", buckets = 4)
+      val prep = Dedup.crossPreparedFromTable(spark, s"$base/ref")
+      val dir = s"$base/t"
+      val sink = Dedup.crossSink(prep, dir, appId = Some("cross-tbl-eo"))
+      sink(fresh.filter($"doc_id" <= 101), 0L)
+      val v0 = SnapshotTable.versions(spark, dir).max
+      assert(SnapshotTable.read(spark, dir).select($"doc_id")
+        .as[Long].collect().sorted.toSeq == Seq(101L))
+      sink(fresh.filter($"doc_id" <= 101), 0L) // forced re-delivery
+      assert(SnapshotTable.versions(spark, dir).max == v0)
+      sink(fresh.filter($"doc_id" > 101), 1L)
+      val all = SnapshotTable.read(spark, dir).select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(all == Seq(101L, 103L, 104L), s"got $all")
+      sink(fresh.filter($"doc_id" > 101), 1L)
+      assert(SnapshotTable.read(spark, dir).count() == 3)
+    }
   }
 }

@@ -34,24 +34,8 @@ class TemporalPartitionSpec extends SparkSpec {
     spark.conf.set("spark.sql.catalog.snap.root", root)
   }
 
-  private def executed(df: DataFrame): SparkPlan = {
-    df.collect()
-    df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-  }
-
-  private def collectAll[T](p: SparkPlan)(pf: PartialFunction[SparkPlan, T]): Seq[T] = {
-    val nested = p.collect {
-      case a: AdaptiveSparkPlanExec => collectAll(a.executedPlan)(pf)
-      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        collectAll(q.plan)(pf)
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-        collectAll(r.child)(pf)
-    }.flatten
-    p.collect(pf) ++ nested
-  }
+  // executed / collectAll / withConf come from SparkSpec — one shared
+  // definition across every plan-shape spec
 
   private def scannedFiles(p: SparkPlan): Set[String] =
     collectAll(p) { case b: BatchScanExec => b }
@@ -65,14 +49,6 @@ class TemporalPartitionSpec extends SparkSpec {
         case _ => Seq.empty
       }.toSet
 
-  private def withConf(pairs: (String, String)*)(body: => Unit): Unit = {
-    val prior = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body finally prior.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
 
   /** Timestamps spanning pre-1970 (negative micros: floorDiv territory),
     * the epoch edge, and a few years of spread; plus nulls.
