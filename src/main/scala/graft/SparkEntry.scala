@@ -1036,7 +1036,10 @@ object SparkEntry {
       val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       val e = Tables.embeddings(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding").cast("array<double>").as("vec"))
-      val corpus = d.join(e, "doc_id")
+      // persisted: the joined corpus feeds the centroid collect, BOTH
+      // tier prepares, and both twin projections — unpersisted, the
+      // documents⋈embeddings join would re-evaluate five times
+      val corpus = d.join(e, "doc_id").persist()
       // centroids from the JOINED corpus — structurally the same frame the
       // oracle's `cent` CTE reads, so a fixture regeneration where some
       // embedding row lacks a document (or vice versa) can never diverge
@@ -1065,7 +1068,10 @@ object SparkEntry {
       try graft.dedup.CrossSweep.removeCrossAll(fresh, vPrep, sPrep,
           jaccardThreshold = 0.5, cosThreshold = 0.99)
         .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
-      finally { vPrep.release(); sPrep.release() }
+      finally {
+        vPrep.release(); sPrep.release()
+        corpus.unpersist(blocking = false); ()
+      }
     }),
 
     // ---- DSIR over the paper's FIXED hashed feature space: bigrams hash
