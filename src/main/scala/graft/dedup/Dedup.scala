@@ -235,8 +235,9 @@ object Dedup {
     * shuffle-partitions on the band hash; verification touches candidate
     * pairs only. Nothing is ever all-pairs, and the reference side is
     * scanned once regardless of how small the new dump is — at production
-    * scale checkpoint the reference's signatures to a table and reuse them
-    * across dumps (they are deterministic in (seed, k, shingleK)).
+    * scale persist the reference's signatures with [[crossPrepareTable]]
+    * and sweep dumps against the durable tables instead of this one-shot
+    * form (they are deterministic in (seed, k, shingleK)).
     */
   def crossNearDups(
       newDocs: DataFrame,
@@ -292,8 +293,9 @@ object Dedup {
     * [[crossNearDupsPrepared]]/[[crossSink]] sweep any number of dumps (or
     * micro-batches of one) against the same reference without recomputing
     * its signatures. Model state like [[Decontaminate.prepare]]'s benchmark:
-    * deterministic in (k, bands, seed, shingleK), so at production scale
-    * checkpoint `banded`/`sets` to tables and reuse across pipeline runs.
+    * deterministic in (k, bands, seed, shingleK) — [[crossPrepareTable]]
+    * is the durable form persisting exactly this state as bucketed
+    * snapshot tables for reuse across pipeline runs and sessions.
     * Call [[PreparedReference.release]] when done.
     */
   final class PreparedReference private[dedup] (
