@@ -131,13 +131,12 @@ object IncrementalClusters {
       val prev = SnapshotTable.read(spark, clustersDir)
         .select(col("doc_id"), col("rep_id")).persist()
       try {
-        val d = foldDelta(newEdges, prev)
         // changed rows only: members of merged clusters re-keyed to the
         // new rep, plus brand-new docs — the merge rewrites just the data
-        // files whose doc_id bounds contain them
-        val moved = prev.join(d.remap, Seq("rep_id"))
-          .select(col("doc_id"), col("new_rep").as("rep_id"))
-        val changes = moved.unionByName(d.newDocs).persist()
+        // files whose doc_id bounds contain them ([[foldDeltaChanges]],
+        // the one definition shared with the crash-repair path)
+        val (d, changes0) = foldDeltaChanges(newEdges, prev)
+        val changes = changes0.persist()
         // no emptiness pre-probe: the merge's own footprint collect detects
         // an empty delta and no-ops (returning the current version) — one
         // less job per fold
@@ -279,10 +278,8 @@ object IncrementalClusters {
       val prev = SnapshotTable.read(spark, clustersDir)
         .select(col("doc_id"), col("rep_id")).persist()
       try {
-        val d = foldDelta(newEdges, prev)
-        val moved = prev.join(d.remap, Seq("rep_id"))
-          .select(col("doc_id"), col("new_rep").as("rep_id"))
-        val changes = moved.unionByName(d.newDocs).persist()
+        val (d, changes0) = foldDeltaChanges(newEdges, prev)
+        val changes = changes0.persist()
         try {
           if (changes.isEmpty) SnapshotTable.versions(spark, clustersDir).max
           else {

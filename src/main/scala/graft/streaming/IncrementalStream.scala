@@ -34,7 +34,17 @@ object IncrementalStream {
 
     val src = spark.readStream.schema(schema).parquet(srcDir)
     val withWm = watermark.fold(src) { case (c, d) => src.withWatermark(c, d) }
-    val deduped = withWm.dropDuplicates(keys) // in-stream exactly-once-by-key
+    // in-stream exactly-once-by-key. With a watermark the dedup MUST be
+    // dropDuplicatesWithinWatermark: plain dropDuplicates(keys) only evicts
+    // state when the event-time column is itself among the keys, so the
+    // "pass watermark to bound the dedup state" contract would silently
+    // hold NO state bound at all — every distinct key would pin a state row
+    // forever. Within-watermark dedup trades unbounded-lateness dedup for
+    // the bound (a key re-arriving after the watermark passes is treated
+    // as new in-stream), which the sink-side anti-join below absorbs: a
+    // late re-delivery of a known key is still filtered against the SINK.
+    val deduped = watermark.fold(src.dropDuplicates(keys))(_ =>
+      withWm.dropDuplicatesWithinWatermark(keys))
 
     deduped.writeStream
       .trigger(trigger)

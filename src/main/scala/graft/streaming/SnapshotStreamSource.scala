@@ -158,8 +158,16 @@ class SnapshotStreamSource(sqlContext: SQLContext, dir: String,
           SnapshotTable.capVersionByFiles(spark, dir, surfaced, vCap, mf)
         case _ => vCap
       }
-      surfaced = math.max(surfaced, next)
-      LongOffset(next)
+      // never BELOW the anchor/high-water mark: with a future
+      // startingVersion (anchor above the table's current version) the
+      // raw `cur` would land in the offset log, and once the table grows
+      // past the anchor a later getBatch(log, newer) would deliver the
+      // pre-anchor versions the anchor contract promises to skip. Clamped,
+      // the logged offset IS the anchor and the first real window opens
+      // exactly there.
+      val bounded = math.max(next, surfaced)
+      surfaced = bounded
+      LongOffset(bounded)
     }
   }
 

@@ -89,19 +89,27 @@ object StreamOps {
 
   /** Gap-based sessionization: consecutive events of a user belong to one
     * session while gaps stay under `gapMinutes`. Streaming: state times out
-    * on event-time (watermark-driven) and the closed session is emitted.
+    * on event-time (watermark-driven) and the closed session is emitted —
+    * a streaming input REQUIRES a watermark on `ts` (Spark rejects
+    * EventTimeTimeout at query start without one): either pre-declare it
+    * on `events` or pass `watermarkDelay` and this declares it here.
     * Batch: sessions are computed directly per group (no timeouts in batch
-    * mode — all groups are complete).
+    * mode — all groups are complete; `watermarkDelay` is ignored).
     */
-  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[Session] = {
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
+      watermarkDelay: Option[String] = None): Dataset[Session] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60L * 1000L
     val isStreamingRun = events.isStreaming // capture primitive, not the Dataset
+    val src = watermarkDelay match {
+      case Some(d) if isStreamingRun => events.withWatermark("ts", d).as[Ev]
+      case _ => events
+    }
 
     def toSession(uid: Long, s: SessionState): Session =
       Session(uid, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.n, s.total)
 
-    events
+    src
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {

@@ -233,57 +233,29 @@ object StreamingDedup {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: BandKey, it: Iterator[(BandKey, DocSig, java.sql.Timestamp)],
             state: GroupState[BucketState]) => {
+          // the retention/tombstone/pairing/timeout algebra is
+          // [[StatefulPairFold.step]] — ONE definition shared with the
+          // semantic tier; this wiring owns only the bucket state class,
+          // the signature-estimate scorer, and the Spark state handle
           val prior = state.getOption.getOrElse(BucketState(Nil, Nil))
-          // retention eviction: an entry whose ts + retention is behind the
-          // watermark can no longer pair with any non-late arrival. Evicted
-          // ids TOMBSTONE under the same budget as cap evictions
-          // ([[StreamingSemDeDup]]'s discipline), so a doc re-delivered
-          // after its window closed (admitted by a non-zero watermarkDelay)
-          // stays a structural no-op instead of re-entering state and
-          // re-emitting pairs — the no-op contract holds as far as the
-          // tombstone budget reaches, not just the retention window
           val wm = if (retMs.isDefined && streaming) state.getCurrentWatermarkMs() else Long.MinValue
-          val (sigsLive, retEvicted) = retMs match {
-            case Some(r) if wm > Long.MinValue => prior.sigs.partition(_.ts + r >= wm)
-            case _ => (prior.sigs, Nil)
+          val st = StatefulPairFold.step[DocSig, CandidatePair](
+            prior.sigs, prior.tomb, it.map(_._2), state.hasTimedOut, wm, retMs,
+            timeoutsOn = retMs.isDefined && streaming, cap = cap, tombCap = tombCap,
+            id = _.id, ts = _.ts,
+            pair = (d, o) => {
+              val e = est(d.sig, o.sig)
+              if (e >= th)
+                Some(if (d.id < o.id) CandidatePair(d.id, o.id, e)
+                     else CandidatePair(o.id, d.id, e))
+              else None
+            })
+          if (st.remove) state.remove()
+          else {
+            state.update(BucketState(st.kept, st.tomb))
+            st.timeoutAt.foreach(state.setTimeoutTimestamp)
           }
-          val priorTomb =
-            if (retEvicted.isEmpty) prior.tomb
-            else (retEvicted.map(_.id) ++ prior.tomb).take(tombCap)
-          if (state.hasTimedOut) {
-            // no new data since the timeout was armed: GC what expired
-            if (sigsLive.isEmpty) state.remove()
-            else {
-              state.update(BucketState(sigsLive, priorTomb))
-              state.setTimeoutTimestamp(sigsLive.map(_.ts).max + retMs.get + 1)
-            }
-            Iterator.empty
-          } else {
-            val seen = sigsLive.map(_.id).toSet ++ priorTomb
-            // deterministic arrival order inside the batch; re-delivered ids no-op
-            val fresh = it.map(_._2).filter(d => !seen.contains(d.id))
-              .toSeq.distinctBy(_.id).sortBy(_.id)
-            val out = Seq.newBuilder[CandidatePair]
-            var held = sigsLive
-            fresh.foreach { d =>
-              held.foreach { o =>
-                val inWindow = retMs.forall(r => math.abs(d.ts - o.ts) <= r)
-                if (inWindow) {
-                  val e = est(d.sig, o.sig)
-                  if (e >= th)
-                    out += (if (d.id < o.id) CandidatePair(d.id, o.id, e)
-                            else CandidatePair(o.id, d.id, e))
-                }
-              }
-              held = d :: held
-            }
-            val (kept, capEvicted) = held.splitAt(cap)
-            val tomb = (capEvicted.map(_.id) ++ priorTomb).take(tombCap)
-            state.update(BucketState(kept, tomb))
-            if (retMs.isDefined && streaming && kept.nonEmpty)
-              state.setTimeoutTimestamp(kept.map(_.ts).max + retMs.get + 1)
-            out.result().iterator
-          }
+          st.out.iterator
         })
   }
 }

@@ -222,58 +222,29 @@ object StreamingSemDeDup {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (_: Int, it: Iterator[(Int, CellDoc, java.sql.Timestamp)],
             state: GroupState[CellState]) => {
+          // the retention/tombstone/pairing/timeout algebra is
+          // [[StatefulPairFold.step]] — ONE definition shared with the
+          // verbatim tier; this wiring owns only the cell state class,
+          // the exact-cosine scorer, and the Spark state handle
           val prior = state.getOption.getOrElse(CellState(Nil, Nil))
-          // retention eviction: an entry whose ts + retention is behind the
-          // watermark can no longer pair with any non-late arrival. Evicted
-          // ids TOMBSTONE under the same budget as cap evictions, so a doc
-          // re-delivered after its window closed (admitted by a non-zero
-          // watermarkDelay) stays a structural no-op instead of re-entering
-          // state and re-emitting pairs — the no-op contract holds as far
-          // as the tombstone budget reaches, not just the retention window
           val wm = if (retMs.isDefined && streaming) state.getCurrentWatermarkMs() else Long.MinValue
-          val (docsLive, retEvicted) = retMs match {
-            case Some(r) if wm > Long.MinValue => prior.docs.partition(_.ts + r >= wm)
-            case _ => (prior.docs, Nil)
+          val st = StatefulPairFold.step[CellDoc, SemPair](
+            prior.docs, prior.tomb, it.map(_._2), state.hasTimedOut, wm, retMs,
+            timeoutsOn = retMs.isDefined && streaming, cap = cap, tombCap = tombCap,
+            id = _.id, ts = _.ts,
+            pair = (d, o) => {
+              val s = cosine(d.vec, o.vec)
+              if (s >= th)
+                Some(if (d.id < o.id) SemPair(d.id, o.id, s)
+                     else SemPair(o.id, d.id, s))
+              else None
+            })
+          if (st.remove) state.remove()
+          else {
+            state.update(CellState(st.kept, st.tomb))
+            st.timeoutAt.foreach(state.setTimeoutTimestamp)
           }
-          val priorTomb =
-            if (retEvicted.isEmpty) prior.tomb
-            else (retEvicted.map(_.id) ++ prior.tomb).take(tombCap)
-          if (state.hasTimedOut) {
-            // no new data since the timeout was armed: GC what expired —
-            // including tombstones, whose useful life ends with the cell's
-            // last live entry (a later re-delivery is beyond any replay)
-            if (docsLive.isEmpty) state.remove()
-            else {
-              state.update(CellState(docsLive, priorTomb))
-              state.setTimeoutTimestamp(docsLive.map(_.ts).max + retMs.get + 1)
-            }
-            Iterator.empty
-          } else {
-            val seen = docsLive.map(_.id).toSet ++ priorTomb
-            // deterministic arrival order inside the batch; re-delivered ids no-op
-            val fresh = it.map(_._2).filter(d => !seen.contains(d.id))
-              .toSeq.distinctBy(_.id).sortBy(_.id)
-            val out = Seq.newBuilder[SemPair]
-            var held = docsLive
-            fresh.foreach { d =>
-              held.foreach { o =>
-                val inWindow = retMs.forall(r => math.abs(d.ts - o.ts) <= r)
-                if (inWindow) {
-                  val s = cosine(d.vec, o.vec)
-                  if (s >= th)
-                    out += (if (d.id < o.id) SemPair(d.id, o.id, s)
-                            else SemPair(o.id, d.id, s))
-                }
-              }
-              held = d :: held
-            }
-            val (kept, capEvicted) = held.splitAt(cap)
-            val tomb = (capEvicted.map(_.id) ++ priorTomb).take(tombCap)
-            state.update(CellState(kept, tomb))
-            if (retMs.isDefined && streaming && kept.nonEmpty)
-              state.setTimeoutTimestamp(kept.map(_.ts).max + retMs.get + 1)
-            out.result().iterator
-          }
+          st.out.iterator
         })
   }
 }

@@ -107,4 +107,37 @@ class StreamingSpec extends SparkSpec {
     assert(sinkDf.count() == 600)
     assert(sinkDf.select("event_id").distinct().count() == 600)
   }
+
+  test("IncrementalStream: the watermarked path dedups within the watermark " +
+    "and the sink anti-join still absorbs cross-run re-delivery") {
+    // with a watermark the in-stream dedup is dropDuplicatesWithinWatermark
+    // (plain dropDuplicates would hold a state row per key FOREVER — the
+    // 'bound the dedup state' contract would be a no-op); keys re-delivered
+    // across runs are out of stream state entirely and must be caught by
+    // the sink-side anti-join
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-wm").toString
+    val src = s"$root/src"; val sink = s"$root/sink"; val chk = s"$root/chk"
+    new java.io.File(src).mkdirs()
+    val ev = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts", "dt")
+    val schema = ev.schema
+    // batch 1 carries an in-batch duplicate pair of event_ids (union of an
+    // overlapping slice): within-watermark dedup must collapse them
+    ev.filter(col("event_id") < 300)
+      .union(ev.filter(col("event_id") >= 250 && col("event_id") < 300))
+      .write.mode("overwrite").parquet(s"$src/b1")
+    val q1 = graft.streaming.IncrementalStream.run(spark, s"$src/*", sink, chk,
+      schema, Seq("event_id"), watermark = Some(("ts", "1 hour")))
+    q1.awaitTermination()
+    assert(spark.read.parquet(sink).count() == 300)
+    // cross-run re-delivery (200-499): 200-299 already in the sink
+    ev.filter(col("event_id") >= 200 && col("event_id") < 500)
+      .write.mode("overwrite").parquet(s"$src/b2")
+    val q2 = graft.streaming.IncrementalStream.run(spark, s"$src/*", sink, chk,
+      schema, Seq("event_id"), watermark = Some(("ts", "1 hour")))
+    q2.awaitTermination()
+    val sinkDf = spark.read.parquet(sink)
+    assert(sinkDf.count() == 500)
+    assert(sinkDf.select("event_id").distinct().count() == 500)
+  }
 }

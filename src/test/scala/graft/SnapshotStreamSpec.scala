@@ -689,6 +689,37 @@ class SnapshotStreamSpec extends SparkSpec {
     intercept[Exception] { drain("startingVersion" -> "0") }
   }
 
+  test("a FUTURE startingVersion never leaks pre-anchor versions once the table grows past it") {
+    // the regression shape: a query starts while the table is still BELOW
+    // the anchor. getOffset must log the anchor itself, not the table's
+    // current version — a logged pre-anchor offset would make a later
+    // getBatch(log, newer) deliver the versions the anchor promised to skip
+    val dir = Files.createTempDirectory("graft-stream-future-anchor").toString
+    def rows(a: Int, b: Int) = (a until b).toDF("id").select(col("id").cast("long").as("id"))
+    SnapshotTable.write(spark, rows(0, 10), dir) // v1
+    SnapshotTable.append(spark, rows(10, 20), dir) // v2
+    val ckpt = Files.createTempDirectory("graft-future-anchor-ckpt").toString
+    val received = new ConcurrentLinkedQueue[Long]()
+    def start() = spark.readStream
+      .format(classOf[SnapshotSourceProvider].getName)
+      .option("path", dir).option("startingVersion", "5")
+      .load().writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id").collect().foreach(r => received.add(r.getLong(0)))
+      }.start()
+    val q1 = start(); q1.processAllAvailable(); q1.stop()
+    assert(received.isEmpty, "the table is below the anchor: nothing may surface")
+    SnapshotTable.append(spark, rows(20, 30), dir) // v3 — pre-anchor
+    SnapshotTable.append(spark, rows(30, 40), dir) // v4 — pre-anchor
+    SnapshotTable.append(spark, rows(40, 50), dir) // v5 — first delivered
+    SnapshotTable.append(spark, rows(50, 60), dir) // v6
+    val q2 = start(); q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(received.asScala.toSeq.sorted == (40L until 60L),
+      "v3/v4 predate the anchor and must never be delivered, even across a restart")
+  }
+
   test("anchors whose base version was vacuumed deliver the full retained backfill, not a dead stream") {
     val dir = Files.createTempDirectory("graft-stream-anchor-vac").toString
     def rows(a: Int, b: Int) = (a until b).toDF("id").select(col("id").cast("long").as("id"))
