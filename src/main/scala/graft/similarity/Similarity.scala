@@ -49,12 +49,17 @@ object Similarity {
   }
 
   /** Per-vector int8 scalar quantization — the 100 TB embedding
-    * storage/bandwidth move (4× smaller vectors; dot products run in the
-    * int domain): scale = max|x| / 127, q_i = round-half-up(x_i / scale),
-    * so every element lands in [−127, 127] with the max hitting ±127
-    * exactly. Zero vectors quantize to zeros with scale 0. Rounding is
+    * storage/bandwidth move: scale = max|x| / 127, q_i =
+    * round-half-up(x_i / scale), so every element lands in [−127, 127]
+    * with the max hitting ±127 exactly; dot products run in the int
+    * domain. Zero vectors quantize to zeros with scale 0. Rounding is
     * written as `floor(x·127/max + 0.5)` — exact floor semantics in any
     * engine, so the whole transform is oracle-checkable arithmetic.
+    * SIZE NOTE: values are int8-RANGE but the column is array<long> for
+    * oracle-exact int aggregates — the 4× win is ON DISK, where parquet's
+    * bit-packing encodes the 8-bit range regardless of the logical width;
+    * for an in-memory/shuffle win too, cast the output to array<tinyint>
+    * at the write site.
     */
   def quantizeInt8(
       df: DataFrame,
@@ -151,24 +156,33 @@ object Similarity {
     // a caller-owned cache.
     val weCached = corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     if (weCached) corpus.persist()
-    var centroids: Seq[Seq[Double]] = initSeeds.getOrElse(corpus
-      .orderBy(col("id")).limit(nlist)
-      .select(col("vec").cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toSeq).toSeq)
-    (0 until iters).foreach { _ =>
-      val assigned = corpus.join(assignCells(corpus, centroids), "id")
-        .select(col("cell"), posexplode(col("vec").cast("array<double>")))
-      val means = assigned.groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
-      val byCell = means.groupBy(_._1)
-      centroids = centroids.indices.map { c =>
-        byCell.get(c).fold(centroids(c))(ms => ms.sortBy(_._2).map(_._3).toSeq)
+    // try/finally: a failing Lloyd-round collect must not leak the
+    // training cache into the caller's session (the crossPrepare
+    // exception-path discipline)
+    try {
+      var centroids: Seq[Seq[Double]] = initSeeds.getOrElse(corpus
+        .orderBy(col("id")).limit(nlist)
+        .select(col("vec").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq)
+      require(initSeeds.isDefined || centroids.forall(_.length == dim),
+        s"corpus vectors are not $dim-wide (got ${centroids.map(_.length).distinct.sorted
+          .mkString("/")}) — the declared dim must match the data")
+      (0 until iters).foreach { _ =>
+        val assigned = corpus.join(assignCells(corpus, centroids), "id")
+          .select(col("cell"), posexplode(col("vec").cast("array<double>")))
+        val means = assigned.groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+          .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+        val byCell = means.groupBy(_._1)
+        centroids = centroids.indices.map { c =>
+          byCell.get(c).fold(centroids(c))(ms => ms.sortBy(_._2).map(_._3).toSeq)
+        }
       }
+      centroids
+    } finally {
+      // the fit is over (all jobs above collected); don't leak the
+      // training cache into the caller's session
+      if (weCached) corpus.unpersist(blocking = false)
     }
-    // the fit is over (all jobs above collected); don't leak the training
-    // cache into the caller's session
-    if (weCached) corpus.unpersist(blocking = false)
-    centroids
   }
 
   /** IVF approximate top-k: corpus vectors live in their nearest-centroid
@@ -255,9 +269,15 @@ object Similarity {
       bands: Int = 4,
       seed: Long = 42L,
       scoreDecimals: Int = 6): DataFrame = {
+    require(bands >= 1, s"bands must be >= 1, got $bands (16 % -1 == 0 " +
+      "would pass the divisibility check and silently emit ZERO rows)")
     require(bits % bands == 0, "bands must divide bits")
     val width = bits / bands
-    val mask = (1L << width) - 1
+    // width == 64 (bits=64, bands=1): `(1L << 64) - 1` wraps to 0 on the
+    // JVM (shift counts are mod 64), which would zero every band value and
+    // degenerate the LSH join into a single-hot-key cross join — use the
+    // all-bits mask so one band means exact-signature buckets
+    val mask = if (width == 64) -1L else (1L << width) - 1
 
     def banded(df: DataFrame, vecCol: String, idCols: Seq[String]): DataFrame = {
       val sig = hyperplaneSignature(df.sparkSession, col(vecCol), dim, bits, seed)
@@ -344,10 +364,14 @@ object Similarity {
 
   /** Cluster-balanced corpus subsampling: k-means buckets the corpus by
     * semantic neighborhood, then a deterministic per-cluster hash quota
-    * ([[graft.text.TextPipelines.hashSamplePerGroup]]'s contract: lowest
-    * md5(id, seed) ranks win, no RNG) takes at most `perCluster` ids from
-    * EACH cluster — the curation move that stops a corpus's dominant mode
-    * from crowding out its tails in a training mix. Returns (id, cluster);
+    * takes at most `perCluster` ids from EACH cluster — lowest
+    * md5(id | seed) ranks win, ties to the lower id, no RNG (the same
+    * count-based-quota IDEA as
+    * [[graft.text.TextPipelines.hashSamplePerGroup]], but a DIFFERENT
+    * ranking hash: that one is a seedless multiplicative hash through the
+    * bounded-heap operator — the two samplers never agree row-for-row).
+    * This is the curation move that stops a corpus's dominant mode from
+    * crowding out its tails in a training mix. Returns (id, cluster);
     * join back on id for the payload.
     */
   def clusterBalancedSample(

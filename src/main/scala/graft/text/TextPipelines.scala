@@ -57,6 +57,10 @@ object TextPipelines {
       textCol: String = "text",
       idCol: String = "doc_id",
       capacity: Int = 2048): DataFrame = {
+    // fail fast like packSequencesSharded: capacity 0 would reach the
+    // `div` as an ANSI divide-by-zero mid-job; negative would emit
+    // negative bin ids silently
+    require(capacity >= 1, s"bin capacity must be >= 1, got $capacity")
     val w = Window.orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     docs
@@ -132,6 +136,11 @@ object TextPipelines {
     * (partition, group) — never the group's population. Complements
     * [[stratifiedSample]] (rate-based) with count-based quotas: "k docs per
     * source", the training-data subsampling shape.
+    *
+    * OUTPUT CONTRACT: the ranking column `hkey` is RETURNED with the rows
+    * (deliberately — callers audit/sort on the selection rank; q84's oracle
+    * reproduces it), and any pre-existing input column named `hkey` is
+    * OVERWRITTEN. Drop it downstream if unwanted.
     */
   def hashSamplePerGroup(
       docs: DataFrame,
@@ -180,8 +189,12 @@ object TextPipelines {
 
   /** C4-style quality gate: keep docs that clear a composite-quality
     * threshold, a token-count band, and a language allowlist — map-only,
-    * every signal from [[TextFunctions]]. Returns the kept rows plus the
-    * gating signals (for audit/debug columns downstream pipelines keep).
+    * every signal from [[TextFunctions]]. OUTPUT CONTRACT: one row per
+    * kept doc carrying (doc_id, n_tokens, quality, lang_pred) — the
+    * gating signals ONLY, not the input's payload columns; join back on
+    * doc_id to recover text (keeps the gate's shuffle-free output slim —
+    * a fat text column would ride every downstream exchange of the
+    * audit frame).
     */
   def qualityGate(
       docs: DataFrame,
@@ -419,33 +432,38 @@ object TextPipelines {
       .select(split(col("w"), "").as("syms"), col("freq")))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var exhausted = false
-    for (rank <- 0 until nMerges if !exhausted) {
-      val best = vocab
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
-        .groupBy(col("p")).agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("p.a"), col("p.b"))
-        .limit(1)
-        .select(col("p.a"), col("p.b"), col("c"))
-        .as[(String, String, Long)].collect()
-      best.headOption match {
-        case None => exhausted = true // every word is a single symbol
-        case Some((a, b, c)) =>
-          merges += ((rank, a, b, c))
-          val (next, nextIds) = checkpointTracked(vocab.withColumn("syms",
-            aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-              when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-                .otherwise(concat(acc, array(x))))))
-          releaseTracked(vocab, vocabIds)
-          vocab = next
-          vocabIds = nextIds
+    // try/finally: a failing round collect must still release the current
+    // round's tracked checkpoint blocks (superseded rounds are already
+    // released inside the loop) — truncated-lineage pins are invisible to
+    // the caller and would leak until session end
+    try {
+      for (rank <- 0 until nMerges if !exhausted) {
+        val best = vocab
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+          .groupBy(col("p")).agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("p.a"), col("p.b"))
+          .limit(1)
+          .select(col("p.a"), col("p.b"), col("c"))
+          .as[(String, String, Long)].collect()
+        best.headOption match {
+          case None => exhausted = true // every word is a single symbol
+          case Some((a, b, c)) =>
+            merges += ((rank, a, b, c))
+            val (next, nextIds) = checkpointTracked(vocab.withColumn("syms",
+              aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+                when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                  .otherwise(concat(acc, array(x))))))
+            releaseTracked(vocab, vocabIds)
+            vocab = next
+            vocabIds = nextIds
+        }
       }
-    }
-    releaseTracked(vocab, vocabIds)
+    } finally releaseTracked(vocab, vocabIds)
     merges.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
@@ -471,16 +489,41 @@ object TextPipelines {
     val words = docs
       .select(col(idCol).as("doc_id"),
         explode(graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol)))).as("w"))
-    val segmented = merges.foldLeft(
-      words.select(col("w")).distinct().withColumn("syms", split(col("w"), ""))) {
-      case (d, (a, b)) =>
-        d.withColumn("syms",
-          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-            when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-              .otherwise(concat(acc, array(x)))))
-    }.select(col("w"), size(col("syms")).as("pieces"))
-    words.join(segmented, "w")
+    // FLATTEN the dict plan every 24 merges: project-collapse would
+    // otherwise inline one interpreted aggregate-fold per merge into a
+    // single expression tree of depth O(nMerges) — fine for q115's fixed
+    // 10-merge table, StackOverflow/janino blowup at a real tokenizer's
+    // hundreds-to-30k merges (the trainBpeMerges lesson: its per-round
+    // checkpoints keep training flat; the apply path needs the same,
+    // tracked so superseded rounds' pinned blocks release immediately)
+    import graft.util.Caching.{checkpointTracked, materialize, releaseTracked}
+    var cur = words.select(col("w")).distinct().withColumn("syms", split(col("w"), ""))
+    var pinned: Set[Int] = Set.empty
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      cur = cur.withColumn("syms",
+        aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x)))))
+      if ((i + 1) % 24 == 0) {
+        val (ck, ids) = checkpointTracked(cur)
+        if (pinned.nonEmpty) releaseTracked(ck, pinned)
+        cur = ck
+        pinned = ids
+      }
+    }
+    val segmented = cur.select(col("w"), size(col("syms")).as("pieces"))
+    // a long merge table leaves interim checkpoint pins behind: eagerly
+    // materialize the (vocab-bounded) dict and release them — the short
+    // path (< 24 merges, q115's shape) stays plan-identical
+    val dict =
+      if (pinned.isEmpty) segmented
+      else {
+        val out = materialize(segmented)
+        releaseTracked(out, pinned)
+        out
+      }
+    words.join(dict, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_bpe_tokens"))
   }
@@ -651,14 +694,25 @@ object TextPipelines {
     val tgtG = dsirFeat(bigramOccurrences(target, lit(0L), textCol), hexChars)
     val cR = rawG.groupBy(col("f")).agg(count(lit(1)).as("c_r")).persist()
     val cT = tgtG.groupBy(col("f")).agg(count(lit(1)).as("c_t")).persist()
-    val nR = cR.agg(coalesce(sum(col("c_r")), lit(0L))).collect()(0).getLong(0)
-    val nT = cT.agg(coalesce(sum(col("c_t")), lit(0L))).collect()(0).getLong(0)
-    val v = hexChars match {
-      case Some(h) => math.pow(16.0, h.toDouble).toLong
-      case None => cR.select(col("f")).union(cT.select(col("f")))
-        .agg(countDistinct(col("f"))).collect()(0).getLong(0)
+    // a failing scalar collect must unpersist both count frames before
+    // rethrowing: no DsirModel is constructed on that path, so its
+    // release() would be unreachable and the pins would leak into the
+    // caller's session (the crossPrepare exception-path discipline)
+    try {
+      val nR = cR.agg(coalesce(sum(col("c_r")), lit(0L))).collect()(0).getLong(0)
+      val nT = cT.agg(coalesce(sum(col("c_t")), lit(0L))).collect()(0).getLong(0)
+      val v = hexChars match {
+        case Some(h) => math.pow(16.0, h.toDouble).toLong
+        case None => cR.select(col("f")).union(cT.select(col("f")))
+          .agg(countDistinct(col("f"))).collect()(0).getLong(0)
+      }
+      DsirModel(cR, cT, nR, nT, v, addK, hexChars)
+    } catch {
+      case t: Throwable =>
+        cR.unpersist(blocking = false)
+        cT.unpersist(blocking = false)
+        throw t
     }
-    DsirModel(cR, cT, nR, nT, v, addK, hexChars)
   }
 
   /** Score any frame against a [[DsirModel]] — identical formula to

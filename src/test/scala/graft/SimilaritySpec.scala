@@ -40,6 +40,26 @@ class SimilaritySpec extends SparkSpec {
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall=$recall") // 8 bands of 2 bits probe aggressively
   }
+
+  test("lshTopK boundary: bits=64/bands=1 buckets on the FULL signature; bands<1 refused") {
+    // (1L << 64) wraps to 1 on the JVM, so a naive width-64 mask is 0 —
+    // every band value would collapse to one hot key (an all-pairs join in
+    // disguise). The all-bits mask keeps one band meaning exact-signature
+    // buckets: candidate pairs must share the whole 64-bit signature.
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 5).select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val out = Similarity.lshTopK(q, c, dim = 64, k = 3, bits = 64, bands = 1)
+    // exact-signature buckets are sparse: candidates (if any) are a tiny
+    // fraction of the 5 x N cross product — the degenerate mask would have
+    // returned k rows for EVERY query through one hot key
+    assert(out.count() <= 15)
+    // 16 % -1 == 0 passes a bare divisibility check; it must refuse loudly
+    // instead of silently emitting zero rows
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(q, c, dim = 64, k = 3, bits = 16, bands = -1)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
