@@ -45,29 +45,43 @@ object Graph {
       propRounds: Int = 6): DataFrame = {
     import graft.util.Caching.releaseTracked
     require(propRounds >= 0, "propRounds cannot be negative")
+    // in-plan NULL refusal (raise_error is codegen'd — no extra job): the
+    // AUTO entry's small-graph path validates collected edges loudly, and
+    // the distributed path must not silently emit (null, null) rows for
+    // the same bad input just because the graph crossed the size gate
+    def nonNull(c: org.apache.spark.sql.Column, name: String): org.apache.spark.sql.Column =
+      when(c.isNull, raise_error(lit(s"connectedComponents: NULL $name — " +
+        "edge ids must be non-null values castable to long"))).otherwise(c)
     val all = edges
-      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .select(nonNull(col("id_a").cast("long"), "id_a").as("a"),
+        nonNull(col("id_b").cast("long"), "id_b").as("b"))
     val sym = all.select(col("a").as("src"), col("b").as("dst"))
       .union(all.select(col("b").as("src"), col("a").as("dst"))).persist()
-    val (labels, labelIds, changed) = labelPropRounds(sym, propRounds)
-    if (changed == 0L) {
-      // shallow graph: the label fixpoint IS the answer
-      sym.unpersist(blocking = false)
-      return labels.select(col("id"), col("lab").as("rep"))
-    }
-    // deep graph: contract each edge through the partial labels (both
-    // endpoints map to connected same-component nodes, so components are
-    // preserved exactly), star-finish the contracted graph, compose
-    val contracted = all
-      .join(labels.select(col("id").as("a"), col("lab").as("la")), "a")
-      .join(labels.select(col("id").as("b"), col("lab").as("lb")), "b")
-      .select(col("la").as("id_a"), col("lb").as("id_b"))
-    val (starReps, _) = connectedComponentsStarRounds(contracted, maxIters)
-    val out = graft.util.Caching.materialize(
-      labels.join(starReps.withColumnRenamed("id", "lab"), "lab")
-        .select(col("id"), col("rep")), sym)
-    releaseTracked(out, labelIds)
-    out
+    try {
+      val (labels, labelIds, changed) = labelPropRounds(sym, propRounds)
+      if (changed == 0L) {
+        // shallow graph: the label fixpoint IS the answer
+        return labels.select(col("id"), col("lab").as("rep"))
+      }
+      // deep graph: contract each edge through the partial labels (both
+      // endpoints map to connected same-component nodes, so components are
+      // preserved exactly), star-finish the contracted graph, compose.
+      // `contracted` and the final compose read the checkpointed labels
+      // and `all`'s lineage — nothing reads `sym` past the label rounds,
+      // so its |2E| cache would otherwise squat on executor memory for
+      // all O(log n) star rounds (and leak for the session if the
+      // non-convergence guard threw: CacheManager holds strong refs)
+      val contracted = all
+        .join(labels.select(col("id").as("a"), col("lab").as("la")), "a")
+        .join(labels.select(col("id").as("b"), col("lab").as("lb")), "b")
+        .select(col("la").as("id_a"), col("lb").as("id_b"))
+      val (starReps, _) = connectedComponentsStarRounds(contracted, maxIters)
+      val out = graft.util.Caching.materialize(
+        labels.join(starReps.withColumnRenamed("id", "lab"), "lab")
+          .select(col("id"), col("rep")))
+      releaseTracked(out, labelIds)
+      out
+    } finally sym.unpersist(blocking = false)
   }
 
   /** [[connectedComponents]] with a SMALL-GRAPH fast path: when the edge

@@ -126,10 +126,18 @@ object Layout {
     val files = fs.listStatus(hadoopPath).filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = files.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + ".compact-tmp")
+    // SIBLING temp dir via Path arithmetic, never string concatenation: a
+    // trailing-slash `dir` would make "dir" + ".compact-tmp" a CHILD of
+    // the data directory, and the recursive delete below would destroy
+    // the fresh rewrite along with the originals — total data loss
+    val tmp = new org.apache.hadoop.fs.Path(hadoopPath.getParent,
+      hadoopPath.getName + ".compact-tmp")
     spark.read.parquet(dir).repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
     fs.delete(hadoopPath, true)
-    fs.rename(tmp, hadoopPath)
+    // the rename is the publish step — a silent false here would leave
+    // the data gone and the rewrite stranded under the temp name
+    require(fs.rename(tmp, hadoopPath),
+      s"compact: rename $tmp -> $hadoopPath failed; rewrite preserved at $tmp")
     val after = fs.listStatus(hadoopPath)
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     (files.length, after)
@@ -160,6 +168,13 @@ object Layout {
     * resolution is ⌊63/n⌋ bits — at n = 4 that is 15 bits (32k buckets
     * per column), still far finer than any realistic file count, so the
     * budget costs pruning nothing in practice. Purely a reordering.
+    *
+    * Keys go through [[zClusterKey]]'s range normalization (one skinny
+    * min/max aggregate — noise next to the rewrite): the interleave masks
+    * LOW bits, so feeding raw wide-domain values (billion-scale ids,
+    * epoch micros) would alias the high bits away and silently destroy
+    * the clustering, and it's what admits date/timestamp/string keys
+    * (the [[graft.catalog.SnapshotTable.compact]] path's discipline).
     */
   def clusterByZN(
       df: DataFrame,
@@ -167,7 +182,7 @@ object Layout {
       numPartitions: Int = 32): DataFrame = {
     require(cols.size >= 2 && cols.size <= 8,
       s"clusterByZN takes 2 to 8 columns, got ${cols.size}")
-    val z = zValueN(df.sparkSession, cols.map(col): _*).as("__z")
+    val z = zClusterKey(df, cols).as("__z")
     df.withColumn("__z", z)
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions(col("__z"))

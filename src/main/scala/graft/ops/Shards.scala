@@ -46,9 +46,16 @@ object Shards {
       seed: Long = 42L,
       shardSize: Long = 1024L): DataFrame = {
     require(shardSize >= 1, s"shardSize must be >= 1, got $shardSize")
+    // a NULL id hashes to a NULL bucket, which would (a) silently DROP
+    // the row at the offsets equi-join and (b) sort first in the offsets
+    // window, shifting every real bucket's offset so positions no longer
+    // start at 0 — corrupting the dense (shard, pos) contract two ways at
+    // once. Refuse in-plan (raise_error is codegen'd — no extra job).
     val keyed = df
       .select(col(idCol).as("doc_id"),
-        md5(concat(col(idCol).cast("string"), lit("-" + seed))).as("h"))
+        when(col(idCol).isNull, raise_error(lit(
+          s"deterministicShards: NULL $idCol — every row must carry a non-null id")))
+          .otherwise(md5(concat(col(idCol).cast("string"), lit("-" + seed)))).as("h"))
       .withColumn("b", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
     val offsets = keyed.groupBy(col("b")).agg(count(lit(1)).as("c"))
       .withColumn("off", coalesce(

@@ -14,9 +14,14 @@ object Skew {
   /** Two-stage salted aggregation: stage 1 aggregates on (keys, salt) —
     * spreading a hot key over `saltBuckets` reducers — stage 2 merges the
     * partials on the true keys. Exact for algebraic aggregates (sum/count/
-    * min/max). The salt is `rand(seed)`-derived: per-row assignment is
-    * arbitrary (any spread works), determinism of the *result* comes from
-    * exactness of the merge.
+    * min/max). The salt is a DETERMINISTIC per-row hash of the whole row
+    * (+ seed), NOT `rand(seed)`: rand is not stable under partial-stage
+    * recompute, so a fetch-failure retry could re-salt re-run map output
+    * into different reduce partitions and double-count or drop partials —
+    * the SPARK-23207 class of bug, fatal for an EXACT aggregate. The one
+    * trade: fully-identical duplicate rows share a salt (they cannot be
+    * told apart), so a hot key made of literal row copies spreads less —
+    * any column that varies restores the spread.
     */
   def saltedSum(
       df: DataFrame,
@@ -24,7 +29,8 @@ object Skew {
       valueCol: String,
       saltBuckets: Int = 16,
       seed: Long = 42L): DataFrame = {
-    val salted = df.withColumn("__salt", floor(rand(seed) * saltBuckets))
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(saltBuckets.toLong)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
@@ -34,7 +40,8 @@ object Skew {
   }
 
   /** Salted equi-join for a skewed left side against a modest right side that
-    * exceeds the broadcast threshold: left rows get a random salt in
+    * exceeds the broadcast threshold: left rows get a deterministic
+    * per-row hash salt in
     * [0, saltBuckets); the right side is replicated once per salt value; the
     * join key becomes (key, salt). Each left row matches exactly the one
     * replica carrying its salt → result rows identical to the plain join.
@@ -54,7 +61,11 @@ object Skew {
         .contains(normalized),
       s"saltedJoin supports inner/left_outer/left_semi/left_anti joins, not '$joinType' " +
         "(right/full outer would duplicate unmatched right rows once per salt replica)")
-    val saltedLeft = left.withColumn("__salt", floor(rand(seed) * saltBuckets).cast("int"))
+    // deterministic per-row salt (see saltedSum): rand(seed) re-salts
+    // re-run map tasks differently under a fetch-failure retry, which
+    // would route a left row to a replica that no longer matches it
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col) :+ lit(seed): _*), lit(saltBuckets.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
     saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType).drop("__salt")
   }

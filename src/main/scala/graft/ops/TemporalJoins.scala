@@ -57,9 +57,20 @@ object TemporalJoins {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(t), col(tag))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightValueCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
-    }
+    // fill ONE struct per right ROW, not each value column independently:
+    // a per-column last(ignoreNulls) would skip a matched row's NULL field
+    // back to an OLDER row's value — and with several value columns could
+    // stitch together fields from different right rows into a row that
+    // never existed. The struct is non-null for every right row (even
+    // all-null fields), so last(ignoreNulls) picks the latest right ROW
+    // atomically and its fields unpack verbatim, NULLs included.
+    val packed = unioned.withColumn("__rv",
+      when(col(tag) === 0,
+        struct(rightValueCols.map(c => col(prefix + c).as(c)): _*)))
+    val filled = rightValueCols.foldLeft(
+      packed.withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))) {
+      (df, c) => df.withColumn(prefix + c, col("__rv").getField(c))
+    }.drop("__rv")
     filled.filter(col(tag) === 1).drop(t, tag)
   }
 

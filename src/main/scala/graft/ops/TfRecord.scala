@@ -62,6 +62,11 @@ object TfRecord {
       posCol: String = "pos"): Int = {
     val spark = placed.sparkSession
     import spark.implicits._
+    // persisted: the write pass AND the completeness gate below both read
+    // this frame — unpersisted, the gate's distinct-shards job would
+    // re-execute the entire upstream placement pipeline (at corpus scale,
+    // roughly doubling export cost; with a nondeterministic upstream it
+    // would also gate a DIFFERENT shard set than was written)
     val rows = placed
       .select(col(shardCol).cast("int").as("shard"),
         col(posCol).cast("long").as("pos"),
@@ -69,6 +74,8 @@ object TfRecord {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .as[(Int, Long, Array[Byte])]
+      .persist()
+    try {
     rows.foreachPartition { it: Iterator[(Int, Long, Array[Byte])] =>
       // executor-side Hadoop conf from the classpath: file:// locally,
       // cluster defaults from core-site on a real deployment
@@ -147,6 +154,7 @@ object TfRecord {
       s"tfrecord export: ${missing.length} shard file(s) missing after commit " +
         s"(e.g. shard ${missing.take(3).mkString(", ")}); re-run the export")
     shards.length
+    } finally rows.unpersist(blocking = false)
   }
 
   /** Driver-side reader for verification: parse one .tfrecord file,

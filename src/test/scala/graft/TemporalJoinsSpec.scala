@@ -31,6 +31,22 @@ class TemporalJoinsSpec extends SparkSpec {
       (2L, "c", Some(300.0))))
   }
 
+  test("asOf: a matched right row's NULL value stays NULL (no stale fill); " +
+    "multi-column values come from ONE right row") {
+    val left = Seq((1L, ts("2026-01-01 12:00:00"), "x")).toDF("uid", "t", "tag")
+    val right = Seq(
+      (1L, ts("2026-01-01 10:00:00"), Some(5.0), Some(10L)),
+      // the as-of match: price NULL, qty present — the output must carry
+      // THIS row's fields verbatim, never price=5.0 stitched from 10:00
+      (1L, ts("2026-01-01 11:00:00"), None, Some(20L))
+    ).toDF("uid", "t", "price", "qty")
+    val out = TemporalJoins.asOf(left, right, Seq("uid"), "t", "t", Seq("price", "qty"))
+      .select("uid", "r_price", "r_qty")
+      .as[(Long, Option[Double], Option[Long])].collect().toSeq
+    assert(out == Seq((1L, None, Some(20L))),
+      s"expected the 11:00 row's fields atomically, got $out")
+  }
+
   test("rangeJoin equals the naive interval join on fixtures") {
     val ev = Tables.events(spark, sfDir).select("event_id", "ts")
     val intervals = spark.range(1)
