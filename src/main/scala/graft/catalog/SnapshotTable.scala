@@ -1648,6 +1648,21 @@ object SnapshotTable {
     }.get
   }
 
+  /** Atomic create-or-append — the no-appId streaming sinks' primitive.
+    * [[append]] already IS one: the creation decision happens INSIDE the
+    * OCC commit loop (cur = None builds version 1 from the batch's schema;
+    * a racing creator winning the CAS makes the loser's retry observe the
+    * winner's manifest and land as a plain append — both writers' rows
+    * survive, serialized by the version slot). This named entry point
+    * exists so sink code states the contract instead of re-implementing
+    * the racy exists-then-create probe it replaces: a filesystem exists
+    * check followed by write() is check-then-act, and two first-batch
+    * writers could both observe "not exists" and the second's REPLACE
+    * semantics would silently drop the first's rows.
+    */
+  def createOrAppend(spark: SparkSession, df: DataFrame, dir: String): Long =
+    append(spark, df, dir)
+
   /** Idempotent append for at-least-once writers (the streaming sink's
     * primitive): commits `df` with an (appId → batchId) marker, and is a
     * NO-OP when the current manifest already records `batchId` (or later)

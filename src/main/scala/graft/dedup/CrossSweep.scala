@@ -69,7 +69,8 @@ object CrossSweep {
     * batch). Stateless across batches; all-dup/empty batches publish NO
     * version; exactly-once with `appId` (marker checked BEFORE the sweep,
     * so a crash-replayed batch costs one manifest parse); without one,
-    * at-least-once and single-writer on the first batch
+    * at-least-once on replay with atomic first-batch creation via
+    * [[graft.catalog.SnapshotTable.createOrAppend]]
     * ([[Dedup.crossSink]]'s contract note).
     */
   def crossAllSink(
@@ -95,9 +96,9 @@ object CrossSweep {
           graft.catalog.SnapshotTable.appendExactlyOnce(spark, clean, outDir, app, batchId)
           ()
         case None =>
-          if (graft.catalog.SnapshotTable.exists(spark, outDir))
-            graft.catalog.SnapshotTable.append(spark, clean, outDir)
-          else graft.catalog.SnapshotTable.write(spark, clean, outDir)
+          // atomic: creation is decided inside the OCC commit loop, so
+          // two sinks racing the same outDir's first batch both land
+          graft.catalog.SnapshotTable.createOrAppend(spark, clean, outDir)
           ()
       }
     }

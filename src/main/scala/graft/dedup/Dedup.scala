@@ -414,13 +414,27 @@ object Dedup {
     * [[crossSink]] lands a dump's clean docs, append exactly those docs
     * here and the NEXT dump is deduped against them too. Caller contract:
     * ids not already in the reference (the sweep's output guarantees it).
+    *
+    * With `appId` the whole append is EXACTLY-ONCE under crash replay: one
+    * (appId → batchId) marker spans BOTH commits
+    * ([[graft.catalog.SnapshotTable.appendExactlyOnce]]), so a re-run
+    * after a crash between them re-commits ONLY the missing half — the
+    * heal path converges to exactly the single-shot result, zero duplicate
+    * sets rows. Use a stable appId per pipeline and monotone batch ids
+    * (the dump counter).
     */
   def crossPrepareAppend(
       newlyCurated: DataFrame,
       dir: String,
       textCol: String = "text",
-      idCol: String = "doc_id"): Unit = {
+      idCol: String = "doc_id",
+      appId: Option[String] = None,
+      batchId: Long = 0L): Unit = {
     val spark = newlyCurated.sparkSession
+    // banded commits LAST, so its marker implies the whole append landed —
+    // a fully-replayed batch no-ops on one manifest parse, before shingling
+    if (appId.exists(app => graft.catalog.SnapshotTable
+        .lastTxn(spark, s"$dir/banded", app).exists(_ >= batchId))) return
     val m = graft.catalog.SnapshotTable.read(spark, s"$dir/meta")
       .select(col("k"), col("bands"), col("seed"), col("shingle_k"))
       .collect().head
@@ -433,24 +447,73 @@ object Dedup {
       // against it; the reverse order would leave banded rows whose
       // ref_id misses the verification join's inner side, silently
       // DROPPING true duplicate pairs until the second append lands.
-      // Re-running the append after a crash heals the gap (banded rows
-      // commit then), at the cost of duplicate sets rows a rebuild
-      // removes — prefer re-running crossPrepareTable if exactness of
-      // the sets table matters.
-      graft.catalog.SnapshotTable.append(spark,
-        hashed.select(col("id").as("ref_id"), col("sh"), size(col("sh")).as("n")),
-        s"$dir/sets")
-      graft.catalog.SnapshotTable.append(spark,
-        bandedRowsOf(hashed, k, bands, seed).withColumnRenamed("id", "ref_id"),
-        s"$dir/banded")
+      val setsRows = hashed
+        .select(col("id").as("ref_id"), col("sh"), size(col("sh")).as("n"))
+      val bandedRows = bandedRowsOf(hashed, k, bands, seed)
+        .withColumnRenamed("id", "ref_id")
+      appId match {
+        case Some(app) =>
+          // the shared marker makes the crash-heal exact: a re-run after a
+          // crash between the commits finds sets' marker already at
+          // batchId (no-op — no duplicate sets rows) and lands banded
+          graft.catalog.SnapshotTable.appendExactlyOnce(
+            spark, setsRows, s"$dir/sets", app, batchId)
+          graft.catalog.SnapshotTable.appendExactlyOnce(
+            spark, bandedRows, s"$dir/banded", app, batchId)
+        case None =>
+          // at-least-once: re-running after a crash heals the gap (banded
+          // commits then) at the cost of duplicate sets rows — inert for
+          // [[removeCrossDups]] (distinct) and pair-safe for
+          // [[crossNearDupsPrepared]] (its verified pairs dedupe), but
+          // pass an appId where the sets table's exactness matters
+          graft.catalog.SnapshotTable.append(spark, setsRows, s"$dir/sets")
+          graft.catalog.SnapshotTable.append(spark, bandedRows, s"$dir/banded")
+      }
       ()
     } finally hashed.unpersist(blocking = false)
+  }
+
+  /** Maintenance for a grown verbatim reference: BINPACK-compact the
+    * append-fragmented tails of `dir/banded` and `dir/sets` (files under
+    * `smallFileBytes` merge toward `targetBytes`; well-sized files carry
+    * by reference — cost tracks the fragmentation, never the corpus). The
+    * rewrites re-route through each table's recorded bucket spec
+    * (`(band, bucket(n, band_hash))` / `bucket(n, ref_id)`), so the
+    * exchange-free KeyGroupedPartitioning sweep geometry is preserved:
+    * after many [[crossPrepareAppend]] generations each bucket reads few
+    * large files again instead of one small file per append. Safe against
+    * concurrent appends (they rebase over the compaction commit).
+    */
+  def crossMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallFileBytes: Long = 32L * 1024 * 1024): Unit = {
+    graft.catalog.SnapshotTable.compact(spark, s"$dir/banded",
+      targetBytes = targetBytes, onlyFilesBelow = Some(smallFileBytes))
+    graft.catalog.SnapshotTable.compact(spark, s"$dir/sets",
+      targetBytes = targetBytes, onlyFilesBelow = Some(smallFileBytes))
+    ()
   }
 
   /** A [[PreparedReference]] VIEW over [[crossPrepareTable]]'s tables —
     * nothing recomputed, nothing cache-pinned: sweeps read the bucketed
     * snapshot layout directly ([[crossNearDupsPrepared]]/[[crossSink]]
     * compose unchanged, `release()` is a no-op on uncached frames).
+    *
+    * Both views are PINNED (`VERSION AS OF`) to the versions current at
+    * load — a current-version reference would re-resolve PER EXECUTION
+    * (the documented catalog semantics), so a concurrent
+    * [[crossPrepareAppend]] landing mid-sweep could hand one query a
+    * banded generation NEWER than its sets generation, and banded rows
+    * whose ref_id misses the verification inner join would silently drop
+    * true duplicate pairs. Pinning also names the reference generation
+    * every sweep decision is reproducible against. Capture order is
+    * banded-then-sets, mirroring the append's sets-then-banded commit
+    * order: every ref_id in the pinned banded committed AFTER its sets
+    * row, so the later-captured sets version is always a superset (extra
+    * sets rows are inert). Reload to observe growth.
+    *
     * Registers the `snap` SQL catalog (namespaced — no planner behavior
     * change). The session must have v2 bucketing enabled for the scans'
     * KeyGroupedPartitioning to join exchange-free
@@ -468,9 +531,11 @@ object Dedup {
     val m = graft.catalog.SnapshotTable.read(spark, s"$dir/meta")
       .select(col("k"), col("bands"), col("seed"), col("shingle_k"))
       .collect().head
+    val bandedV = graft.catalog.SnapshotTable.versions(spark, s"$dir/banded").max
+    val setsV = graft.catalog.SnapshotTable.versions(spark, s"$dir/sets").max
     new PreparedReference(
-      spark.table(s"snap.`$dir/banded`"),
-      spark.table(s"snap.`$dir/sets`"),
+      spark.sql(s"SELECT * FROM snap.`$dir/banded` VERSION AS OF $bandedV"),
+      spark.sql(s"SELECT * FROM snap.`$dir/sets` VERSION AS OF $setsV"),
       k = m.getInt(0), bands = m.getInt(1), seed = m.getLong(2),
       shingleK = m.getInt(3))
   }
@@ -501,6 +566,12 @@ object Dedup {
           .as("j_raw"))
       .filter(col("j_raw") >= threshold)
       .select(col("new_id"), col("ref_id"), col("j_raw").as("jaccard"))
+      // pair-level dedupe: a crash-healed no-appId crossPrepareAppend can
+      // leave duplicate sets rows, which would double candidate rows
+      // through the verification join and double-emit identical pairs to
+      // pair-consuming callers. The frame is threshold-sparse, so the
+      // extra exchange is over the OUTPUT, never the corpus.
+      .dropDuplicates("new_id", "ref_id")
     graft.util.Caching.materialize(verified, hashedNew)
   }
 
@@ -515,13 +586,12 @@ object Dedup {
     * version. With `appId` the append is EXACTLY-ONCE
     * ([[graft.catalog.SnapshotTable.appendExactlyOnce]]; the marker is
     * checked BEFORE the sweep so a crash-replayed batch costs one manifest
-    * parse). Without it, at-least-once on replay — and SINGLE-WRITER: the
-    * no-appId path probes exists-then-creates-or-appends, so two concurrent
-    * sinks racing the same outDir's FIRST batch could both observe "not
-    * exists" and collide on table creation (a structured-streaming
-    * `foreachBatch` runs batches serially, which is the intended caller;
-    * multi-writer deployments must pass an appId, whose path is
-    * OCC-committed end to end). NOTE: arrivals are NOT deduped against
+    * parse). Without it, at-least-once on replay; the no-appId append
+    * routes through [[graft.catalog.SnapshotTable.createOrAppend]], whose
+    * creation decision runs INSIDE the OCC commit loop — concurrent sinks
+    * racing the same outDir's FIRST batch serialize safely (multi-writer
+    * deployments should still pass an appId where exactly-once matters).
+    * NOTE: arrivals are NOT deduped against
     * each other or against earlier batches — compose with
     * [[graft.streaming.StreamingDedup]] upstream where that matters.
     */
@@ -547,9 +617,9 @@ object Dedup {
             graft.catalog.SnapshotTable.appendExactlyOnce(spark, clean, outDir, app, batchId)
             ()
           case None =>
-            if (graft.catalog.SnapshotTable.exists(spark, outDir))
-              graft.catalog.SnapshotTable.append(spark, clean, outDir)
-            else graft.catalog.SnapshotTable.write(spark, clean, outDir)
+            // atomic: creation is decided inside the OCC commit loop, so
+            // two sinks racing the same outDir's first batch both land
+            graft.catalog.SnapshotTable.createOrAppend(spark, clean, outDir)
             ()
         }
       } finally clean.unpersist(blocking = false)

@@ -170,6 +170,23 @@ object SemDeDup {
     * sessions and executor loss; reload with
     * [[crossSemanticPreparedFromTable]].
     */
+  /** The reference's cell-assignment rows — (cluster, ref_id, vec_b) —
+    * shared by the from-scratch prepare and the incremental append so the
+    * two paths can never diverge in shape or assignment semantics.
+    */
+  private def cellRowsOf(reference: DataFrame, centroids: Seq[Seq[Double]]): DataFrame =
+    reference.select(col("id"), col("vec"))
+      .join(Similarity.assignEmbeddings(reference, centroids)
+        .select(col("id"), col("cluster")), "id")
+      .select(col("cluster"), col("id").as("ref_id"), col("vec").as("vec_b"))
+
+  /** The FROZEN centroid model recorded at `dir/centroids`, cid order. */
+  private def centroidsFromTable(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[Seq[Double]] =
+    graft.catalog.SnapshotTable.read(spark, s"$dir/centroids")
+      .select(col("cid"), col("cvec")).collect()
+      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
+
   def crossSemanticPrepareTable(
       reference: DataFrame,
       centroids: Seq[Seq[Double]],
@@ -179,11 +196,8 @@ object SemDeDup {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = reference.sparkSession
     import spark.implicits._
-    val cells = reference.select(col("id"), col("vec"))
-      .join(Similarity.assignEmbeddings(reference, centroids)
-        .select(col("id"), col("cluster")), "id")
-      .select(col("cluster"), col("id").as("ref_id"), col("vec").as("vec_b"))
-    graft.catalog.SnapshotTable.write(spark, cells, s"$dir/cells",
+    graft.catalog.SnapshotTable.write(spark, cellRowsOf(reference, centroids),
+      s"$dir/cells",
       partitionCols = Some(Seq(s"bucket($buckets,cluster)")))
     graft.catalog.SnapshotTable.write(spark,
       centroids.zipWithIndex.map { case (v, i) => (i, v) }.toDF("cid", "cvec"),
@@ -191,24 +205,76 @@ object SemDeDup {
     ()
   }
 
+  /** Grow a [[crossSemanticPrepareTable]] reference INCREMENTALLY —
+    * [[Dedup.crossPrepareAppend]]'s semantic-tier twin, completing the
+    * composed inter-dump pipeline's bookkeeping loop for BOTH tiers:
+    * `newlyCurated` docs (id, vec) assign through the FROZEN centroid
+    * model recorded at `dir/centroids` (never re-trained — re-fitting
+    * would silently move every existing doc's cell) and their cell rows
+    * APPEND under the recorded bucket scheme; existing files are
+    * untouched, and the next dump's sweep reads the grown reference with
+    * no rebuild. One table, one commit — atomic, unlike the verbatim
+    * tier's two-table append. Caller contract: ids not already in the
+    * reference (the sweep's output guarantees it). With `appId` the
+    * append is exactly-once under crash replay
+    * ([[graft.catalog.SnapshotTable.appendExactlyOnce]]).
+    */
+  def crossSemanticPrepareAppend(
+      newlyCurated: DataFrame,
+      dir: String,
+      appId: Option[String] = None,
+      batchId: Long = 0L): Unit = {
+    val spark = newlyCurated.sparkSession
+    val cells = cellRowsOf(newlyCurated, centroidsFromTable(spark, dir))
+    appId match {
+      case Some(app) =>
+        graft.catalog.SnapshotTable.appendExactlyOnce(spark, cells, s"$dir/cells",
+          app, batchId)
+      case None =>
+        graft.catalog.SnapshotTable.append(spark, cells, s"$dir/cells")
+    }
+    ()
+  }
+
+  /** Maintenance for a grown semantic reference: BINPACK-compact the
+    * append-fragmented tail of `dir/cells` (files under `smallFileBytes`
+    * merge toward `targetBytes`; well-sized files carry by reference). The
+    * rewrite re-routes through the table's recorded bucket spec, so the
+    * exchange-free KeyGroupedPartitioning sweep geometry is preserved —
+    * after many [[crossSemanticPrepareAppend]] generations the scan reads
+    * few large files per bucket again instead of one file per append.
+    */
+  def crossSemanticMaintain(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      smallFileBytes: Long = 32L * 1024 * 1024): Unit = {
+    graft.catalog.SnapshotTable.compact(spark, s"$dir/cells",
+      targetBytes = targetBytes, onlyFilesBelow = Some(smallFileBytes))
+    ()
+  }
+
   /** [[PreparedCells]] VIEW over [[crossSemanticPrepareTable]]'s tables —
     * nothing recomputed, nothing cache-pinned ([[crossSemanticDupsPrepared]]
     * / [[crossSemanticSink]] compose unchanged; `release()` is a no-op on
-    * uncached frames). Registers the `snap` catalog (namespaced — no
-    * planner behavior change); the exchange-free cell join additionally
-    * needs the session's v2-bucketing confs, which
-    * [[graft.Sessions.local]] sets from session start
-    * ([[Dedup.crossPreparedFromTable]]'s contract note — a loader must
-    * not flip planner confs mid-session).
+    * uncached frames). The cells view is PINNED to the version current at
+    * load (`VERSION AS OF` — [[Dedup.crossPreparedFromTable]]'s
+    * discipline): every sweep through this handle judges against one named
+    * reference generation, reproducibly, regardless of concurrent
+    * [[crossSemanticPrepareAppend]] commits; reload to observe growth.
+    * Registers the `snap` catalog (namespaced — no planner behavior
+    * change); the exchange-free cell join additionally needs the session's
+    * v2-bucketing confs, which [[graft.Sessions.local]] sets from session
+    * start (a loader must not flip planner confs mid-session).
     */
   def crossSemanticPreparedFromTable(
       spark: org.apache.spark.sql.SparkSession, dir: String): PreparedCells = {
     spark.conf.set("spark.sql.catalog.snap",
       classOf[graft.catalog.SnapshotCatalog].getName)
-    val centroids = graft.catalog.SnapshotTable.read(spark, s"$dir/centroids")
-      .select(col("cid"), col("cvec")).collect()
-      .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
-    new PreparedCells(spark.table(s"snap.`$dir/cells`"), centroids)
+    val cellsV = graft.catalog.SnapshotTable.versions(spark, s"$dir/cells").max
+    new PreparedCells(
+      spark.sql(s"SELECT * FROM snap.`$dir/cells` VERSION AS OF $cellsV"),
+      centroidsFromTable(spark, dir))
   }
 
   /** [[crossSemanticDups]] against [[PreparedCells]] — the repeated-sweep
@@ -255,8 +321,9 @@ object SemDeDup {
     * [[graft.streaming.StreamingSemDeDup]] upstream to also dedup arrivals
     * against each other). All-dup/empty batches publish NO version;
     * exactly-once with `appId` (marker checked before the sweep). Without
-    * an appId the sink is additionally SINGLE-WRITER on the FIRST batch
-    * (exists-then-create race — [[Dedup.crossSink]]'s contract note).
+    * an appId, at-least-once on replay; first-batch creation is atomic via
+    * [[graft.catalog.SnapshotTable.createOrAppend]]
+    * ([[Dedup.crossSink]]'s contract note).
     */
   def crossSemanticSink(
       prep: PreparedCells,
@@ -276,9 +343,9 @@ object SemDeDup {
             graft.catalog.SnapshotTable.appendExactlyOnce(spark, clean, outDir, app, batchId)
             ()
           case None =>
-            if (graft.catalog.SnapshotTable.exists(spark, outDir))
-              graft.catalog.SnapshotTable.append(spark, clean, outDir)
-            else graft.catalog.SnapshotTable.write(spark, clean, outDir)
+            // atomic: creation is decided inside the OCC commit loop, so
+            // two sinks racing the same outDir's first batch both land
+            graft.catalog.SnapshotTable.createOrAppend(spark, clean, outDir)
             ()
         }
       } finally clean.unpersist(blocking = false)

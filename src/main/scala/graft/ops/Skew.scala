@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The columns of `df` that xxhash64 accepts: hashing a MapType (or a
+    * type nesting one) throws AnalysisException — map entry order is
+    * undefined, so Spark refuses to hash it. Salting only needs SOME
+    * deterministic per-row variation; dropping unhashable columns from the
+    * salt input keeps any-schema frames accepted (the pre-r19 `rand(seed)`
+    * salt took any schema; the deterministic salt must too). A frame whose
+    * EVERY column is a map degenerates to one salt bucket — still exact,
+    * just unspread; any hashable column restores the spread.
+    */
+  private def hashableCols(df: DataFrame): Seq[Column] = {
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    df.schema.fields.filterNot(f => hasMap(f.dataType)).map(f => col(f.name)).toIndexedSeq
+  }
+
   /** Two-stage salted aggregation: stage 1 aggregates on (keys, salt) —
     * spreading a hot key over `saltBuckets` reducers — stage 2 merges the
     * partials on the true keys. Exact for algebraic aggregates (sum/count/
@@ -30,7 +49,7 @@ object Skew {
       saltBuckets: Int = 16,
       seed: Long = 42L): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(saltBuckets.toLong)))
+      pmod(xxhash64(hashableCols(df) :+ lit(seed): _*), lit(saltBuckets.toLong)))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__psum"), count(lit(1)).as("__pcnt"))
@@ -65,7 +84,7 @@ object Skew {
     // re-run map tasks differently under a fetch-failure retry, which
     // would route a left row to a replica that no longer matches it
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col) :+ lit(seed): _*), lit(saltBuckets.toLong)).cast("int"))
+      pmod(xxhash64(hashableCols(left) :+ lit(seed): _*), lit(saltBuckets.toLong)).cast("int"))
     val replicatedRight = right.withColumn("__salt", explode(array((0 until saltBuckets).map(lit): _*)))
     saltedLeft.join(replicatedRight, Seq(key, "__salt"), joinType).drop("__salt")
   }

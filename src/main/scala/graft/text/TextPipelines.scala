@@ -499,30 +499,38 @@ object TextPipelines {
     import graft.util.Caching.{checkpointTracked, materialize, releaseTracked}
     var cur = words.select(col("w")).distinct().withColumn("syms", split(col("w"), ""))
     var pinned: Set[Int] = Set.empty
-    merges.zipWithIndex.foreach { case ((a, b), i) =>
-      cur = cur.withColumn("syms",
-        aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
-          when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-            .otherwise(concat(acc, array(x)))))
-      if ((i + 1) % 24 == 0) {
-        val (ck, ids) = checkpointTracked(cur)
-        if (pinned.nonEmpty) releaseTracked(ck, pinned)
-        cur = ck
-        pinned = ids
+    // try/finally over the merge fold AND the final materialize: an
+    // exception mid-loop (or in the dict materialize) must not leak the
+    // currently pinned checkpoint blocks into the caller's session — the
+    // same exception-path discipline as trainBpeMerges/dsirPrepare. The
+    // normal path clears `pinned` before returning, so the finally is a
+    // no-op there.
+    val dict = try {
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        cur = cur.withColumn("syms",
+          aggregate(col("syms"), array().cast("array<string>"), (acc, x) =>
+            when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x)))))
+        if ((i + 1) % 24 == 0) {
+          val (ck, ids) = checkpointTracked(cur)
+          if (pinned.nonEmpty) releaseTracked(ck, pinned)
+          cur = ck
+          pinned = ids
+        }
       }
-    }
-    val segmented = cur.select(col("w"), size(col("syms")).as("pieces"))
-    // a long merge table leaves interim checkpoint pins behind: eagerly
-    // materialize the (vocab-bounded) dict and release them — the short
-    // path (< 24 merges, q115's shape) stays plan-identical
-    val dict =
+      val segmented = cur.select(col("w"), size(col("syms")).as("pieces"))
+      // a long merge table leaves interim checkpoint pins behind: eagerly
+      // materialize the (vocab-bounded) dict and release them — the short
+      // path (< 24 merges, q115's shape) stays plan-identical
       if (pinned.isEmpty) segmented
       else {
         val out = materialize(segmented)
         releaseTracked(out, pinned)
+        pinned = Set.empty
         out
       }
+    } finally if (pinned.nonEmpty) releaseTracked(cur, pinned)
     words.join(dict, "w")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_bpe_tokens"))
@@ -786,9 +794,9 @@ object TextPipelines {
             graft.catalog.SnapshotTable.appendExactlyOnce(spark, selected, outDir, app, batchId)
             ()
           case None =>
-            if (graft.catalog.SnapshotTable.exists(spark, outDir))
-              graft.catalog.SnapshotTable.append(spark, selected, outDir)
-            else graft.catalog.SnapshotTable.write(spark, selected, outDir)
+            // atomic: creation is decided inside the OCC commit loop, so
+            // two sinks racing the same outDir's first batch both land
+            graft.catalog.SnapshotTable.createOrAppend(spark, selected, outDir)
             ()
         }
       } finally selected.unpersist(blocking = false)

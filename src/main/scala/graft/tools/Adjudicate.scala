@@ -86,6 +86,12 @@ object Adjudicate {
               s""""shuffle_bytes":[${samples.map(_._2).mkString(",")}]}""")
           } catch {
             case e: Throwable =>
+              // drain the failed query's still-in-flight task-end events
+              // BEFORE the next query's first-rep shuffleW.reset() — a late
+              // event landing after the reset would nondeterministically
+              // inflate the next byte vector, the exact noise the
+              // byte-identity protocol exists to exclude
+              settle()
               spark.catalog.clearCache()
               SparkEntry.clearMemos()
               val msg = String.valueOf(e.getMessage).replaceAll("[\"\\\\\n\r]", " ").take(200)

@@ -105,4 +105,55 @@ class CrossSweepSpec extends SparkSpec {
       assert(SnapshotTable.versions(spark, dir).max == v1)
     } finally { vPrep.release(); sPrep.release() }
   }
+
+  test("end-to-end inter-dump lifecycle: sink dump 0, append BOTH tiers' " +
+    "references, and dump 1 sees dump 0's survivors as duplicates") {
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+      val base = java.nio.file.Files.createTempDirectory("graft-xlife").toString
+      // the durable references start from the curated corpus
+      Dedup.crossPrepareTable(reference, s"$base/v", buckets = 4)
+      SemDeDup.crossSemanticPrepareTable(refVecs, centroids, s"$base/s", buckets = 4)
+      val v0 = Dedup.crossPreparedFromTable(spark, s"$base/v")
+      val s0 = SemDeDup.crossSemanticPreparedFromTable(spark, s"$base/s")
+      // dump 0 sweeps in; survivors 103/104 land in the curated table
+      CrossSweep.crossAllSink(v0, s0, s"$base/t",
+        jaccardThreshold = 0.5, cosThreshold = 0.95,
+        appId = Some("life-sink"))(fresh, 0L)
+      val landed = SnapshotTable.read(spark, s"$base/t")
+      assert(landed.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(103L, 104L))
+      // the bookkeeping step: exactly the landed docs append to BOTH
+      // tiers' references — the production loop's post-sweep commit
+      Dedup.crossPrepareAppend(landed, s"$base/v",
+        appId = Some("life-ref"), batchId = 0L)
+      SemDeDup.crossSemanticPrepareAppend(
+        landed.select($"doc_id".as("id"), $"vec"), s"$base/s",
+        appId = Some("life-cells"), batchId = 0L)
+      // dump 1: a verbatim near-copy of SURVIVOR 103, a semantic near-dup
+      // of SURVIVOR 104 (cell 1, cos(1 deg)), and a genuinely new doc
+      // (22 deg sits >= 18.2 deg from every cell-0 reference vector)
+      val dump1 = Seq(
+        (200L, "another clean arrival describing mountain trails and quiet lakes " +
+          "far away from any text the curated corpus has ever seen before now qq",
+          unit(20)),
+        (201L, "completely different prose about deep sea creatures glowing in " +
+          "the dark trenches of the pacific ocean floor at night", unit(47)),
+        (202L, "finally a brand new article on gardening herbs in small city " +
+          "apartments with limited sunlight through winter months", unit(22))
+      ).toDF("doc_id", "text", "vec")
+      // reload BOTH references: the v0/s0 handles are version-pinned and
+      // predate the appends by design
+      val v1 = Dedup.crossPreparedFromTable(spark, s"$base/v")
+      val s1 = SemDeDup.crossSemanticPreparedFromTable(spark, s"$base/s")
+      CrossSweep.crossAllSink(v1, s1, s"$base/t",
+        jaccardThreshold = 0.5, cosThreshold = 0.95,
+        appId = Some("life-sink"))(dump1, 1L)
+      val all = SnapshotTable.read(spark, s"$base/t")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(all == Seq(103L, 104L, 202L),
+        s"dump 1 must lose 200 (verbatim ~ survivor 103) and 201 " +
+          s"(semantic ~ survivor 104), got $all")
+    }
+  }
 }

@@ -28,6 +28,26 @@ class SkewSpec extends SparkSpec {
     assert(salted.except(plain).count() == 0 && plain.except(salted).count() == 0)
   }
 
+  test("salting accepts frames with map-typed columns (salt skips unhashable types)") {
+    // xxhash64 rejects MapType — the deterministic salt must filter such
+    // columns out (the pre-r19 rand(seed) salt accepted any schema), not
+    // throw. Results stay exact: the salt only affects partial grouping.
+    val df = Seq((1L, 10.0, Map("a" -> 1)), (1L, 20.0, Map("b" -> 2)),
+      (2L, 5.0, Map("c" -> 3))).toDF("k", "v", "m")
+    val got = Skew.saltedSum(df, Seq("k"), "v", saltBuckets = 4)
+      .orderBy("k").as[(Long, Double, Long)].collect().toSeq
+    assert(got == Seq((1L, 30.0, 2L), (2L, 5.0, 1L)))
+    // nested maps (struct/array wrapping one) must be skipped too
+    val nested = Seq((1L, 1.0, Seq(Map("x" -> 1))), (1L, 2.0, Seq(Map("y" -> 2))))
+      .toDF("k", "v", "am")
+    assert(Skew.saltedSum(nested, Seq("k"), "v").select("sum_v")
+      .as[Double].collect().toSeq == Seq(3.0))
+    // saltedJoin: a map-typed payload on the skewed left side joins fine
+    val left = Seq((1L, Map("p" -> 1)), (2L, Map("q" -> 2))).toDF("k", "m")
+    val right = Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+    assert(Skew.saltedJoin(left, right, "k").count() == 2)
+  }
+
   test("saltedJoin rejects right/full outer join types") {
     val orders = Tables.orders(spark, sfDir)
     val customer = Tables.customer(spark, sfDir).withColumnRenamed("c_custkey", "o_custkey")

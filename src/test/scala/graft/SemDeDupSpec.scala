@@ -210,4 +210,62 @@ class SemDeDupSpec extends SparkSpec {
       assert(graft.catalog.SnapshotTable.read(spark, dir).count() == 1)
     }
   }
+
+  test("crossSemanticPrepareAppend grows the reference incrementally: grown-by-append " +
+    "sweep equals from-scratch prepareTable; the loaded view is version-pinned; " +
+    "the append is exactly-once with an appId") {
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true") {
+      val dir = java.nio.file.Files.createTempDirectory("graft-xsemg").toString + "/ref"
+      SemDeDup.crossSemanticPrepareTable(
+        corpus.filter($"id" <= 3L), centroids, dir, buckets = 4)
+      def pairsVia(p: SemDeDup.PreparedCells): Set[(Long, Long)] =
+        SemDeDup.crossSemanticDupsPrepared(freshArrivals, p, 0.95)
+          .select($"new_id", $"ref_id").as[(Long, Long)].collect().toSet
+      // against refs 1-3 only: 102 (~ref 5) is still clean
+      val prep0 = SemDeDup.crossSemanticPreparedFromTable(spark, dir)
+      val pairs0 = pairsVia(prep0)
+      assert(!pairs0.exists(_._1 == 102L), s"got $pairs0")
+      // grow by the remaining refs through the FROZEN recorded centroids
+      SemDeDup.crossSemanticPrepareAppend(
+        corpus.filter($"id" >= 4L), dir, appId = Some("xsa"), batchId = 1L)
+      // the already-loaded handle is pinned: mid-sweep growth changes nothing
+      assert(pairsVia(prep0) == pairs0,
+        "pinned cells view must be unchanged by a mid-sweep append")
+      // a crash-replayed append is a structural no-op
+      val vCells = graft.catalog.SnapshotTable.versions(spark, s"$dir/cells").max
+      SemDeDup.crossSemanticPrepareAppend(
+        corpus.filter($"id" >= 4L), dir, appId = Some("xsa"), batchId = 1L)
+      assert(graft.catalog.SnapshotTable.versions(spark, s"$dir/cells").max == vCells)
+      // reloaded, the grown reference sweeps exactly like the one-shot
+      // operator over the full corpus (and from-scratch prepareTable)
+      val prep1 = SemDeDup.crossSemanticPreparedFromTable(spark, dir)
+      val grown = SemDeDup.crossSemanticDupsPrepared(freshArrivals, prep1, 0.95)
+        .orderBy($"new_id", $"ref_id").collect().toSeq
+      val oneShot = SemDeDup.crossSemanticDups(freshArrivals, corpus, centroids, 0.95)
+        .orderBy($"new_id", $"ref_id").collect().toSeq
+      assert(grown == oneShot)
+      assert(pairsVia(prep1).contains((102L, 5L)))
+      // maintenance: the append-fragmented cells table compacts without
+      // changing sweep results or the bucket routing
+      val before = graft.catalog.SnapshotTable
+        .currentManifest(spark, s"$dir/cells").get.entries.length
+      SemDeDup.crossSemanticMaintain(spark, dir)
+      val after = graft.catalog.SnapshotTable
+        .currentManifest(spark, s"$dir/cells").get.entries.length
+      assert(after < before, s"cells must compact: $after vs $before")
+      val prep2 = SemDeDup.crossSemanticPreparedFromTable(spark, dir)
+      assert(SemDeDup.crossSemanticDupsPrepared(freshArrivals, prep2, 0.95)
+        .orderBy($"new_id", $"ref_id").collect().toSeq == oneShot)
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        val plan = executed(Seq(0, 1).toDF("cluster").join(prep2.cells, Seq("cluster")))
+        assert(collectAll(plan) { case s: ShuffleExchangeExec
+          if collectAll(s.child) { case b: BatchScanExec => b }.nonEmpty => s }.isEmpty,
+          "compacted cell reference re-shuffled on a sweep join")
+      }
+    }
+  }
 }

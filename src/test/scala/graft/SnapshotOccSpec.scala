@@ -65,6 +65,23 @@ class SnapshotOccSpec extends SparkSpec {
     assert(SnapshotTable.versions(spark, dir).length == 1 + threads * appendsPerThread)
   }
 
+  test("racing first-batch createOrAppend writers BOTH land — creation is CAS-serialized") {
+    // the exists-then-write probe this replaces was check-then-act: two
+    // writers racing an UNCREATED table could both observe "not exists"
+    // and the second's replace would drop the first's rows. createOrAppend
+    // decides creation inside the commit loop, so the loser's retry
+    // observes the winner's manifest and lands as a plain append.
+    val dir = tmpTable()
+    inRacingThreads(Seq(0, 100)) { base =>
+      SnapshotTable.createOrAppend(spark, df(base until base + 50), dir)
+    }
+    val got = SnapshotTable.read(spark, dir)
+    assert(got.count() == 100L, "a racing first-batch writer's rows were lost")
+    assert(got.select("id").distinct().count() == 100L)
+    assert(SnapshotTable.versions(spark, dir).length == 2,
+      "both writers must commit their own version")
+  }
+
   test("racing deliveries of the same exactly-once batch commit once; vacuum reclaims the loser") {
     val dir = tmpTable()
     SnapshotTable.write(spark, df(0 until 100), dir)

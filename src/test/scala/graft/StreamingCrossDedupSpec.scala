@@ -206,6 +206,132 @@ class StreamingCrossDedupSpec extends SparkSpec {
     }
   }
 
+  test("prepared views are VERSION-pinned: an append landing mid-sweep changes " +
+    "nothing until reload") {
+    withConf(SpjConfs: _*) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-scrossp").toString + "/ref"
+      Dedup.crossPrepareTable(reference.filter($"doc_id" === 1L), dir, buckets = 4)
+      val prep = Dedup.crossPreparedFromTable(spark, dir)
+      def pairsVia(p: Dedup.PreparedReference): Set[(Long, Long)] =
+        Dedup.crossNearDupsPrepared(fresh, p)
+          .select($"new_id", $"ref_id").as[(Long, Long)].collect().toSet
+      assert(pairsVia(prep) == Set((100L, 1L)))
+      // a concurrent (here: interleaved) append must NOT change what the
+      // already-loaded handle judges against — a current-version view
+      // would re-resolve per execution and could tear banded newer than
+      // sets mid-sweep, silently dropping true pairs
+      Dedup.crossPrepareAppend(reference.filter($"doc_id" === 2L), dir)
+      assert(pairsVia(prep) == Set((100L, 1L)),
+        "pinned sweep must be unchanged by a mid-sweep append")
+      // reloading observes the grown generation
+      assert(pairsVia(Dedup.crossPreparedFromTable(spark, dir))
+        == Set((100L, 1L), (102L, 2L)))
+    }
+  }
+
+  test("appId crossPrepareAppend: a crash between the two commits heals to exactly " +
+    "the single-shot state — zero duplicate sets rows; full replay is a no-op") {
+    withConf(SpjConfs: _*) {
+      val base = java.nio.file.Files.createTempDirectory("graft-scrossh").toString
+      Dedup.crossPrepareTable(reference.filter($"doc_id" === 1L), s"$base/ref", buckets = 4)
+      // simulate the crash state "sets committed with the marker, banded
+      // not": a scratch prepare over the SAME params yields bit-identical
+      // rows (signatures are deterministic in (k, bands, seed, shingleK)),
+      // so appending its sets rows under the marker reproduces exactly the
+      // state a crash between crossPrepareAppend's two commits leaves
+      Dedup.crossPrepareTable(reference.filter($"doc_id" === 2L), s"$base/scratch", buckets = 4)
+      SnapshotTable.appendExactlyOnce(spark,
+        SnapshotTable.read(spark, s"$base/scratch/sets"), s"$base/ref/sets", "xpa", 7L)
+      // the heal: the shared marker makes the sets append a no-op and
+      // lands only the missing banded half
+      Dedup.crossPrepareAppend(reference.filter($"doc_id" === 2L), s"$base/ref",
+        appId = Some("xpa"), batchId = 7L)
+      val sets = SnapshotTable.read(spark, s"$base/ref/sets")
+      assert(sets.count() == sets.select($"ref_id").distinct().count(),
+        "crash-heal must leave zero duplicate sets rows")
+      // both tables now equal the single-shot prepare over the full corpus
+      Dedup.crossPrepareTable(reference, s"$base/full", buckets = 4)
+      def setsOf(d: String) = SnapshotTable.read(spark, s"$d/sets")
+        .select($"ref_id", $"n").as[(Long, Int)].collect().toSet
+      def bandedOf(d: String) = SnapshotTable.read(spark, s"$d/banded")
+        .select($"band", $"band_hash", $"ref_id").as[(Int, Long, Long)].collect().toSet
+      assert(setsOf(s"$base/ref") == setsOf(s"$base/full"))
+      assert(bandedOf(s"$base/ref") == bandedOf(s"$base/full"))
+      // a full replay of the healed batch is a structural no-op
+      val (vS, vB) = (SnapshotTable.versions(spark, s"$base/ref/sets").max,
+        SnapshotTable.versions(spark, s"$base/ref/banded").max)
+      Dedup.crossPrepareAppend(reference.filter($"doc_id" === 2L), s"$base/ref",
+        appId = Some("xpa"), batchId = 7L)
+      assert(SnapshotTable.versions(spark, s"$base/ref/sets").max == vS)
+      assert(SnapshotTable.versions(spark, s"$base/ref/banded").max == vB)
+      // and the grown sweep equals the from-scratch operator
+      val prep = Dedup.crossPreparedFromTable(spark, s"$base/ref")
+      assert(Dedup.crossNearDupsPrepared(fresh, prep).orderBy($"new_id", $"ref_id")
+        .collect().toSeq
+        == Dedup.crossNearDups(fresh, reference).orderBy($"new_id", $"ref_id")
+        .collect().toSeq)
+    }
+  }
+
+  test("no-appId crash-heal leaves duplicate sets rows, but sweeps still emit " +
+    "each pair exactly once") {
+    withConf(SpjConfs: _*) {
+      val base = java.nio.file.Files.createTempDirectory("graft-scrossd").toString
+      Dedup.crossPrepareTable(reference.filter($"doc_id" === 1L), s"$base/ref", buckets = 4)
+      // crash state without a marker, then the documented heal (re-run):
+      // sets now carries doc 2 TWICE
+      Dedup.crossPrepareTable(reference.filter($"doc_id" === 2L), s"$base/scratch", buckets = 4)
+      SnapshotTable.append(spark,
+        SnapshotTable.read(spark, s"$base/scratch/sets"), s"$base/ref/sets")
+      Dedup.crossPrepareAppend(reference.filter($"doc_id" === 2L), s"$base/ref")
+      val sets = SnapshotTable.read(spark, s"$base/ref/sets")
+      assert(sets.filter($"ref_id" === 2L).count() == 2, "fixture: duplicate sets rows")
+      // the verified pairs dedupe, so pair consumers never see double-emits
+      val prep = Dedup.crossPreparedFromTable(spark, s"$base/ref")
+      val pairs = Dedup.crossNearDupsPrepared(fresh, prep)
+        .select($"new_id", $"ref_id").as[(Long, Long)].collect().toSeq
+      assert(pairs.size == pairs.distinct.size, s"duplicate pairs emitted: $pairs")
+      assert(pairs.toSet == Set((100L, 1L), (102L, 2L)))
+    }
+  }
+
+  test("crossMaintain compacts the append-fragmented reference; sweep results and " +
+    "the exchange-free geometry survive") {
+    withConf(SpjConfs: _*) {
+      val dir = java.nio.file.Files.createTempDirectory("graft-scrossm").toString + "/ref"
+      // small signature scheme so the partition count stays readable
+      Dedup.crossPrepareTable(reference, dir, k = 8, bands = 4, buckets = 2)
+      Dedup.crossPrepareAppend(fresh.filter($"doc_id" === 101L), dir)
+      Dedup.crossPrepareAppend(fresh.filter($"doc_id" === 103L), dir)
+      def files(t: String): Int =
+        SnapshotTable.currentManifest(spark, s"$dir/$t").get.entries.length
+      val (setsBefore, bandedBefore) = (files("sets"), files("banded"))
+      Dedup.crossMaintain(spark, dir)
+      assert(files("sets") < setsBefore,
+        s"sets must compact: ${files("sets")} vs $setsBefore")
+      assert(files("banded") < bandedBefore,
+        s"banded must compact: ${files("banded")} vs $bandedBefore")
+      // the compacted reference still sweeps identically to from-scratch
+      val grown = reference.unionByName(
+        fresh.filter($"doc_id".isin(101L, 103L)))
+      val prep = Dedup.crossPreparedFromTable(spark, dir)
+      assert(Dedup.crossNearDupsPrepared(fresh, prep).orderBy($"new_id", $"ref_id")
+        .collect().toSeq
+        == Dedup.crossNearDups(fresh, grown, k = 8, bands = 4)
+        .orderBy($"new_id", $"ref_id").collect().toSeq)
+      // and the rewrite preserved the bucket routing: reference-side scans
+      // still join exchange-free
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val bandProbe = Seq((0, 1L), (1, 2L)).toDF("band", "band_hash")
+        assert(snapSideShuffles(bandProbe.join(prep.banded, Seq("band", "band_hash"))).isEmpty,
+          "compacted banded reference re-shuffled on a sweep join")
+        val idProbe = Seq(1L, 2L).toDF("ref_id")
+        assert(snapSideShuffles(idProbe.join(prep.sets, Seq("ref_id"))).isEmpty,
+          "compacted shingle sets re-shuffled on a verification join")
+      }
+    }
+  }
+
   test("crossSink over a table-backed reference stays exactly-once under replay") {
     withConf(SpjConfs: _*) {
       val base = java.nio.file.Files.createTempDirectory("graft-scrosseo").toString
