@@ -36,6 +36,7 @@ object ProfileFold {
       p
     }
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobNanos = new java.util.concurrent.atomic.LongAdder
     var traceJobs = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -43,19 +44,31 @@ object ProfileFold {
           Option(js.properties.getProperty("spark.job.description")).getOrElse("?")))
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val s = jobStarts.remove(je.jobId)
-        if (traceJobs && s != null)
-          System.err.println(
+        if (s != null) {
+          jobNanos.add(System.nanoTime() - s._1)
+          if (traceJobs) System.err.println(
             f"[prof]     job ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%.3f s  ${s._2.take(90)}")
+        }
       }
     })
+    // per-fold cost attribution: wall = sum(job time) + driver-side gap;
+    // the manifest layer's share (listing + parse + publish) comes from the
+    // ManifestMetrics counters — the "is the fold floor manifest IO?"
+    // question the r19 verdict asked, answered by measurement
+    val mm = graft.catalog.SnapshotTable.ManifestMetrics
     (1 to 2).foreach { round =>
       val tbl = java.nio.file.Files.createTempDirectory(s"graft-prof$round").toString
       traceJobs = round == 2 && args.contains("--trace-jobs")
       (0 until 3).foreach { c =>
+        jobNanos.reset(); mm.reset()
         t(s"r$round fold$c") {
           IncrementalClusters.foldPairs(spark, tbl,
             pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === c))
         }
+        System.err.println(f"[prof]   jobs ${jobNanos.sum() / 1e9}%.3f s | manifest " +
+          f"listings=${mm.listings.sum()} ${mm.listingNanos.sum() / 1e9}%.3f s, " +
+          f"parses=${mm.parses.sum()} ${mm.parseNanos.sum() / 1e9}%.3f s, " +
+          f"publishes=${mm.publishes.sum()} ${mm.publishNanos.sum() / 1e9}%.3f s")
       }
     }
     spark.stop()
