@@ -158,18 +158,6 @@ object SemDeDup {
     new PreparedCells(cells, centroids)
   }
 
-  /** Persist the prepared cells DURABLY — [[Dedup.crossPrepareTable]]'s
-    * semantic-tier sibling: the reference's cell assignment lands as a
-    * snapshot table at `dir/cells` partitioned `bucket(buckets, cluster)`
-    * (the sweep's exact join key, so with v2 bucketing the scan reports
-    * KeyGroupedPartitioning and sweeps read the corpus-scale side IN
-    * PLACE), and the centroids as a tiny model table at `dir/centroids`
-    * (the frozen-DSIR precedent — the model rides with the state, so a
-    * loader can never assign through different centroids than the
-    * reference did; doubles round-trip parquet bit-exactly). Survives
-    * sessions and executor loss; reload with
-    * [[crossSemanticPreparedFromTable]].
-    */
   /** The reference's cell-assignment rows — (cluster, ref_id, vec_b) —
     * shared by the from-scratch prepare and the incremental append so the
     * two paths can never diverge in shape or assignment semantics.
@@ -187,6 +175,18 @@ object SemDeDup {
       .select(col("cid"), col("cvec")).collect()
       .sortBy(_.getInt(0)).map(_.getSeq[Double](1).toIndexedSeq: Seq[Double]).toIndexedSeq
 
+  /** Persist the prepared cells DURABLY — [[Dedup.crossPrepareTable]]'s
+    * semantic-tier sibling: the reference's cell assignment lands as a
+    * snapshot table at `dir/cells` partitioned `bucket(buckets, cluster)`
+    * (the sweep's exact join key, so with v2 bucketing the scan reports
+    * KeyGroupedPartitioning and sweeps read the corpus-scale side IN
+    * PLACE), and the centroids as a tiny model table at `dir/centroids`
+    * (the frozen-DSIR precedent — the model rides with the state, so a
+    * loader can never assign through different centroids than the
+    * reference did; doubles round-trip parquet bit-exactly). Survives
+    * sessions and executor loss; reload with
+    * [[crossSemanticPreparedFromTable]].
+    */
   def crossSemanticPrepareTable(
       reference: DataFrame,
       centroids: Seq[Seq[Double]],

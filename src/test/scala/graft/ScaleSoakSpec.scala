@@ -1194,6 +1194,51 @@ class ScaleSoakSpec extends SparkSpec {
     assert(m4.sec <= 2.5 * math.max(m1.sec, 0.5),
       f"sweep time follows the REFERENCE, not the batch: ${m1.sec}%.2fs -> ${m4.sec}%.2fs")
   }
+
+  test("soak: prepared-reference maintenance bounds file counts independent of append history") {
+    assume(enabled, "set SPARK_GRAFT_SOAK=1 to run the scale soak")
+    // crossMaintain's 100 TB claim measured: N crossPrepareAppend
+    // generations fragment dir/sets + dir/banded into O(N) files (the
+    // exchange-free SPJ scan then opens one small file per append per
+    // bucket); a BINPACK compact collapses them back to O(partitions),
+    // INDEPENDENT of how many appends preceded it — at 4x the append
+    // count, the post-maintain file count must stay flat, not 4x.
+    def words(seed: Long): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(25)("w" + r.nextInt(5000)).mkString(" ")
+    }
+    def docs(n: Int, base: Long): DataFrame =
+      (0 until n).map(i => (base + i, words(base + i))).toDF("doc_id", "text")
+    def filesOf(dir: String): Long =
+      (graft.catalog.SnapshotTable.currentManifest(spark, s"$dir/sets").get.entries.length +
+        graft.catalog.SnapshotTable.currentManifest(spark, s"$dir/banded").get.entries.length)
+        .toLong
+    def metricsFor(tag: String, appends: Int): (Long, Long, RunMetrics) = {
+      val dir = s"$soakRoot/xmaint-$tag/ref"
+      Dedup.crossPrepareTable(docs(2000, 0L), dir, buckets = 8)
+      (0 until appends).foreach(a =>
+        Dedup.crossPrepareAppend(docs(500, 1000000L + a * 500L), dir))
+      val before = filesOf(dir)
+      val m = measure(() => Dedup.crossMaintain(spark, dir))
+      (before, filesOf(dir), m)
+    }
+    val (b1, a1, m1) = metricsFor("x1", 4)
+    val (b4, a4, m4) = metricsFor("x4", 16)
+    SoakReport.record("cross_maintain",
+      Map("sec" -> m1.sec, "files_before" -> b1, "files_after" -> a1,
+        "disk_spill_bytes" -> m1.diskSpill),
+      Map("sec" -> m4.sec, "files_before" -> b4, "files_after" -> a4,
+        "disk_spill_bytes" -> m4.diskSpill),
+      Map("appends_x1" -> 4L, "appends_x4" -> 16L, "buckets" -> 8L))
+    info(s"cross_maintain 1x (4 appends): files $b1 -> $a1, ${m1.pretty}")
+    info(s"cross_maintain 4x (16 appends): files $b4 -> $a4, ${m4.pretty}")
+    assert(b4 > b1, s"fixture: 4x appends must fragment more ($b1 vs $b4)")
+    assert(a4 < b4, s"maintain must compact: $b4 -> $a4")
+    // the post-maintain count is partition-bounded, not history-bound
+    assert(a4 <= (1.5 * a1).toLong + 2,
+      s"post-maintain file count follows HISTORY, not partitions: $a1 vs $a4")
+    assert(m4.diskSpill == 0L, s"maintain spilled ${m4.diskSpill} bytes at 4x")
+  }
 }
 
 /** Accumulates each soak's measured metrics and persists them as
