@@ -61,6 +61,42 @@ object CrossSweep {
     graft.util.Caching.materialize(kept, arrivals, survivors)
   }
 
+  /** The post-sweep BOOKKEEPING step, packaged: append the docs that just
+    * joined the curated corpus (a sweep's survivors — [[crossAllSink]]'s
+    * landed batch) to BOTH tiers' durable references in one call, so the
+    * NEXT dump is deduped against them too. One persisted batch feeds the
+    * verbatim tier's shingling ([[Dedup.crossPrepareAppend]]) and the
+    * semantic tier's frozen-centroid assignment
+    * ([[SemDeDup.crossSemanticPrepareAppend]]) — unpersisted, each append
+    * would re-evaluate the caller's source. With `appId` the WHOLE step is
+    * exactly-once across all three underlying tables under crash replay:
+    * each table carries the (appId → batchId) marker independently, so a
+    * re-run after a crash anywhere in the sequence re-commits exactly the
+    * missing tables and no rows duplicate. Caller contract: ids not
+    * already in the references (the sweep's output guarantees it); `landed`
+    * carries `idCol`, `textCol`, and `vecCol`.
+    */
+  def appendReferences(
+      landed: DataFrame,
+      verbatimDir: String,
+      semanticDir: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      vecCol: String = "vec",
+      appId: Option[String] = None,
+      batchId: Long = 0L): Unit = {
+    // derived-frame persist, never the caller's own Dataset (the
+    // removeCrossAll discipline: a library call must not clobber external
+    // cache state by unpersisting a plan the caller also pinned)
+    val batch = landed.select(landed.columns.map(col).toIndexedSeq: _*).persist()
+    try {
+      Dedup.crossPrepareAppend(batch, verbatimDir, textCol, idCol, appId, batchId)
+      SemDeDup.crossSemanticPrepareAppend(
+        batch.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        semanticDir, appId, batchId)
+    } finally batch.unpersist(blocking = false)
+  }
+
   /** Ingest form (`foreachBatch` sink): every micro-batch runs the
     * two-tier sweep and only docs duplicating NOTHING in the curated
     * corpus append to the snapshot table at `outDir` — the composed

@@ -124,12 +124,18 @@ class CrossSweepSpec extends SparkSpec {
       val landed = SnapshotTable.read(spark, s"$base/t")
       assert(landed.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(103L, 104L))
       // the bookkeeping step: exactly the landed docs append to BOTH
-      // tiers' references — the production loop's post-sweep commit
-      Dedup.crossPrepareAppend(landed, s"$base/v",
+      // tiers' references in ONE call — the production loop's post-sweep
+      // commit
+      CrossSweep.appendReferences(landed, s"$base/v", s"$base/s",
         appId = Some("life-ref"), batchId = 0L)
-      SemDeDup.crossSemanticPrepareAppend(
-        landed.select($"doc_id".as("id"), $"vec"), s"$base/s",
-        appId = Some("life-cells"), batchId = 0L)
+      // a crash-replayed bookkeeping step is a structural no-op on all
+      // three underlying tables
+      val refDirs = Seq(s"$base/v/sets", s"$base/v/banded", s"$base/s/cells")
+      val vs = refDirs.map(d => SnapshotTable.versions(spark, d).max)
+      CrossSweep.appendReferences(landed, s"$base/v", s"$base/s",
+        appId = Some("life-ref"), batchId = 0L)
+      assert(refDirs.map(d => SnapshotTable.versions(spark, d).max) == vs,
+        "replayed bookkeeping must publish no versions")
       // dump 1: a verbatim near-copy of SURVIVOR 103, a semantic near-dup
       // of SURVIVOR 104 (cell 1, cos(1 deg)), and a genuinely new doc
       // (22 deg sits >= 18.2 deg from every cell-0 reference vector)
