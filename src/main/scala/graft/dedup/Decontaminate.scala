@@ -136,9 +136,9 @@ object Decontaminate {
             graft.catalog.SnapshotTable.appendExactlyOnce(spark, clean, outDir, app, batchId)
             ()
           case None =>
-            if (graft.catalog.SnapshotTable.exists(spark, outDir))
-              graft.catalog.SnapshotTable.append(spark, clean, outDir)
-            else graft.catalog.SnapshotTable.write(spark, clean, outDir)
+            // atomic: creation is decided inside the OCC commit loop, so
+            // two sinks racing the same outDir's first batch both land
+            graft.catalog.SnapshotTable.createOrAppend(spark, clean, outDir)
             ()
         }
       } finally clean.unpersist(blocking = false)
