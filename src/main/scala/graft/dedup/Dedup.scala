@@ -332,11 +332,13 @@ object Dedup {
     // force both views NOW so the intermediate shingle frame (the same
     // arrays `sets` holds) releases immediately — a long-lived prepared
     // reference pins two caches, not three; the first sweep would have
-    // paid these jobs anyway. If forcing throws, unpersist BOTH pinned
-    // frames before rethrowing: PreparedReference is never constructed on
-    // that path, so its release() would be unreachable and the caches
-    // would leak into the caller's session.
-    try { banded.count(); sets.count(); () }
+    // paid these jobs anyway. ONE forcing job, not two (r21): a union of
+    // 1-literal projections over both cached frames materializes both
+    // caches in a single scheduled job. If forcing throws, unpersist BOTH
+    // pinned frames before rethrowing: PreparedReference is never
+    // constructed on that path, so its release() would be unreachable and
+    // the caches would leak into the caller's session.
+    try { banded.select(lit(1).as("one")).unionAll(sets.select(lit(1).as("one"))).count(); () }
     catch {
       case t: Throwable =>
         banded.unpersist(blocking = false)

@@ -334,14 +334,18 @@ object Graph {
         .join(labels.select(col("id").as("dst"), col("lab")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("lab")).as("nlab"))
-      // carry the previous label INTO the checkpointed frame so convergence
-      // is a filter over the materialized rows — not a second join+count job
-      // against the previous round
+      // the changed-count rides the checkpoint job as an observed metric
+      // (CollectMetricsExec — no extra job, no extra shuffle): r21 replaced
+      // the per-round `filter(lab =!= old).count()` follow-up job, halving
+      // the label phase's job count (the star phase already counts this
+      // way — connectedComponentsStarRounds.checkpointCounted)
+      val obs = org.apache.spark.sql.Observation()
       val (next, nextIds) = checkpointTracked(
         labels.join(nbrMin, Seq("id"), "left")
           .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"),
-            col("lab").as("__old")))
-      changed = next.filter(col("lab") =!= col("__old")).count()
+            col("lab").as("__old"))
+          .observe(obs, count(when(col("lab") =!= col("__old"), 1)).as("chg")))
+      changed = obs.get("chg").asInstanceOf[Long]
       // `next` is materialized and `changed` computed — the previous round's
       // checkpoint blocks have no remaining reader
       releaseTracked(labels, labelIds)
@@ -367,38 +371,45 @@ object Graph {
     * engine-comparable. A FIXED iteration count — not a convergence test —
     * is what keeps it SQL-expressible as unrolled CTEs.
     *
-    * Scale shape: each round is one (edges ⋈ ranks ⋈ out-degrees) join and
-    * one map-side-combined aggregate — ranks/degrees frames carry (node,
-    * double), never adjacency blobs; the rank frame is localCheckpointed
-    * per round (lineage stays O(1), superseded blocks released — the
-    * [[connectedComponents]] discipline). Returns (v, rank) rounded to 6dp.
+    * Scale shape: out-degrees fold into the cached edge frame ONCE at
+    * build time, so each round is one (edges-with-deg ⋈ broadcast ranks)
+    * join and one map-side-combined aggregate — the ranks frame carries
+    * (node, double), never adjacency blobs; the rank frame is
+    * localCheckpointed per round (lineage stays O(1), superseded blocks
+    * released — the [[connectedComponents]] discipline). Returns (v, rank)
+    * rounded to 6dp.
     */
   def pageRank(edges: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be positive, got $iters")
     require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
-    // e is hash-partitioned on src BEFORE caching: the cached plan's
-    // outputPartitioning survives into every round's e ⋈ rank ⋈ deg join,
-    // so the |E|-sized side never re-exchanges — only the (node, double)
-    // rank frame moves per round. deg is computed ONCE and cached
-    // co-partitioned (groupBy(src) output partitioning), not re-aggregated
-    // from e every iteration.
-    val e = edges
+    // e carries each edge's OUT-DEGREE from the start (one aggregate + one
+    // join at build time) and is hash-partitioned on src before caching:
+    // every round is then ONE broadcast join (the (node, double) rank
+    // frame) against the cached |E|-sized frame instead of two — the r21
+    // profile showed each per-round broadcast build costing a full
+    // scheduled job, so folding deg in cuts a job per iteration and the
+    // deg cache entirely. The rank frame and the per-round contribution
+    // aggregate are both node-sized; the explicit broadcast hints pin what
+    // the estimator already wants on small graphs and what a 100 TB edge
+    // list REQUIRES (the node frame is the small side by construction —
+    // never the edge list).
+    val e0 = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct().repartition(col("src")).persist()
+      .distinct()
+    val deg = e0.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val e = e0.join(deg, "src").repartition(col("src")).persist()
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst"))).distinct().persist()
     val n = nodes.count()
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist()
     import graft.util.Caching.{checkpointTracked, releaseTracked}
     var (rank, rankIds) = checkpointTracked(
       nodes.select(col("v"), lit(1.0 / n).as("r")))
     for (_ <- 0 until iters) {
       val contrib = e
-        .join(rank.select(col("v").as("src"), col("r")), "src")
-        .join(deg, "src")
+        .join(broadcast(rank.select(col("v").as("src"), col("r"))), "src")
         .select(col("dst").as("v"), (col("r") / col("deg")).as("c"))
         .groupBy(col("v")).agg(sum(col("c")).as("in"))
       val (next, nextIds) = checkpointTracked(
-        nodes.join(contrib, Seq("v"), "left")
+        nodes.join(broadcast(contrib), Seq("v"), "left")
           .select(col("v"),
             (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("in"), lit(0.0))).as("r")))
       releaseTracked(rank, rankIds)
@@ -406,7 +417,7 @@ object Graph {
       rankIds = nextIds
     }
     val out = graft.util.Caching.materialize(
-      rank.select(col("v"), round(col("r"), 6).as("rank")), e, nodes, deg)
+      rank.select(col("v"), round(col("r"), 6).as("rank")), e, nodes)
     // `out` is materialized: the final round's checkpoint blocks have no
     // remaining reader either
     releaseTracked(out, rankIds)

@@ -43,14 +43,24 @@ object Quantiles {
       outNames: Seq[String]): DataFrame = {
     checkArgs(probs, outNames)
     val keys = by.map(col)
-    val sortW = Window.partitionBy(keys: _*).orderBy(col("__v"))
+    // ONE pass (r21): NULL values stay in the frame, sorted LAST, and `__n`
+    // counts only the non-NULLs (`count(col)` ignores them) — so ranks
+    // 1..__n are exactly the old filtered ranks, NULL rows sit above __n
+    // where no bracket selects them, and an all-NULL (or NULL-keyed) group
+    // reaches the final aggregate natively with NULL quantiles. The
+    // previous shape filtered NULLs first and then restored the lost
+    // groups with a second full scan of `df` (distinct keys) plus a
+    // null-safe left join — one entire extra pass over the fact table per
+    // call, measured as ~2 of q100's ~15 jobs and the dominant term of its
+    // lineitem re-scans. percentile()-bit-identity is pinned by
+    // QuantilesSpec on NULL-heavy and NULL-keyed fixtures either way.
+    val sortW = Window.partitionBy(keys: _*).orderBy(col("__v").asc_nulls_last)
     val cntW = Window.partitionBy(keys: _*)
     val ranked = df
       .select((keys :+ col(valueCol).cast("double").as("__v")): _*)
-      .filter(col("__v").isNotNull)
       .withColumn("__rn", row_number().over(sortW))
-      .withColumn("__n", count(lit(1)).over(cntW))
-    restoreAllNullGroups(df, by, finishFromRanks(ranked, keys, probs, outNames))
+      .withColumn("__n", count(col("__v")).over(cntW))
+    finishFromRanks(ranked, keys, probs, outNames)
   }
 
   /** The low-cardinality-group scale path: same result as
@@ -154,10 +164,15 @@ object Quantiles {
       outNames: Seq[String]): DataFrame = {
     def h(p: Double) = (col("__n") - 1) * p
     // keep only rows that bracket some requested quantile — the aggregate
-    // below never sees the rest
+    // below never sees the rest. The `__n === 0` arm admits exactly ONE
+    // representative row of an all-NULL group (single-pass exactQuantiles
+    // keeps NULL rows, ranked past __n): its when()-guarded aggregates are
+    // all NULL, reproducing percentile()'s NULL row for that group. Frames
+    // that pre-filter NULLs (the spread variant) have no __n = 0 rows, so
+    // the arm is inert there.
     val bracketing = probs
       .map(p => col("__rn") - 1 === floor(h(p)) || col("__rn") - 1 === ceil(h(p)))
-      .reduce(_ || _)
+      .reduce(_ || _) || (col("__n") === 0 && col("__rn") === 1)
     val aggs = probs.zip(outNames).flatMap { case (p, nm) =>
       Seq(
         min(when(col("__rn") - 1 === floor(h(p)), col("__v"))).as(s"__lo_$nm"),

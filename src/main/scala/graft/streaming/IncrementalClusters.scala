@@ -116,9 +116,12 @@ object IncrementalClusters {
         SnapshotTable.versions(spark, clustersDir).max
       case _ => v
     }
-    if (existing && newEdges.isEmpty) {
-      SnapshotTable.versions(spark, clustersDir).max
-    } else if (!existing) {
+    // NO empty-batch pre-probe (r21): the probe was one full scheduled job
+    // per fold in the COMMON (non-empty) path; an empty batch flows through
+    // the batch-bounded delta computation to the merge layer, which
+    // detects the empty delta itself and no-ops without publishing a
+    // version — the same version-wise contract, one job cheaper per fold.
+    if (!existing) {
       SnapshotTable.write(spark,
         Graph.connectedComponentsAuto(newEdges)
           .select(col("id").as("doc_id"), col("rep").as("rep_id")),
@@ -253,9 +256,12 @@ object IncrementalClusters {
         "use Dedup.qualityAwareReps once, then fold; a txn-carrying fold heals its " +
         "own crash windows automatically)")
 
-    if (existing && newEdges.isEmpty) {
-      SnapshotTable.versions(spark, clustersDir).max
-    } else if (!existing) {
+    // NO empty-batch pre-probe (r21): the probe was one full scheduled job
+    // per fold in the COMMON (non-empty) path; an empty batch flows through
+    // the batch-bounded delta computation to the merge layer, which
+    // detects the empty delta itself and no-ops without publishing a
+    // version — the same version-wise contract, one job cheaper per fold.
+    if (!existing) {
       val assignment = Graph.connectedComponentsAuto(newEdges)
         .select(col("id").as("doc_id"), col("rep").as("rep_id")).persist()
       try {
