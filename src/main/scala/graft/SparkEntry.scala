@@ -563,7 +563,8 @@ object SparkEntry {
     "q152_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0).select(col("text"))
-      graft.dedup.Decontaminate.ngramOverlap(docs, bench, n = 8, minHits = 1)
+      graft.dedup.Decontaminate.ngramOverlap(docs, bench, n = 8, minHits = 1,
+        expectedBenchGrams = 65536L)
         .orderBy(col("doc_id"))
     }),
 
@@ -647,10 +648,13 @@ object SparkEntry {
           when(pmod(col("doc_id"), lit(4)) === 0,
             concat(lit(" see https://example.org/doc/"), col("doc_id"), lit(" today"))).otherwise(lit("")))
           .as("text"))
-      planted.select(col("doc_id"),
-        TextFunctions.emailCount(col("text")).as("n_emails"),
-        TextFunctions.urlCount(col("text")).as("n_urls"),
-        md5(TextFunctions.redactPii(col("text"))).as("redacted_md5"))
+      // regex scans materialized once before the range-sampled sort (q71's
+      // rationale: an un-materialized range-exchange child runs twice)
+      graft.util.Caching.materialize(
+        planted.select(col("doc_id"),
+          TextFunctions.emailCount(col("text")).as("n_emails"),
+          TextFunctions.urlCount(col("text")).as("n_urls"),
+          md5(TextFunctions.redactPii(col("text"))).as("redacted_md5")))
         .orderBy(col("doc_id"))
     }),
 
@@ -1234,9 +1238,16 @@ object SparkEntry {
         (lit(8) + pmod(col("doc_id"), lit(16))).as("height"),
         pmod(col("doc_id"), lit(256)).as("gray"))
       val media = graft.multimodal.Multimodal.synthesizeImages(spec)
-      graft.multimodal.Multimodal.decodeImages(media).toDF()
-        .select(col("id").as("doc_id"), col("width"), col("height"),
-          col("n_pixels"), round(col("mean_luma"), 4).as("mean_luma"), col("format_ok"))
+      // materialize the decoded rows BEFORE the global sort (r21): a range
+      // exchange samples its child to pick partition bounds, so an
+      // un-materialized child runs TWICE — and here the child is the whole
+      // encode+decode codec chain (measured as two back-to-back jobs of
+      // equal cost). The checkpoint runs the codecs once; the sample and
+      // the sort read the slim materialized rows.
+      graft.util.Caching.materialize(
+        graft.multimodal.Multimodal.decodeImages(media).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"),
+            col("n_pixels"), round(col("mean_luma"), 4).as("mean_luma"), col("format_ok")))
         .orderBy(col("doc_id"))
     }),
 
@@ -1251,10 +1262,13 @@ object SparkEntry {
         (lit(1) + pmod(col("doc_id"), lit(2))).as("channels"),
         (lit(100) + pmod(col("doc_id"), lit(400))).as("n_frames"))
       val media = graft.multimodal.Multimodal.synthesizeAudio(spec)
-      graft.multimodal.Multimodal.decodeAudio(media).toDF()
-        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
-          col("n_frames"), round(col("duration_sec"), 6).as("duration_sec"),
-          col("format_ok"))
+      // codec chain materialized once before the range-sampled sort (q71's
+      // rationale)
+      graft.util.Caching.materialize(
+        graft.multimodal.Multimodal.decodeAudio(media).toDF()
+          .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), round(col("duration_sec"), 6).as("duration_sec"),
+            col("format_ok")))
         .orderBy(col("doc_id"))
     }),
 
@@ -1271,10 +1285,13 @@ object SparkEntry {
         (lit(2) + pmod(col("doc_id"), lit(4))).as("n_frames"),
         pmod(col("doc_id"), lit(200)).as("gray0"))
       val media = graft.multimodal.Multimodal.synthesizeVideos(spec)
-      graft.multimodal.Multimodal.decodeVideos(media).toDF()
-        .select(col("id").as("doc_id"), col("width"), col("height"), col("n_frames"),
-          round(col("first_luma"), 4).as("first_luma"),
-          round(col("last_luma"), 4).as("last_luma"), col("format_ok"))
+      // codec chain materialized once before the range-sampled sort (q71's
+      // rationale)
+      graft.util.Caching.materialize(
+        graft.multimodal.Multimodal.decodeVideos(media).toDF()
+          .select(col("id").as("doc_id"), col("width"), col("height"), col("n_frames"),
+            round(col("first_luma"), 4).as("first_luma"),
+            round(col("last_luma"), 4).as("last_luma"), col("format_ok")))
         .orderBy(col("doc_id"))
     }),
 

@@ -154,6 +154,20 @@ object Multimodal {
     spec
       .select(col("id").cast("long"), col("width").cast("int"),
         col("height").cast("int"), col("gray").cast("int"))
+      // spread the SLIM spec rows (4 ints) before the codec map: encode
+      // CPU per row dwarfs the exchange, and without it parallelism is
+      // whatever the spec's file layout happened to be (a single small
+      // parquet file = ONE task doing all the codec work — measured as
+      // q71/q82/q93's whole cost). Hash on the unique id spreads evenly.
+      // The partition count is EXPLICIT (defaultParallelism = total cores,
+      // locally and on a cluster): a keyless-width repartition of a sub-MB
+      // spec gets coalesced back to ONE partition by AQE (the spec bytes
+      // sit below coalescePartitions.minPartitionSize), silently
+      // serializing the codec work again — AQE sizes partitions by INPUT
+      // bytes and cannot see the per-row codec cost behind the map
+      // (guide §2.3/§8: shuffle small rows, produce heavy bytes where
+      // they are consumed).
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
       .as[(Long, Int, Int, Int)]
       .mapPartitions { rows =>
         System.setProperty("java.awt.headless", "true")
@@ -219,6 +233,13 @@ object Multimodal {
     spec
       .select(col("id").cast("long"), col("sample_rate").cast("int"),
         col("channels").cast("int"), col("n_frames").cast("int"))
+      // NO explicit spread here, unlike the image/video synthesizers:
+      // javax.sound's AudioSystem write/read goes through a global
+      // service-provider lookup that CONTENDS under many concurrent
+      // tasks — the 32-way spread MEASURED ~1.5× slower than the
+      // file-layout partitioning on the sf0.1 bench corpus (1.88 s →
+      // worse, vs images/videos improving 2–3×). Parallelism here stays
+      // whatever the spec's layout provides.
       .as[(Long, Int, Int, Int)]
       .mapPartitions { rows =>
         rows.map { case (id, rate, ch, frames) =>
@@ -304,6 +325,10 @@ object Multimodal {
     spec
       .select(col("id").cast("long"), col("width").cast("int"), col("height").cast("int"),
         col("n_frames").cast("int"), col("gray0").cast("int"))
+      // slim-spec spread at explicit width before the codec map — see
+      // synthesizeImages (AQE would coalesce a keyless-width sub-MB
+      // shuffle back to one partition)
+      .repartition(spark.sparkContext.defaultParallelism, col("id"))
       .as[(Long, Int, Int, Int, Int)]
       .mapPartitions { rows =>
         System.setProperty("java.awt.headless", "true")
