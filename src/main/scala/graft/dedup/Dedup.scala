@@ -485,6 +485,13 @@ object Dedup {
     * after many [[crossPrepareAppend]] generations each bucket reads few
     * large files again instead of one small file per append. Safe against
     * concurrent appends (they rebase over the compaction commit).
+    *
+    * VACUUM CAUTION: [[crossPreparedFromTable]] hands out VERSION-PINNED
+    * views; a compaction here followed by a vacuum can delete files that
+    * pinned version still references, failing mid-sweep reads. Keep vacuum
+    * retention at or above the longest open sweep's duration (the
+    * standard snapshot-retention contract), or reload prepared handles
+    * after maintenance.
     */
   def crossMaintain(
       spark: org.apache.spark.sql.SparkSession,
@@ -533,8 +540,15 @@ object Dedup {
     val m = graft.catalog.SnapshotTable.read(spark, s"$dir/meta")
       .select(col("k"), col("bands"), col("seed"), col("shingle_k"))
       .collect().head
-    val bandedV = graft.catalog.SnapshotTable.versions(spark, s"$dir/banded").max
-    val setsV = graft.catalog.SnapshotTable.versions(spark, s"$dir/sets").max
+    val bandedVersions = graft.catalog.SnapshotTable.versions(spark, s"$dir/banded")
+    require(bandedVersions.nonEmpty,
+      s"no prepared verbatim reference at $dir — build it with crossPrepareTable")
+    val bandedV = bandedVersions.max
+    val setsVersions = graft.catalog.SnapshotTable.versions(spark, s"$dir/sets")
+    require(setsVersions.nonEmpty,
+      s"prepared verbatim reference at $dir has banded but no sets table — " +
+        "rebuild it with crossPrepareTable")
+    val setsV = setsVersions.max
     new PreparedReference(
       spark.sql(s"SELECT * FROM snap.`$dir/banded` VERSION AS OF $bandedV"),
       spark.sql(s"SELECT * FROM snap.`$dir/sets` VERSION AS OF $setsV"),

@@ -243,6 +243,12 @@ object SemDeDup {
     * exchange-free KeyGroupedPartitioning sweep geometry is preserved —
     * after many [[crossSemanticPrepareAppend]] generations the scan reads
     * few large files per bucket again instead of one file per append.
+    *
+    * VACUUM CAUTION: [[crossSemanticPreparedFromTable]] hands out a
+    * VERSION-PINNED view; compaction + vacuum can delete files that pinned
+    * version still references. Keep vacuum retention at or above the
+    * longest open sweep's duration, or reload prepared handles after
+    * maintenance ([[Dedup.crossMaintain]]'s contract).
     */
   def crossSemanticMaintain(
       spark: org.apache.spark.sql.SparkSession,
@@ -271,7 +277,10 @@ object SemDeDup {
       spark: org.apache.spark.sql.SparkSession, dir: String): PreparedCells = {
     spark.conf.set("spark.sql.catalog.snap",
       classOf[graft.catalog.SnapshotCatalog].getName)
-    val cellsV = graft.catalog.SnapshotTable.versions(spark, s"$dir/cells").max
+    val cellVersions = graft.catalog.SnapshotTable.versions(spark, s"$dir/cells")
+    require(cellVersions.nonEmpty,
+      s"no prepared semantic reference at $dir — build it with crossSemanticPrepareTable")
+    val cellsV = cellVersions.max
     new PreparedCells(
       spark.sql(s"SELECT * FROM snap.`$dir/cells` VERSION AS OF $cellsV"),
       centroidsFromTable(spark, dir))

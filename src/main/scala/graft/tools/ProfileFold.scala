@@ -37,11 +37,14 @@ object ProfileFold {
     }
     val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val jobNanos = new java.util.concurrent.atomic.LongAdder
+    val listenerEvents = new java.util.concurrent.atomic.LongAdder
     var traceJobs = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobStarts.put(js.jobId, (System.nanoTime(),
           Option(js.properties.getProperty("spark.job.description")).getOrElse("?")))
+        listenerEvents.increment()
+      }
       override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         val s = jobStarts.remove(je.jobId)
         if (s != null) {
@@ -49,8 +52,21 @@ object ProfileFold {
           if (traceJobs) System.err.println(
             f"[prof]     job ${je.jobId}%4d ${(System.nanoTime() - s._1) / 1e9}%.3f s  ${s._2.take(90)}")
         }
+        listenerEvents.increment()
       }
     })
+    // the listener bus is async (and its internal handle is private to
+    // Spark): poll the event count to stability before each fold's print /
+    // reset so a late job-end event can't bleed into the next fold's
+    // attribution — the Bench/Adjudicate settle pattern
+    def settleListener(): Unit = {
+      var last = -1L; var stable = 0
+      while (stable < 3) {
+        Thread.sleep(60)
+        val n = listenerEvents.sum()
+        if (n == last) stable += 1 else { stable = 0; last = n }
+      }
+    }
     // per-fold cost attribution: wall = sum(job time) + driver-side gap;
     // the manifest layer's share (listing + parse + publish) comes from the
     // ManifestMetrics counters — the "is the fold floor manifest IO?"
@@ -65,6 +81,7 @@ object ProfileFold {
           IncrementalClusters.foldPairs(spark, tbl,
             pairs.filter(pmod(col("id_a") + col("id_b"), lit(3)) === c))
         }
+        settleListener()
         System.err.println(f"[prof]   jobs ${jobNanos.sum() / 1e9}%.3f s | manifest " +
           f"listings=${mm.listings.sum()} ${mm.listingNanos.sum() / 1e9}%.3f s, " +
           f"parses=${mm.parses.sum()} ${mm.parseNanos.sum() / 1e9}%.3f s, " +
