@@ -51,34 +51,91 @@ object IncrementalClusters {
 
   /** Contract the batch against `prev` (the persisted current assignment)
     * and run components on the batch-sized contracted graph.
+    *
+    * ONE-COLLECT driver path (r21): the contract join's output is
+    * batch-bounded by construction, so within the same cap the AUTO
+    * components entry already used, the WHOLE delta — contraction,
+    * union-find, the remap AND the new-doc assignment — computes from a
+    * single collected frame. The previous shape ran components driver-side
+    * but still derived `newDocs` distributively (endpoint distinct →
+    * anti-join against the corpus-sized assignment → join back to the
+    * components), three scheduled stages per fold whose inputs the collect
+    * already held; the r21 job profile showed q151's folds dominated by
+    * exactly this class of small scheduled jobs. Past the cap the original
+    * distributed shape runs unchanged.
     */
-  private def foldDelta(newEdges: DataFrame, prev: DataFrame): FoldDelta = {
-    // contract each delta endpoint to its current rep (absent → itself:
-    // a brand-new doc is its own node); same-component pairs become
-    // self-loops, which connectedComponents keeps as rep=self nodes, so
-    // every touched rep and new doc gets a row in the tiny result
-    val mapped = newEdges
+  private def foldDelta(newEdges: DataFrame, prev: DataFrame,
+      driverMax: Int = 1 << 18): FoldDelta = {
+    val spark = newEdges.sparkSession
+    val joined = newEdges
       .join(prev.select(col("doc_id").as("id_a"), col("rep_id").as("ra")), Seq("id_a"), "left")
       .join(prev.select(col("doc_id").as("id_b"), col("rep_id").as("rb")), Seq("id_b"), "left")
-      .select(coalesce(col("ra"), col("id_a")).as("id_a"),
-        coalesce(col("rb"), col("id_b")).as("id_b"))
-    // batch-bounded by construction -> the small-graph driver fast path
-    // (one collect job instead of the iterative engine's ~15 round jobs;
-    // distributed fallback past the cap)
-    val ccd = Graph.connectedComponentsAuto(mapped)
-    // a component's rep is always its min DOC id: member reps are their
-    // old components' minima and new docs bring their own ids, so the
-    // min over the contracted component is the min over the merged one.
-    // Identity rows (id == rep: untouched components, self-loop-only
-    // nodes) are excluded — they move nothing, and keeping them would
-    // make every member of every TOUCHED-but-unmerged cluster a "change"
-    val remap = broadcast(ccd.filter(col("id") =!= col("rep"))
-      .select(col("id").as("rep_id"), col("rep").as("new_rep")))
-    val newDocs = newEdges.select(col("id_a").as("doc_id"))
-      .union(newEdges.select(col("id_b"))).distinct()
-      .join(prev.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .join(ccd.select(col("id").as("doc_id"), col("rep").as("rep_id")), Seq("doc_id"))
-    FoldDelta(remap, newDocs)
+      .select(col("id_a"), col("id_b"), col("ra"), col("rb"))
+    val sample = joined.limit(driverMax + 1).collect()
+    if (sample.length > driverMax) {
+      // distributed fallback — the pre-r21 shape, verbatim
+      val mapped = joined
+        .select(coalesce(col("ra"), col("id_a")).as("id_a"),
+          coalesce(col("rb"), col("id_b")).as("id_b"))
+      val ccd = Graph.connectedComponentsAuto(mapped)
+      val remap = broadcast(ccd.filter(col("id") =!= col("rep"))
+        .select(col("id").as("rep_id"), col("rep").as("new_rep")))
+      val newDocs = newEdges.select(col("id_a").as("doc_id"))
+        .union(newEdges.select(col("id_b"))).distinct()
+        .join(prev.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(ccd.select(col("id").as("doc_id"), col("rep").as("rep_id")), Seq("doc_id"))
+      return FoldDelta(remap, newDocs)
+    }
+    // driver path: union-find with path halving over the CONTRACTED
+    // endpoints (absent from prev → the doc is its own node); every union
+    // keeps the SMALLER root, so find(x) is the component's min id — the
+    // same algebra as Graph.connectedComponentsAuto, whose equivalence the
+    // fold specs pin
+    val n = sample.length
+    val parent = new java.util.HashMap[Long, Long](n * 4)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        parent.put(r, parent.get(parent.get(r)))
+        r = parent.get(r)
+      }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    // new doc ids (endpoints absent from prev), deduped driver-side
+    val newIds = new java.util.LinkedHashSet[Long]()
+    var i = 0
+    while (i < n) {
+      val r = sample(i)
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "foldPairs: NULL edge id — id_a/id_b must be non-null values castable to long")
+      val a = r.getLong(0); val b = r.getLong(1)
+      val ca = if (r.isNullAt(2)) { newIds.add(a); a } else r.getLong(2)
+      val cb = if (r.isNullAt(3)) { newIds.add(b); b } else r.getLong(3)
+      union(ca, cb)
+      i += 1
+    }
+    // remap rows: contracted nodes whose component min moved (identity
+    // rows excluded — the pre-r21 ccd.filter(id =!= rep) semantics)
+    val remapRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    parent.keySet().forEach { id =>
+      val rep = find(id)
+      if (rep != id) remapRows.add(org.apache.spark.sql.Row(id, rep))
+    }
+    val newDocRows = new java.util.ArrayList[org.apache.spark.sql.Row](newIds.size())
+    newIds.forEach { id => newDocRows.add(org.apache.spark.sql.Row(id, find(id))) }
+    def frame(rows: java.util.ArrayList[org.apache.spark.sql.Row],
+        c1: String, c2: String) =
+      spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(c1, org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField(c2, org.apache.spark.sql.types.LongType, false))))
+    FoldDelta(broadcast(frame(remapRows, "rep_id", "new_rep")),
+      frame(newDocRows, "doc_id", "rep_id"))
   }
 
   /** Fold one batch of candidate pairs (columns `id_a`, `id_b`; extras
