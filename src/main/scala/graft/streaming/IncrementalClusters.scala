@@ -47,7 +47,7 @@ object IncrementalClusters {
     * has never seen. Both are bounded by the batch (remap) or the batch
     * plus its touched clusters (the callers' changed-row joins).
     */
-  private case class FoldDelta(remap: DataFrame, newDocs: DataFrame)
+  private[graft] case class FoldDelta(remap: DataFrame, newDocs: DataFrame)
 
   /** Contract the batch against `prev` (the persisted current assignment)
     * and run components on the batch-sized contracted graph.
@@ -64,7 +64,7 @@ object IncrementalClusters {
     * exactly this class of small scheduled jobs. Past the cap the original
     * distributed shape runs unchanged.
     */
-  private def foldDelta(newEdges: DataFrame, prev: DataFrame,
+  private[graft] def foldDelta(newEdges: DataFrame, prev: DataFrame,
       driverMax: Int = 1 << 18): FoldDelta = {
     val spark = newEdges.sparkSession
     val joined = newEdges

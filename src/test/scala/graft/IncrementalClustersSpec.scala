@@ -44,6 +44,32 @@ class IncrementalClustersSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("foldDelta: one-collect driver path equals the distributed fallback (r21)") {
+    // prev assignment: {1,2} rep 1, {5,6} rep 5, singleton 9
+    val prev = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L), (9L, 9L))
+      .toDF("doc_id", "rep_id")
+    // batch: merges the two clusters through new doc 100, brings a fresh
+    // pair (200, 201), re-links 9 to itself (self-loop no-op), and repeats
+    // an endpoint so the new-doc dedupe is exercised
+    val batch = Seq((2L, 100L), (100L, 6L), (200L, 201L), (9L, 9L), (100L, 100L))
+      .toDF("id_a", "id_b")
+    def sets(d: IncrementalClusters.FoldDelta) = (
+      d.remap.as[(Long, Long)].collect().toSet,
+      d.newDocs.as[(Long, Long)].collect().toSet)
+    val (remapD, newD) = sets(IncrementalClusters.foldDelta(batch, prev))
+    // driverMax = 0 forces the pre-r21 distributed shape — same algebra,
+    // different machinery; the two paths must agree row-for-row
+    val (remapF, newF) = sets(IncrementalClusters.foldDelta(batch, prev, driverMax = 0))
+    assert(remapD == remapF, s"driver $remapD vs fallback $remapF")
+    assert(newD == newF, s"driver $newD vs fallback $newF")
+    // and both must be the expected delta: cluster 5 absorbs into 1
+    // (min id); the contracted new-doc nodes carry their own remap rows
+    // (inert downstream — new ids never match prev's rep_id), and the new
+    // docs take the merged component's rep
+    assert(remapD == Set((5L, 1L), (100L, 1L), (201L, 200L)))
+    assert(newD == Set((100L, 1L), (200L, 200L), (201L, 200L)))
+  }
+
   test("empty batch is a no-op version-wise; replayed batch is idempotent") {
     val dir = tmp("idem")
     IncrementalClusters.foldPairs(spark, dir, Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b"))

@@ -263,6 +263,22 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("all-NULL group at p = 1.0 still yields its NULL row (single-pass bracket arm)") {
+    // r21's single-pass exactQuantiles keeps NULL rows ranked past the
+    // non-NULL count; at p = 1.0 an all-NULL group's bracket h = (0−1)·1
+    // = −1 matches NO row's rank, so without the explicit __n = 0 arm the
+    // group would vanish from the aggregate instead of reproducing
+    // percentile()'s NULL row. p = 0.5/0.0 accidentally admit rank 1
+    // (ceil(−0.5) = −0.0 = 0), so only p = 1.0 exercises the arm.
+    val allNull = Seq(("a", Some(2.0)), ("b", None), ("b", None)).toDF("g", "v")
+    val rows = graft.ops.Quantiles.exactQuantiles(allNull, "v", Seq("g"),
+      Seq(0.0, 1.0), Seq("lo", "hi")).orderBy("g").collect()
+    assert(rows.length == 2, rows.mkString(" | "))
+    assert(rows(0).getDouble(1) == 2.0 && rows(0).getDouble(2) == 2.0)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2),
+      s"all-NULL group must survive p=1.0 with NULL quantiles: ${rows(1)}")
+  }
+
   test("NULL group key with non-null values gets its computed quantiles (percentile() parity)") {
     // percentile() treats NULL as a group key like any other; the
     // all-NULL-group restore join must be null-safe or the NULL-keyed
