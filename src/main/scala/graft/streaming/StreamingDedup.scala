@@ -41,10 +41,11 @@ object StreamingDedup {
     * `(a·h + b) mod P` with P = 2³¹ − 1, so it always fits an Int, and the
     * signature is the row's dominant payload — carried once per band (16×
     * per doc) through the groupByKey shuffle and held in every bucket's
-    * state. Halving the entry type halved the operator's measured shuffle
-    * volume (58 → ~30 MB on the sf0.1 bench corpus) and its state
-    * footprint, with bit-identical pairing (equality of exact values —
-    * guide §2.3 "narrower types").
+    * state. Halving the entry type cut the operator's measured shuffle
+    * volume 58.2 → 44.0 MB on the sf0.1 bench corpus (the band-key
+    * strings and row overhead carry the rest) and halved the signatures'
+    * state footprint, with bit-identical pairing (equality of exact
+    * values — guide §2.3 "narrower types").
     */
   case class DocSig(id: Long, sig: Array[Int], ts: Long)
 
