@@ -1825,10 +1825,14 @@ object SnapshotTable {
   def merge(spark: SparkSession, batch: DataFrame, dir: String,
       keys: Seq[String] = IncrementalLoader.AdsKeys): Long = {
     require(keys.contains("dt"), "snapshot merge requires dt in the merge key")
-    require(batch.filter(col("dt").isNull).isEmpty, "snapshot merge: batch has NULL dt rows")
     retryingRewrite(dir) {
       currentManifest(spark, dir) match {
         case None =>
+          // create branch (cold — once per table lifetime): the NULL-dt
+          // guard stays an eager probe here; the merge branch below folds
+          // it into the touched-dt collect it already pays
+          require(batch.filter(col("dt").isNull).isEmpty,
+            "snapshot merge: batch has NULL dt rows")
           val entries = writeData(spark, batch, dir)
           commitLoop(spark, dir, op = "merge") { cur =>
             // the create-the-table assumption broke if anyone committed
@@ -1839,8 +1843,14 @@ object SnapshotTable {
           }.get
         case Some(m) =>
           enforceOnBatch(spark, dir, Some(m), batch, s"merge into $dir")
-          val touched = batch.select(col("dt").cast("string")).distinct()
-            .collect().map(_.getString(0)).sorted
+          // the NULL-dt guard rides this collect (a null dt is one distinct
+          // value, so it is always among the collected strings) — r21: a
+          // dedicated filter(isNull).isEmpty probe cost one full batch-scan
+          // job per merge; the [[keyFootprint]] one-bounded-job discipline
+          val touchedRaw = batch.select(col("dt").cast("string")).distinct()
+            .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+          require(!touchedRaw.contains(null), "snapshot merge: batch has NULL dt rows")
+          val touched = touchedRaw.sorted
           val rewrite = m.entries.filter(e => (e.minDt, e.maxDt) match {
             case (Some(mn), Some(mx)) => touched.exists(d => mn <= d && d <= mx)
             case _ => true // no stats → conservative rewrite

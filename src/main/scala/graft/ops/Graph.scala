@@ -471,10 +471,13 @@ object Graph {
     val w = oriented.select(col("s"), col("t").as("t1"))
       .join(oriented.select(col("s"), col("t").as("t2")), "s")
       .filter(col("t1") < col("t2"))
+    // closing-edge side in ONE cached scan: each oriented edge contributes
+    // exactly one id-ordered pair (s ≠ t always, so least/greatest is the
+    // strict order the old union-both-directions + filter(t1 < t2) kept) —
+    // r21: the union emitted 2|E| rows from two scans to keep |E| of them
     val closed = w.join(
-      oriented.select(col("s").as("t1"), col("t").as("t2"))
-        .union(oriented.select(col("t").as("t1"), col("s").as("t2")))
-        .filter(col("t1") < col("t2")),
+      oriented.select(least(col("s"), col("t")).as("t1"),
+        greatest(col("s"), col("t")).as("t2")),
       Seq("t1", "t2"))
     graft.util.Caching.materialize(
       closed.agg(count(lit(1)).as("n_triangles")), oriented)

@@ -278,7 +278,14 @@ object TextPipelines {
           (a, b) => concat(a, lit(" "), b))).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .persist()
-    val vocab = toks.select(explode(col("toks")).as("w"))
+    // vocabulary from the PERSISTED grams frame, not a second tokenization
+    // pass over the corpus (`toks` is not cached — only `grams` is): every
+    // token of a >=2-token doc appears in at least one bigram (t1 as the
+    // first bigram's w1, tn as the last's w2, middle tokens in both), so
+    // distinct(w1 ∪ w2) over grams IS the token vocabulary — identical
+    // count, one cached scan instead of a full re-tokenize (r21)
+    val vocab = grams
+      .select(explode(array(col("w1"), substring_index(col("bg"), " ", -1))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     val c2 = grams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
     val c1 = grams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
@@ -373,14 +380,21 @@ object TextPipelines {
         slice(col("toks"), lit(1), size(col("toks")) - 1),
         slice(col("toks"), lit(2), size(col("toks")) - 1),
         (a, b) => concat(a, lit(" "), b))).as("bg"))
-    val cbg = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    // both count frames PERSIST (vocab-bounded) and the corpus totals derive
+    // from them as sums of the group counts, so the explode→aggregate passes
+    // over the cached tokens run ONCE each — r21: nbg re-exploded every
+    // token array a second time and ntok a fourth (grams ×2, uniRows ×2).
+    // coalesce(sum, 0) ≡ count(1) on an empty corpus (out is empty either
+    // way — cbg has no rows to join).
+    val cbgAll = grams.groupBy(col("bg")).agg(count(lit(1)).as("cnt")).persist()
+    val cbg = cbgAll
       .filter(col("cnt") >= minCount)
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .withColumn("w2", substring_index(col("bg"), " ", -1))
-    val nbg = grams.agg(count(lit(1)).as("nbg"))
-    val uniRows = toks.select(explode(col("toks")).as("w"))
-    val uni = uniRows.groupBy(col("w")).agg(count(lit(1)).as("c"))
-    val ntok = uniRows.agg(count(lit(1)).as("ntok"))
+    val nbg = cbgAll.agg(coalesce(sum(col("cnt")), lit(0L)).as("nbg"))
+    val uni = toks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c")).persist()
+    val ntok = uni.agg(coalesce(sum(col("c")), lit(0L)).as("ntok"))
     val u1 = uni.select(col("w").as("w1"), col("c").as("c1"))
     val u2 = uni.select(col("w").as("w2"), col("c").as("c2"))
     val out = cbg
@@ -391,7 +405,7 @@ object TextPipelines {
           / (col("nbg").cast("double") * col("c1") * col("c2"))), 6).as("pmi"))
       .orderBy(col("pmi").desc, col("bg"))
       .limit(topN)
-    graft.util.Caching.materialize(out, toks)
+    graft.util.Caching.materialize(out, toks, cbgAll, uni)
   }
 
   /** Train `nMerges` BPE merges on the corpus — real tokenizer-vocabulary
@@ -584,16 +598,26 @@ object TextPipelines {
     graft.extensions.GraftExtensions.register(spark)
     val rawG = bigramOccurrences(raw, col(idCol), textCol).persist()
     val tgtG = bigramOccurrences(target, lit(0L), textCol)
-    val cR = rawG.groupBy(col("bg")).agg(count(lit(1)).as("c_r"))
-    val cT = tgtG.groupBy(col("bg")).agg(count(lit(1)).as("c_t"))
-    val nR = rawG.agg(count(lit(1)).as("n_r"))
-    val nT = tgtG.agg(count(lit(1)).as("n_t"))
-    val v = cR.select(col("bg")).union(cT.select(col("bg")))
-      .agg(countDistinct(col("bg")).as("v"))
+    // both count frames PERSIST (vocab-bounded, tiny next to the corpora)
+    // and every model scalar derives from them in ONE pass: n_r/n_t are the
+    // sums of the group counts (= occurrence totals) and |V| is the
+    // countDistinct of their key union. r21: previously nT and v each
+    // recomputed tgtG, so the TARGET corpus was tokenized three times (cT,
+    // nT, v) and three separate 1-row frames broadcast; now the target
+    // tokenizes exactly once and one broadcast carries all three scalars.
+    // coalesce(sum, 0) ≡ the old count(1) on an empty side (count is 0,
+    // sum is NULL) — same smoothing-floor arithmetic on degenerate corpora.
+    val cR = rawG.groupBy(col("bg")).agg(count(lit(1)).as("c_r")).persist()
+    val cT = tgtG.groupBy(col("bg")).agg(count(lit(1)).as("c_t")).persist()
+    val scal = cR.select(col("bg"), col("c_r").as("c"), lit(true).as("is_r"))
+      .unionByName(cT.select(col("bg"), col("c_t").as("c"), lit(false).as("is_r")))
+      .agg(coalesce(sum(when(col("is_r"), col("c"))), lit(0L)).as("n_r"),
+        coalesce(sum(when(!col("is_r"), col("c"))), lit(0L)).as("n_t"),
+        countDistinct(col("bg")).as("v"))
     val scored = rawG
       .join(cR, "bg") // every raw bigram is in the raw model by construction
       .join(cT, Seq("bg"), "left") // absent from target → count 0, smoothing floors it
-      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT)).crossJoin(broadcast(v))
+      .crossJoin(broadcast(scal))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(
@@ -605,7 +629,7 @@ object TextPipelines {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
-    graft.util.Caching.materialize(out, rawG)
+    graft.util.Caching.materialize(out, rawG, cR, cT)
   }
 
   /** [[dsirScores]] over the paper's actual FIXED feature space: bigrams
@@ -639,14 +663,20 @@ object TextPipelines {
     // path and the prepared E124 path — they can never silently diverge
     val rawG = dsirFeat(bigramOccurrences(raw, col(idCol), textCol), Some(hexChars)).persist()
     val tgtG = dsirFeat(bigramOccurrences(target, lit(0L), textCol), Some(hexChars))
-    val cR = rawG.groupBy(col("f")).agg(count(lit(1)).as("c_r"))
-    val cT = tgtG.groupBy(col("f")).agg(count(lit(1)).as("c_t"))
-    val nR = rawG.agg(count(lit(1)).as("n_r"))
-    val nT = tgtG.agg(count(lit(1)).as("n_t"))
+    // the count frames PERSIST (≤ 16^hexChars rows each) and both occurrence
+    // totals derive from them in one pass — the [[dsirScores]] r21 rewrite;
+    // here |V| is already the fixed bucket literal so the scalar frame
+    // carries just n_r/n_t. The target corpus tokenizes once, not twice.
+    val cR = rawG.groupBy(col("f")).agg(count(lit(1)).as("c_r")).persist()
+    val cT = tgtG.groupBy(col("f")).agg(count(lit(1)).as("c_t")).persist()
+    val scal = cR.select(col("c_r").as("c"), lit(true).as("is_r"))
+      .unionByName(cT.select(col("c_t").as("c"), lit(false).as("is_r")))
+      .agg(coalesce(sum(when(col("is_r"), col("c"))), lit(0L)).as("n_r"),
+        coalesce(sum(when(!col("is_r"), col("c"))), lit(0L)).as("n_t"))
     val scored = rawG
       .join(cR, "f") // every raw bucket is in the raw model by construction
       .join(cT, Seq("f"), "left") // absent from target → count 0, smoothing floors it
-      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .crossJoin(broadcast(scal))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(
@@ -658,7 +688,7 @@ object TextPipelines {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("dsir_score"), lit(0.0)).as("dsir_score"))
-    graft.util.Caching.materialize(out, rawG)
+    graft.util.Caching.materialize(out, rawG, cR, cT)
   }
 
   /** DSIR models PREPARED for repeated scoring sweeps — the select-on-
