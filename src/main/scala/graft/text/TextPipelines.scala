@@ -269,6 +269,9 @@ object TextPipelines {
     val toks = docs
       .select(col(idCol).as("doc_id"),
         graft.extensions.GraftExtensions.ws_tokens(lower(col(textCol))).as("toks"))
+      // NOTE: the vocab-from-grams derivation below is only exact BECAUSE of
+      // this >=2-token filter — tokens unique to 1-token docs never reach a
+      // bigram, so relaxing the filter would require a separate vocab pass.
       .filter(size(col("toks")) >= 2)
     val grams = toks
       .select(col("doc_id"),
@@ -569,8 +572,9 @@ object TextPipelines {
     * Scale shape: the two model fits are hash aggregations with map-side
     * partial counts; scoring joins each raw bigram occurrence to the two
     * count frames on the bigram key (shuffles bounded by corpus token
-    * count, never all-pairs); the three scalars (N_raw, N_target, |V|) ride
-    * as broadcast 1-row frames, so nothing corpus-sized touches the driver.
+    * count, never all-pairs); ONE broadcast 1-row frame carries all three
+    * scalars (N_raw, N_target, |V|), so nothing corpus-sized touches the
+    * driver.
     */
   /** One row per bigram OCCURRENCE: (doc_id, bg) — the shared feature
     * extraction of [[dsirScores]] and [[dsirScoresHashed]].
