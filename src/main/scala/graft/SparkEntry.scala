@@ -569,8 +569,7 @@ object SparkEntry {
     "q152_decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val bench = docs.filter(pmod(col("doc_id"), lit(17)) === 0).select(col("text"))
-      graft.dedup.Decontaminate.ngramOverlap(docs, bench, n = 8, minHits = 1,
-        expectedBenchGrams = 65536L)
+      graft.dedup.Decontaminate.ngramOverlap(docs, bench, n = 8, minHits = 1)
         .orderBy(col("doc_id"))
     }),
 
@@ -628,7 +627,7 @@ object SparkEntry {
       val li = Tables.lineitem(s, dir)
       val picked = Tables.supplier(s, dir).filter(col("s_acctbal") > 5000)
       graft.ops.BloomJoin.bloomSemiJoin(li, picked, "l_suppkey", "s_suppkey",
-        expectedKeys = 10000L, fpp = 0.01)
+        fpp = 0.01)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), Analytics.dsum(col("l_extendedprice")).as("revenue"))
         .orderBy(col("l_returnflag"))
@@ -821,14 +820,18 @@ object SparkEntry {
       // Separate aggregation passes joined on the (3-row) group key: mixing
       // count_distinct with the percentile object-aggregates in one agg
       // makes Catalyst Expand every input row through the object hash
-      // aggregate (measured ~2.5x slower than clean passes).
+      // aggregate (measured ~2.5x slower than clean passes). r22: the
+      // exact percentiles moved to the SPREAD quantile shape — measured
+      // 2.01 -> 1.83 s at sf0.1 (its range stages overlap the other two
+      // aggregation passes better than the 3-task window did) AND it is
+      // the group-count-independent 100 TB shape.
       val distincts = li.groupBy(col("l_returnflag")).agg(
         count_distinct(col("l_partkey")).as("n_parts"),
         approx_count_distinct(col("l_partkey")).as("hll_parts"))
       // exact side via the sort-based distributed quantile (identical
       // interpolation to percentile(), no per-group value buffering) —
       // the scale path, not just a harness
-      val pctls = graft.ops.Quantiles.exactQuantiles(
+      val pctls = graft.ops.Quantiles.exactQuantilesSpread(
         li, "l_extendedprice", Seq("l_returnflag"),
         Seq(0.5, 0.99), Seq("p50_exact", "p99_exact"))
       val approxs = li.groupBy(col("l_returnflag")).agg(
@@ -1075,9 +1078,19 @@ object SparkEntry {
           reverse(col("text")).as("text"),
           transform(col("vec"), x => -x).as("vec"))
       val fresh = verbTwins.union(semTwins).union(cleanDocs)
-      val vPrep = Dedup.crossPrepare(corpus)
+      // the two reference prepares are INDEPENDENT eager builds over the
+      // (already-materialized — the centroid collect forced it) cached
+      // corpus: overlap them from a second driver thread (guide §2.6 —
+      // actions are only sequential because the driver calls them
+      // sequentially), so the semantic tier's assignment jobs back-fill
+      // the verbatim tier's shingling stages instead of queueing after
+      // them (both builds sat on the critical path before).
+      val vPrepF = scala.concurrent.Future(Dedup.crossPrepare(corpus))(
+        scala.concurrent.ExecutionContext.global)
       val sPrep = graft.dedup.SemDeDup.crossSemanticPrepare(
         corpus.select(col("doc_id").as("id"), col("vec")), centroids)
+      val vPrep = scala.concurrent.Await.result(
+        vPrepF, scala.concurrent.duration.Duration.Inf)
       try graft.dedup.CrossSweep.removeCrossAll(fresh, vPrep, sPrep,
           jaccardThreshold = 0.5, cosThreshold = 0.99)
         .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
@@ -1414,12 +1427,15 @@ object SparkEntry {
     // — the robust-stats composition over Quantiles ----
     "q92_winsorized" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      // window-shape quantiles: at this scale each group sorts comfortably
-      // in one task, and the spread variant's extra stages + eager
-      // materialization cost more than they save (measured 3.5s vs 1.9s at
-      // sf0.1) — the spread shape earns its keep only when single groups
-      // outgrow a task's sort
-      val bounds = graft.ops.Quantiles.exactQuantiles(
+      // SPREAD-shape quantiles (r22): l_returnflag has 3 groups, so the
+      // window variant sorts ~1/3 of lineitem through ONE task — the
+      // canonical 100 TB wall (the driver logs the single-partition window
+      // warning for it). The range-partitioned rank shape costs a bounded
+      // 1.35 -> 1.66 s at sf0.1 (5-rep medians, 32c) for parallelism
+      // independent of group count; q44's identical switch measured
+      // FASTER (2.01 -> 1.83 s), so the overhead is stage latency, not
+      // data volume.
+      val bounds = graft.ops.Quantiles.exactQuantilesSpread(
         li, "l_extendedprice", Seq("l_returnflag"), Seq(0.01, 0.99), Seq("lo", "hi"))
       li.join(broadcast(bounds), "l_returnflag")
         .select(col("l_returnflag"),
@@ -1440,23 +1456,35 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // ---- LAG window: day-over-day revenue delta ----
+    // ---- LAG window: day-over-day revenue delta. r22: the global-order
+    // LAG rides a range-partitioned rank + rank−1 self-join instead of a
+    // partition-less WindowExec — the daily grain bounds the frame either
+    // way, but no single task ever has to hold the whole series ----
     "q95_dod_change" -> ((s, dir) => {
       val daily = Tables.orders(s, dir)
         .groupBy(col("o_orderdate").as("dt"))
         .agg(Analytics.dsum(col("o_totalprice")).as("rev"))
-      daily
-        .withColumn("delta", col("rev") -
-          lag(col("rev"), 1).over(Window.orderBy(col("dt"))))
+      val ranked = graft.ops.Ranks.withGlobalRowNumber(daily, Seq(col("dt")))
+      // the first row finds no rank−1 predecessor: delta stays NULL, as LAG defines
+      val prev = ranked.select((col("__rn") + 1).as("__rn"), col("rev").as("__prev"))
+      ranked.join(prev, Seq("__rn"), "left")
+        .select(col("dt"), col("rev"), (col("rev") - col("__prev")).as("delta"))
         .orderBy(col("dt"))
     }),
 
-    // ---- NTILE window: quartile assignment under a total order ----
-    "q96_ntile" -> ((s, dir) =>
-      Tables.orders(s, dir)
-        .select(col("o_orderkey"),
-          ntile(4).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))).as("quartile"))
-        .orderBy(col("o_orderkey"))),
+    // ---- NTILE under a total order. r22: quartiles as rank arithmetic
+    // over a range-partitioned global row number (Ranks.ntileFromRank,
+    // pinned against ntile() by RanksSpec) — the ntile() window previously
+    // moved EVERY order row through ONE task (partition-less WindowExec),
+    // the canonical 100 TB wall ----
+    "q96_ntile" -> ((s, dir) => {
+      val ranked = graft.ops.Ranks.withGlobalRowNumber(
+        Tables.orders(s, dir).select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice"), col("o_orderkey")), nName = Some("__n"))
+      ranked.select(col("o_orderkey"),
+        graft.ops.Ranks.ntileFromRank(4, col("__rn"), col("__n")).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    }),
 
     // ---- salted aggregation under the oracle: two-stage (keys, salt) →
     // keys merge must be row-identical to the plain GROUP BY (salting is an
@@ -1487,11 +1515,15 @@ object SparkEntry {
     // absolute deviations) ----
     "q100_mad" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val med = graft.ops.Quantiles.exactQuantiles(
+      // both passes on the SPREAD shape (r22, q92's argument — 3 groups on
+      // lineitem): 2.11 -> 2.68 s at sf0.1 buys group-count-independent
+      // parallelism on both sorts; the two calls are inherently sequential
+      // (deviations need the medians)
+      val med = graft.ops.Quantiles.exactQuantilesSpread(
         li, "l_extendedprice", Seq("l_returnflag"), Seq(0.5), Seq("med"))
       val dev = li.join(broadcast(med), "l_returnflag")
         .select(col("l_returnflag"), abs(col("l_extendedprice") - col("med")).as("adev"))
-      graft.ops.Quantiles.exactQuantiles(dev, "adev", Seq("l_returnflag"), Seq(0.5), Seq("mad"))
+      graft.ops.Quantiles.exactQuantilesSpread(dev, "adev", Seq("l_returnflag"), Seq(0.5), Seq("mad"))
         .select(col("l_returnflag"), round(col("mad"), 6).as("mad"))
         .orderBy(col("l_returnflag"))
     }),

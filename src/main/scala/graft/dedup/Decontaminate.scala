@@ -51,7 +51,7 @@ object Decontaminate {
       benchmark: DataFrame,
       n: Int = 8,
       benchTextCol: String = "text",
-      expectedBenchGrams: Long = 1000000L,
+      expectedBenchGrams: Option[Long] = None,
       fpp: Double = 0.01): PreparedBenchmark = {
     require(n >= 1, s"n must be positive, got $n")
     val spark = benchmark.sparkSession
@@ -60,11 +60,17 @@ object Decontaminate {
       .select(explode(TextFunctions.shingleHashes(spark, col(benchTextCol), n)).as("h"))
       .distinct()
       .persist()
-    val numBits = math.max(64L,
-      (-expectedBenchGrams * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // bloom sized from the DATA by default (r22): the count job doubles as
+    // the cache-forcing job the bloom agg would have paid anyway, and the
+    // filter can no longer be silently neutered (under-sized constant →
+    // FPR → 1) or bloated (over-sized constant → megabytes of literal in
+    // every task) when the benchmark population moves
+    val nGrams = expectedBenchGrams.getOrElse(grams.count())
+    if (nGrams == 0L) return PreparedBenchmark(grams, null, n) // empty benchmark
+    val numBits = graft.ops.BloomJoin.bloomBits(nGrams, fpp)
     val bloomBytes = grams
       .agg(call_function("bloom_filter_agg",
-        xxhash64(col("h")), lit(expectedBenchGrams), lit(numBits)).as("bf"))
+        xxhash64(col("h")), lit(nGrams), lit(numBits)).as("bf"))
       .collect()(0).getAs[Array[Byte]]("bf")
     PreparedBenchmark(grams, bloomBytes, n)
   }
@@ -158,7 +164,9 @@ object Decontaminate {
     *                  fixtures (a doc under n tokens has no n-grams and is
     *                  never flagged, mirroring the published rule)
     * @param minHits   distinct shared n-grams required to flag
-    * @param expectedBenchGrams bloom sizing (distinct benchmark n-grams)
+    * @param expectedBenchGrams bloom sizing (distinct benchmark n-grams);
+    *                  None (default) sizes from a count of the benchmark
+    *                  side — see [[graft.ops.BloomJoin.bloomSemiJoin]]
     */
   def ngramOverlap(
       docs: DataFrame,
@@ -168,7 +176,7 @@ object Decontaminate {
       textCol: String = "text",
       idCol: String = "doc_id",
       benchTextCol: String = "text",
-      expectedBenchGrams: Long = 1000000L,
+      expectedBenchGrams: Option[Long] = None,
       fpp: Double = 0.01): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
     require(minHits >= 1, s"minHits must be positive, got $minHits")
@@ -275,7 +283,7 @@ object Decontaminate {
       textCol: String = "text",
       idCol: String = "doc_id",
       benchTextCol: String = "text",
-      expectedBenchGrams: Long = 1000000L): DataFrame = {
+      expectedBenchGrams: Option[Long] = None): DataFrame = {
     val flagged = ngramOverlap(docs, benchmark, n, minHits, textCol, idCol,
       benchTextCol, expectedBenchGrams)
       .filter(col("contaminated")).select(col(idCol))

@@ -467,10 +467,22 @@ object Graph {
       .persist()
     // wedges from each apex s: (t1, t2) with t1 ≠ t2, closed by an oriented
     // edge between the two tips (either direction — their relative order
-    // in the orientation is data-dependent)
+    // in the orientation is data-dependent). The apex id is PROJECTED AWAY
+    // before the closing join — only the two tip ids flow into it (the
+    // count needs nothing else).
+    //
+    // r22 note: pre-aggregating the wedge stream to (t1, t2, multiplicity)
+    // before the closing join was tried (shuffle counts, not wedges) and
+    // REVERTED: the |E|-sized closing side broadcasts here, so the wedge
+    // stream is never exchanged at all, and forcing a groupBy exchange on
+    // it measured 1.14 → 2.02 s at sf0.1 (5-rep medians, 32c). At a scale
+    // where the closing side outgrows broadcast, AQE plans the (t1, t2)
+    // join as a shuffle anyway — THEN the pre-aggregation trades those
+    // same shuffle keys for fewer bytes; revisit with that plan in hand.
     val w = oriented.select(col("s"), col("t").as("t1"))
       .join(oriented.select(col("s"), col("t").as("t2")), "s")
       .filter(col("t1") < col("t2"))
+      .select(col("t1"), col("t2"))
     // closing-edge side in ONE cached scan: each oriented edge contributes
     // exactly one id-ordered pair (s ≠ t always, so least/greatest is the
     // strict order the old union-both-directions + filter(t1 < t2) kept) —

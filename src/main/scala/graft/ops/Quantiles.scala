@@ -87,32 +87,44 @@ object Quantiles {
     // (boundary sampling + spark_partition_id): both sides must see ONE
     // evaluation by construction, not by hoping the optimizer's
     // exchange-reuse rule deduplicates the scan. Released below.
+    //
+    // ONE pass (r22, the exactQuantiles r21 treatment): NULL values stay in
+    // the frame, range-partitioned and sorted LAST within their group, and
+    // `__n` counts only the non-NULLs — so ranks 1..__n are exactly the old
+    // filtered ranks, NULL rows sit above __n where no bracket selects
+    // them, and an all-NULL (or NULL-keyed) group reaches the final
+    // aggregate natively. The previous shape filtered NULLs first and then
+    // restored lost groups with a second full scan of `df` (distinct keys)
+    // plus a null-safe left join — one entire extra pass over the fact
+    // table per call.
     val parted = df
       .select((keys :+ col(valueCol).cast("double").as("__v")): _*)
-      .filter(col("__v").isNotNull)
-      .repartitionByRange((keys :+ col("__v")): _*)
-      .sortWithinPartitions((keys :+ col("__v")): _*)
+      .repartitionByRange((keys :+ col("__v").asc_nulls_last): _*)
+      .sortWithinPartitions((keys :+ col("__v").asc_nulls_last): _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
 
-    // per-(partition, group) counts → per-group size and the number of
-    // group rows in partitions BEFORE each pid; both tiny (P × groups rows)
-    val counts = parted.groupBy((col("__pid") +: keys): _*).agg(count(lit(1)).as("__c"))
+    // per-(partition, group) row counts (__c positions the rank offsets over
+    // ALL rows) and non-NULL counts (__cnn sums to the percentile() group
+    // size __n); both tiny (P × groups rows)
+    val counts = parted.groupBy((col("__pid") +: keys): _*)
+      .agg(count(lit(1)).as("__c"), count(col("__v")).as("__cnn"))
     val offW = Window.partitionBy(keys: _*).orderBy(col("__pid"))
     val offsets = counts
       .withColumn("__off", sum(col("__c")).over(offW) - col("__c"))
-      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(keys: _*)))
-      .drop("__c")
+      .withColumn("__n", sum(col("__cnn")).over(Window.partitionBy(keys: _*)))
+      .drop("__c", "__cnn")
 
     // global rank within the group = rows before this partition + local
     // rank; the local window partitions on (__pid, group) so its
     // parallelism is partitions × groups, never just groups. The offsets
     // join is null-safe on the group keys (`<=>`): a USING-style equi-join
-    // would drop every NULL-keyed row here, losing the NULL group's real
-    // quantiles before the all-NULL restore join could ever see them.
+    // would drop every NULL-keyed row here, losing the NULL group's
+    // quantiles to three-valued equality.
     val offR = ("__pid" +: by).foldLeft(offsets)((d, k) => d.withColumnRenamed(k, s"__o_$k"))
     val joinCond = (col("__pid") === col("__o___pid")) +: by.map(k => col(k) <=> col(s"__o_$k"))
-    val localW = Window.partitionBy((col("__pid") +: keys): _*).orderBy(col("__v"))
+    val localW = Window.partitionBy((col("__pid") +: keys): _*)
+      .orderBy(col("__v").asc_nulls_last)
     val ranked = parted
       .join(broadcast(offR), joinCond.reduce(_ && _))
       .drop(("__pid" +: by).map(k => s"__o_$k"): _*)
@@ -120,33 +132,8 @@ object Quantiles {
     // materialize the (one-row-per-group) result eagerly so the pinned
     // `parted` blocks can be released before returning — this variant is
     // therefore eager, like the dedup operators that share intermediates
-    val out = restoreAllNullGroups(df, by, finishFromRanks(ranked, keys, probs, outNames))
-    graft.util.Caching.materialize(out, parted)
+    graft.util.Caching.materialize(finishFromRanks(ranked, keys, probs, outNames), parted)
   }
-
-  /** `percentile()` returns a row with NULL quantiles for a group whose
-    * values are ALL NULL; the rank pipelines above filter NULLs before
-    * grouping and would drop such groups entirely. Restore them with a left
-    * join from the distinct group keys — a tiny map-side-combined aggregate
-    * — so the bit-identical-to-`percentile()` contract holds on every input.
-    * (With no grouping keys the global aggregate already yields its one
-    * NULL row on empty input, so there is nothing to restore.)
-    *
-    * The join condition is null-safe (`<=>` per key): `percentile()` treats
-    * NULL as a group key like any other, so a NULL-keyed group with non-null
-    * values must pick up its computed quantiles, not be orphaned by
-    * three-valued equality.
-    */
-  private def restoreAllNullGroups(df: DataFrame, by: Seq[String], out: DataFrame): DataFrame =
-    if (by.isEmpty) out
-    else {
-      val left = df.select(by.map(col): _*).distinct()
-      val right = by.foldLeft(out)((d, k) => d.withColumnRenamed(k, s"__rk_$k"))
-      val cond = by.map(k => left(k) <=> right(s"__rk_$k")).reduce(_ && _)
-      val quantCols = out.columns.filterNot(by.contains)
-      left.join(right, cond, "left")
-        .select(by.map(left(_)) ++ quantCols.map(right(_)): _*)
-    }
 
   private def checkArgs(probs: Seq[Double], outNames: Seq[String]): Unit = {
     require(probs.nonEmpty && probs.length == outNames.length,
@@ -165,11 +152,9 @@ object Quantiles {
     def h(p: Double) = (col("__n") - 1) * p
     // keep only rows that bracket some requested quantile — the aggregate
     // below never sees the rest. The `__n === 0` arm admits exactly ONE
-    // representative row of an all-NULL group (single-pass exactQuantiles
-    // keeps NULL rows, ranked past __n): its when()-guarded aggregates are
-    // all NULL, reproducing percentile()'s NULL row for that group. Frames
-    // that pre-filter NULLs (the spread variant) have no __n = 0 rows, so
-    // the arm is inert there.
+    // representative row of an all-NULL group (both single-pass variants
+    // keep NULL rows, ranked past __n): its when()-guarded aggregates are
+    // all NULL, reproducing percentile()'s NULL row for that group.
     val bracketing = probs
       .map(p => col("__rn") - 1 === floor(h(p)) || col("__rn") - 1 === ceil(h(p)))
       .reduce(_ || _) || (col("__n") === 0 && col("__rn") === 1)

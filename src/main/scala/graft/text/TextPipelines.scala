@@ -741,14 +741,25 @@ object TextPipelines {
     // release() would be unreachable and the pins would leak into the
     // caller's session (the crossPrepare exception-path discipline)
     try {
-      val nR = cR.agg(coalesce(sum(col("c_r")), lit(0L))).collect()(0).getLong(0)
-      val nT = cT.agg(coalesce(sum(col("c_t")), lit(0L))).collect()(0).getLong(0)
+      // ONE collect for every scalar (r22): the union aggregate triggers —
+      // and caches — BOTH count frames and derives n_r/n_t/|V| in the same
+      // job; previously n_r, n_t, and |V| each ran their own job (three
+      // scheduler round-trips to answer three longs). coalesce(sum, 0) ≡
+      // count on an empty side; countDistinct over the tagged union is the
+      // old union-of-keys countDistinct verbatim. The hashed space skips
+      // the |V| aggregate entirely — its vocabulary is the bucket literal.
+      val scal = cR.select(col("f"), col("c_r").as("c"), lit(true).as("is_r"))
+        .unionByName(cT.select(col("f"), col("c_t").as("c"), lit(false).as("is_r")))
+      val aggs = Seq(
+        coalesce(sum(when(col("is_r"), col("c"))), lit(0L)).as("n_r"),
+        coalesce(sum(when(!col("is_r"), col("c"))), lit(0L)).as("n_t")) ++
+        (if (hexChars.isEmpty) Seq(countDistinct(col("f")).as("v")) else Nil)
+      val row = scal.agg(aggs.head, aggs.tail: _*).collect()(0)
       val v = hexChars match {
         case Some(h) => math.pow(16.0, h.toDouble).toLong
-        case None => cR.select(col("f")).union(cT.select(col("f")))
-          .agg(countDistinct(col("f"))).collect()(0).getLong(0)
+        case None => row.getLong(2)
       }
-      DsirModel(cR, cT, nR, nT, v, addK, hexChars)
+      DsirModel(cR, cT, row.getLong(0), row.getLong(1), v, addK, hexChars)
     } catch {
       case t: Throwable =>
         cR.unpersist(blocking = false)
