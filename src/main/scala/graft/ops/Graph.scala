@@ -400,24 +400,40 @@ object Graph {
     val e = e0.join(deg, "src").repartition(col("src")).persist()
     val nodes = e.select(col("src").as("v")).union(e.select(col("dst"))).distinct().persist()
     val n = nodes.count()
+    val base = (1.0 - damping) / n
     import graft.util.Caching.{checkpointTracked, releaseTracked}
-    var (rank, rankIds) = checkpointTracked(
-      nodes.select(col("v"), lit(1.0 / n).as("r")))
-    for (_ <- 0 until iters) {
-      val contrib = e
-        .join(broadcast(rank.select(col("v").as("src"), col("r"))), "src")
-        .select(col("dst").as("v"), (col("r") / col("deg")).as("c"))
-        .groupBy(col("v")).agg(sum(col("c")).as("in"))
+    // r22: the rank frame carries ONLY nodes that RECEIVE edges — every
+    // other node's rank is a round-constant (1/n before the first round,
+    // (1−d)/n after: zero in-contribution every round), so it rides the
+    // contribution join as a coalesce default instead of a row. That
+    // removes the old per-round `nodes ⋈ broadcast(contrib)` restore join
+    // and its broadcast build outright (one broadcast per round instead of
+    // two, none at all in round 1 where every rank is the 1/n literal);
+    // the per-round work is now exactly one (cached edges ⋈ broadcast
+    // ranks) join + one map-side-combined aggregate + the checkpoint. The
+    // arithmetic is expression-identical (base + d·Σ r/deg with the same
+    // doubles), so the fixed-iteration oracle gate is unchanged.
+    var rankState: Option[(org.apache.spark.sql.DataFrame, Set[Int])] = None
+    for (i <- 0 until iters) {
+      val contribs = rankState match {
+        case None => // round 1: r(src) = 1/n for every node — a literal
+          e.select(col("dst"), (lit(1.0 / n) / col("deg")).as("c"))
+        case Some((rank, _)) =>
+          e.join(broadcast(rank.select(col("v").as("src"), col("r"))), Seq("src"), "left")
+            .select(col("dst"), (coalesce(col("r"), lit(base)) / col("deg")).as("c"))
+      }
       val (next, nextIds) = checkpointTracked(
-        nodes.join(broadcast(contrib), Seq("v"), "left")
-          .select(col("v"),
-            (lit((1.0 - damping) / n) + lit(damping) * coalesce(col("in"), lit(0.0))).as("r")))
-      releaseTracked(rank, rankIds)
-      rank = next
-      rankIds = nextIds
+        contribs.groupBy(col("dst"))
+          .agg((lit(base) + lit(damping) * sum(col("c"))).as("r"))
+          .select(col("dst").as("v"), col("r")))
+      rankState.foreach { case (r, ids) => releaseTracked(r, ids) }
+      rankState = Some((next, nextIds))
     }
+    val (rank, rankIds) = rankState.get
+    // restore the constant-rank nodes (no in-edges) in the final output
     val out = graft.util.Caching.materialize(
-      rank.select(col("v"), round(col("r"), 6).as("rank")), e, nodes)
+      nodes.join(broadcast(rank), Seq("v"), "left")
+        .select(col("v"), round(coalesce(col("r"), lit(base)), 6).as("rank")), e, nodes)
     // `out` is materialized: the final round's checkpoint blocks have no
     // remaining reader either
     releaseTracked(out, rankIds)
