@@ -249,8 +249,28 @@ object Dedup {
       threshold: Double = 0.5,
       seed: Long = 42L,
       shingleK: Int = 3): DataFrame = {
-    val prep = crossPrepare(reference, textCol, idCol, k, bands, seed, shingleK)
-    try crossNearDupsPrepared(newDocs, prep, threshold, textCol, idCol)
+    // r22: the reference prepare and the arriving side's shingling are
+    // independent eager builds — overlap them (guide §2.6): the prepare
+    // runs from a second driver thread while this thread forces the
+    // arrivals' shingle cache, so neither waits on the other's jobs. Both
+    // failure paths release every pinned cache before rethrowing.
+    val prepF = scala.concurrent.Future(
+      crossPrepare(reference, textCol, idCol, k, bands, seed, shingleK))(
+      scala.concurrent.ExecutionContext.global)
+    val hashedNew = shingleSetsOf(newDocs, textCol, idCol, shingleK).persist()
+    val prep =
+      try {
+        hashedNew.count()
+        scala.concurrent.Await.result(prepF, scala.concurrent.duration.Duration.Inf)
+      } catch {
+        case t: Throwable =>
+          hashedNew.unpersist(blocking = false)
+          try scala.concurrent.Await
+            .result(prepF, scala.concurrent.duration.Duration.Inf).release()
+          catch { case _: Throwable => () }
+          throw t
+      }
+    try sweepPrepared(hashedNew, prep, threshold)
     finally prep.release()
   }
 
@@ -564,8 +584,19 @@ object Dedup {
       prep: PreparedReference,
       threshold: Double = 0.5,
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val hashedNew = shingleSetsOf(newDocs, textCol, idCol, prep.shingleK).persist()
+      idCol: String = "doc_id"): DataFrame =
+    sweepPrepared(
+      shingleSetsOf(newDocs, textCol, idCol, prep.shingleK).persist(), prep, threshold)
+
+  /** The sweep over an already-persisted arrivals shingle frame — shared by
+    * [[crossNearDupsPrepared]] and [[crossNearDups]]'s overlapped build
+    * (which forces `hashedNew` concurrently with its reference prepare).
+    * Releases `hashedNew` once the verified pairs materialize.
+    */
+  private def sweepPrepared(
+      hashedNew: DataFrame,
+      prep: PreparedReference,
+      threshold: Double): DataFrame = {
     val candidates = bandedRowsOf(hashedNew, prep.k, prep.bands, prep.seed)
       .withColumnRenamed("id", "new_id")
       .join(prep.banded, Seq("band", "band_hash"))
